@@ -1,13 +1,540 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Similarity}
+
+/** Driver contract — one `queries` entry per implemented operator family from
+  * SURVEY.md §2, exercised over the synthetic star schema per FIXTURES.md §B.
+  * Every SQL-expressible query has a DuckDB oracle in `oracleSql` with
+  * identical column names/types and a total ORDER BY for deterministic rows.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship: star join revenue-by-region on sf0.001 (driver smoke check). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q4_star_join")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── A1 facet count (TPC-H Q1 shape): single-shuffle partial agg ──
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum("l_discount"), 2).as("sum_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ── A2 facet with min-count threshold ──
+    "q2_facet_mincount" -> ((s, dir) => {
+      t(s, dir, "part")
+        .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 5)
+        .orderBy("p_brand")
+    }),
+
+    // ── A3 distinct values, capped ──
+    "q3_distinct" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select("c_mktsegment").distinct()
+        .orderBy("c_mktsegment")
+    }),
+
+    // ── J1–J5 star join: broadcast dims, one fact shuffle ──
+    "q4_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    }),
+
+    // ── J2 broadcast dim join ──
+    "q5_broadcast_join" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum("l_quantity"), 2).as("total_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    // ── P7/S11 semi join (EXISTS) ──
+    "q6_semi_join" -> ((s, dir) => {
+      val bigItems = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      t(s, dir, "orders")
+        .join(bigItems, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ── SO2/J9-shape anti join (NOT EXISTS) ──
+    "q7_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ── J13 range (containment) join against a tiny broadcast dim ──
+    "q8_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(("band0", 0.0, 500.0), ("band1", 500.0, 1000.0),
+        ("band2", 1000.0, 1500.0), ("band3", 1500.0, 100000.0))
+        .toDF("band", "lo", "hi")
+      t(s, dir, "part")
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy("band").agg(count(lit(1)).as("n_parts"),
+          round(sum("p_retailprice"), 2).as("total_price"))
+        .orderBy("band")
+    }),
+
+    // ── W1 top-k per group window ──
+    "q9_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("c_nationkey"), col("rnk"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_nationkey", "rnk")
+    }),
+
+    // ── W4 window aggregate (group max joined back per row) ──
+    "q10_window_max" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("acctbal"),
+          round(max("c_acctbal").over(w), 2).as("nation_max"))
+        .orderBy("c_custkey")
+    }),
+
+    // ── W3 sorted limit (top-N) ──
+    "q11_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+    }),
+
+    // ── SO1 except ──
+    "q12_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val in95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val in96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      in95.except(in96).orderBy("o_custkey")
+    }),
+
+    // ── SO3 union distinct ──
+    "q13_union" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    }),
+
+    // ── F1/F3 date part extraction ──
+    "q14_date_parts" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mth"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("yr", "mth")
+    }),
+
+    // ── F2 date truncation over event stream table ──
+    "q15_date_trunc" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("day", "event_type")
+    }),
+
+    // ── F6/F12 string functions incl. Levenshtein ──
+    "q16_string_funcs" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          length(col("c_name")).cast("long").as("name_len"),
+          levenshtein(lower(col("c_mktsegment")), lit("building")).cast("long").as("lev"))
+        .orderBy("c_custkey")
+    }),
+
+    // ── F13 JSON extraction ──
+    "q17_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    }),
+
+    // ── F9/A4 distinct rounded coordinate pairs ──
+    "q18_coord_round" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(round(col("value"), 0).as("v0"), round(col("value"), 1).as("v1"))
+        .distinct()
+        .orderBy("v0", "v1")
+    }),
+
+    // ── Dedup: exact content-hash duplicate groups ──
+    "q19_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("representative_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy("fp")
+    }),
+
+    // ── Text: per-document fingerprint (normalised content hash) ──
+    "q20_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ── Text: token counting ──
+    "q21_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_actual"))
+        .orderBy("doc_id")
+    }),
+
+    // ── Text: quality scoring components ──
+    "q22_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          round(TF.meanWordLength(col("text")), 4).as("mean_word_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ── Text: language histogram (declared lang × source) ──
+    "q23_lang_hist" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "source")
+    }),
+
+    // ── S10/S11 keyed multiget ──
+    "q24_keyed_lookup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey").isin(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ── P4 compound predicate filter + projection (pushdown surface) ──
+    "q25_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_quantity") > 45 && col("l_returnflag").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ── A6 jackknife prerequisite stats (oracle-checkable part) ──
+    "q26_jackknife_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"),
+          round(min("l_extendedprice"), 2).as("mn"),
+          round(max("l_extendedprice"), 2).as("mx"),
+          round(sum("l_extendedprice"), 2).as("total"),
+          round((lit(0.95) * sqrt(count(lit(1))) + lit(0.2)) *
+            ((max("l_extendedprice") - min("l_extendedprice")) / lit(50.0)), 2)
+            .as("threshold"))
+        .filter(col("n") >= 20)
+        .orderBy("l_partkey")
+    }),
+
+    // ── A6 full jackknife aggregator (typed custom aggregate; rows-only) ──
+    "q27_jackknife_full" -> ((s, dir) => {
+      val jk = udaf(new graft.operators.JackKnifeAggregator(),
+        org.apache.spark.sql.Encoders.scalaFloat)
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice").cast("float").as("v"))
+        .groupBy("l_partkey")
+        .agg(jk(col("v")).as("stats"))
+        .filter(col("stats").isNotNull)
+        .select(col("l_partkey"), col("stats.sampleSize").as("n"),
+          col("stats.mean"), col("stats.stdDev"), col("stats.threshold"),
+          size(col("stats.outlierValues")).as("n_outliers"),
+          col("stats.triggerFailsafe"))
+        .orderBy("l_partkey")
+    }),
+
+    // ── Dedup: MinHash+LSH near-dup candidate pairs (rows-only) ──
+    "q28_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        jaccardThreshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // ── Dedup: SimHash near-dup pairs (rows-only) ──
+    "q29_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 8)
+        .orderBy("id_a", "id_b")),
+
+    // ── Dedup: exact n-gram Jaccard over blocked candidate pairs ──
+    "q30_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, threshold = 0.35)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ── ANN: brute-force cosine top-k ──
+    "q31_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") >= 3), queriesDf, 10)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("cosine"), 4).as("cos_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ── ANN: IVF-bucketed top-k (rows-only; scale path) ──
+    "q32_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfTopK(emb.filter(col("vec_id") >= 3), queriesDf, 10)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("cosine"), 4).as("cos_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ── Embedding near-duplicate pairs by cosine (rows-only) ──
+    "q33_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4, bits = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cos_sim"))
+        .orderBy("id_a", "id_b")),
+
+    // ── Text: heuristic language ID vs declared label (rows-only) ──
+    "q34_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.langIdHeuristic(col("text")).as("pred_lang"),
+          col("lang").as("declared_lang"))
+        .orderBy("doc_id")),
+
+    // ── A8-style null-bucketed grouping ──
+    "q35_null_bucket" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(coalesce(nullif(col("event_type"), lit("error")), lit("UNKNOWN"))
+          .as("etype"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("etype"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_discount),2) AS sum_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_facet_mincount" ->
+      """SELECT p_brand, count(*) AS cnt FROM part
+        |GROUP BY p_brand HAVING count(*) >= 5 ORDER BY p_brand""".stripMargin,
+    "q3_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q4_star_join" ->
+      """SELECT r_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q5_broadcast_join" ->
+      """SELECT p_brand, round(sum(l_quantity),2) AS total_qty,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q6_semi_join" ->
+      """SELECT o_orderstatus, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q7_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q8_range_join" ->
+      """SELECT band, count(*) AS n_parts,
+        | round(sum(p_retailprice),2) AS total_price
+        |FROM part
+        |JOIN (VALUES ('band0',0.0,500.0),('band1',500.0,1000.0),
+        |  ('band2',1000.0,1500.0),('band3',1500.0,100000.0))
+        |  AS bands(band, lo, hi)
+        | ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q9_window_topk" ->
+      """SELECT c_nationkey, rnk, c_custkey, acctbal FROM (
+        | SELECT c_nationkey, c_custkey, round(c_acctbal,2) AS acctbal,
+        |  row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+        | FROM customer) WHERE rnk <= 2
+        |ORDER BY c_nationkey, rnk""".stripMargin,
+    "q10_window_max" ->
+      """SELECT c_custkey, c_nationkey, round(c_acctbal,2) AS acctbal,
+        | round(max(c_acctbal) OVER (PARTITION BY c_nationkey),2) AS nation_max
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q11_limit" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q12_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate)=1995
+        |EXCEPT SELECT o_custkey FROM orders WHERE year(o_orderdate)=1996
+        |ORDER BY o_custkey""".stripMargin,
+    "q13_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q14_date_parts" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mth,
+        | count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY yr, mth ORDER BY yr, mth""".stripMargin,
+    "q15_date_trunc" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        | count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+    "q16_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        | CAST(length(c_name) AS BIGINT) AS name_len,
+        | CAST(levenshtein(lower(c_mktsegment),'building') AS BIGINT) AS lev
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q17_json" ->
+      """SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
+        | count(*) AS n
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    "q18_coord_round" ->
+      """SELECT DISTINCT round(value,0) AS v0, round(value,1) AS v1
+        |FROM events ORDER BY v0, v1""".stripMargin,
+    "q19_dedup_exact" ->
+      """SELECT fp, count(*) AS n_docs, min(doc_id) AS representative_id
+        |FROM (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fp
+        |  FROM documents)
+        |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+    "q20_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_token_count" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text))=0 THEN 0
+        |   ELSE CAST(length(regexp_split_to_array(trim(text),'\s+')) AS BIGINT)
+        | END AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_text_quality" ->
+      """SELECT doc_id,
+        | CAST(length(regexp_split_to_array(trim(text),'\s+')) AS BIGINT)
+        |   AS n_tokens,
+        | round(CAST(list_sum(list_transform(
+        |     regexp_split_to_array(trim(text),'\s+'), x -> length(x)))
+        |   AS DOUBLE) / length(regexp_split_to_array(trim(text),'\s+')), 4)
+        |   AS mean_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q23_lang_hist" ->
+      """SELECT lang, source, count(*) AS n FROM documents
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q24_keyed_lookup" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice,2) AS totalprice
+        |FROM orders WHERE o_orderkey IN (1,2,3,5,8,13,21,34)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q25_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice,2) AS price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        | AND l_shipdate < TIMESTAMP '1997-01-01'
+        | AND l_quantity > 45 AND l_returnflag IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q26_jackknife_stats" ->
+      """SELECT l_partkey, count(*) AS n,
+        | round(min(l_extendedprice),2) AS mn,
+        | round(max(l_extendedprice),2) AS mx,
+        | round(sum(l_extendedprice),2) AS total,
+        | round((0.95*sqrt(count(*))+0.2) *
+        |   ((max(l_extendedprice)-min(l_extendedprice))/50.0),2) AS threshold
+        |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 20
+        |ORDER BY l_partkey""".stripMargin,
+    "q30_ngram_jaccard" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(norm) < 8 THEN [norm]
+        |   ELSE list_distinct(list_transform(
+        |    range(1, length(norm)-6), i -> norm[i:i+7])) END AS shingles
+        | FROM (SELECT doc_id,
+        |   regexp_replace(lower(trim(text)),'\s+',' ','g') AS norm
+        |   FROM documents)),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |  (length(a.shingles)+length(b.shingles)
+        |    -length(list_intersect(a.shingles,b.shingles))) AS j
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE length(list_intersect(a.shingles, b.shingles)) > 0)
+        |SELECT id_a, id_b, round(j,4) AS jaccard FROM pairs
+        |WHERE j >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+    "q31_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |   CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        |   FROM embeddings WHERE vec_id >= 3),
+        |scored AS (SELECT q.query_id, c.vec_id,
+        |   list_cosine_similarity(c.cv, q.qv) AS cos FROM c CROSS JOIN q),
+        |ranked AS (SELECT query_id, vec_id, cos, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        | FROM scored)
+        |SELECT query_id, rank, vec_id, round(cos,4) AS cos_sim
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q35_null_bucket" ->
+      """SELECT coalesce(nullif(event_type,'error'),'UNKNOWN') AS etype,
+        | count(*) AS n
+        |FROM events GROUP BY etype ORDER BY etype""".stripMargin
+  )
 }

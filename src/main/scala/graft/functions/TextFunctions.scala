@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale document pipelines.
+  *
+  * All are built from codegen'd `org.apache.spark.sql.functions` primitives —
+  * no Scala UDFs in the hot path — so they stay inside whole-stage codegen
+  * and scale to 100 TB document tables.
+  *
+  * Capability parity targets: the reference's string utilities
+  * (`util/StringHelper.scala:1-114`) plus the training-data-pipeline text ops
+  * (token counting, quality scoring, language ID, fingerprinting).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens; empty string → 0 tokens (split of "" yields [""]). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish sub-word token estimate: words + punctuation marks counted
+    * separately (a cheap deterministic proxy for a real tokenizer). */
+  def subwordTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "(?<=\\W)|(?=\\W)")).cast("long"))
+
+  /** Count of alphabetic characters. */
+  def alphaCount(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+
+  /** Count of punctuation characters. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast("long")
+
+  /** Punctuation-to-character ratio in [0,1]; 0 for empty text. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(punctCount(text).cast("double") / length(text).cast("double"))
+
+  /** Ratio of stopword tokens to all tokens (English stopword set). */
+  def stopwordRatio(text: Column): Column = {
+    val stops = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "for", "on", "with", "as", "was", "at", "by", "be")
+    val toks = split(lower(trim(text)), "\\s+")
+    val stopHits = size(filter(toks, t => array_contains(
+      array(stops.map(lit): _*), regexp_replace(t, "[^a-z]", ""))))
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(stopHits.cast("double") / tokenCount(text).cast("double"))
+  }
+
+  /** Mean word length over whitespace tokens; 0 for empty. */
+  def meanWordLength(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(
+        aggregate(split(trim(text), "\\s+"), lit(0L),
+          (acc, w) => acc + length(w)).cast("double") /
+          tokenCount(text).cast("double"))
+
+  /** Composite quality score in [0,1]: length sweet-spot, sane punctuation,
+    * some stopwords (suggests natural language). Deterministic, heuristic. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(20.0), lit(1.0))
+    val punctOk = when(punctRatio(text) < 0.2, lit(1.0)).otherwise(lit(0.5))
+    val stopOk = when(stopwordRatio(text) > 0.05, lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * lit(0.5) + punctOk * lit(0.25) + stopOk * lit(0.25), 4)
+  }
+
+  /** N-gram-frequency language ID heuristic. Scores text against per-language
+    * marker word sets; returns the language code with the most marker hits,
+    * "und" when nothing matches. Pure column expressions → codegen'd. */
+  def langIdHeuristic(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is", "that", "with", "for", "this"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+      "fr" -> Seq("le", "la", "les", "est", "une", "des", "dans", "pour"),
+      "es" -> Seq("el", "los", "las", "es", "una", "para", "por", "como"),
+      "it" -> Seq("il", "di", "che", "per", "con", "una", "sono", "della"))
+    val toks = split(lower(trim(text)), "[^a-zà-ÿ]+")
+    val scored = markers.map { case (langCode, words) =>
+      struct(
+        size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+          .as("hits"),
+        lit(langCode).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Deterministic 64-bit document fingerprint (content hash of normalised
+    * text) — the "rolling hash" document identity for exact dedup. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Character shingles (n-length substrings of normalised text) — basis for
+    * MinHash / Jaccard dedup. Built with sequence+transform: stays codegen'd. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    when(length(norm) < n, array(norm))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(norm) - lit(n - 1)),
+        i => norm.substr(i, lit(n)))))
+  }
+
+  /** Word n-gram shingles over whitespace tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+}
