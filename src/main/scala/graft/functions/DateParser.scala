@@ -1,0 +1,113 @@
+package graft.functions
+
+import java.time.{LocalDate, YearMonth}
+import java.util.Locale
+import scala.util.Try
+
+/** Parsed Darwin Core event date: start/end components + single-date flag.
+  *
+  * Behavioural parity target: the reference's multi-format date parser
+  * (`parser/DateParser.scala:264-447` in
+  * /root/reference/src/main/scala/au/org/ala/biocache/), covering ISO dates,
+  * ISO datetimes (zone/millis), `yyyy`, `yyyy-MM`, trailing-hyphen variants,
+  * month names, `yyyy-MM-dd HH:mm:ss.S`, and `/`-separated ranges including
+  * same-century abbreviations (`1978/91`).
+  */
+case class EventDate(
+    startDate: Option[LocalDate], endDate: Option[LocalDate],
+    startYear: String, startMonth: String, startDay: String,
+    endYear: String, endMonth: String, endDay: String,
+    singleDate: Boolean)
+
+object DateParser {
+
+  private val months = Map(
+    "jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4, "may" -> 5, "jun" -> 6,
+    "jul" -> 7, "aug" -> 8, "sep" -> 9, "oct" -> 10, "nov" -> 11, "dec" -> 12)
+
+  private val isoDateTime =
+    """(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2})(?::(\d{2}))?(?:[.,]\d+)?(?:Z|[+-]\d{2}:?\d{2})?""".r
+  private val isoDate = """(\d{4})-(\d{1,2})-(\d{1,2})-?""".r
+  private val yearMonth = """(\d{4})-(\d{1,2})-?""".r
+  private val yearOnly = """(\d{4})""".r
+  private val monthName = """(\d{4})-([A-Za-z]{3,})-(\d{1,2})""".r
+  private val monthNameNoDay = """(\d{4})-([A-Za-z]{3,})""".r
+  private val dmy = """(\d{1,2})-(\d{1,2})-(\d{4})""".r
+  private val dmySlash = """(\d{1,2})/(\d{1,2})/(\d{4})""".r
+
+  private def mm(m: Int) = f"$m%02d"
+  private def dd(d: Int) = f"$d%02d"
+
+  /** One side of a (possibly ranged) date; None on garbage. */
+  private[functions] def parseSingle(raw: String): Option[EventDate] = {
+    val s = raw.trim
+    s match {
+      case isoDateTime(y, m, d, _, _, _) => ymd(y.toInt, m.toInt, d.toInt)
+      case isoDate(y, m, d) => ymd(y.toInt, m.toInt, d.toInt)
+      case monthName(y, mname, d) =>
+        months.get(mname.toLowerCase(Locale.ROOT).take(3))
+          .flatMap(m => ymd(y.toInt, m, d.toInt))
+      case monthNameNoDay(y, mname) =>
+        months.get(mname.toLowerCase(Locale.ROOT).take(3))
+          .flatMap(m => ym(y.toInt, m))
+      case yearMonth(y, m) => ym(y.toInt, m.toInt)
+      case yearOnly(y) => Some(year(y.toInt))
+      case dmy(d, m, y) if m.toInt <= 12 => ymd(y.toInt, m.toInt, d.toInt)
+      case dmySlash(d, m, y) if m.toInt <= 12 => ymd(y.toInt, m.toInt, d.toInt)
+      case _ => None
+    }
+  }
+
+  private def ymd(y: Int, m: Int, d: Int): Option[EventDate] =
+    Try(LocalDate.of(y, m, d)).toOption.map { ld =>
+      EventDate(Some(ld), Some(ld), y.toString, mm(m), dd(d),
+        y.toString, mm(m), dd(d), singleDate = true)
+    }
+
+  private def ym(y: Int, m: Int): Option[EventDate] =
+    Try(YearMonth.of(y, m)).toOption.map { yM =>
+      val first = yM.atDay(1)
+      EventDate(Some(first), Some(yM.atEndOfMonth()), y.toString, mm(m), "01",
+        y.toString, mm(m), dd(yM.atEndOfMonth().getDayOfMonth),
+        singleDate = true)
+    }
+
+  private def year(y: Int): EventDate =
+    EventDate(Some(LocalDate.of(y, 1, 1)), Some(LocalDate.of(y, 12, 31)),
+      y.toString, "", "", y.toString, "", "", singleDate = false)
+
+  /** Full parse incl. `/` ranges. Returns None for unparseable input. */
+  def parseDate(raw: String): Option[EventDate] = {
+    if (raw == null) return None
+    val s = raw.trim
+    if (s.isEmpty) return None
+    if (s.contains("/") && !s.matches("""\d{1,2}/\d{1,2}/\d{4}""")) {
+      val parts = s.split("/", 2)
+      val start = parseSingle(parts(0))
+      // same-century abbreviation: 1978/91 → 1978/1991
+      val endRaw = (start, parts(1).trim) match {
+        case (Some(st), e) if e.matches("""\d{2}""") && st.startYear.length == 4 =>
+          st.startYear.take(2) + e
+        case (_, e) => e
+      }
+      val end = parseSingle(endRaw)
+      (start, end) match {
+        case (Some(st), Some(en)) =>
+          val single = st.startYear == en.endYear &&
+            st.startMonth == en.endMonth && st.startDay == en.endDay &&
+            st.startMonth.nonEmpty && st.startDay.nonEmpty
+          Some(EventDate(st.startDate, en.endDate.orElse(en.startDate),
+            st.startYear, st.startMonth, st.startDay,
+            en.endYear, en.endMonth, en.endDay, single))
+        case _ => None
+      }
+    } else {
+      parseSingle(s)
+    }
+  }
+
+  /** Millis since epoch (UTC midnight) of the start date — UDF-friendly. */
+  def parseStartMillis(raw: String): Option[Long] =
+    parseDate(raw).flatMap(_.startDate)
+      .map(_.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+}

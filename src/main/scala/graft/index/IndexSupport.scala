@@ -1,0 +1,113 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Index projection + serving surface.
+  *
+  * The reference projects each occ row into a ~200-field denormalised SOLR
+  * document (`index/IndexDAO.scala:212-470` mapping table, row path
+  * `getOccIndexModel:516-899`) and serves facets/distinct/stream/download
+  * from it (`index/IndexDAO.scala:24-57`, `index/SolrIndexDAO.scala:299-330`).
+  * Here the index is simply a derived DataFrame: the projection is one wide
+  * `select` with per-field processed-else-raw `coalesce` (the pattern at
+  * `index/IndexDAO.scala:146-153`), "commit/optimise" is Parquet compaction,
+  * and every serving query is a filter/groupBy/sort over it.
+  */
+object IndexSupport {
+
+  /** Processed-over-raw choice for one field. */
+  def p(df: DataFrame, field: String): Column = {
+    val processedName = s"processed_$field"
+    if (df.columns.contains(processedName) && df.columns.contains(field))
+      coalesce(col(processedName), col(field))
+    else if (df.columns.contains(processedName)) col(processedName)
+    else if (df.columns.contains(field)) col(field)
+    else lit(null)
+  }
+
+  /** P3 shouldIndex filter (reference `SolrIndexDAO.scala:580-607`). */
+  def shouldIndex(df: DataFrame): DataFrame = {
+    val deleted =
+      if (df.columns.contains("deleted")) col("deleted") === true
+      else lit(false)
+    df.filter(!deleted)
+  }
+
+  /** P2 projection: enriched record → flat search schema. Table-driven:
+    * plain fields take processed-else-raw; derived fields (point rounding
+    * grid, latLong string, assertion names) are built here once. */
+  def project(enriched: DataFrame): DataFrame = {
+    val base = shouldIndex(enriched)
+    val lat = col("processed_decimalLatitude")
+    val lon = col("processed_decimalLongitude")
+    val plainFields = Seq(
+      "occurrenceID", "catalogNumber", "recordNumber", "recordedBy",
+      "scientificName", "taxonConceptID", "taxonRank", "kingdom", "family",
+      "genus", "basisOfRecord", "occurrenceStatus", "typeStatus", "sex",
+      "country", "stateProvince", "dataResourceUid", "eventDate", "year",
+      "month", "day")
+    val cols: Seq[Column] =
+      col("rowKey").as("id") +:
+        plainFields.map(f => p(base, f).as(f)) ++: Seq(
+        lat.cast("double").as("decimalLatitude"),
+        lon.cast("double").as("decimalLongitude"),
+        concat_ws(",", lat.cast("string"), lon.cast("string")).as("latLong"),
+        // point-rounding grid (reference `IndexDAO.scala:170-198`)
+        concat_ws(",", round(lat, 0), round(lon, 0)).as("point1"),
+        concat_ws(",", round(lat, 1), round(lon, 1)).as("point01"),
+        concat_ws(",", round(lat, 2), round(lon, 2)).as("point001"),
+        concat_ws(",", round(lat, 3), round(lon, 3)).as("point0001"),
+        concat_ws(",", round(lat, 4), round(lon, 4)).as("point00001"),
+        col("assertions").getField("name").as("assertions"),
+        col("geospatiallyKosher"), col("taxonomicallyKosher"))
+    base.select(cols: _*)
+  }
+}
+
+/** Query surface over the index DataFrame — the `Store`-facade equivalents
+  * of A1–A3, W3, S12/S13, S17 (reference `Store.scala:40-771`,
+  * `index/SolrIndexDAO.scala:299-330,1439-1532`). */
+object Serving {
+
+  /** A1 facet count. */
+  def facet(index: DataFrame, field: String,
+      predicate: Option[Column] = None): DataFrame =
+    predicate.fold(index)(index.filter)
+      .groupBy(field).agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col(field).asc)
+
+  /** A2 facet with minimum count. */
+  def facetWithMinCount(index: DataFrame, field: String, minCount: Long,
+      predicate: Option[Column] = None): DataFrame =
+    facet(index, field, predicate).filter(col("count") >= minCount)
+
+  /** A3 distinct values, capped. */
+  def distinctValues(index: DataFrame, field: String, max: Int,
+      predicate: Option[Column] = None): DataFrame =
+    predicate.fold(index)(index.filter)
+      .select(field).distinct().orderBy(field).limit(max)
+
+  /** W3 first-N ids matching a predicate. */
+  def idsForQuery(index: DataFrame, predicate: Column, limit: Int): DataFrame =
+    index.filter(predicate).select("id").orderBy("id").limit(limit)
+
+  /** S12/S13 filtered (optionally sorted) field scan / streaming export. */
+  def scan(index: DataFrame, fields: Seq[String], predicate: Column,
+      sortFields: Seq[String] = Nil): DataFrame = {
+    val filtered = index.filter(predicate).select(fields.map(col): _*)
+    if (sortFields.nonEmpty) filtered.orderBy(sortFields.map(col): _*)
+    else filtered
+  }
+
+  /** S17 keyed download: selected fields + assertion presence columns for a
+    * key set (reference `writeToStream`, `OccurrenceDAOImpl.scala:304-360`).
+    * Write the result with `.write.option("sep", d).csv(path)`. */
+  def download(index: DataFrame, rowKeys: DataFrame, fields: Seq[String],
+      qaFields: Seq[String]): DataFrame = {
+    val keyed = index.join(rowKeys, index("id") === rowKeys("rowKey"), "left_semi")
+    val qaCols = qaFields.map(qa =>
+      array_contains(col("assertions"), qa).as(s"qa_$qa"))
+    keyed.select(fields.map(col) ++ qaCols: _*).orderBy("id")
+  }
+}

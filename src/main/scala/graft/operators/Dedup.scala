@@ -31,23 +31,22 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** MinHash signatures via double hashing (Kirsch–Mitzenmacher): two base
-    * hash passes per shingle set, then permutation i = h1 + i·h2. Returns a
-    * DataFrame of (id, sig: array<long>). Each stage is a separate projection
-    * so the expensive array is computed once, not once per signature element
-    * (higher-order functions are interpreted — no common-subexpression
-    * elimination — so repeated subtrees are repeated work). */
+  /** MinHash signatures: one base string-hash pass per shingle set, then
+    * permutation i = seeded re-hash of the base long (overflow-free under
+    * ANSI mode, unlike arithmetic mixing). Returns (id, sig: array<long>).
+    * Each stage is a separate projection so the expensive array is computed
+    * once, not once per signature element (higher-order functions are
+    * interpreted — no common-subexpression elimination — so repeated
+    * subtrees are repeated work). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, numHashes: Int): DataFrame =
     docs
       .select(col(idCol).as("id"),
         charShingles(col(textCol), shingleLen).as("shingles"))
       .select(col("id"),
-        transform(col("shingles"), s => xxhash64(s)).as("h1"),
-        transform(col("shingles"), s => xxhash64(s, lit(1))).as("h2"))
+        transform(col("shingles"), s => xxhash64(s)).as("hs"))
       .select(col("id"), array((0 until numHashes).map { i =>
-        array_min(zip_with(col("h1"), col("h2"),
-          (a, b) => a + lit(i.toLong) * b))
+        array_min(transform(col("hs"), h => xxhash64(h, lit(i))))
       }: _*).as("sig"))
 
   /** MinHash + LSH near-duplicate candidate pairs.

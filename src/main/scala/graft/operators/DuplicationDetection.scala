@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
+
+/** Occurrence duplicate detection: blocked similarity self-join.
+  *
+  * Faithful re-expression of the reference tool
+  * (`tool/DuplicationDetection.scala` in
+  * /root/reference/src/main/scala/au/org/ala/biocache/): candidates are
+  * blocked by (taxon, year, month, day) with null→"UNKNOWN" buckets
+  * (`:428-452,811-833`), compared pairwise inside the block with
+  *  - spatial sameness across coordinate precisions (`isSpatialDuplicate:1122`),
+  *  - collector match: missing/unknown ⇒ true, else Levenshtein ≤ 3 on
+  *    alphanumeric-only prefix-trimmed names (`isCollectorDuplicate:1074`),
+  *  - exact recordNumber / catalogueNumber (`:1015-1060`),
+  * and each cluster's representative is the record with the highest
+  * coordinate precision (`markRecordsAsDuplicatesAndSetTypes:874-926`),
+  * statuses R / D1 (same data resource) / D2.
+  *
+  * Spark shape: `groupByKey(blockKey).flatMapGroups(clusterKernel)` — the
+  * only shuffle is by block key; pair comparison never leaves a block, so
+  * cost is Σ|block|², not N². Skewed blocks are handled by AQE partition
+  * splitting at the shuffle, matching the reference's thread-per-year
+  * workaround (`:434-452`) without custom code.
+  */
+object DuplicationDetection {
+
+  /** Input record: strings mirror the reference's index fields. */
+  case class DupCandidate(
+      rowKey: String, taxonGuid: String, year: String, month: String,
+      day: String, lat: String, lon: String, collector: String,
+      recordNumber: String, catalogueNumber: String, druid: String)
+
+  case class DupResult(
+      rowKey: String, taxonGuid: String, clusterId: String, status: String,
+      precision: Int, dupTypes: Seq[Int], year: String, month: String,
+      day: String)
+
+  private val unknownPattern =
+    """([\x00-\x7F\s]*unknown[\x00-\x7F\s]*|[\x00-\x7F\s]*notavailable[\x00-\x7F\s]*|\[na\]|\s*|-)"""
+
+  def isEmptyUnknown(in: String): Boolean =
+    in == null || in.isEmpty ||
+      in.toLowerCase.replaceAll(" ", "").matches(unknownPattern)
+
+  private def prepareCollectors(c1: String, c2: String): (String, String) = {
+    val a = c1.replaceAll("[^a-zA-Z0-9]", "")
+    val b = c2.replaceAll("[^a-zA-Z0-9]", "")
+    val len = math.min(a.length, b.length)
+    (a.substring(0, len), b.substring(0, len))
+  }
+
+  private def levenshtein(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length) {
+      val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + cost)
+    }
+    d(a.length)(b.length)
+  }
+
+  /** Collector predicate; returns (isDup, dupType). */
+  def collectorMatch(c1: String, c2: String): (Boolean, Int) = {
+    if (isEmptyUnknown(c1) || isEmptyUnknown(c2)) (true, 8) // MISSING_COLLECTOR
+    else {
+      val (a, b) = prepareCollectors(c1, c2)
+      val d = levenshtein(a, b)
+      if (d == 0) (true, 6)      // EXACT_COLLECTOR
+      else if (d <= 3) (true, 7) // FUZZY_COLLECTOR
+      else (false, -1)
+    }
+  }
+
+  /** DecimalFormat-equivalent: HALF_UP, trailing zeros dropped — matches the
+    * reference's `getLatLongString(lat, lon, "#.##")` family
+    * (`index/IndexDAO.scala:170-198`): -35.26 formats identically at 2, 3,
+    * and 4 dp, which is what lets `isSpatialDuplicate` recognise
+    * precision-difference matches. */
+  private def fmt(v: Double, dp: Int): String = {
+    val bd = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.stripTrailingZeros
+    if (bd.scale <= 0) bd.setScale(0).toPlainString else bd.toPlainString
+  }
+
+  /** "lat,lon" strings at precisions 1, 0.1, …, 0.0001 degrees plus the raw
+    * pair — the comparison ladder of `findDuplicates:963-1002`. */
+  def precisionLadder(lat: String, lon: String): Array[String] = {
+    val latD = lat.toDouble; val lonD = lon.toDouble
+    Array(
+      s"${fmt(latD, 0)},${fmt(lonD, 0)}",
+      s"${fmt(latD, 1)},${fmt(lonD, 1)}",
+      s"${fmt(latD, 2)},${fmt(lonD, 2)}",
+      s"${fmt(latD, 3)},${fmt(lonD, 3)}",
+      s"${fmt(latD, 4)},${fmt(lonD, 4)}",
+      s"$lat,$lon")
+  }
+
+  /** Reference `isSpatialDuplicate:1122` verbatim semantics. */
+  def isSpatialDuplicate(a: Array[String], b: Array[String]): Boolean = {
+    require(a.length == b.length)
+    var i = 0
+    while (i < a.length) {
+      if (a(i) != b(i)) {
+        if (i > 0) {
+          if (a(i) == a(i - 1) || b(i) == b(i - 1)) {
+            if (i < 5) {
+              if (a(i) == a(i + 1) || b(i) == a(i + 1)) return true
+            } else return true
+          }
+          return false
+        } else return false
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** Max decimal places of the lat/lon pair (`determinePrecision:928-943`). */
+  def determinePrecision(lat: String, lon: String): Int = {
+    def dp(s: String) = if (s != null && s.contains(".")) s.split("\\.")(1).length else 0
+    math.max(dp(lat), dp(lon))
+  }
+
+  /** The per-block pairwise kernel (reference `checkDuplicates:952` +
+    * `findDuplicates:963` + `markRecordsAsDuplicatesAndSetTypes:874`). */
+  def clusterBlock(records: Iterator[DupCandidate]): Iterator[DupResult] = {
+    val group = records.toArray.sortBy(_.rowKey)
+    if (group.length < 2) return Iterator.empty
+
+    val ladders = group.map(r => precisionLadder(r.lat, r.lon))
+    val duplicateOf = Array.fill[Int](group.length)(-1)
+    val members = Array.fill(group.length)(ArrayBuffer[Int]())
+    val pairTypes = scala.collection.mutable.Map[(Int, Int), List[Int]]()
+
+    for (i <- group.indices if duplicateOf(i) < 0) {
+      for (j <- group.indices
+           if j != i && duplicateOf(j) < 0 && !members(i).contains(j)) {
+        if (isSpatialDuplicate(ladders(i), ladders(j))) {
+          val types = ArrayBuffer[Int]()
+          val (cDup, cType) = collectorMatch(group(i).collector, group(j).collector)
+          if (cDup) types += cType
+          val rnDup = !isEmptyUnknown(group(i).recordNumber) &&
+            !isEmptyUnknown(group(j).recordNumber) &&
+            group(i).recordNumber.trim.equalsIgnoreCase(group(j).recordNumber.trim)
+          if (rnDup) types += 9 // EXACT_FIELD_NUMBER
+          val cnDup = !isEmptyUnknown(group(i).catalogueNumber) &&
+            !isEmptyUnknown(group(j).catalogueNumber) &&
+            group(i).catalogueNumber.trim.equalsIgnoreCase(group(j).catalogueNumber.trim)
+          if (cnDup) types += 10 // EXACT_CATALOGUE_NUMBER
+          if (cDup || rnDup || cnDup) {
+            duplicateOf(j) = i
+            members(i) += j
+            pairTypes((i, j)) = types.toList
+          }
+        }
+      }
+    }
+
+    val out = ArrayBuffer[DupResult]()
+    for (i <- group.indices if duplicateOf(i) < 0 && members(i).nonEmpty) {
+      val clusterIdx = i +: members(i).toSeq
+      val precisions = clusterIdx.map(k =>
+        determinePrecision(group(k).lat, group(k).lon))
+      // representative: strictly-highest precision, first wins ties
+      val repPos = precisions.zipWithIndex.maxBy { case (p, idx) => (p, -idx) }._2
+      val rep = clusterIdx(repPos)
+      val repPrec = precisions(repPos)
+      val clusterId = group(rep).rowKey
+      // date-completeness dup types (reference setDateTypes:863-872)
+      val r0 = group(i)
+      val dateTypes =
+        if (r0.year != null && r0.year.nonEmpty)
+          if (r0.month != null && r0.month.nonEmpty)
+            if (r0.day != null && r0.day.nonEmpty) Nil else List(3)
+          else List(2)
+        else List(1)
+      clusterIdx.zip(precisions).foreach { case (k, prec) =>
+        val status =
+          if (k == rep) "R"
+          else if (group(k).druid == group(rep).druid) "D1"
+          else "D2"
+        val coordType = if (k == rep) Nil
+          else if (prec == repPrec) List(4) else List(5)
+        val matchTypes =
+          if (k == rep) Nil
+          else pairTypes.getOrElse((i, k), pairTypes.getOrElse((k, i), Nil))
+        out += DupResult(group(k).rowKey, group(k).taxonGuid, clusterId,
+          status, prec, dateTypes ++ coordType ++ matchTypes,
+          r0.year, r0.month, r0.day)
+      }
+    }
+    out.iterator
+  }
+
+  /** Distributed driver: block by (taxon, year, month, day) with UNKNOWN
+    * buckets, run the kernel per block. Input df needs columns: rowKey,
+    * taxonGuid, year, month, day, lat, lon, collector, recordNumber,
+    * catalogueNumber, druid (strings). */
+  def findDuplicates(spark: SparkSession, df: DataFrame): Dataset[DupResult] = {
+    import spark.implicits._
+    df.filter(col("lat").isNotNull && col("lon").isNotNull &&
+        col("taxonGuid").isNotNull)
+      .as[DupCandidate]
+      .groupByKey(r => (r.taxonGuid,
+        Option(r.year).filter(_.nonEmpty).getOrElse("UNKNOWN"),
+        Option(r.month).filter(_.nonEmpty).getOrElse("UNKNOWN"),
+        Option(r.day).filter(_.nonEmpty).getOrElse("UNKNOWN")))
+      .flatMapGroups((_, recs) => clusterBlock(recs))
+  }
+}

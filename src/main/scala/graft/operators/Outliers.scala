@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.geo.Wkt
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Offline outlier analytics: reverse-jackknife environmental outliers and
+  * expert-distribution (outside-range) outliers.
+  *
+  * Reference: `outliers/ReverseJacknifeProcessor.scala:198-464` and
+  * `tool/ExpertDistributionOutlierTool.scala:32-455` in
+  * /root/reference/src/main/scala/au/org/ala/biocache/.
+  */
+object Outliers {
+
+  /** Jackknife per (taxon × environmental layer): one shuffle, custom typed
+    * aggregate (replaces the reference's per-taxon paging loop).
+    * Input: (taxonGuid, layerId, uuid, value). Output row per group with the
+    * full stats struct + the outlier uuids resolved by value match. */
+  def jackknifeByTaxonLayer(df: DataFrame): DataFrame = {
+    val jk = udaf(new JackKnifeAggregator(),
+      org.apache.spark.sql.Encoders.scalaFloat)
+    val stats = df
+      .groupBy("taxonGuid", "layerId")
+      .agg(jk(col("value").cast("float")).as("stats"),
+        count(lit(1)).as("sampleCount"))
+      .filter(col("stats").isNotNull)
+    stats.select(col("taxonGuid"), col("layerId"), col("sampleCount"),
+      col("stats.sampleSize").as("n"), col("stats.min").as("mn"),
+      col("stats.max").as("mx"), col("stats.mean"), col("stats.stdDev"),
+      col("stats.threshold"), col("stats.outlierValues"),
+      col("stats.triggerFailsafe"))
+  }
+
+  /** Join jackknife outlier values back to record uuids: a record is an
+    * outlier for a layer when its sampled value is in the group's outlier
+    * tail (reference `ReverseJacknifeProcessor.scala:324-432` marks records
+    * whose values land in `outlierValues`). Outlier-in-N-layers counts feed
+    * the detectedOutlier assertion. */
+  def jackknifeOutlierRecords(samples: DataFrame, stats: DataFrame): DataFrame = {
+    samples.join(stats.select(col("taxonGuid"), col("layerId"),
+        col("outlierValues")),
+        Seq("taxonGuid", "layerId"))
+      .filter(array_contains(col("outlierValues"), col("value").cast("float")))
+      .groupBy("uuid", "taxonGuid")
+      .agg(collect_set("layerId").as("outlierForLayers"),
+        count(lit(1)).as("outlierLayerCount"))
+  }
+
+  /** Expert-distribution outliers: records of a taxon outside its expert
+    * polygon, with distance outside (reference
+    * `getRecordsOutsideDistribution:397` + `getOutlierRecordDistances:412`;
+    * 50 km threshold `:53`). `distributions`: (taxonGuid, wkt) — small, so
+    * the parsed polygons broadcast; points never shuffle. */
+  def expertDistributionOutliers(
+      spark: SparkSession, records: DataFrame, distributions: DataFrame,
+      thresholdMetres: Double = 50000): DataFrame = {
+    val polys: Map[String, Seq[Wkt.Ring]] = distributions
+      .select("taxonGuid", "wkt").collect()
+      .map(r => r.getString(0) -> Wkt.parsePolygons(r.getString(1))).toMap
+    val bc = spark.sparkContext.broadcast(polys)
+    val distUdf = udf { (taxon: String, lat: Double, lon: Double) =>
+      bc.value.get(taxon).map(rings =>
+        Wkt.distanceToBoundaryMetres(lon, lat, rings))
+    }
+    records
+      .filter(col("decimalLatitude").isNotNull && col("decimalLongitude").isNotNull)
+      .withColumn("distanceOutsideMetres",
+        distUdf(col("taxonGuid"), col("decimalLatitude").cast("double"),
+          col("decimalLongitude").cast("double")))
+      .filter(col("distanceOutsideMetres").isNotNull &&
+        col("distanceOutsideMetres") > thresholdMetres)
+  }
+}

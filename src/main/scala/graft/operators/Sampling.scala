@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.geo.Wkt
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spatial sampling: intersect distinct coordinates with GIS layers, then
+  * join sampled values back onto records.
+  *
+  * Reference shape (`tool/Sampling.scala:29-616`,
+  * `caches/LocationDAO.scala:75-175` in
+  * /root/reference/src/main/scala/au/org/ala/biocache/): extract distinct
+  * (lon,lat), batch-sample against layers, cache by rounded-coordinate key,
+  * load back into records. The distinct-before-expensive-join shape is kept
+  * verbatim — Catalyst won't invent it — and the layer set is broadcast, so
+  * the expensive intersect runs once per distinct point, not per record.
+  */
+object Sampling {
+
+  /** Rounded coordinate key: `round(lat,4)+","+round(lon,4)` —
+    * `LocationDAO.scala:75-92`. */
+  def latLonKey(lat: org.apache.spark.sql.Column, lon: org.apache.spark.sql.Column) =
+    concat_ws(",", format_number(lat.cast("double"), 4),
+      format_number(lon.cast("double"), 4))
+
+  /** A4: distinct coordinates of a record set. */
+  def distinctCoordinates(records: DataFrame): DataFrame =
+    records
+      .filter(col("decimalLatitude").isNotNull && col("decimalLongitude").isNotNull)
+      .select(col("decimalLatitude").cast("double").as("lat"),
+        col("decimalLongitude").cast("double").as("lon"))
+      .distinct()
+
+  /** J3: point→contextual-layer values via broadcast polygon intersect.
+    * `layers`: (layerId, value, wkt) — vector layers only; raster layers
+    * would use a broadcast grid lookup with the same UDF shape. */
+  def samplePoints(spark: SparkSession, points: DataFrame,
+      layers: DataFrame): DataFrame = {
+    val layerPolys: Array[(String, String, Seq[Wkt.Ring])] = layers
+      .select("layerId", "value", "wkt").collect()
+      .map(r => (r.getString(0), r.getString(1), Wkt.parsePolygons(r.getString(2))))
+    val bc = spark.sparkContext.broadcast(layerPolys)
+    val sampleUdf = udf { (lat: Double, lon: Double) =>
+      bc.value.collect {
+        case (layerId, value, rings) if Wkt.contains(lon, lat, rings) =>
+          layerId -> value
+      }.toMap
+    }
+    points.withColumn("cl", sampleUdf(col("lat"), col("lon")))
+      .withColumn("latLonKey", latLonKey(col("lat"), col("lon")))
+      .select("latLonKey", "lat", "lon", "cl")
+  }
+
+  /** J4: join sampled values back onto records by rounded-coordinate key
+    * (replaces the reference's per-record loc-cache lookup). */
+  def loadSamplesIntoRecords(records: DataFrame, samples: DataFrame): DataFrame =
+    records.withColumn("latLonKey",
+        latLonKey(col("decimalLatitude"), col("decimalLongitude")))
+      .join(broadcast(samples.select("latLonKey", "cl")), Seq("latLonKey"), "left")
+      .drop("latLonKey")
+}

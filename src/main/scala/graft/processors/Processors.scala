@@ -1,0 +1,247 @@
+package graft.processors
+
+import graft.functions.{CoordinateParsers, DateParser}
+import graft.model.AssertionCodes._
+import graft.vocab._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The record-enrichment pipeline: raw Darwin Core strings → typed processed
+  * fields + quality assertions.
+  *
+  * Re-expression of the reference's 12-stage per-record processor chain
+  * (`processor/Processors.scala:16-29`, orchestrated
+  * `processor/RecordProcessor.scala:71-165` in
+  * /root/reference/src/main/scala/au/org/ala/biocache/) as one deterministic
+  * column-level transformation: every stage contributes processed columns and
+  * an array-of-assertion-structs column; stage order = expression dependency
+  * order; the whole pipeline is a single narrow (no-shuffle) projection plus
+  * the broadcast dimension joins, so it scales linearly with partitions.
+  */
+object Processors {
+
+  // ── UDFs over the pure parsers (date bank is far beyond built-in to_date) ──
+
+  private case class ParsedDate(
+      startEpochDay: Option[Int], endEpochDay: Option[Int],
+      startYear: Option[Int], startMonth: Option[Int], startDay: Option[Int],
+      singleDate: Boolean)
+
+  private val parseDateUdf = udf { (s: String) =>
+    DateParser.parseDate(s).map { ed =>
+      ParsedDate(
+        ed.startDate.map(_.toEpochDay.toInt), ed.endDate.map(_.toEpochDay.toInt),
+        Option(ed.startYear).filter(_.nonEmpty).map(_.toInt),
+        Option(ed.startMonth).filter(_.nonEmpty).map(_.toInt),
+        Option(ed.startDay).filter(_.nonEmpty).map(_.toInt),
+        ed.singleDate)
+    }
+  }
+
+  private val verbatimLatLongUdf =
+    udf((s: String) => CoordinateParsers.parseVerbatimLatLong(s))
+  private val distanceUdf =
+    udf((s: String) => CoordinateParsers.parseDistanceMetres(s))
+  private val collectorUdf =
+    udf((s: String) => Option(CoordinateParsers.normalizeCollector(s)))
+
+  private def vocabUdf(v: Vocab) = udf((s: String) => v.matchTerm(s))
+
+  private def colOrNull(df: DataFrame, name: String): Column =
+    if (df.columns.contains(name)) col(name).cast("string") else lit(null).cast("string")
+
+  /** EVENT stage (reference `processor/EventProcessor.scala:48-654`):
+    * eventDate parse with year/month/day fallback, transposed day/month
+    * repair, first-of-month/year flags, invalid/missing date assertions. */
+  def processEvent(df0: DataFrame): DataFrame = {
+    val df = df0
+      .withColumn("_ed_raw", colOrNull(df0, "eventDate"))
+      .withColumn("_yr_raw", colOrNull(df0, "year").cast("int"))
+      .withColumn("_mo_raw", colOrNull(df0, "month").cast("int"))
+      .withColumn("_dy_raw", colOrNull(df0, "day").cast("int"))
+      .withColumn("_verb_raw", colOrNull(df0, "verbatimEventDate"))
+      .withColumn("_parsed", parseDateUdf(col("_ed_raw")))
+      .withColumn("_parsedVerb", parseDateUdf(col("_verb_raw")))
+
+    // day/month transposed repair: month>12 while day≤12
+    val transposed = col("_mo_raw").isNotNull && col("_dy_raw").isNotNull &&
+      col("_mo_raw") > 12 && col("_dy_raw") <= 12
+    val yr = coalesce(col("_parsed.startYear"), col("_yr_raw"),
+      col("_parsedVerb.startYear"))
+    val mo = coalesce(col("_parsed.startMonth"),
+      when(transposed, col("_dy_raw")).otherwise(col("_mo_raw")),
+      col("_parsedVerb.startMonth"))
+    val dy = coalesce(col("_parsed.startDay"),
+      when(transposed, col("_mo_raw")).otherwise(col("_dy_raw")),
+      col("_parsedVerb.startDay"))
+    val epochStart = coalesce(col("_parsed.startEpochDay"),
+      when(yr.isNotNull && mo.isNotNull && dy.isNotNull,
+        datediff(
+          to_date(concat_ws("-", yr, lpad(mo, 2, "0"), lpad(dy, 2, "0"))),
+          lit("1970-01-01"))).otherwise(lit(null)),
+      col("_parsedVerb.startEpochDay"))
+
+    val noDateSupplied = col("_ed_raw").isNull && col("_yr_raw").isNull &&
+      col("_verb_raw").isNull
+    val unparseable = (col("_ed_raw").isNotNull && col("_parsed").isNull) ||
+      (yr.isNotNull && mo.isNotNull && dy.isNotNull && epochStart.isNull)
+    val future = epochStart.isNotNull &&
+      epochStart > datediff(current_date(), lit("1970-01-01"))
+    val pre1600 = yr.isNotNull && yr < 1600
+
+    df.withColumn("processed_eventDate", date_add(lit("1970-01-01"), coalesce(epochStart, lit(0)))
+        .cast("date"))
+      .withColumn("processed_eventDate",
+        when(epochStart.isNotNull, col("processed_eventDate")).otherwise(lit(null)))
+      .withColumn("processed_eventDateEnd",
+        when(col("_parsed.endEpochDay").isNotNull,
+          date_add(lit("1970-01-01"), col("_parsed.endEpochDay")).cast("date"))
+          .otherwise(lit(null)))
+      .withColumn("processed_year", yr)
+      .withColumn("processed_month", mo)
+      .withColumn("processed_day", dy)
+      .withColumn("assertions_event", array_compact(array(
+        assertIf(noDateSupplied, MISSING_COLLECTION_DATE),
+        assertIf(unparseable || future || pre1600, INVALID_COLLECTION_DATE),
+        assertIf(transposed, DAY_MONTH_TRANSPOSED),
+        assertIf(dy === 1 && mo === 1, FIRST_OF_YEAR),
+        assertIf(dy === 1 && (mo =!= 1 || mo.isNull), FIRST_OF_MONTH),
+        assertIf(col("_ed_raw").isNotNull && col("_parsed").isNull &&
+          col("_yr_raw").isNull, INCOMPLETE_COLLECTION_DATE))))
+      .drop("_ed_raw", "_yr_raw", "_mo_raw", "_dy_raw", "_verb_raw",
+        "_parsed", "_parsedVerb")
+  }
+
+  /** LOC stage (reference `processor/LocationProcessor.scala:30-943` core):
+    * decimal parse with verbatim-DMS fallback, inverted/negated/zero/range
+    * validation, uncertainty parsing. */
+  def processLocation(df0: DataFrame): DataFrame = {
+    val df = df0
+      .withColumn("_latS", colOrNull(df0, "decimalLatitude"))
+      .withColumn("_lonS", colOrNull(df0, "decimalLongitude"))
+      .withColumn("_vlat", colOrNull(df0, "verbatimLatitude"))
+      .withColumn("_vlon", colOrNull(df0, "verbatimLongitude"))
+      .withColumn("_unc", colOrNull(df0, "coordinateUncertaintyInMeters"))
+      .withColumn("_datum", colOrNull(df0, "geodeticDatum"))
+
+    val latDec = col("_latS").cast("double")
+    val lonDec = col("_lonS").cast("double")
+    val fromVerbatim = latDec.isNull && lonDec.isNull &&
+      col("_vlat").isNotNull && col("_vlon").isNotNull
+    val lat0 = coalesce(latDec, verbatimLatLongUdf(col("_vlat")).cast("double"))
+    val lon0 = coalesce(lonDec, verbatimLatLongUdf(col("_vlon")).cast("double"))
+
+    // transposition repair: |lat|>90 with |lon|≤90 → swap
+    val inverted = lat0.isNotNull && lon0.isNotNull &&
+      abs(lat0) > 90 && abs(lat0) <= 180 && abs(lon0) <= 90
+    val lat = when(inverted, lon0).otherwise(lat0)
+    val lon = when(inverted, lat0).otherwise(lon0)
+
+    val outOfRange = lat.isNotNull && lon.isNotNull &&
+      (abs(lat) > 90 || abs(lon) > 180)
+    val zeroZero = lat === 0 && lon === 0
+    val uncParsed = distanceUdf(col("_unc"))
+    val uncBad = col("_unc").isNotNull && (uncParsed.isNull || uncParsed <= 0)
+
+    df.withColumn("processed_decimalLatitude",
+        when(outOfRange, lit(null)).otherwise(lat))
+      .withColumn("processed_decimalLongitude",
+        when(outOfRange, lit(null)).otherwise(lon))
+      .withColumn("processed_coordinateUncertaintyInMeters",
+        when(uncParsed > 0, uncParsed.cast("double")).otherwise(lit(null)))
+      .withColumn("processed_geodeticDatum",
+        when(col("_datum").isNotNull, lit("EPSG:4326")).otherwise(lit(null)))
+      .withColumn("assertions_loc", array_compact(array(
+        assertIf(lat0.isNull && lon0.isNull, DECIMAL_COORDINATES_NOT_SUPPLIED),
+        assertIf(fromVerbatim && lat0.isNotNull && lon0.isNotNull,
+          DECIMAL_LAT_LONG_CALCULATED_FROM_VERBATIM),
+        assertIf(inverted, INVERTED_COORDINATES),
+        assertIf(outOfRange, COORDINATES_OUT_OF_RANGE),
+        assertIf(zeroZero, ZERO_COORDINATES),
+        assertIf(lat === 0 && !zeroZero, ZERO_LATITUDE_COORDINATES),
+        assertIf(lon === 0 && !zeroZero, ZERO_LONGITUDE_COORDINATES),
+        assertIf(lat.isNotNull && col("_datum").isNull, MISSING_GEODETICDATUM),
+        assertIf(lat.isNotNull && col("_unc").isNull, UNCERTAINTY_NOT_SPECIFIED),
+        assertIf(uncBad, UNCERTAINTY_RANGE_MISMATCH))))
+      .drop("_latS", "_lonS", "_vlat", "_vlon", "_unc", "_datum")
+  }
+
+  /** BOR stage (reference `processor/BasisOfRecordProcessor.scala:22-54`). */
+  def processBasisOfRecord(df0: DataFrame): DataFrame = {
+    val raw = colOrNull(df0, "basisOfRecord")
+    val matched = vocabUdf(BasisOfRecord)(raw)
+    df0.withColumn("processed_basisOfRecord", matched)
+      .withColumn("assertions_bor", array_compact(array(
+        assertIf(raw.isNull, MISSING_BASIS_OF_RECORD),
+        assertIf(raw.isNotNull && matched.isNull, BADLY_FORMED_BASIS_OF_RECORD))))
+  }
+
+  /** IMAGE/misc stage (reference `processor/MiscellaneousProcessor.scala` +
+    * `processor/TypeStatusProcessor.scala`): occurrenceStatus, typeStatus,
+    * sex vocab normalisation, collector-name normalisation. */
+  def processMiscellaneous(df0: DataFrame): DataFrame = {
+    val status = colOrNull(df0, "occurrenceStatus")
+    val statusM = vocabUdf(OccurrenceStatus)(status)
+    val ts = colOrNull(df0, "typeStatus")
+    val tsM = vocabUdf(TypeStatus)(ts)
+    val sexRaw = colOrNull(df0, "sex")
+    df0.withColumn("processed_occurrenceStatus",
+        coalesce(statusM, lit("present")))
+      .withColumn("processed_typeStatus", tsM)
+      .withColumn("processed_sex", vocabUdf(Sex)(sexRaw))
+      .withColumn("processed_recordedBy", collectorUdf(colOrNull(df0, "recordedBy")))
+      .withColumn("assertions_misc", array_compact(array(
+        assertIf(status.isNotNull && statusM.isNull, UNRECOGNISED_OCCURRENCE_STATUS),
+        assertIf(status.isNull, ASSUMED_PRESENT_OCCURRENCE_STATUS),
+        assertIf(ts.isNotNull && tsM.isNull, UNRECOGNISED_TYPESTATUS))))
+  }
+
+  /** CLASS stage (reference `processor/ClassificationProcessor.scala:152-322`
+    * / `caches/ClassificationDAO.scala:42-206`): broadcast left join against
+    * a names dimension replaces the per-record name-index lookup. The dim
+    * schema: (nameLower, taxonConceptID, acceptedName, taxonRank, kingdom,
+    * phylum, classs, order, family, genus, lft, rgt). */
+  def processClassification(df0: DataFrame, namesDim: DataFrame): DataFrame = {
+    val nameRaw = colOrNull(df0, "scientificName")
+    val joined = df0
+      .withColumn("_nameKey", lower(trim(nameRaw)))
+      .join(broadcast(namesDim
+        .withColumnRenamed("nameLower", "_nameKey")
+        .select(col("_nameKey"),
+          col("taxonConceptID").as("processed_taxonConceptID"),
+          col("acceptedName").as("processed_scientificName"),
+          col("taxonRank").as("processed_taxonRank"),
+          col("kingdom").as("processed_kingdom"),
+          col("family").as("processed_family"),
+          col("genus").as("processed_genus"),
+          col("lft").as("processed_lft"),
+          col("rgt").as("processed_rgt"))),
+        Seq("_nameKey"), "left")
+    joined.withColumn("assertions_class", array_compact(array(
+        assertIf(nameRaw.isNull, NAME_NOT_SUPPLIED),
+        assertIf(nameRaw.isNotNull && col("processed_taxonConceptID").isNull,
+          NAME_NOT_RECOGNISED))))
+      .drop("_nameKey")
+  }
+
+  /** Full pipeline: stage order per reference `processor/Processors.scala:14`
+    * (classification before location; defaults first is a load concern).
+    * Produces processed_* columns, an `assertions` array, and the two kosher
+    * flags. One narrow projection + one broadcast join — no fact shuffle. */
+  def enrich(df: DataFrame, namesDim: Option[DataFrame] = None): DataFrame = {
+    val afterMisc = processMiscellaneous(processBasisOfRecord(df))
+    val afterClass = namesDim match {
+      case Some(dim) => processClassification(afterMisc, dim)
+      case None => afterMisc.withColumn("assertions_class",
+        array().cast("array<struct<name:string,code:int,qaStatus:int,comment:string>>"))
+    }
+    val afterAll = processLocation(processEvent(afterClass))
+    val assertionCols = Seq("assertions_bor", "assertions_misc",
+      "assertions_class", "assertions_event", "assertions_loc")
+    afterAll
+      .withColumn("assertions", concat(assertionCols.map(col): _*))
+      .withColumn("geospatiallyKosher", geospatiallyKosher(col("assertions")))
+      .withColumn("taxonomicallyKosher", taxonomicallyKosher(col("assertions")))
+      .drop(assertionCols: _*)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Darwin Core sources: CSV/TSV (S2), DwC-A star archives (S1), and in-memory
+  * row sets (S4), with deterministic UUID identity (J7).
+  *
+  * Reference: `load/DwcCSVLoader.scala:97-158`, `load/DwCALoader.scala:109-174`,
+  * `dao/OccurrenceDAOImpl.scala:142-183` in
+  * /root/reference/src/main/scala/au/org/ala/biocache/. The reference mints a
+  * random UUID per new uniqueKey via a read-modify-write on an identity
+  * table; here identity is the deterministic hash of the unique terms, which
+  * removes the per-record round-trip entirely (idempotent reloads for free).
+  */
+object DwcSource {
+
+  /** `class` is a Scala/Java reserved word: renamed on ingest
+    * (reference `model/FullRecord.scala:123-129`). */
+  val reservedRenames: Map[String, String] = Map("class" -> "classs")
+
+  /** S2: CSV with DwC-term headers → canonical columns + rowKey. */
+  def loadCsv(spark: SparkSession, path: String, dataResourceUid: String,
+      uniqueTerms: Seq[String], sep: String = ","): DataFrame = {
+    val raw = spark.read
+      .option("header", "true").option("sep", sep)
+      .option("quote", "\"").option("escape", "\"")
+      .csv(path)
+    withIdentity(normalizeColumns(raw), dataResourceUid, uniqueTerms)
+  }
+
+  /** S1: DwC-A already unzipped to a directory: core.txt + extension files
+    * joined on coreid. Extensions become array-of-struct columns. */
+  def loadArchive(spark: SparkSession, dir: String, dataResourceUid: String,
+      uniqueTerms: Seq[String], coreFile: String = "occurrence.txt",
+      extensions: Seq[String] = Nil, sep: String = "\t"): DataFrame = {
+    val core = spark.read.option("header", "true").option("sep", sep)
+      .csv(s"$dir/$coreFile")
+    val withExt = extensions.foldLeft(normalizeColumns(core)) { (acc, extFile) =>
+      val extName = extFile.stripSuffix(".txt")
+      val ext = spark.read.option("header", "true").option("sep", sep)
+        .csv(s"$dir/$extFile")
+      val grouped = ext.groupBy(col("coreid"))
+        .agg(collect_list(struct(ext.columns.filter(_ != "coreid")
+          .map(col): _*)).as(extName))
+      acc.join(grouped, acc("id") === grouped("coreid"), "left")
+        .drop("coreid")
+    }
+    withIdentity(withExt, dataResourceUid, uniqueTerms)
+  }
+
+  /** S4: records supplied as maps (sandbox uploads). */
+  def loadRows(spark: SparkSession, rows: Seq[Map[String, String]],
+      dataResourceUid: String, uniqueTerms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val cols = rows.flatMap(_.keys).distinct.sorted
+    val df = rows.map(m => cols.map(c => m.getOrElse(c, null)))
+      .map(vs => org.apache.spark.sql.Row.fromSeq(vs))
+    val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)))
+    withIdentity(
+      normalizeColumns(spark.createDataFrame(
+        spark.sparkContext.parallelize(df), schema)),
+      dataResourceUid, uniqueTerms)
+  }
+
+  private def normalizeColumns(df: DataFrame): DataFrame =
+    reservedRenames.foldLeft(df) { case (acc, (from, to)) =>
+      if (acc.columns.contains(from)) acc.withColumnRenamed(from, to) else acc
+    }
+
+  /** J7: rowKey = dataResourceUid | sha256(dataResourceUid + unique terms).
+    * Falls back to a whole-row hash when no unique terms configured. */
+  def withIdentity(df: DataFrame, dataResourceUid: String,
+      uniqueTerms: Seq[String]): DataFrame = {
+    val keyCols =
+      if (uniqueTerms.nonEmpty) uniqueTerms.map(t =>
+        coalesce(col(t).cast("string"), lit("")))
+      else df.columns.toSeq.map(c => coalesce(col(c).cast("string"), lit("")))
+    df.withColumn("dataResourceUid", lit(dataResourceUid))
+      .withColumn("rowKey",
+        concat(lit(dataResourceUid), lit("|"),
+          sha2(concat_ws("|", lit(dataResourceUid) +: keyCols: _*), 256)))
+  }
+
+  /** S14-style batch upsert into a Parquet-backed table: latest version of
+    * each rowKey wins (window dedup replaces MERGE; with a Delta-style sink
+    * this becomes `MERGE INTO ... ON rowKey`). */
+  def upsert(existing: Option[DataFrame], incoming: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stamped = incoming.withColumn("_v", lit(1L))
+    val base = existing.map(_.withColumn("_v", lit(0L)))
+    val unioned = base.map(b =>
+      b.unionByName(stamped, allowMissingColumns = true)).getOrElse(stamped)
+    val w = Window.partitionBy("rowKey").orderBy(col("_v").desc)
+    unioned.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_v")
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.geo.Wkt
+import graft.index.{IndexSupport, Serving}
+import graft.sources.DwcSource
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("WKT: parse, contains, distance") {
+    val rings = Wkt.parsePolygons("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert(rings.length == 1)
+    assert(Wkt.contains(5, 5, rings))
+    assert(!Wkt.contains(15, 5, rings))
+    assert(Wkt.distanceToBoundaryMetres(5, 5, rings) == 0.0)
+    val d = Wkt.distanceToBoundaryMetres(11, 5, rings) // ~1 degree ≈ 111km
+    assert(d > 100000 && d < 120000)
+  }
+
+  test("exact dedup drops lower-id duplicates only") {
+    val docs = Seq((1L, "hello world"), (2L, "hello  world "),
+      (3L, "different")).toDF("doc_id", "text")
+    val groups = Dedup.exactDuplicates(docs, "doc_id", "text").collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("n_docs") == 2)
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("minhash LSH finds a near-duplicate pair") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base + " extra"), (3L, "entirely different text about nothing"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      jaccardThreshold = 0.5).collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
+    assert(!pairs.exists(r => r.getAs[Long]("id_b") == 3L))
+  }
+
+  test("simhash hamming ~0 for near-identical docs") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base + " tail"), (3L, (100 to 160).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8).collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
+  }
+
+  test("brute-force topk ranks identical vector first") {
+    val corpus = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.9f, 0.1f)),
+      (12L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("query_id", "query_vec")
+    val top = Similarity.bruteForceTopK(corpus, queries, 2).collect()
+    assert(top.length == 2)
+    assert(top.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("vec_id") == 10L)
+  }
+
+  test("sampling: distinct coords -> polygon layer values -> join back") {
+    val records = Seq(("r1", "-35.0", "149.0"), ("r2", "-35.0", "149.0"),
+      ("r3", "40.0", "100.0"))
+      .toDF("rowKey", "decimalLatitude", "decimalLongitude")
+    val layers = Seq(("cl22", "Australia-ish",
+      "POLYGON((140 -45, 155 -45, 155 -25, 140 -25, 140 -45))"))
+      .toDF("layerId", "value", "wkt")
+    val pts = Sampling.distinctCoordinates(records)
+    assert(pts.count() == 2)
+    val samples = Sampling.samplePoints(spark, pts, layers)
+    val joined = Sampling.loadSamplesIntoRecords(records, samples)
+    val r1cl = joined.filter($"rowKey" === "r1").select("cl")
+      .as[Map[String, String]].head()
+    assert(r1cl == Map("cl22" -> "Australia-ish"))
+    val r3cl = joined.filter($"rowKey" === "r3").select("cl")
+      .as[Map[String, String]].head()
+    assert(r3cl.isEmpty)
+  }
+
+  test("expert distribution outliers flag far-outside records only") {
+    val records = Seq(("a", "t1", -35.0, 149.0), ("b", "t1", 20.0, 100.0))
+      .toDF("rowKey", "taxonGuid", "decimalLatitude", "decimalLongitude")
+    val dists = Seq(("t1", "POLYGON((140 -45, 155 -45, 155 -25, 140 -25, 140 -45))"))
+      .toDF("taxonGuid", "wkt")
+    val out = Outliers.expertDistributionOutliers(spark, records, dists).collect()
+    assert(out.map(_.getAs[String]("rowKey")).toSet == Set("b"))
+  }
+
+  test("dwc source: identity is deterministic and reserved words renamed") {
+    val rows = Seq(Map("occurrenceID" -> "o1", "class" -> "Mammalia"),
+      Map("occurrenceID" -> "o2", "class" -> "Aves"))
+    val df = DwcSource.loadRows(spark, rows, "dr1", Seq("occurrenceID"))
+    assert(df.columns.contains("classs") && !df.columns.contains("class"))
+    val keys1 = df.select("rowKey").as[String].collect().sorted
+    val keys2 = DwcSource.loadRows(spark, rows, "dr1", Seq("occurrenceID"))
+      .select("rowKey").as[String].collect().sorted
+    assert(keys1.sameElements(keys2))
+    assert(keys1.forall(_.startsWith("dr1|")))
+  }
+
+  test("upsert: latest version per rowKey wins") {
+    val v1 = Seq(("dr1|k1", "old"), ("dr1|k2", "keep")).toDF("rowKey", "v")
+    val v2 = Seq(("dr1|k1", "new")).toDF("rowKey", "v")
+    val merged = DwcSource.upsert(Some(v1), v2)
+    val m = merged.as[(String, String)].collect().toMap
+    assert(m == Map("dr1|k1" -> "new", "dr1|k2" -> "keep"))
+  }
+
+  test("index projection + serving facade") {
+    import graft.processors.Processors
+    val raw = Seq(
+      ("r1", "2012-03-05", "-35.2", "149.1", "PreservedSpecimen", "Macropus rufus", "ACT"),
+      ("r2", "2013-04-06", "-36.2", "150.1", "specimen", "Macropus rufus", "NSW"),
+      ("r3", null, null, null, null, null, "NSW"))
+      .toDF("occurrenceID", "eventDate", "decimalLatitude", "decimalLongitude",
+        "basisOfRecord", "scientificName", "stateProvince")
+      .withColumn("rowKey", concat(lit("dr1|"), col("occurrenceID")))
+    val enriched = Processors.enrich(raw)
+    val index = IndexSupport.project(enriched)
+    assert(index.columns.contains("point00001"))
+    val facets = Serving.facet(index, "stateProvince").collect()
+    assert(facets.head.getAs[Long]("count") == 2) // NSW
+    val distinct = Serving.distinctValues(index, "basisOfRecord", 10).collect()
+    assert(distinct.map(_.getString(0)).filter(_ != null)
+      .toSet == Set("PreservedSpecimen"))
+    val dl = Serving.download(index,
+      Seq("dr1|r1").toDF("rowKey"), Seq("id", "scientificName"),
+      Seq("missingBasisOfRecord")).collect()
+    assert(dl.length == 1 && !dl(0).getAs[Boolean]("qa_missingBasisOfRecord"))
+  }
+}

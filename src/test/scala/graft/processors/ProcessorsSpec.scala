@@ -1,0 +1,101 @@
+package graft.processors
+
+import graft.SparkTestSession
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProcessorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def assertions(df: org.apache.spark.sql.DataFrame, rowKey: String): Set[Int] =
+    df.filter(col("occurrenceID") === rowKey)
+      .select(explode(col("assertions.code"))).as[Int].collect().toSet
+
+  lazy val raw = Seq(
+    // occurrenceID, eventDate, year, month, day, lat, lon, vlat, vlon, unc, datum, bor, status, sciName
+    ("r1", "2012-03-05", null, null, null, "-35.2", "149.1", null, null, "100", "WGS84", "PreservedSpecimen", "present", "Macropus rufus"),
+    ("r2", null, "2010", "14", "2", "-35.2", "149.1", null, null, null, null, "specimen", null, "Unknownus speciesus"),
+    ("r3", null, null, null, null, "149.1", "-35.2", null, null, "junk", "WGS84", null, "zzz", null),
+    ("r4", "3000-01-01", null, null, null, "0", "0", null, null, "1km", "WGS84", "HumanObservation", "absent", "Macropus rufus"),
+    ("r5", null, null, null, null, null, null, "30° 01' S", "153° 12' E", ">1km", "WGS84", "observation", "present", "Macropus rufus")
+  ).toDF("occurrenceID", "eventDate", "year", "month", "day",
+    "decimalLatitude", "decimalLongitude", "verbatimLatitude",
+    "verbatimLongitude", "coordinateUncertaintyInMeters", "geodeticDatum",
+    "basisOfRecord", "occurrenceStatus", "scientificName")
+
+  lazy val namesDim = Seq(
+    ("macropus rufus", "lsid:1", "Macropus rufus", "species", "Animalia",
+      "Macropodidae", "Macropus", 100, 101)
+  ).toDF("nameLower", "taxonConceptID", "acceptedName", "taxonRank",
+    "kingdom", "family", "genus", "lft", "rgt")
+
+  lazy val enriched = Processors.enrich(raw, Some(namesDim)).cache()
+
+  test("clean record: processed fields set, no fatal assertions") {
+    val r1 = enriched.filter($"occurrenceID" === "r1")
+    val row = r1.select("processed_eventDate", "processed_year",
+      "processed_basisOfRecord", "processed_taxonConceptID",
+      "geospatiallyKosher").head()
+    assert(row.getDate(0).toString == "2012-03-05")
+    assert(row.getInt(1) == 2012)
+    assert(row.getString(2) == "PreservedSpecimen")
+    assert(row.getString(3) == "lsid:1")
+    assert(row.getBoolean(4))
+  }
+
+  test("day/month transposed is repaired and flagged (30009)") {
+    val r2 = enriched.filter($"occurrenceID" === "r2")
+      .select("processed_month", "processed_day").head()
+    assert(r2.getInt(0) == 2 && r2.getInt(1) == 14)
+    assert(assertions(enriched, "r2").contains(30009))
+  }
+
+  test("vocab variant resolves; unknown name flagged (10004)") {
+    val r2 = enriched.filter($"occurrenceID" === "r2")
+      .select("processed_basisOfRecord").head()
+    assert(r2.getString(0) == "PreservedSpecimen")
+    assert(assertions(enriched, "r2").contains(10004))
+  }
+
+  test("inverted coordinates repaired and flagged (3)") {
+    val r3 = enriched.filter($"occurrenceID" === "r3")
+      .select("processed_decimalLatitude", "processed_decimalLongitude").head()
+    assert(r3.getDouble(0) == -35.2 && r3.getDouble(1) == 149.1)
+    val a = assertions(enriched, "r3")
+    assert(a.contains(3))     // invertedCoordinates
+    assert(a.contains(20001)) // missingBasisOfRecord
+    assert(a.contains(20017)) // unrecognisedOccurrenceStatus
+    assert(a.contains(24))    // uncertaintyRangeMismatch ("junk")
+  }
+
+  test("zero coordinates + future date are fatal to kosher (4, 30007)") {
+    val a = assertions(enriched, "r4")
+    assert(a.contains(4))
+    assert(a.contains(30007))
+    val kosher = enriched.filter($"occurrenceID" === "r4")
+      .select("geospatiallyKosher").head().getBoolean(0)
+    assert(!kosher)
+  }
+
+  test("verbatim DMS fallback computes coordinates and flags 47") {
+    val r5 = enriched.filter($"occurrenceID" === "r5")
+      .select("processed_decimalLatitude", "processed_decimalLongitude").head()
+    assert(math.abs(r5.getDouble(0) - (-30.0166)) < 0.01)
+    assert(math.abs(r5.getDouble(1) - 153.2) < 0.01)
+    assert(assertions(enriched, "r5").contains(47))
+  }
+
+  test("uncertainty range parse: '>1km' -> 1000m") {
+    val r5 = enriched.filter($"occurrenceID" === "r5")
+      .select("processed_coordinateUncertaintyInMeters").head()
+    assert(r5.getDouble(0) == 1000.0)
+  }
+
+  test("absent occurrenceStatus normalised") {
+    val r4 = enriched.filter($"occurrenceID" === "r4")
+      .select("processed_occurrenceStatus").head()
+    assert(r4.getString(0) == "absent")
+  }
+}
