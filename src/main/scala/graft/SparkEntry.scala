@@ -309,10 +309,10 @@ object SparkEntry {
         maxHamming = 8)
         .orderBy("id_a", "id_b")),
 
-    // ── Dedup: exact n-gram Jaccard over blocked candidate pairs ──
+    // ── Dedup: exact n-gram Jaccard over prefix-filtered candidate pairs ──
     "q30_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 8, threshold = 0.35)
+        n = 16, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -505,9 +505,9 @@ object SparkEntry {
     "q30_ngram_jaccard" ->
       """WITH sh AS (
         | SELECT doc_id,
-        |  CASE WHEN length(norm) < 8 THEN [norm]
+        |  CASE WHEN length(norm) < 16 THEN [norm]
         |   ELSE list_distinct(list_transform(
-        |    range(1, length(norm)-6), i -> norm[i:i+7])) END AS shingles
+        |    range(1, length(norm)-14), i -> norm[i:i+15])) END AS shingles
         | FROM (SELECT doc_id,
         |   regexp_replace(lower(trim(text)),'\s+',' ','g') AS norm
         |   FROM documents)),
@@ -519,7 +519,7 @@ object SparkEntry {
         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         | WHERE length(list_intersect(a.shingles, b.shingles)) > 0)
         |SELECT id_a, id_b, round(j,4) AS jaccard FROM pairs
-        |WHERE j >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     "q31_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |   CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),

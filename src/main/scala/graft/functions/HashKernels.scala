@@ -1,0 +1,152 @@
+package graft.functions
+
+import scala.util.hashing.MurmurHash3
+
+/** One-pass primitive-array kernels for the dedup/similarity hot paths.
+  *
+  * Spark evaluates higher-order functions (transform/aggregate/zip_with)
+  * interpreted, per element, with no common-subexpression elimination; a
+  * minhash signature expressed that way costs numHashes × |shingles|
+  * interpreted calls per row. These Scala kernels do the same work in one
+  * tight primitive loop and are exposed as UDFs — measured ~10-30× faster at
+  * sf0.1. (A codegen'd Catalyst Expression would shave the remaining UDF
+  * serialization overhead; revisit if bench demands.)
+  */
+object HashKernels {
+
+  /** splitmix64 finaliser — cheap, well-distributed 64-bit mixing. */
+  @inline def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit string hash from two murmur32 passes. */
+  @inline def hash64(s: String): Long =
+    (MurmurHash3.stringHash(s, 0xcafebabe).toLong << 32) |
+      (MurmurHash3.stringHash(s, 0x9747b28c).toLong & 0xFFFFFFFFL)
+
+  /** Normalise text (lowercase, collapse whitespace) — one pass. */
+  def normalize(text: String): String = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0; var lastWs = true
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (!lastWs) { sb.append(' '); lastWs = true }
+      } else { sb.append(Character.toLowerCase(c)); lastWs = false }
+      i += 1
+    }
+    var len = sb.length
+    if (len > 0 && sb.charAt(len - 1) == ' ') len -= 1
+    sb.substring(0, len)
+  }
+
+  /** Distinct character n-gram shingles of normalised text. The Scala loop
+    * replaces an interpreted transform+substr+array_distinct expression that
+    * costs ~3ms per 300-char document — the dominant cost of every
+    * shingle-based dedup query until it moved here. */
+  def charShingles(text: String, n: Int): Array[String] = {
+    val norm = normalize(text)
+    if (norm.length < n) return Array(norm)
+    val seen = new java.util.LinkedHashSet[String](norm.length * 2)
+    var i = 0
+    while (i + n <= norm.length) { seen.add(norm.substring(i, i + n)); i += 1 }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** Distinct word n-gram shingles over whitespace tokens. */
+  def wordShingles(text: String, n: Int): Array[String] = {
+    val toks = normalize(text).split(' ')
+    if (toks.length < n) return Array(toks.mkString(" "))
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    var i = 0
+    while (i + n <= toks.length) {
+      seen.add(toks.slice(i, i + n).mkString(" ")); i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** MinHash signature: for each of numHashes virtual permutations, the min
+    * of mix64(base ^ seed) over the shingle set. */
+  def minhash(shingles: Seq[String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val it = shingles.iterator
+    while (it.hasNext) {
+      val base = hash64(it.next())
+      var i = 0
+      while (i < numHashes) {
+        val h = mix64(base ^ (i.toLong * 0xC2B2AE3D27D4EB4FL))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** LSH band hashes over a minhash signature: band b = mix of its
+    * rowsPerBand consecutive signature values. */
+  def bandHashes(sig: Array[Long], numBands: Int): Array[Long] = {
+    val rowsPerBand = sig.length / numBands
+    Array.tabulate(numBands) { b =>
+      var h = 0x9E3779B97F4A7C15L * (b + 1)
+      var i = b * rowsPerBand
+      val end = i + rowsPerBand
+      while (i < end) { h = mix64(h ^ sig(i)); i += 1 }
+      h
+    }
+  }
+
+  /** Fraction of equal signature positions — the Jaccard estimate. */
+  def signatureSimilarity(a: Seq[Long], b: Seq[Long]): Double = {
+    var eq = 0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
+  /** 64-bit SimHash: per-bit vote over shingle hashes. */
+  def simhash(shingles: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    val it = shingles.iterator
+    while (it.hasNext) {
+      val h = hash64(it.next())
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Exact Jaccard of two shingle sets. */
+  def jaccard(a: Seq[String], b: Seq[String]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val setA = new java.util.HashSet[String](a.size * 2)
+    a.foreach(setA.add)
+    var inter = 0
+    val seenB = new java.util.HashSet[String](b.size * 2)
+    b.foreach { s => if (seenB.add(s) && setA.contains(s)) inter += 1 }
+    val union = setA.size + seenB.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** Cosine similarity over float vectors (computed in double). */
+  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}

@@ -31,123 +31,138 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** MinHash signatures: one base string-hash pass per shingle set, then
-    * permutation i = seeded re-hash of the base long (overflow-free under
-    * ANSI mode, unlike arithmetic mixing). Returns (id, sig: array<long>).
-    * Each stage is a separate projection so the expensive array is computed
-    * once, not once per signature element (higher-order functions are
-    * interpreted — no common-subexpression elimination — so repeated
-    * subtrees are repeated work). */
+  /** MinHash signatures as one tight text→shingles→signature kernel pass per
+    * row (see `HashKernels` for why this beats higher-order-function
+    * expressions). Returns (id, sig: array<long>). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int, numHashes: Int): DataFrame =
-    docs
-      .select(col(idCol).as("id"),
-        charShingles(col(textCol), shingleLen).as("shingles"))
-      .select(col("id"),
-        transform(col("shingles"), s => xxhash64(s)).as("hs"))
-      .select(col("id"), array((0 until numHashes).map { i =>
-        array_min(transform(col("hs"), h => xxhash64(h, lit(i))))
-      }: _*).as("sig"))
+      shingleLen: Int, numHashes: Int): DataFrame = {
+    val mh = udf((text: String) => graft.functions.HashKernels.minhash(
+      graft.functions.HashKernels.charShingles(text, shingleLen), numHashes))
+    docs.select(col(idCol).as("id"), mh(col(textCol)).as("sig"))
+  }
 
   /** MinHash + LSH near-duplicate candidate pairs.
-    * Pipeline: shingle → minhash(numHashes) → band into (numBands) buckets →
-    * self-join within band buckets → verify estimated Jaccard ≥ threshold.
+    * Pipeline: shingle → minhash(numHashes) + band hashes (one kernel pass) →
+    * explode tiny (id, band, bandHash) rows → self-join within band buckets →
+    * re-attach signatures → verify estimated Jaccard ≥ threshold.
     * The band join is an equi-join on (band, bandHash): shuffle is by bucket,
-    * never all-pairs. */
+    * never all-pairs; exploded rows carry no arrays, so the join side stays
+    * bytes-per-row small. */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 5, numHashes: Int = 32, numBands: Int = 8,
       jaccardThreshold: Double = 0.8): DataFrame = {
-    val rowsPerBand = numHashes / numBands
-    val sig = minhashSignatures(docs, idCol, textCol, shingleLen, numHashes)
+    val mhb = udf { (text: String) =>
+      val sig = graft.functions.HashKernels.minhash(
+        graft.functions.HashKernels.charShingles(text, shingleLen), numHashes)
+      (sig, graft.functions.HashKernels.bandHashes(sig, numBands))
+    }
+    val sig = docs
+      .select(col(idCol).as("id"), mhb(col(textCol)).as("s"))
+      .select(col("id"), col("s._1").as("sig"), col("s._2").as("bands"))
 
-    val banded = sig.select(
-      col("id"), col("sig"),
-      posexplode(array((0 until numBands).map { b =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
-      }: _*)).as(Seq("band", "bandHash")))
-
-    val a = banded.select(col("band"), col("bandHash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bandHash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-
-    val estJaccard =
-      size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-        when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / numHashes
-
-    a.join(b, Seq("band", "bandHash"))
+    val banded = sig.select(col("id"),
+      posexplode(col("bands")).as(Seq("band", "bandHash")))
+    val a = banded.select(col("band"), col("bandHash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bandHash"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bandHash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), estJaccard.as("est_jaccard"))
-      .distinct()
+      .select("id_a", "id_b").distinct()
+
+    val simUdf = udf((x: Seq[Long], y: Seq[Long]) =>
+      graft.functions.HashKernels.signatureSimilarity(x, y))
+    candidates
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        simUdf(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= jaccardThreshold)
   }
 
   /** 64-bit SimHash from word shingles: weighted bit-vote over shingle
     * hashes, expressed with higher-order functions. */
-  /** 64-bit SimHash of a pre-hashed shingle column: per bit, votes =
-    * Σ(+1 if set else −1); bit set in result if votes > 0. The bit loop is
-    * unrolled over plan-build-time literals; `hashes` must be a materialized
-    * column attribute (not an inline expression) or it is re-evaluated 64×. */
-  def simhashFromHashes(hashes: Column): Column =
-    (0 until 64).map { bit =>
-      val votes = aggregate(hashes, lit(0),
-        (v, h) => v + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1).otherwise(-1))
-      when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** (id, simhash) for each document: shingle → hash → bit-vote, one
-    * projection per stage so each array computes once. */
+  /** (id, simhash) for each document: text → word shingles → one-pass
+    * bit-vote kernel (`HashKernels.simhash`). */
   def simhashes(docs: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 2): DataFrame =
-    docs
-      .select(col(idCol).as("id"),
-        wordShingles(col(textCol), shingleLen).as("shingles"))
-      .select(col("id"),
-        transform(col("shingles"), s => xxhash64(s)).as("hs"))
-      .select(col("id"), simhashFromHashes(col("hs")).as("sh"))
+      shingleLen: Int = 2): DataFrame = {
+    val sh = udf((text: String) => graft.functions.HashKernels.simhash(
+      graft.functions.HashKernels.wordShingles(text, shingleLen)))
+    docs.select(col(idCol).as("id"), sh(col(textCol)).as("sh"))
+  }
 
   /** SimHash near-duplicate pairs: block on 16-bit prefix bands of the
     * simhash (4 bands × 16 bits), verify Hamming distance ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sh = simhashes(docs, idCol, textCol)
-    val banded = sh.select(col("id"), col("sh"),
+    val banded = sh.select(col("id"),
       posexplode(array((0 until 4).map { b =>
         shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)
       }: _*)).as(Seq("band", "bandKey")))
-    val a = banded.select(col("band"), col("bandKey"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bandKey"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val hamming = bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int")
-    a.join(b, Seq("band", "bandKey"))
+    val a = banded.select(col("band"), col("bandKey"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bandKey"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bandKey"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val hamming = bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int")
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs via explode +
-    * equi-join on shingle, then |∩| / (|A|+|B|-|∩|). Blocked by shingle —
-    * a pair is only compared if it shares at least one shingle. */
+  /** Exact n-gram Jaccard ≥ threshold via the prefix-filter similarity join
+    * (SSJoin/PPJoin family): under a global rarest-first shingle order, two
+    * sets with J ≥ t MUST share a shingle within their first
+    * |A| − ⌈t·|A|⌉ + 1 shingles, so only prefix shingles are exploded for
+    * the candidate join. Combined with the length filter
+    * (t·|A| ≤ |B| ≤ |A|/t), this prunes the candidate blow-up that a plain
+    * shingle equi-join suffers on repetitive corpora (hot shingles land in
+    * no prefix). Results are identical to the brute-force join. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val shingleUdf = udf((text: String) =>
+      graft.functions.HashKernels.charShingles(text, n))
     val sh = docs.select(col(idCol).as("id"),
-      charShingles(col(textCol), n).as("shingles"))
+      shingleUdf(col(textCol)).as("shingles"))
       .withColumn("setSize", size(col("shingles")))
+
+    // global document frequency per shingle → rarest-first total order
     val exploded = sh.select(col("id"), col("setSize"),
       explode(col("shingles")).as("shingle"))
-    val inter = exploded.as("a")
-      .join(exploded.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.setSize").as("size_a"), col("b.setSize").as("size_b"))
-      .agg(count("*").as("intersection"))
-    inter.select(
-        col("id_a"), col("id_b"),
-        (col("intersection").cast("double") /
-          (col("size_a") + col("size_b") - col("intersection")).cast("double"))
-          .as("jaccard"))
+    val shingleDf = exploded.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+
+    // per doc: shingles sorted by (df, shingle); keep prefix only
+    val prefixLen = (col("setSize") -
+      ceil(lit(threshold) * col("setSize")) + 1).cast("int")
+    val prefixes = exploded.join(shingleDf, "shingle")
+      .groupBy("id", "setSize")
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+        .as("ranked"))
+      .select(col("id"), col("setSize"),
+        explode(slice(transform(col("ranked"), r => r.getField("shingle")),
+          lit(1), prefixLen)).as("shingle"))
+
+    val a = prefixes.select(col("shingle"), col("id").as("id_a"),
+      col("setSize").as("size_a"))
+    val b = prefixes.select(col("shingle"), col("id").as("id_b"),
+      col("setSize").as("size_b"))
+    val candidates = a.join(b,
+        a("shingle") === b("shingle") && col("id_a") < col("id_b") &&
+          col("size_b") >= lit(threshold) * col("size_a") &&
+          col("size_a") >= lit(threshold) * col("size_b"))
+      .select("id_a", "id_b").distinct()
+
+    // verify candidates with the exact set Jaccard
+    val jacUdf = udf((x: Seq[String], y: Seq[String]) =>
+      graft.functions.HashKernels.jaccard(x, y))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jacUdf(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -160,10 +175,12 @@ object Dedup {
       VectorFunctions.lshSignature(col(vecCol), bits).as("bucket"))
     val a = keyed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = keyed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val cosUdf = udf((x: Seq[Float], y: Seq[Float]) =>
+      graft.functions.HashKernels.cosine(x, y))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
+        cosUdf(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
   }

@@ -18,12 +18,15 @@ object Similarity {
 
   /** Exact top-k by cosine for each query vector.
     * `queries` must be small (it is broadcast). Output: (query_id, id, cosine, rank). */
+  private val cosUdf = udf((x: Seq[Float], y: Seq[Float]) =>
+    graft.functions.HashKernels.cosine(x, y))
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col(queryId), col(corpusId),
-        cosine(col(corpusVec), col(queryVec)).as("cosine"))
+        cosUdf(col(corpusVec), col(queryVec)).as("cosine"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId).asc)
     scored.withColumn("rank", row_number().over(w))
@@ -53,7 +56,7 @@ object Similarity {
             lit(numCells))): _*)).as("cell"))
     val scored = celled.join(broadcast(probes), Seq("cell"))
       .select(col(queryId), col(corpusId),
-        cosine(col(corpusVec), col(queryVec)).as("cosine"))
+        cosUdf(col(corpusVec), col(queryVec)).as("cosine"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
