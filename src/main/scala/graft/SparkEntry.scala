@@ -359,7 +359,116 @@ object SparkEntry {
         .groupBy(coalesce(nullif(col("event_type"), lit("error")), lit("UNKNOWN"))
           .as("etype"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("etype"))
+        .orderBy("etype")),
+
+    // ── J8 blocked similarity self-join (Levenshtein ≤ 2 within nation) ──
+    "q36_blocked_levenshtein" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("ck_a"),
+        col("c_name").as("name_a"))
+      val b = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("ck_b"),
+        col("c_name").as("name_b"))
+      a.join(b, Seq("nk"))
+        .filter(col("ck_a") < col("ck_b") &&
+          levenshtein(col("name_a"), col("name_b")) <= 2)
+        .groupBy(col("nk").as("nationkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("nationkey")
+    }),
+
+    // ── Rollup grouping sets (additive over the reference's A1) ──
+    "q37_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mth"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(col("yr").asc_nulls_first, col("mth").asc_nulls_first)),
+
+    // ── Exact distinct-count aggregate ──
+    "q38_count_distinct" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(countDistinct("o_custkey").as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")),
+
+    // ── Window frame: running revenue per customer ──
+    "q39_window_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 2).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ── Exact interpolated percentiles per group ──
+    "q40_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
+        .orderBy("l_returnflag")),
+
+    // ── Structured Streaming: windowed counts over replayed events ──
+    "q41_stream_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      // streaming file source requires a directory: stream the sf dir with a
+      // glob restricted to the events file
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("q41_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q41_out")
+        .select(col("w.start").as("bucket"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("bucket", "event_type")
+    }),
+
+    // ── Multimodal: binary payload → stub decode → features (rows-only) ──
+    "q42_multimodal_features" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val withImg = Multimodal.withFakeImageColumn(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      withImg
+        .withColumn("features", Multimodal.imageFeatures(col("image"), 8))
+        .select(col("doc_id"), col("imageMeta.width").as("width"),
+          col("imageMeta.height").as("height"),
+          round(element_at(col("features"), 1), 4).as("f0"),
+          size(col("features")).as("dim"))
+        .orderBy("doc_id")
+    }),
+
+    // ── Multimodal: frame-sampling plumbing (rows-only) ──
+    "q43_frame_sample" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val withImg = Multimodal.withFakeImageColumn(
+        t(s, dir, "documents").select("doc_id").limit(100), "doc_id")
+      Multimodal.sampleFrames(withImg, "image", 4)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_frames"),
+          max("frameIndex").as("max_idx"))
+        .orderBy("doc_id")
+    }),
+
+    // ── Text: composite quality score + stopword ratio (rows-only) ──
+    "q44_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"),
+          round(TF.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+          TF.subwordTokenCount(col("text")).as("n_subword_tokens"))
+        .orderBy("doc_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -535,6 +644,39 @@ object SparkEntry {
     "q35_null_bucket" ->
       """SELECT coalesce(nullif(event_type,'error'),'UNKNOWN') AS etype,
         | count(*) AS n
-        |FROM events GROUP BY etype ORDER BY etype""".stripMargin
+        |FROM events GROUP BY etype ORDER BY etype""".stripMargin,
+    "q36_blocked_levenshtein" ->
+      """SELECT a.c_nationkey AS nationkey, count(*) AS n_pairs
+        |FROM customer a JOIN customer b
+        | ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |GROUP BY a.c_nationkey ORDER BY nationkey""".stripMargin,
+    "q37_rollup" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mth,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY ROLLUP (yr, mth)
+        |ORDER BY yr ASC NULLS FIRST, mth ASC NULLS FIRST""".stripMargin,
+    "q38_count_distinct" ->
+      """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_customers,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q39_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2)
+        |   AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q40_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5),2) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9),2) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q41_stream_agg" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+        | count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type""".stripMargin
   )
 }

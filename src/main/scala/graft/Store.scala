@@ -1,0 +1,93 @@
+package graft
+
+import graft.index.{IndexSupport, Serving}
+import graft.operators._
+import graft.processors.Processors
+import graft.sources.DwcSource
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Public facade — the library's equivalent of the reference's Java-facing
+  * `Store` object (`Store.scala:40-771` in
+  * /root/reference/src/main/scala/au/org/ala/biocache/): one entry point a
+  * reference user can port their calls onto. Methods delegate to the operator
+  * modules; everything is a lazy DataFrame until a sink is invoked.
+  */
+object Store {
+
+  // ── Load (reference Store.loadRecord / loader CLI) ──
+  def loadCsv(spark: SparkSession, path: String, dataResourceUid: String,
+      uniqueTerms: Seq[String]): DataFrame =
+    DwcSource.loadCsv(spark, path, dataResourceUid, uniqueTerms)
+
+  def loadArchive(spark: SparkSession, dir: String, dataResourceUid: String,
+      uniqueTerms: Seq[String], extensions: Seq[String] = Nil): DataFrame =
+    DwcSource.loadArchive(spark, dir, dataResourceUid, uniqueTerms,
+      extensions = extensions)
+
+  def loadRows(spark: SparkSession, rows: Seq[Map[String, String]],
+      dataResourceUid: String, uniqueTerms: Seq[String]): DataFrame =
+    DwcSource.loadRows(spark, rows, dataResourceUid, uniqueTerms)
+
+  /** Upsert a load into the occurrence store (reference `occ` writes). */
+  def upsert(existing: Option[DataFrame], incoming: DataFrame): DataFrame =
+    DwcSource.upsert(existing, incoming)
+
+  // ── Process (reference processRecords / process-local-node) ──
+  def process(records: DataFrame, namesDim: Option[DataFrame] = None): DataFrame =
+    Processors.enrich(records, namesDim)
+
+  // ── Sample (reference Sampling tool) ──
+  def sample(spark: SparkSession, records: DataFrame, layers: DataFrame): DataFrame = {
+    val pts = Sampling.distinctCoordinates(records)
+    val samples = Sampling.samplePoints(spark, pts, layers)
+    Sampling.loadSamplesIntoRecords(records, samples)
+  }
+
+  // ── Index (reference index-local-node) ──
+  def buildIndex(enriched: DataFrame): DataFrame = IndexSupport.project(enriched)
+
+  def writeIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").parquet(path)
+
+  // ── Query surface (reference Store.occurrenceSearch/facets/…) ──
+  def facet(index: DataFrame, field: String, predicate: Option[Column] = None): DataFrame =
+    Serving.facet(index, field, predicate)
+
+  def distinctValues(index: DataFrame, field: String, max: Int): DataFrame =
+    Serving.distinctValues(index, field, max)
+
+  def idsForQuery(index: DataFrame, predicate: Column, limit: Int): DataFrame =
+    Serving.idsForQuery(index, predicate, limit)
+
+  /** Keyed lookup (reference Store.getByUuid). */
+  def getByKey(index: DataFrame, rowKey: String): DataFrame =
+    index.filter(col("id") === rowKey)
+
+  // ── Download sinks (reference Store.writeToStream / DwC-A export) ──
+  def download(index: DataFrame, rowKeys: DataFrame, fields: Seq[String],
+      qaFields: Seq[String]): DataFrame =
+    Serving.download(index, rowKeys, fields, qaFields)
+
+  def writeCsv(df: DataFrame, path: String, sep: String = ","): Unit =
+    df.write.mode("overwrite").option("header", "true").option("sep", sep).csv(path)
+
+  // ── Offline analytics (reference duplicate-detection / outlier tools) ──
+  def detectDuplicates(spark: SparkSession, candidates: DataFrame) =
+    DuplicationDetection.findDuplicates(spark, candidates)
+
+  def jackknifeOutliers(samples: DataFrame): DataFrame =
+    Outliers.jackknifeByTaxonLayer(samples)
+
+  def expertDistributionOutliers(spark: SparkSession, records: DataFrame,
+      distributions: DataFrame): DataFrame =
+    Outliers.expertDistributionOutliers(spark, records, distributions)
+
+  // ── Delete (reference Store.deleteRecords; Delta DELETE at scale) ──
+  def deleteByKeys(records: DataFrame, doomedKeys: DataFrame): DataFrame =
+    records.join(doomedKeys, records("rowKey") === doomedKeys("rowKey"),
+      "left_anti")
+
+  def deleteByQuery(records: DataFrame, predicate: Column): DataFrame =
+    records.filter(!predicate)
+}
