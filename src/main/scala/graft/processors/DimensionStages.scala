@@ -1,0 +1,172 @@
+package graft.processors
+
+import graft.model.AssertionCodes
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dimension-backed enrichment stages: per-resource defaults, attribution,
+  * sensitive-species generalisation, species groups, validation rules.
+  *
+  * Each replaces a per-record HTTP/cache lookup in the reference with a
+  * broadcast join (`caches/AttributionDAO.scala:55-222`,
+  * `processor/SensitivityProcessor.scala:37-356`,
+  * `vocab/SpeciesGroups.scala:207-220`, `qa/ValidationRuleRunner.scala` in
+  * /root/reference/src/main/scala/au/org/ala/biocache/).
+  */
+object DimensionStages {
+
+  /** DEFAULT stage: inject per-resource default DwC values for null fields.
+    * `defaultsDim`: (dataResourceUid, field, value) long format. */
+  def applyDefaultValues(df: DataFrame, defaultsDim: DataFrame): DataFrame = {
+    val fields = defaultsDim.select("field").distinct()
+      .collect().map(_.getString(0))
+    fields.foldLeft(df) { (acc, field) =>
+      val dim = defaultsDim.filter(col("field") === field)
+        .select(col("dataResourceUid"), col("value").as(s"_default_$field"))
+      val joined = acc.join(broadcast(dim), Seq("dataResourceUid"), "left")
+      val withDefault =
+        if (acc.columns.contains(field))
+          joined.withColumn(field,
+            coalesce(col(field), col(s"_default_$field")))
+        else joined.withColumn(field, col(s"_default_$field"))
+      withDefault.drop(s"_default_$field")
+    }
+  }
+
+  /** ATTR stage (J2): (institutionCode, collectionCode) → attribution
+    * metadata + unrecognised-code assertions. `attributionDim`:
+    * (institutionCode, collectionCode, institutionName, collectionName). */
+  def processAttribution(df: DataFrame, attributionDim: DataFrame): DataFrame = {
+    val hasCodes = df.columns.contains("institutionCode") &&
+      df.columns.contains("collectionCode")
+    val base =
+      if (hasCodes) df
+      else df.withColumn("institutionCode", lit(null).cast("string"))
+        .withColumn("collectionCode", lit(null).cast("string"))
+    val dim = attributionDim.select(
+      upper(col("institutionCode")).as("_ic"),
+      upper(col("collectionCode")).as("_cc"),
+      col("institutionName").as("processed_institutionName"),
+      col("collectionName").as("processed_collectionName"))
+    base
+      .withColumn("_ic", upper(col("institutionCode")))
+      .withColumn("_cc", upper(col("collectionCode")))
+      .join(broadcast(dim), Seq("_ic", "_cc"), "left")
+      .withColumn("assertions_attr", array_compact(array(
+        AssertionCodes.assertIf(
+          col("institutionCode").isNotNull &&
+            col("processed_institutionName").isNull,
+          graft.model.ErrorCode("unrecognisedInstitutionCode", 20006, false,
+            "Institution code not recognised")),
+        AssertionCodes.assertIf(
+          col("collectionCode").isNotNull &&
+            col("processed_collectionName").isNull,
+          graft.model.ErrorCode("unrecognisedCollectionCode", 20005, false,
+            "Collection code not recognised")))))
+      .drop("_ic", "_cc")
+  }
+
+  /** SENSITIVE stage (J6/P5): match against the sensitivity rule table,
+    * generalise coordinates to the rule's precision, stash the precise
+    * originals (the reference keeps them in `originalSensitiveValues` for
+    * authorised download). `sensitivityDim`: (nameLower,
+    * generalisationMetres). Requires processed coordinates. */
+  def processSensitivity(df: DataFrame, sensitivityDim: DataFrame): DataFrame = {
+    val dim = sensitivityDim.select(col("nameLower").as("_sensName"),
+      col("generalisationMetres"))
+    val nameKey = lower(coalesce(
+      if (df.columns.contains("processed_scientificName"))
+        col("processed_scientificName") else lit(null),
+      if (df.columns.contains("scientificName")) col("scientificName")
+      else lit(null)))
+    // metres → decimal places: 100m→3, 1km→2, 10km→1, 100km→0.
+    // round()'s scale must be foldable, so generalise via scale-factor
+    // arithmetic instead of a per-row scale.
+    val decimals = when(col("generalisationMetres") <= 100, 3)
+      .when(col("generalisationMetres") <= 1000, 2)
+      .when(col("generalisationMetres") <= 10000, 1)
+      .otherwise(0)
+    val factor = pow(lit(10.0), decimals)
+    def generalise(c: Column): Column = round(c * factor, 0) / factor
+    val lat = col("processed_decimalLatitude")
+    val lon = col("processed_decimalLongitude")
+    val sensitive = col("generalisationMetres").isNotNull && lat.isNotNull
+    df.withColumn("_sensName", nameKey)
+      .join(broadcast(dim), Seq("_sensName"), "left")
+      .withColumn("originalSensitiveValues",
+        when(sensitive, map(
+          lit("decimalLatitude"), lat.cast("string"),
+          lit("decimalLongitude"), lon.cast("string"))).otherwise(lit(null)))
+      .withColumn("processed_decimalLatitude",
+        when(sensitive, generalise(lat)).otherwise(lat))
+      .withColumn("processed_decimalLongitude",
+        when(sensitive, generalise(lon)).otherwise(lon))
+      .withColumn("processed_dataGeneralizations",
+        when(sensitive, concat(lit("Coordinates generalised to "),
+          col("generalisationMetres").cast("string"), lit(" metres")))
+          .otherwise(lit(null)))
+      .withColumn("isSensitive", sensitive)
+      .withColumn("assertions_sensitive", array_compact(array(
+        AssertionCodes.assertIf(sensitive,
+          graft.model.ErrorCode("dataAreGeneralised", 20009, false,
+            "The data has been supplied generalised")))))
+      .drop("_sensName", "generalisationMetres")
+  }
+
+  /** P5: masked projection for un-authorised consumers vs full for
+    * authorised (reference `Store.scala:107` sensitive-field handling). */
+  def maskSensitive(df: DataFrame, includeSensitive: Boolean): DataFrame =
+    if (includeSensitive && df.columns.contains("originalSensitiveValues"))
+      df.withColumn("processed_decimalLatitude",
+          coalesce(element_at(col("originalSensitiveValues"),
+            "decimalLatitude").cast("double"),
+            col("processed_decimalLatitude")))
+        .withColumn("processed_decimalLongitude",
+          coalesce(element_at(col("originalSensitiveValues"),
+            "decimalLongitude").cast("double"),
+            col("processed_decimalLongitude")))
+    else df.drop("originalSensitiveValues")
+
+  /** J13: lft/rgt containment join — species-group labels from taxon lft.
+    * `groupsDim`: (speciesGroup, lft, rgt); tiny → broadcast theta join.
+    * Aggregated by `idCol` then joined back, so arbitrary (incl. map-typed)
+    * record columns survive. */
+  def speciesGroups(df: DataFrame, groupsDim: DataFrame,
+      idCol: String = "rowKey"): DataFrame = {
+    val groups = df.select(col(idCol), col("processed_lft"))
+      .join(broadcast(groupsDim.select(col("speciesGroup"),
+        col("lft").as("_glft"), col("rgt").as("_grgt"))),
+        col("processed_lft") >= col("_glft") &&
+          col("processed_lft") < col("_grgt"))
+      .groupBy(idCol)
+      .agg(collect_set("speciesGroup").as("processed_speciesGroups"))
+    df.join(groups, Seq(idCol), "left")
+      .withColumn("processed_speciesGroups",
+        coalesce(col("processed_speciesGroups"),
+          array().cast("array<string>")))
+  }
+
+  /** Validation-rule application (reference `qa/ValidationRuleRunner`):
+    * records matching `predicate` gain a query assertion. */
+  def applyValidationRule(df: DataFrame, predicate: Column,
+      ruleId: String, comment: String): DataFrame = {
+    val qa = struct(lit(ruleId).as("name"), lit(20019).as("code"),
+      lit(0).as("qaStatus"), lit(comment).as("comment"))
+    df.withColumn("assertions",
+      when(predicate, array_union(col("assertions"), array(qa)))
+        .otherwise(col("assertions")))
+  }
+
+  /** A7: group a record's assertions into failed / unchecked buckets
+    * against the full assertion-code dimension (reference
+    * `Store.scala:301-317`). Returns one row per (rowKey, bucket, codes). */
+  def assertionBuckets(df: DataFrame): DataFrame = {
+    val allCodes = AssertionCodes.all.map(_.code)
+    val present = df.select(col("rowKey"),
+      col("assertions.code").as("present"))
+    present.select(col("rowKey"),
+      col("present").as("failed"),
+      array_except(
+        array(allCodes.map(lit): _*), col("present")).as("unchecked"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.processors
+
+import graft.SparkTestSession
+import graft.sources.DwcaExport
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DimensionStagesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("default values fill nulls only") {
+    val df = Seq(("r1", "dr1", null: String), ("r2", "dr1", "supplied"))
+      .toDF("rowKey", "dataResourceUid", "basisOfRecord")
+    val defaults = Seq(("dr1", "basisOfRecord", "HumanObservation"))
+      .toDF("dataResourceUid", "field", "value")
+    val out = DimensionStages.applyDefaultValues(df, defaults)
+      .select("rowKey", "basisOfRecord").as[(String, String)].collect().toMap
+    assert(out("r1") == "HumanObservation" && out("r2") == "supplied")
+  }
+
+  test("attribution join resolves names, flags unknown codes") {
+    val df = Seq(("r1", "CSIRO", "ANIC"), ("r2", "XX", "YY"))
+      .toDF("rowKey", "institutionCode", "collectionCode")
+    val dim = Seq(("CSIRO", "ANIC", "CSIRO", "Australian National Insect Collection"))
+      .toDF("institutionCode", "collectionCode", "institutionName", "collectionName")
+    val out = DimensionStages.processAttribution(df, dim)
+    val r1 = out.filter($"rowKey" === "r1")
+      .select("processed_collectionName").head().getString(0)
+    assert(r1 == "Australian National Insect Collection")
+    val r2codes = out.filter($"rowKey" === "r2")
+      .select(explode($"assertions_attr.code")).as[Int].collect().toSet
+    assert(r2codes == Set(20005, 20006))
+  }
+
+  test("sensitivity generalises coordinates and stashes originals") {
+    val df = Seq(("r1", "Macropus rufus", -35.26781, 149.26189),
+      ("r2", "Common species", -35.26781, 149.26189))
+      .toDF("rowKey", "processed_scientificName",
+        "processed_decimalLatitude", "processed_decimalLongitude")
+    val dim = Seq(("macropus rufus", 10000)).toDF("nameLower", "generalisationMetres")
+    val out = DimensionStages.processSensitivity(df, dim)
+    val r1 = out.filter($"rowKey" === "r1").select(
+      "processed_decimalLatitude", "isSensitive").head()
+    assert(r1.getDouble(0) == -35.3)
+    assert(r1.getBoolean(1))
+    val orig = out.filter($"rowKey" === "r1")
+      .select("originalSensitiveValues").as[Map[String, String]].head()
+    assert(orig("decimalLatitude") == "-35.26781")
+    val r2 = out.filter($"rowKey" === "r2").select(
+      "processed_decimalLatitude", "isSensitive").head()
+    assert(r2.getDouble(0) == -35.26781 && !r2.getBoolean(1))
+    // masked vs authorised projection
+    val masked = DimensionStages.maskSensitive(out, includeSensitive = false)
+    assert(!masked.columns.contains("originalSensitiveValues"))
+    val full = DimensionStages.maskSensitive(out, includeSensitive = true)
+    assert(full.filter($"rowKey" === "r1")
+      .select("processed_decimalLatitude").head().getDouble(0) == -35.26781)
+  }
+
+  test("species groups containment join") {
+    val df = Seq(("r1", 150), ("r2", 50), ("r3", 999))
+      .toDF("rowKey", "processed_lft")
+    val groups = Seq(("Mammals", 100, 200), ("Animals", 1, 500))
+      .toDF("speciesGroup", "lft", "rgt")
+    val out = DimensionStages.speciesGroups(df, groups)
+      .select("rowKey", "processed_speciesGroups")
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("r1").toSet == Set("Mammals", "Animals"))
+    assert(out("r2").toSet == Set("Animals"))
+    assert(out("r3").isEmpty)
+  }
+
+  test("validation rule adds query assertion to matching rows") {
+    val df = Seq(("r1", 5), ("r2", 50)).toDF("rowKey", "qty")
+      .withColumn("assertions", array().cast(
+        "array<struct<name:string,code:int,qaStatus:int,comment:string>>"))
+    val out = DimensionStages.applyValidationRule(df, col("qty") > 10,
+      "bigQty", "quantity looks wrong")
+    val counts = out.select($"rowKey", size($"assertions"))
+      .as[(String, Int)].collect().toMap
+    assert(counts == Map("r1" -> 0, "r2" -> 1))
+  }
+
+  test("dwca export writes a valid zip with meta/eml/occurrence") {
+    val df = Seq(("dr1|r1", "Macropus rufus", "2012-03-05"))
+      .toDF("rowKey", "scientificName", "eventDate")
+    val out = java.nio.file.Files.createTempDirectory("dwca-out")
+      .resolve("dr1.zip").toString
+    DwcaExport.export(df, "dr1", "Test resource", out)
+    val zf = new java.util.zip.ZipFile(out)
+    val names = zf.entries().asIterator().asScala.map(_.getName).toSet
+    assert(names == Set("meta.xml", "eml.xml", "occurrence.csv"))
+    val csv = scala.io.Source.fromInputStream(
+      zf.getInputStream(zf.getEntry("occurrence.csv"))).mkString
+    assert(csv.contains("Macropus rufus"))
+    val meta = scala.io.Source.fromInputStream(
+      zf.getInputStream(zf.getEntry("meta.xml"))).mkString
+    assert(meta.contains("scientificName") && meta.contains("<id index=\"0\"/>"))
+    zf.close()
+  }
+
+  private implicit class IterAdapter[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+}
