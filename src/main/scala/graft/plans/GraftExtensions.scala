@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+
+/** Native Catalyst expressions + session-extension registration.
+  *
+  * Tier (b) of the extension ladder (compose built-ins → custom Expression →
+  * custom plan/strategy): scalar kernels that sit in 100 TB hot paths get a
+  * codegen'd Expression so they stay inside whole-stage codegen with no UDF
+  * serialization boundary. Registered for SQL via `SparkSessionExtensions`
+  * (config `spark.sql.extensions=graft.plans.GraftExtensions`) or post-hoc
+  * with `GraftFunctions.register(spark)`.
+  */
+object CosineSimilarity {
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}
+
+/** cosine_sim(array<float>, array<float>) → double, codegen'd. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects two array<float> arguments, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarity.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.CosineSimilarity.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** hamming64(bigint, bigint) → int — SimHash distance, codegen'd inline. */
+case class Hamming64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "hamming64 expects two bigint arguments")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = java.lang.Long.bitCount($a ^ $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Hamming64 =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  /** Column-API forms (require `register(spark)` first — the public
+    * `call_function` route is the supported Column↔Expression bridge). */
+  def cosine_sim(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+  def hamming64(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("hamming64", a, b)
+
+  private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "hamming64" -> (es => Hamming64(es(0), es(1))))
+
+  /** Post-hoc registration on a live session (SQL surface). */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** `spark.sql.extensions`-loadable injector. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      es => CosineSimilarity(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("hamming64"),
+      new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
+      es => Hamming64(es(0), es(1))))
+  }
+}

@@ -146,6 +146,27 @@ object DimensionStages {
           array().cast("array<string>")))
   }
 
+  /** F11: coordinates-are-country-centre check (reference
+    * `vocab/CountryCentrePoints.scala` + `processor/LocationProcessor
+    * .scala:652-790`): a record whose coordinates equal its country's centre
+    * point (at 2-dp tolerance, the common data-entry artefact) is flagged.
+    * `centresDim`: (country, centreLat, centreLon). */
+  def checkCentrePoints(df: DataFrame, centresDim: DataFrame): DataFrame = {
+    val dim = centresDim.select(lower(col("country")).as("_cc"),
+      col("centreLat"), col("centreLon"))
+    val isCentre = col("centreLat").isNotNull &&
+      round(col("processed_decimalLatitude"), 2) === round(col("centreLat"), 2) &&
+      round(col("processed_decimalLongitude"), 2) === round(col("centreLon"), 2)
+    df.withColumn("_cc", lower(
+        if (df.columns.contains("country")) col("country") else lit(null)))
+      .join(broadcast(dim), Seq("_cc"), "left")
+      .withColumn("assertions_centre", array_compact(array(
+        AssertionCodes.assertIf(isCentre,
+          graft.model.ErrorCode("coordinatesCentreOfCountry", 28, true,
+            "Supplied coordinates centre of country")))))
+      .drop("_cc", "centreLat", "centreLon")
+  }
+
   /** Validation-rule application (reference `qa/ValidationRuleRunner`):
     * records matching `predicate` gain a query assertion. */
   def applyValidationRule(df: DataFrame, predicate: Column,

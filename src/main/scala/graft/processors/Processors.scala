@@ -44,6 +44,10 @@ object Processors {
     udf((s: String) => CoordinateParsers.parseDistanceMetres(s))
   private val collectorUdf =
     udf((s: String) => Option(CoordinateParsers.normalizeCollector(s)))
+  private val gridRefUdf = udf { (s: String) =>
+    graft.functions.GridRef.parse(s).map(g =>
+      (g.lat, g.lon, g.gridSizeMetres.toDouble))
+  }
 
   private def vocabUdf(v: Vocab) = udf((s: String) => v.matchTerm(s))
 
@@ -123,13 +127,20 @@ object Processors {
       .withColumn("_vlon", colOrNull(df0, "verbatimLongitude"))
       .withColumn("_unc", colOrNull(df0, "coordinateUncertaintyInMeters"))
       .withColumn("_datum", colOrNull(df0, "geodeticDatum"))
+      .withColumn("_grid",
+        when(colOrNull(df0, "gridReference").isNotNull,
+          gridRefUdf(colOrNull(df0, "gridReference"))).otherwise(lit(null)))
 
     val latDec = col("_latS").cast("double")
     val lonDec = col("_lonS").cast("double")
     val fromVerbatim = latDec.isNull && lonDec.isNull &&
       col("_vlat").isNotNull && col("_vlon").isNotNull
-    val lat0 = coalesce(latDec, verbatimLatLongUdf(col("_vlat")).cast("double"))
-    val lon0 = coalesce(lonDec, verbatimLatLongUdf(col("_vlon")).cast("double"))
+    val fromGrid = latDec.isNull && lonDec.isNull && !fromVerbatim &&
+      col("_grid").isNotNull
+    val lat0 = coalesce(latDec, verbatimLatLongUdf(col("_vlat")).cast("double"),
+      col("_grid._1"))
+    val lon0 = coalesce(lonDec, verbatimLatLongUdf(col("_vlon")).cast("double"),
+      col("_grid._2"))
 
     // transposition repair: |lat|>90 with |lon|≤90 → swap
     val inverted = lat0.isNotNull && lon0.isNotNull &&
@@ -148,13 +159,18 @@ object Processors {
       .withColumn("processed_decimalLongitude",
         when(outOfRange, lit(null)).otherwise(lon))
       .withColumn("processed_coordinateUncertaintyInMeters",
-        when(uncParsed > 0, uncParsed.cast("double")).otherwise(lit(null)))
+        coalesce(when(uncParsed > 0, uncParsed.cast("double")),
+          when(fromGrid, col("_grid._3"))))
       .withColumn("processed_geodeticDatum",
         when(col("_datum").isNotNull, lit("EPSG:4326")).otherwise(lit(null)))
       .withColumn("assertions_loc", array_compact(array(
         assertIf(lat0.isNull && lon0.isNull, DECIMAL_COORDINATES_NOT_SUPPLIED),
         assertIf(fromVerbatim && lat0.isNotNull && lon0.isNotNull,
           DECIMAL_LAT_LONG_CALCULATED_FROM_VERBATIM),
+        assertIf(fromGrid,
+          graft.model.ErrorCode("decimalLatLongCalculatedFromGridReference",
+            55, false,
+            "Decimal latitude and longitude were calculated using grid reference")),
         assertIf(inverted, INVERTED_COORDINATES),
         assertIf(outOfRange, COORDINATES_OUT_OF_RANGE),
         assertIf(zeroZero, ZERO_COORDINATES),
@@ -163,7 +179,7 @@ object Processors {
         assertIf(lat.isNotNull && col("_datum").isNull, MISSING_GEODETICDATUM),
         assertIf(lat.isNotNull && col("_unc").isNull, UNCERTAINTY_NOT_SPECIFIED),
         assertIf(uncBad, UNCERTAINTY_RANGE_MISMATCH))))
-      .drop("_latS", "_lonS", "_vlat", "_vlon", "_unc", "_datum")
+      .drop("_latS", "_lonS", "_vlat", "_vlon", "_unc", "_datum", "_grid")
   }
 
   /** BOR stage (reference `processor/BasisOfRecordProcessor.scala:22-54`). */
