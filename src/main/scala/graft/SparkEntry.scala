@@ -468,7 +468,26 @@ object SparkEntry {
         .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"),
           round(TF.stopwordRatio(col("text")), 4).as("stopword_ratio"),
           TF.subwordTokenCount(col("text")).as("n_subword_tokens"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ── F1: the multi-format date parser driven through the oracle gate:
+    //    dates rendered as ISO and day-first strings, re-parsed by the
+    //    parser bank, components must reproduce the original date parts ──
+    "q45_dateparse" -> ((s, dir) => {
+      val parseYear = udf((str: String) =>
+        graft.functions.DateParser.parseDate(str)
+          .flatMap(d => Option(d.startYear).filter(_.nonEmpty).map(_.toLong)))
+      val parseMonth = udf((str: String) =>
+        graft.functions.DateParser.parseDate(str)
+          .flatMap(d => Option(d.startMonth).filter(_.nonEmpty).map(_.toLong)))
+      t(s, dir, "orders")
+        .select(
+          parseYear(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("iso_year"),
+          parseMonth(date_format(col("o_orderdate"), "dd-MM-yyyy")).as("dmy_month"))
+        .groupBy("iso_year", "dmy_month")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("iso_year", "dmy_month")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -677,6 +696,11 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
         | count(*) AS n, round(sum(value),2) AS total_value
         |FROM events GROUP BY bucket, event_type
-        |ORDER BY bucket, event_type""".stripMargin
+        |ORDER BY bucket, event_type""".stripMargin,
+    "q45_dateparse" ->
+      """SELECT year(o_orderdate) AS iso_year, month(o_orderdate) AS dmy_month,
+        | count(*) AS n
+        |FROM orders GROUP BY iso_year, dmy_month
+        |ORDER BY iso_year, dmy_month""".stripMargin
   )
 }
