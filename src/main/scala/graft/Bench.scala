@@ -13,11 +13,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // warm-up run: JIT + codegen + parquet footer caches; then measure
+      // warm-up run: JIT + codegen + parquet footer caches; then measure.
+      // clearCache drops DataFrames the operators persist internally so
+      // repeated builds don't accumulate cached copies.
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

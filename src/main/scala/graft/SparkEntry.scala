@@ -361,8 +361,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("etype")),
 
-    // ── J8 blocked similarity self-join (Levenshtein ≤ 2 within nation) ──
+    // ── J8 blocked similarity self-join (Levenshtein ≤ 2 within nation).
+    //    Banded early-exit kernel: O(k·n) per pair vs full-DP levenshtein ──
     "q36_blocked_levenshtein" -> ((s, dir) => {
+      val levWithin = udf((a: String, b: String) =>
+        graft.functions.HashKernels.levenshteinWithin(a, b, 2))
       val c = t(s, dir, "customer")
       val a = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("ck_a"),
         col("c_name").as("name_a"))
@@ -370,7 +373,7 @@ object SparkEntry {
         col("c_name").as("name_b"))
       a.join(b, Seq("nk"))
         .filter(col("ck_a") < col("ck_b") &&
-          levenshtein(col("name_a"), col("name_b")) <= 2)
+          levWithin(col("name_a"), col("name_b")))
         .groupBy(col("nk").as("nationkey"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("nationkey")

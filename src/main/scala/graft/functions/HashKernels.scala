@@ -124,6 +124,37 @@ object HashKernels {
     out
   }
 
+  /** Distinct hashed character shingles: set semantics identical to
+    * `charShingles` up to 64-bit hash collisions (~2⁻⁶⁴ per pair — below
+    * any dedup decision threshold), at ~¼ the bytes and much cheaper set
+    * ops / shuffles. */
+  def charShinglesHashed(text: String, n: Int): Array[Long] = {
+    val norm = normalize(text)
+    if (norm.length < n) return Array(hash64(norm))
+    val seen = new java.util.LinkedHashSet[java.lang.Long](norm.length * 2)
+    var i = 0
+    while (i + n <= norm.length) {
+      seen.add(hash64(norm.substring(i, i + n))); i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  /** Exact Jaccard of two hashed shingle sets. */
+  def jaccardLong(a: Seq[Long], b: Seq[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val setA = new java.util.HashSet[java.lang.Long](a.size * 2)
+    a.foreach(setA.add(_))
+    var inter = 0
+    val seenB = new java.util.HashSet[java.lang.Long](b.size * 2)
+    b.foreach { s => if (seenB.add(s) && setA.contains(s)) inter += 1 }
+    val union = setA.size + seenB.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
   /** Exact Jaccard of two shingle sets. */
   def jaccard(a: Seq[String], b: Seq[String]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
@@ -134,6 +165,42 @@ object HashKernels {
     b.foreach { s => if (seenB.add(s) && setA.contains(s)) inter += 1 }
     val union = setA.size + seenB.size - inter
     if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** Banded Levenshtein with early exit: true iff edit distance ≤ k.
+    * O(k·n) — only the ±k diagonal band is evaluated, and the row-minimum
+    * early-exits once the whole band exceeds k. */
+  def levenshteinWithin(a: String, b: String, k: Int): Boolean = {
+    if (math.abs(a.length - b.length) > k) return false
+    if (a == b) return true
+    val n = a.length; val m = b.length
+    val INF = k + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, INF)
+    var j = 0
+    while (j <= math.min(m, k)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, INF)
+      val lo = math.max(1, i - k); val hi = math.min(m, i + k)
+      if (i - k <= 0) cur(0) = i
+      var rowMin = cur(0)
+      j = lo
+      while (j <= hi) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        if (prev(j) + 1 < v) v = prev(j) + 1
+        if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1
+        cur(j) = if (v > INF) INF else v
+        if (cur(j) < rowMin) rowMin = cur(j)
+        j += 1
+      }
+      if (rowMin > k) return false
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m) <= k
   }
 
   /** Cosine similarity over float vectors (computed in double). */

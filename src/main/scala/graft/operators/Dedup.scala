@@ -122,28 +122,39 @@ object Dedup {
     * no prefix). Results are identical to the brute-force join. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Shingles carried as 64-bit hashes: equality (all Jaccard needs) is
+    // preserved up to hash collisions, and the arrays shuffle at ~¼ the
+    // bytes of strings with far cheaper set ops.
     val shingleUdf = udf((text: String) =>
-      graft.functions.HashKernels.charShingles(text, n))
+      graft.functions.HashKernels.charShinglesHashed(text, n))
+    // The shingle table feeds four consumers (df aggregation, prefix
+    // explode, and both sides of the verify join); persist so the
+    // shingling kernel runs once, not once per consumer.
     val sh = docs.select(col(idCol).as("id"),
       shingleUdf(col(textCol)).as("shingles"))
       .withColumn("setSize", size(col("shingles")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // global document frequency per shingle → rarest-first total order
+    // global document frequency per shingle → rarest-first total order.
+    // The df table is collected and broadcast (one agg over the exploded
+    // shingles); per-doc prefix ranking then runs as a kernel pass instead
+    // of a join + per-group sort. At corpus sizes where the distinct-shingle
+    // table itself is too big to broadcast, swap this for the equivalent
+    // join+collect_list ranking — the candidate join below is unchanged.
     val exploded = sh.select(col("id"), col("setSize"),
       explode(col("shingles")).as("shingle"))
-    val shingleDf = exploded.groupBy("shingle")
+    val dfMap: Map[Long, Long] = exploded.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
-
-    // per doc: shingles sorted by (df, shingle); keep prefix only
-    val prefixLen = (col("setSize") -
-      ceil(lit(threshold) * col("setSize")) + 1).cast("int")
-    val prefixes = exploded.join(shingleDf, "shingle")
-      .groupBy("id", "setSize")
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
-        .as("ranked"))
-      .select(col("id"), col("setSize"),
-        explode(slice(transform(col("ranked"), r => r.getField("shingle")),
-          lit(1), prefixLen)).as("shingle"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bcDf = docs.sparkSession.sparkContext.broadcast(dfMap)
+    val prefixUdf = udf { (shingles: Seq[Long]) =>
+      val m = bcDf.value
+      val prefixLen = shingles.length -
+        math.ceil(threshold * shingles.length).toInt + 1
+      shingles.sortBy(s => (m.getOrElse(s, 0L), s)).take(prefixLen)
+    }
+    val prefixes = sh.select(col("id"), col("setSize"),
+      explode(prefixUdf(col("shingles"))).as("shingle"))
 
     val a = prefixes.select(col("shingle"), col("id").as("id_a"),
       col("setSize").as("size_a"))
@@ -156,8 +167,8 @@ object Dedup {
       .select("id_a", "id_b").distinct()
 
     // verify candidates with the exact set Jaccard
-    val jacUdf = udf((x: Seq[String], y: Seq[String]) =>
-      graft.functions.HashKernels.jaccard(x, y))
+    val jacUdf = udf((x: Seq[Long], y: Seq[Long]) =>
+      graft.functions.HashKernels.jaccardLong(x, y))
     candidates
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
