@@ -490,6 +490,41 @@ object SparkEntry {
         .groupBy("iso_year", "dmy_month")
         .agg(count(lit(1)).as("n"))
         .orderBy("iso_year", "dmy_month")
+    }),
+
+    // ── §2.8 enrichment pipeline end-to-end through the oracle gate:
+    //    pseudo-DwC records derived from orders with predictable outcomes;
+    //    the oracle re-derives year/kosher/vocab from first principles ──
+    "q46_enrich_pipeline" -> ((s, dir) => {
+      val pseudo = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("occurrenceID"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("eventDate"),
+        (col("o_orderkey") % 170 - 85).cast("string").as("decimalLatitude"),
+        (col("o_orderkey") % 356 - 178).cast("string").as("decimalLongitude"),
+        lit("specimen").as("basisOfRecord"))
+      graft.processors.Processors.enrich(pseudo)
+        .groupBy(
+          col("processed_year").cast("long").as("yr"),
+          col("geospatiallyKosher").as("kosher"),
+          col("processed_basisOfRecord").as("bor"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("yr", "kosher")
+    }),
+
+    // ── §2.8 assertion emission checked code-by-code against first
+    //    principles (same controlled input as q46) ──
+    "q47_enrich_assertions" -> ((s, dir) => {
+      val pseudo = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("occurrenceID"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("eventDate"),
+        (col("o_orderkey") % 170 - 85).cast("string").as("decimalLatitude"),
+        (col("o_orderkey") % 356 - 178).cast("string").as("decimalLongitude"),
+        lit("specimen").as("basisOfRecord"))
+      graft.processors.Processors.enrich(pseudo)
+        .select(explode(col("assertions.code")).as("code"))
+        .groupBy(col("code").cast("long").as("code"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("code")
     })
   )
 
@@ -704,6 +739,28 @@ object SparkEntry {
       """SELECT year(o_orderdate) AS iso_year, month(o_orderdate) AS dmy_month,
         | count(*) AS n
         |FROM orders GROUP BY iso_year, dmy_month
-        |ORDER BY iso_year, dmy_month""".stripMargin
+        |ORDER BY iso_year, dmy_month""".stripMargin,
+    "q46_enrich_pipeline" ->
+      """SELECT year(o_orderdate) AS yr,
+        | NOT (o_orderkey % 170 - 85 = 0 OR o_orderkey % 356 - 178 = 0)
+        |   AS kosher,
+        | 'PreservedSpecimen' AS bor, count(*) AS n
+        |FROM orders GROUP BY yr, kosher ORDER BY yr, kosher""".stripMargin,
+    "q47_enrich_assertions" ->
+      """WITH per_row AS (
+        | SELECT list_concat(list_concat(list_concat(
+        |   [20018, 30, 27],
+        |   CASE WHEN lat = 0 AND lon = 0 THEN [4]
+        |        WHEN lat = 0 THEN [53]
+        |        WHEN lon = 0 THEN [54] ELSE [] END),
+        |   CASE WHEN day(o_orderdate) = 1 AND month(o_orderdate) = 1
+        |        THEN [30004]
+        |        WHEN day(o_orderdate) = 1 THEN [30003] ELSE [] END),
+        |   []) AS codes
+        | FROM (SELECT o_orderdate, o_orderkey % 170 - 85 AS lat,
+        |   o_orderkey % 356 - 178 AS lon FROM orders))
+        |SELECT CAST(code AS BIGINT) AS code, count(*) AS n
+        |FROM (SELECT unnest(codes) AS code FROM per_row)
+        |GROUP BY code ORDER BY code""".stripMargin
   )
 }

@@ -10,7 +10,7 @@ import java.util.Locale
   * below carries a curated variant subset of the reference tables (the
   * matching semantics, not the full data dump, are the contract).
   */
-trait Vocab {
+trait Vocab extends Serializable {
   def variants: Map[String, String] // normalised variant -> canonical
 
   protected def norm(s: String): String =
