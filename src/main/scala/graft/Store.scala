@@ -37,6 +37,10 @@ object Store {
   def process(records: DataFrame, namesDim: Option[DataFrame] = None): DataFrame =
     Processors.enrich(records, namesDim)
 
+  /** Full pipeline with every dimension-backed stage. */
+  def processAll(records: DataFrame, dims: Processors.Dimensions): DataFrame =
+    Processors.enrichAll(records, dims)
+
   // ── Sample (reference Sampling tool) ──
   def sample(spark: SparkSession, records: DataFrame, layers: DataFrame): DataFrame = {
     val pts = Sampling.distinctCoordinates(records)

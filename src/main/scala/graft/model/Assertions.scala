@@ -23,6 +23,9 @@ object AssertionCodes {
   val ZERO_COORDINATES = ErrorCode("zeroCoordinates", 4, true, "Supplied coordinates are zero")
   val COORDINATES_OUT_OF_RANGE = ErrorCode("coordinatesOutOfRange", 5, true, "Coordinates are out of range")
   val UNKNOWN_COUNTRY_NAME = ErrorCode("unknownCountry", 6, false, "Supplied country not recognised")
+  val COORDINATES_CENTRE_OF_STATEPROVINCE = ErrorCode("coordinatesCentreOfStateProvince", 22, true, "Supplied coordinates centre of state")
+  val COORDINATES_CENTRE_OF_COUNTRY = ErrorCode("coordinatesCentreOfCountry", 28, true, "Supplied coordinates centre of country")
+  val DECIMAL_LAT_LONG_CALCULATED_FROM_GRID_REF = ErrorCode("decimalLatLongCalculatedFromGridReference", 55, false, "Decimal latitude and longitude were calculated using grid reference")
   val HABITAT_MISMATCH = ErrorCode("habitatMismatch", 19, true, "Habitat incorrect for species")
   val DETECTED_OUTLIER = ErrorCode("detectedOutlier", 20, true, "Suspected outlier")
   val COUNTRY_INFERRED_FROM_COORDINATES = ErrorCode("countryInferredByCoordinates", 21, false, "Country inferred from coordinates")
@@ -46,6 +49,10 @@ object AssertionCodes {
   val MISSING_BASIS_OF_RECORD = ErrorCode("missingBasisOfRecord", 20001, true, "Basis of record not supplied")
   val BADLY_FORMED_BASIS_OF_RECORD = ErrorCode("badlyFormedBasisOfRecord", 20002, true, "Basis of record badly formed")
   val UNRECOGNISED_TYPESTATUS = ErrorCode("unrecognisedTypeStatus", 20004, false, "Type status not recognised")
+  val UNRECOGNISED_COLLECTION_CODE = ErrorCode("unrecognisedCollectionCode", 20005, false, "Collection code not recognised")
+  val UNRECOGNISED_INSTITUTION_CODE = ErrorCode("unrecognisedInstitutionCode", 20006, false, "Institution code not recognised")
+  val DATA_ARE_GENERALISED = ErrorCode("dataAreGeneralised", 20009, false, "The data has been supplied generalised")
+  val USER_ASSERTION_OTHER = ErrorCode("userAssertionOther", 20019, false, "Other error")
   val INFERRED_DUPLICATE_RECORD = ErrorCode("inferredDuplicateRecord", 20014, false, "The occurrence appears to be a duplicate")
   val UNRECOGNISED_OCCURRENCE_STATUS = ErrorCode("unrecognisedOccurrenceStatus", 20017, false, "Occurrence status not recognised")
   val ASSUMED_PRESENT_OCCURRENCE_STATUS = ErrorCode("assumedPresentOccurrenceStatus", 20018, false, "Occurrence status assumed to be present")
@@ -63,7 +70,12 @@ object AssertionCodes {
   val all: Seq[ErrorCode] = Seq(
     GEOSPATIAL_ISSUE, NEGATED_LATITUDE, NEGATED_LONGITUDE,
     INVERTED_COORDINATES, ZERO_COORDINATES, COORDINATES_OUT_OF_RANGE,
-    UNKNOWN_COUNTRY_NAME, HABITAT_MISMATCH, DETECTED_OUTLIER,
+    UNKNOWN_COUNTRY_NAME, COORDINATES_CENTRE_OF_STATEPROVINCE,
+    COORDINATES_CENTRE_OF_COUNTRY,
+    DECIMAL_LAT_LONG_CALCULATED_FROM_GRID_REF,
+    UNRECOGNISED_COLLECTION_CODE, UNRECOGNISED_INSTITUTION_CODE,
+    DATA_ARE_GENERALISED, USER_ASSERTION_OTHER,
+    HABITAT_MISMATCH, DETECTED_OUTLIER,
     COUNTRY_INFERRED_FROM_COORDINATES, UNCERTAINTY_RANGE_MISMATCH,
     UNCERTAINTY_IN_PRECISION, SPECIES_OUTSIDE_EXPERT_RANGE,
     UNCERTAINTY_NOT_SPECIFIED, MISSING_GEODETICDATUM, LOCATION_NOT_SUPPLIED,

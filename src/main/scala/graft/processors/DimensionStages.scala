@@ -56,13 +56,11 @@ object DimensionStages {
         AssertionCodes.assertIf(
           col("institutionCode").isNotNull &&
             col("processed_institutionName").isNull,
-          graft.model.ErrorCode("unrecognisedInstitutionCode", 20006, false,
-            "Institution code not recognised")),
+          graft.model.AssertionCodes.UNRECOGNISED_INSTITUTION_CODE),
         AssertionCodes.assertIf(
           col("collectionCode").isNotNull &&
             col("processed_collectionName").isNull,
-          graft.model.ErrorCode("unrecognisedCollectionCode", 20005, false,
-            "Collection code not recognised")))))
+          graft.model.AssertionCodes.UNRECOGNISED_COLLECTION_CODE))))
       .drop("_ic", "_cc")
   }
 
@@ -108,8 +106,7 @@ object DimensionStages {
       .withColumn("isSensitive", sensitive)
       .withColumn("assertions_sensitive", array_compact(array(
         AssertionCodes.assertIf(sensitive,
-          graft.model.ErrorCode("dataAreGeneralised", 20009, false,
-            "The data has been supplied generalised")))))
+          graft.model.AssertionCodes.DATA_ARE_GENERALISED))))
       .drop("_sensName", "generalisationMetres")
   }
 
@@ -162,8 +159,7 @@ object DimensionStages {
       .join(broadcast(dim), Seq("_cc"), "left")
       .withColumn("assertions_centre", array_compact(array(
         AssertionCodes.assertIf(isCentre,
-          graft.model.ErrorCode("coordinatesCentreOfCountry", 28, true,
-            "Supplied coordinates centre of country")))))
+          graft.model.AssertionCodes.COORDINATES_CENTRE_OF_COUNTRY))))
       .drop("_cc", "centreLat", "centreLon")
   }
 

@@ -167,10 +167,7 @@ object Processors {
         assertIf(lat0.isNull && lon0.isNull, DECIMAL_COORDINATES_NOT_SUPPLIED),
         assertIf(fromVerbatim && lat0.isNotNull && lon0.isNotNull,
           DECIMAL_LAT_LONG_CALCULATED_FROM_VERBATIM),
-        assertIf(fromGrid,
-          graft.model.ErrorCode("decimalLatLongCalculatedFromGridReference",
-            55, false,
-            "Decimal latitude and longitude were calculated using grid reference")),
+        assertIf(fromGrid, DECIMAL_LAT_LONG_CALCULATED_FROM_GRID_REF),
         assertIf(inverted, INVERTED_COORDINATES),
         assertIf(outOfRange, COORDINATES_OUT_OF_RANGE),
         assertIf(zeroZero, ZERO_COORDINATES),
@@ -240,21 +237,58 @@ object Processors {
       .drop("_nameKey")
   }
 
+  /** Dimension tables consumed by the pipeline's broadcast-join stages —
+    * snapshot builds of what the reference fetched per record over HTTP
+    * (SURVEY.md §8 "no hidden service calls"). All optional; absent dims
+    * skip their stage. */
+  case class Dimensions(
+      names: Option[DataFrame] = None,
+      defaults: Option[DataFrame] = None,
+      attribution: Option[DataFrame] = None,
+      sensitivity: Option[DataFrame] = None,
+      speciesGroups: Option[DataFrame] = None,
+      countryCentres: Option[DataFrame] = None)
+
+  private val emptyAssertions =
+    "array<struct<name:string,code:int,qaStatus:int,comment:string>>"
+
   /** Full pipeline: stage order per reference `processor/Processors.scala:14`
-    * (classification before location; defaults first is a load concern).
-    * Produces processed_* columns, an `assertions` array, and the two kosher
-    * flags. One narrow projection + one broadcast join — no fact shuffle. */
-  def enrich(df: DataFrame, namesDim: Option[DataFrame] = None): DataFrame = {
-    val afterMisc = processMiscellaneous(processBasisOfRecord(df))
-    val afterClass = namesDim match {
+    * (defaults first, attribution, classification before location, sensitive
+    * generalisation after location). Produces processed_* columns, an
+    * `assertions` array, and the two kosher flags. One narrow projection +
+    * only broadcast joins — no fact-table shuffle at any stage. */
+  def enrich(df: DataFrame, namesDim: Option[DataFrame] = None): DataFrame =
+    enrichAll(df, Dimensions(names = namesDim))
+
+  def enrichAll(df0: DataFrame, dims: Dimensions): DataFrame = {
+    val df = dims.defaults.map(d =>
+      DimensionStages.applyDefaultValues(df0, d)).getOrElse(df0)
+    val afterAttr = dims.attribution.map(d =>
+      DimensionStages.processAttribution(df, d)).getOrElse(
+      df.withColumn("assertions_attr", array().cast(emptyAssertions)))
+    val afterMisc = processMiscellaneous(processBasisOfRecord(afterAttr))
+    val afterClass = dims.names match {
       case Some(dim) => processClassification(afterMisc, dim)
       case None => afterMisc.withColumn("assertions_class",
-        array().cast("array<struct<name:string,code:int,qaStatus:int,comment:string>>"))
+        array().cast(emptyAssertions))
     }
-    val afterAll = processLocation(processEvent(afterClass))
-    val assertionCols = Seq("assertions_bor", "assertions_misc",
-      "assertions_class", "assertions_event", "assertions_loc")
-    afterAll
+    val afterLoc = processLocation(processEvent(afterClass))
+    val afterCentre = dims.countryCentres.map(d =>
+      DimensionStages.checkCentrePoints(afterLoc, d)).getOrElse(
+      afterLoc.withColumn("assertions_centre", array().cast(emptyAssertions)))
+    val afterSens = dims.sensitivity.map(d =>
+      DimensionStages.processSensitivity(afterCentre, d)).getOrElse(
+      afterCentre.withColumn("assertions_sensitive", array().cast(emptyAssertions)))
+    val afterGroups = dims.speciesGroups match {
+      case Some(d) if afterSens.columns.contains("processed_lft") &&
+        afterSens.columns.contains("rowKey") =>
+        DimensionStages.speciesGroups(afterSens, d)
+      case _ => afterSens
+    }
+    val assertionCols = Seq("assertions_attr", "assertions_bor",
+      "assertions_misc", "assertions_class", "assertions_event",
+      "assertions_loc", "assertions_centre", "assertions_sensitive")
+    afterGroups
       .withColumn("assertions", concat(assertionCols.map(col): _*))
       .withColumn("geospatiallyKosher", geospatiallyKosher(col("assertions")))
       .withColumn("taxonomicallyKosher", taxonomicallyKosher(col("assertions")))
