@@ -34,22 +34,109 @@ object IndexSupport {
     df.filter(!deleted)
   }
 
-  /** P2 projection: enriched record → flat search schema. Table-driven:
-    * plain fields take processed-else-raw; derived fields (point rounding
-    * grid, latLong string, assertion names) are built here once. */
+  /** Field-mapping modes, mirroring the reference's RAW / PARSED /
+    * RAW_AND_PARSED scheme (`index/IndexDAO.scala:199-209`). */
+  sealed trait Mode
+  case object RawOnly extends Mode        // raw value under the index name
+  case object ParsedOnly extends Mode     // processed value under the index name
+  case object RawAndParsed extends Mode   // both: raw_<name> and <name>
+  case object Best extends Mode           // processed-else-raw coalesce
+
+  /** The index field table (DwC term → index column(s)): the table-driven
+    * core of the ~200-column projection (`index/IndexDAO.scala:212-433`).
+    * Fields absent from the input project as nulls, so the index schema is
+    * fixed regardless of which columns a resource supplied. */
+  val indexFields: Seq[(String, String, Mode)] = Seq(
+    ("occurrenceID", "occurrence_id", RawOnly),
+    ("catalogNumber", "catalogue_number", RawOnly),
+    ("recordNumber", "record_number", RawOnly),
+    ("collectionCode", "collection_code", RawOnly),
+    ("institutionCode", "institution_code", RawOnly),
+    ("dataResourceUid", "data_resource_uid", RawOnly),
+    ("datasetName", "dataset_name", RawOnly),
+    ("eventID", "event_id", RawOnly),
+    ("locationID", "location_id", RawOnly),
+    ("locality", "raw_locality", RawOnly),
+    ("locationRemarks", "location_remarks", RawOnly),
+    ("occurrenceRemarks", "occurrence_remarks", RawOnly),
+    ("identifiedBy", "identified_by", RawOnly),
+    ("individualCount", "individual_count", RawOnly),
+    ("samplingProtocol", "sampling_protocol", Best),
+    ("identificationQualifier", "raw_identification_qualifier", RawOnly),
+    ("habitat", "raw_habitat", RawOnly),
+    ("verbatimEventDate", "verbatim_event_date", RawOnly),
+    ("verbatimLatitude", "verbatim_latitude", RawOnly),
+    ("verbatimLongitude", "verbatim_longitude", RawOnly),
+    ("rights", "rights", RawOnly),
+    ("license", "license", Best),
+    ("recordedBy", "collector", Best),
+    ("scientificName", "taxon_name", Best),
+    ("vernacularName", "common_name", Best),
+    ("taxonConceptID", "taxon_concept_lsid", ParsedOnly),
+    ("taxonRank", "rank", Best),
+    ("kingdom", "kingdom", Best),
+    ("phylum", "phylum", Best),
+    ("classs", "class", Best),
+    ("order", "order", Best),
+    ("family", "family", Best),
+    ("genus", "genus", Best),
+    ("specificEpithet", "specific_epithet", RawOnly),
+    ("speciesGroups", "species_group", ParsedOnly),
+    ("basisOfRecord", "basis_of_record", RawAndParsed),
+    ("occurrenceStatus", "occurrence_status", RawAndParsed),
+    ("typeStatus", "type_status", RawAndParsed),
+    ("sex", "sex", RawAndParsed),
+    ("lifeStage", "life_stage", Best),
+    ("establishmentMeans", "establishment_means", Best),
+    ("eventDate", "occurrence_date", ParsedOnly),
+    ("eventDateEnd", "occurrence_date_end_dt", ParsedOnly),
+    ("year", "occurrence_year", ParsedOnly),
+    ("month", "month", ParsedOnly),
+    ("day", "day", ParsedOnly),
+    ("dateIdentified", "identified_date", Best),
+    ("datePrecision", "date_precision", RawOnly),
+    ("decimalLatitude", "latitude", RawAndParsed),
+    ("decimalLongitude", "longitude", RawAndParsed),
+    ("coordinateUncertaintyInMeters", "coordinate_uncertainty", ParsedOnly),
+    ("coordinatePrecision", "coordinate_precision", RawOnly),
+    ("geodeticDatum", "datum", RawAndParsed),
+    ("gridReference", "grid_reference", RawOnly),
+    ("country", "country", Best),
+    ("countryCode", "country_code", RawOnly),
+    ("stateProvince", "state", Best),
+    ("minimumDepthInMeters", "min_depth_d", RawOnly),
+    ("maximumDepthInMeters", "max_depth_d", RawOnly),
+    ("minimumElevationInMeters", "min_elevation_d", RawOnly),
+    ("maximumElevationInMeters", "max_elevation_d", RawOnly),
+    ("institutionName", "institution_name", ParsedOnly),
+    ("collectionName", "collection_name", ParsedOnly),
+    ("dataGeneralizations", "data_generalizations", ParsedOnly),
+    ("associatedMedia", "multimedia_url", RawOnly))
+
+  /** P2 projection: enriched record → flat search schema. Table-driven from
+    * `indexFields`; derived fields (point rounding grid, latLong string,
+    * assertion names, kosher flags) are built once at the end. */
   def project(enriched: DataFrame): DataFrame = {
     val base = shouldIndex(enriched)
     val lat = col("processed_decimalLatitude")
     val lon = col("processed_decimalLongitude")
-    val plainFields = Seq(
-      "occurrenceID", "catalogNumber", "recordNumber", "recordedBy",
-      "scientificName", "taxonConceptID", "taxonRank", "kingdom", "family",
-      "genus", "basisOfRecord", "occurrenceStatus", "typeStatus", "sex",
-      "country", "stateProvince", "dataResourceUid", "eventDate", "year",
-      "month", "day")
+    def rawOf(f: String): Column =
+      if (base.columns.contains(f)) col(f) else lit(null)
+    def parsedOf(f: String): Column = {
+      val name = s"processed_$f"
+      if (base.columns.contains(name)) col(name) else lit(null)
+    }
+    val mapped: Seq[Column] = indexFields.flatMap { case (dwc, idx, mode) =>
+      mode match {
+        case RawOnly => Seq(rawOf(dwc).as(idx))
+        case ParsedOnly => Seq(parsedOf(dwc).as(idx))
+        case Best => Seq(p(base, dwc).as(idx))
+        case RawAndParsed =>
+          Seq(rawOf(dwc).as(s"raw_$idx"), parsedOf(dwc).as(idx))
+      }
+    }
     val cols: Seq[Column] =
-      col("rowKey").as("id") +:
-        plainFields.map(f => p(base, f).as(f)) ++: Seq(
+      col("rowKey").as("id") +: mapped ++: Seq(
         lat.cast("double").as("decimalLatitude"),
         lon.cast("double").as("decimalLongitude"),
         concat_ws(",", lat.cast("string"), lon.cast("string")).as("latLong"),

@@ -118,13 +118,13 @@ class OperatorsSpec extends AnyFunSuite {
     val enriched = Processors.enrich(raw)
     val index = IndexSupport.project(enriched)
     assert(index.columns.contains("point00001"))
-    val facets = Serving.facet(index, "stateProvince").collect()
+    val facets = Serving.facet(index, "state").collect()
     assert(facets.head.getAs[Long]("count") == 2) // NSW
-    val distinct = Serving.distinctValues(index, "basisOfRecord", 10).collect()
+    val distinct = Serving.distinctValues(index, "basis_of_record", 10).collect()
     assert(distinct.map(_.getString(0)).filter(_ != null)
       .toSet == Set("PreservedSpecimen"))
     val dl = Serving.download(index,
-      Seq("dr1|r1").toDF("rowKey"), Seq("id", "scientificName"),
+      Seq("dr1|r1").toDF("rowKey"), Seq("id", "taxon_name"),
       Seq("missingBasisOfRecord")).collect()
     assert(dl.length == 1 && !dl(0).getAs[Boolean]("qa_missingBasisOfRecord"))
   }
