@@ -520,10 +520,20 @@ object SparkEntry {
         (col("o_orderkey") % 170 - 85).cast("string").as("decimalLatitude"),
         (col("o_orderkey") % 356 - 178).cast("string").as("decimalLongitude"),
         lit("specimen").as("basisOfRecord"))
-      graft.processors.Processors.enrich(pseudo)
-        .select(explode(col("assertions.code")).as("code"))
-        .groupBy(col("code").cast("long").as("code"))
-        .agg(count(lit(1)).as("n"))
+      // count per assertion code WITHOUT explode: a Generate over the
+      // UDF-struct-heavy enrichment projection leaves whole-stage codegen
+      // and runs ~3× slower; one fused aggregate of array_contains sums is
+      // equivalent (codes are unique per record by construction)
+      val codes = graft.model.AssertionCodes.all.map(_.code)
+      val counts = graft.processors.Processors.enrich(pseudo)
+        .agg(codes.map(c => sum(when(array_contains(col("assertionCodes"),
+          c), 1L).otherwise(0L)).as(s"c_$c")).head,
+          codes.map(c => sum(when(array_contains(col("assertionCodes"),
+            c), 1L).otherwise(0L)).as(s"c_$c")).tail: _*)
+      counts.select(explode(map_from_arrays(
+          array(codes.map(c => lit(c.toLong)): _*),
+          array(codes.map(c => col(s"c_$c")): _*))).as(Seq("code", "n")))
+        .filter(col("n") > 0)
         .orderBy("code")
     })
   )

@@ -53,14 +53,14 @@ object DimensionStages {
       .withColumn("_cc", upper(col("collectionCode")))
       .join(broadcast(dim), Seq("_ic", "_cc"), "left")
       .withColumn("assertions_attr", array_compact(array(
-        AssertionCodes.assertIf(
+        AssertionCodes.assertCodeIf(
           col("institutionCode").isNotNull &&
             col("processed_institutionName").isNull,
-          graft.model.AssertionCodes.UNRECOGNISED_INSTITUTION_CODE),
-        AssertionCodes.assertIf(
+          AssertionCodes.UNRECOGNISED_INSTITUTION_CODE),
+        AssertionCodes.assertCodeIf(
           col("collectionCode").isNotNull &&
             col("processed_collectionName").isNull,
-          graft.model.AssertionCodes.UNRECOGNISED_COLLECTION_CODE))))
+          AssertionCodes.UNRECOGNISED_COLLECTION_CODE))))
       .drop("_ic", "_cc")
   }
 
@@ -105,8 +105,8 @@ object DimensionStages {
           .otherwise(lit(null)))
       .withColumn("isSensitive", sensitive)
       .withColumn("assertions_sensitive", array_compact(array(
-        AssertionCodes.assertIf(sensitive,
-          graft.model.AssertionCodes.DATA_ARE_GENERALISED))))
+        AssertionCodes.assertCodeIf(sensitive,
+          AssertionCodes.DATA_ARE_GENERALISED))))
       .drop("_sensName", "generalisationMetres")
   }
 
@@ -158,8 +158,8 @@ object DimensionStages {
         if (df.columns.contains("country")) col("country") else lit(null)))
       .join(broadcast(dim), Seq("_cc"), "left")
       .withColumn("assertions_centre", array_compact(array(
-        AssertionCodes.assertIf(isCentre,
-          graft.model.AssertionCodes.COORDINATES_CENTRE_OF_COUNTRY))))
+        AssertionCodes.assertCodeIf(isCentre,
+          AssertionCodes.COORDINATES_CENTRE_OF_COUNTRY))))
       .drop("_cc", "centreLat", "centreLon")
   }
 

@@ -18,22 +18,32 @@ import org.apache.spark.sql.functions._
   * order; the whole pipeline is a single narrow (no-shuffle) projection plus
   * the broadcast dimension joins, so it scales linearly with partitions.
   */
+/** UDF return shape for the date parser. Must be a PUBLIC top-level class
+  * with nullable boxed fields: generated code calls the accessors directly,
+  * so a private class (or Option-typed fields) makes Janino compilation fail
+  * and every downstream projection silently falls back to interpreted eval —
+  * a ~3× slowdown of the whole pipeline (watch for "Expr codegen error"
+  * warnings).
+  */
+case class ParsedDate(
+    startEpochDay: java.lang.Integer, endEpochDay: java.lang.Integer,
+    startYear: java.lang.Integer, startMonth: java.lang.Integer,
+    startDay: java.lang.Integer, singleDate: Boolean)
+
 object Processors {
 
   // ── UDFs over the pure parsers (date bank is far beyond built-in to_date) ──
 
-  private case class ParsedDate(
-      startEpochDay: Option[Int], endEpochDay: Option[Int],
-      startYear: Option[Int], startMonth: Option[Int], startDay: Option[Int],
-      singleDate: Boolean)
-
   private val parseDateUdf = udf { (s: String) =>
+    def boxed(o: Option[Int]): java.lang.Integer =
+      o.map(Int.box).orNull
     DateParser.parseDate(s).map { ed =>
       ParsedDate(
-        ed.startDate.map(_.toEpochDay.toInt), ed.endDate.map(_.toEpochDay.toInt),
-        Option(ed.startYear).filter(_.nonEmpty).map(_.toInt),
-        Option(ed.startMonth).filter(_.nonEmpty).map(_.toInt),
-        Option(ed.startDay).filter(_.nonEmpty).map(_.toInt),
+        boxed(ed.startDate.map(_.toEpochDay.toInt)),
+        boxed(ed.endDate.map(_.toEpochDay.toInt)),
+        boxed(Option(ed.startYear).filter(_.nonEmpty).map(_.toInt)),
+        boxed(Option(ed.startMonth).filter(_.nonEmpty).map(_.toInt)),
+        boxed(Option(ed.startDay).filter(_.nonEmpty).map(_.toInt)),
         ed.singleDate)
     }
   }
@@ -105,12 +115,12 @@ object Processors {
       .withColumn("processed_month", mo)
       .withColumn("processed_day", dy)
       .withColumn("assertions_event", array_compact(array(
-        assertIf(noDateSupplied, MISSING_COLLECTION_DATE),
-        assertIf(unparseable || future || pre1600, INVALID_COLLECTION_DATE),
-        assertIf(transposed, DAY_MONTH_TRANSPOSED),
-        assertIf(dy === 1 && mo === 1, FIRST_OF_YEAR),
-        assertIf(dy === 1 && (mo =!= 1 || mo.isNull), FIRST_OF_MONTH),
-        assertIf(col("_ed_raw").isNotNull && col("_parsed").isNull &&
+        assertCodeIf(noDateSupplied, MISSING_COLLECTION_DATE),
+        assertCodeIf(unparseable || future || pre1600, INVALID_COLLECTION_DATE),
+        assertCodeIf(transposed, DAY_MONTH_TRANSPOSED),
+        assertCodeIf(dy === 1 && mo === 1, FIRST_OF_YEAR),
+        assertCodeIf(dy === 1 && (mo =!= 1 || mo.isNull), FIRST_OF_MONTH),
+        assertCodeIf(col("_ed_raw").isNotNull && col("_parsed").isNull &&
           col("_yr_raw").isNull, INCOMPLETE_COLLECTION_DATE))))
       .drop("_ed_raw", "_yr_raw", "_mo_raw", "_dy_raw", "_verb_raw",
         "_parsed", "_parsedVerb")
@@ -164,18 +174,18 @@ object Processors {
       .withColumn("processed_geodeticDatum",
         when(col("_datum").isNotNull, lit("EPSG:4326")).otherwise(lit(null)))
       .withColumn("assertions_loc", array_compact(array(
-        assertIf(lat0.isNull && lon0.isNull, DECIMAL_COORDINATES_NOT_SUPPLIED),
-        assertIf(fromVerbatim && lat0.isNotNull && lon0.isNotNull,
+        assertCodeIf(lat0.isNull && lon0.isNull, DECIMAL_COORDINATES_NOT_SUPPLIED),
+        assertCodeIf(fromVerbatim && lat0.isNotNull && lon0.isNotNull,
           DECIMAL_LAT_LONG_CALCULATED_FROM_VERBATIM),
-        assertIf(fromGrid, DECIMAL_LAT_LONG_CALCULATED_FROM_GRID_REF),
-        assertIf(inverted, INVERTED_COORDINATES),
-        assertIf(outOfRange, COORDINATES_OUT_OF_RANGE),
-        assertIf(zeroZero, ZERO_COORDINATES),
-        assertIf(lat === 0 && !zeroZero, ZERO_LATITUDE_COORDINATES),
-        assertIf(lon === 0 && !zeroZero, ZERO_LONGITUDE_COORDINATES),
-        assertIf(lat.isNotNull && col("_datum").isNull, MISSING_GEODETICDATUM),
-        assertIf(lat.isNotNull && col("_unc").isNull, UNCERTAINTY_NOT_SPECIFIED),
-        assertIf(uncBad, UNCERTAINTY_RANGE_MISMATCH))))
+        assertCodeIf(fromGrid, DECIMAL_LAT_LONG_CALCULATED_FROM_GRID_REF),
+        assertCodeIf(inverted, INVERTED_COORDINATES),
+        assertCodeIf(outOfRange, COORDINATES_OUT_OF_RANGE),
+        assertCodeIf(zeroZero, ZERO_COORDINATES),
+        assertCodeIf(lat === 0 && !zeroZero, ZERO_LATITUDE_COORDINATES),
+        assertCodeIf(lon === 0 && !zeroZero, ZERO_LONGITUDE_COORDINATES),
+        assertCodeIf(lat.isNotNull && col("_datum").isNull, MISSING_GEODETICDATUM),
+        assertCodeIf(lat.isNotNull && col("_unc").isNull, UNCERTAINTY_NOT_SPECIFIED),
+        assertCodeIf(uncBad, UNCERTAINTY_RANGE_MISMATCH))))
       .drop("_latS", "_lonS", "_vlat", "_vlon", "_unc", "_datum", "_grid")
   }
 
@@ -185,8 +195,8 @@ object Processors {
     val matched = vocabUdf(BasisOfRecord)(raw)
     df0.withColumn("processed_basisOfRecord", matched)
       .withColumn("assertions_bor", array_compact(array(
-        assertIf(raw.isNull, MISSING_BASIS_OF_RECORD),
-        assertIf(raw.isNotNull && matched.isNull, BADLY_FORMED_BASIS_OF_RECORD))))
+        assertCodeIf(raw.isNull, MISSING_BASIS_OF_RECORD),
+        assertCodeIf(raw.isNotNull && matched.isNull, BADLY_FORMED_BASIS_OF_RECORD))))
   }
 
   /** IMAGE/misc stage (reference `processor/MiscellaneousProcessor.scala` +
@@ -204,9 +214,9 @@ object Processors {
       .withColumn("processed_sex", vocabUdf(Sex)(sexRaw))
       .withColumn("processed_recordedBy", collectorUdf(colOrNull(df0, "recordedBy")))
       .withColumn("assertions_misc", array_compact(array(
-        assertIf(status.isNotNull && statusM.isNull, UNRECOGNISED_OCCURRENCE_STATUS),
-        assertIf(status.isNull, ASSUMED_PRESENT_OCCURRENCE_STATUS),
-        assertIf(ts.isNotNull && tsM.isNull, UNRECOGNISED_TYPESTATUS))))
+        assertCodeIf(status.isNotNull && statusM.isNull, UNRECOGNISED_OCCURRENCE_STATUS),
+        assertCodeIf(status.isNull, ASSUMED_PRESENT_OCCURRENCE_STATUS),
+        assertCodeIf(ts.isNotNull && tsM.isNull, UNRECOGNISED_TYPESTATUS))))
   }
 
   /** CLASS stage (reference `processor/ClassificationProcessor.scala:152-322`
@@ -231,8 +241,8 @@ object Processors {
           col("rgt").as("processed_rgt"))),
         Seq("_nameKey"), "left")
     joined.withColumn("assertions_class", array_compact(array(
-        assertIf(nameRaw.isNull, NAME_NOT_SUPPLIED),
-        assertIf(nameRaw.isNotNull && col("processed_taxonConceptID").isNull,
+        assertCodeIf(nameRaw.isNull, NAME_NOT_SUPPLIED),
+        assertCodeIf(nameRaw.isNotNull && col("processed_taxonConceptID").isNull,
           NAME_NOT_RECOGNISED))))
       .drop("_nameKey")
   }
@@ -249,8 +259,7 @@ object Processors {
       speciesGroups: Option[DataFrame] = None,
       countryCentres: Option[DataFrame] = None)
 
-  private val emptyAssertions =
-    "array<struct<name:string,code:int,qaStatus:int,comment:string>>"
+  private val emptyAssertions = "array<int>"
 
   /** Full pipeline: stage order per reference `processor/Processors.scala:14`
     * (defaults first, attribution, classification before location, sensitive
@@ -289,9 +298,12 @@ object Processors {
       "assertions_misc", "assertions_class", "assertions_event",
       "assertions_loc", "assertions_centre", "assertions_sensitive")
     afterGroups
-      .withColumn("assertions", concat(assertionCols.map(col): _*))
-      .withColumn("geospatiallyKosher", geospatiallyKosher(col("assertions")))
-      .withColumn("taxonomicallyKosher", taxonomicallyKosher(col("assertions")))
+      .withColumn("assertionCodes", concat(assertionCols.map(col): _*))
+      .withColumn("assertions", structsFromCodes(col("assertionCodes")))
+      .withColumn("geospatiallyKosher",
+        geospatiallyKosherCodes(col("assertionCodes")))
+      .withColumn("taxonomicallyKosher",
+        taxonomicallyKosherCodes(col("assertionCodes")))
       .drop(assertionCols: _*)
   }
 }

@@ -29,7 +29,7 @@ class DimensionStagesSpec extends AnyFunSuite {
       .select("processed_collectionName").head().getString(0)
     assert(r1 == "Australian National Insect Collection")
     val r2codes = out.filter($"rowKey" === "r2")
-      .select(explode($"assertions_attr.code")).as[Int].collect().toSet
+      .select(explode($"assertions_attr")).as[Int].collect().toSet
     assert(r2codes == Set(20005, 20006))
   }
 

@@ -66,7 +66,7 @@ class EnrichAllSpec extends AnyFunSuite {
     assert(groups("dr1|r2").isEmpty)
 
     // centre-point assertion fires for r2 (exact country centre), fatal
-    val codes = out.select($"rowKey", $"assertions.code")
+    val codes = out.select($"rowKey", $"assertionCodes")
       .as[(String, Seq[Int])].collect().toMap
     assert(codes("dr1|r2").contains(28))
     assert(codes("dr1|r1").contains(20009)) // dataAreGeneralised

@@ -11,7 +11,7 @@ class ProcessorsSpec extends AnyFunSuite {
 
   private def assertions(df: org.apache.spark.sql.DataFrame, rowKey: String): Set[Int] =
     df.filter(col("occurrenceID") === rowKey)
-      .select(explode(col("assertions.code"))).as[Int].collect().toSet
+      .select(explode(col("assertionCodes"))).as[Int].collect().toSet
 
   lazy val raw = Seq(
     // occurrenceID, eventDate, year, month, day, lat, lon, vlat, vlon, unc, datum, bor, status, sciName
