@@ -52,8 +52,10 @@ object Processors {
     udf((s: String) => CoordinateParsers.parseVerbatimLatLong(s))
   private val distanceUdf =
     udf((s: String) => CoordinateParsers.parseDistanceMetres(s))
+  // canonical "Surname, Initials FirstName" form (dedup comparison uses the
+  // cruder normalizeCollector — different purposes)
   private val collectorUdf =
-    udf((s: String) => Option(CoordinateParsers.normalizeCollector(s)))
+    udf((s: String) => graft.functions.CollectorNameParser.parse(s))
   private val gridRefUdf = udf { (s: String) =>
     graft.functions.GridRef.parse(s).map(g =>
       (g.lat, g.lon, g.gridSizeMetres.toDouble))
