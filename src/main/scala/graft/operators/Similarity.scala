@@ -33,27 +33,84 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic centroid table: `numCells` axis-aligned pseudo-centroids
-    * derived from hashing, dim-matched to the corpus. Stand-in for k-means
-    * (no iterative training dependency); the IVF *plumbing* — cell
-    * assignment, cell pruning, probe-limited scan — is the real thing. */
-  def cellAssignment(emb: DataFrame, vecCol: String, numCells: Int): DataFrame =
-    emb.withColumn("cell",
-      pmod(xxhash64(transform(col(vecCol), v => round(v, 1))), lit(numCells)))
+  /** k-means centroid training on a bounded corpus sample (Lloyd
+    * iterations, deterministic seeding by id-hash order). Sample-based
+    * training is the standard ANN practice at any scale: one distributed
+    * pass collects ≤ `maxTrainingRows` vectors (k×dim×rows is megabytes);
+    * Lloyd then runs driver-side in tight primitive loops, and only the
+    * cell ASSIGNMENT — the part proportional to corpus size — stays
+    * distributed. */
+  def trainCentroids(corpus: DataFrame, vecCol: String, numCells: Int,
+      iterations: Int = 3, idCol: String = "vec_id",
+      maxTrainingRows: Int = 20000): Array[Array[Float]] = {
+    val sample: Array[Array[Float]] = corpus
+      .orderBy(xxhash64(col(idCol)))
+      .limit(maxTrainingRows)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
 
-  /** IVF top-k: probe only the query's `nprobe` candidate cells.
+    var centroids = sample.take(numCells).map(_.clone())
+    val dim = sample.head.length
+    for (_ <- 1 to iterations) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.MinValue
+        var c = 0
+        while (c < centroids.length) {
+          val s = graft.functions.HashKernels.cosine(v, centroids(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
+      }
+    }
+    centroids
+  }
+
+  /** Cell assignment against trained centroids (nearest by cosine). */
+  def cellAssignment(emb: DataFrame, vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val bc = emb.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      var best = 0; var bestSim = Double.MinValue
+      var c = 0
+      while (c < bc.value.length) {
+        val s = graft.functions.HashKernels.cosine(v, bc.value(c))
+        if (s > bestSim) { bestSim = s; best = c }
+        c += 1
+      }
+      best
+    }
+    emb.withColumn("cell", assignUdf(col(vecCol)))
+  }
+
+  /** IVF top-k: probe only each query's `nprobe` nearest centroid cells.
     * At scale the corpus is pre-partitioned by cell (one-time shuffle,
-    * amortised over all queries); each query touches nprobe/numCells of data. */
+    * amortised over all queries); each query touches nprobe/numCells of
+    * data, and recall is controlled by nprobe. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      numCells: Int = 64, nprobe: Int = 8,
+      numCells: Int = 64, nprobe: Int = 8, iterations: Int = 2,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
-    val celled = cellAssignment(corpus, corpusVec, numCells)
-    // Query probes: its own cell plus deterministic neighbour cells.
+    val centroids = trainCentroids(corpus, corpusVec, numCells,
+      iterations, corpusId)
+    val celled = cellAssignment(corpus, corpusVec, centroids)
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val probeUdf = udf { (v: Seq[Float]) =>
+      bc.value.indices
+        .map(c => c -> graft.functions.HashKernels.cosine(v, bc.value(c)))
+        .sortBy(-_._2).take(nprobe).map(_._1)
+    }
     val probes = queries.select(col(queryId), col(queryVec),
-        explode(array((0 until nprobe).map(i =>
-          pmod(xxhash64(transform(col(queryVec), v => round(v, 1))) + i,
-            lit(numCells))): _*)).as("cell"))
+      explode(probeUdf(col(queryVec))).as("cell"))
     val scored = celled.join(broadcast(probes), Seq("cell"))
       .select(col(queryId), col(corpusId),
         cosUdf(col(corpusVec), col(queryVec)).as("cosine"))

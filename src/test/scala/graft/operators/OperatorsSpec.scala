@@ -58,6 +58,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("vec_id") == 10L)
   }
 
+  test("IVF with trained centroids recalls most of brute-force top-k") {
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter($"vec_id" >= 3)
+    val queries = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(corpus, queries, 10,
+      numCells = 16, nprobe = 6, iterations = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("sampling: distinct coords -> polygon layer values -> join back") {
     val records = Seq(("r1", "-35.0", "149.0"), ("r2", "-35.0", "149.0"),
       ("r3", "40.0", "100.0"))
