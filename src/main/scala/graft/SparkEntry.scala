@@ -407,14 +407,24 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    // ── Exact interpolated percentiles per group ──
-    "q40_percentile" -> ((s, dir) =>
+    // ── Discrete (rank-based) percentiles per group. Continuous
+    //    interpolation is un-oracle-able: midpoints of 2-decimal data sit
+    //    exactly on round-half boundaries and engine arithmetic order flips
+    //    the rounding; the value at rank ceil(p·n) is exact in both ──
+    "q40_percentile" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
       t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
-        .orderBy("l_returnflag")),
+          round(max(when(col("rn") === ceil(col("n") * 0.5),
+            col("l_extendedprice"))), 2).as("p50"),
+          round(max(when(col("rn") === ceil(col("n") * 0.9),
+            col("l_extendedprice"))), 2).as("p90"))
+        .orderBy("l_returnflag")
+    }),
 
     // ── Structured Streaming: windowed counts over replayed events ──
     "q41_stream_agg" -> ((s, dir) => {
@@ -736,10 +746,18 @@ object SparkEntry {
         |   AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q40_percentile" ->
-      """SELECT l_returnflag,
-        | round(quantile_cont(l_extendedprice, 0.5),2) AS p50,
-        | round(quantile_cont(l_extendedprice, 0.9),2) AS p90
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH ranked AS (
+        | SELECT l_returnflag, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n
+        | FROM lineitem)
+        |SELECT l_returnflag,
+        | round(max(CASE WHEN rn = ceil(n*0.5) THEN l_extendedprice END),2)
+        |   AS p50,
+        | round(max(CASE WHEN rn = ceil(n*0.9) THEN l_extendedprice END),2)
+        |   AS p90
+        |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q41_stream_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
         | count(*) AS n, round(sum(value),2) AS total_value
