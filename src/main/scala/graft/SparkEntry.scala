@@ -782,7 +782,10 @@ object SparkEntry {
         |        WHEN lat = 0 THEN [53]
         |        WHEN lon = 0 THEN [54] ELSE [] END),
         |   CASE WHEN day(o_orderdate) = 1 AND month(o_orderdate) = 1
-        |        THEN [30004]
+        |         AND year(o_orderdate) % 100 = 0
+        |        THEN [30003, 30004, 30005]
+        |        WHEN day(o_orderdate) = 1 AND month(o_orderdate) = 1
+        |        THEN [30003, 30004]
         |        WHEN day(o_orderdate) = 1 THEN [30003] ELSE [] END),
         |   []) AS codes
         | FROM (SELECT o_orderdate, o_orderkey % 170 - 85 AS lat,

@@ -67,9 +67,10 @@ object DateParser {
   private def ym(y: Int, m: Int): Option[EventDate] =
     Try(YearMonth.of(y, m)).toOption.map { yM =>
       val first = yM.atDay(1)
-      EventDate(Some(first), Some(yM.atEndOfMonth()), y.toString, mm(m), "01",
-        y.toString, mm(m), dd(yM.atEndOfMonth().getDayOfMonth),
-        singleDate = true)
+      // day components stay EMPTY: a year-month date has no known day (the
+      // range-completion logic above also keys granularity off this)
+      EventDate(Some(first), Some(yM.atEndOfMonth()), y.toString, mm(m), "",
+        y.toString, mm(m), "", singleDate = true)
     }
 
   private def year(y: Int): EventDate =
@@ -84,8 +85,17 @@ object DateParser {
     if (s.contains("/") && !s.matches("""\d{1,2}/\d{1,2}/\d{4}""")) {
       val parts = s.split("/", 2)
       val start = parseSingle(parts(0))
-      // same-century abbreviation: 1978/91 → 1978/1991
+      // Abbreviated end side, completed from the start's granularity
+      // (reference ISODayDateRange / ISOMonthDateRange / same-century year
+      // ranges): a bare 1-2 digit end is a DAY when the start parsed to a
+      // full date (2007-11-13/15 → 13–15 Nov 2007), a MONTH when the start
+      // parsed to year-month (1906-06/07 → Jun–Jul 1906), and a same-century
+      // YEAR abbreviation only when the start is year-only (1978/91).
       val endRaw = (start, parts(1).trim) match {
+        case (Some(st), e) if e.matches("""\d{1,2}""") && st.startDay.nonEmpty =>
+          s"${st.startYear}-${st.startMonth}-$e"
+        case (Some(st), e) if e.matches("""\d{1,2}""") && st.startMonth.nonEmpty =>
+          s"${st.startYear}-$e"
         case (Some(st), e) if e.matches("""\d{2}""") && st.startYear.length == 4 =>
           st.startYear.take(2) + e
         case (_, e) => e

@@ -90,14 +90,33 @@ object Dedup {
     docs.select(col(idCol).as("id"), sh(col(textCol)).as("sh"))
   }
 
-  /** SimHash near-duplicate pairs: block on 16-bit prefix bands of the
-    * simhash (4 bands × 16 bits), verify Hamming distance ≤ maxHamming. */
+  /** SimHash near-duplicate pairs: block on bit-bands of the simhash,
+    * verify Hamming distance ≤ maxHamming.
+    *
+    * Recall bound (pigeonhole): with `numBands` bands, a pair with at most
+    * `numBands - 1` differing bits leaves at least one band untouched, so
+    * the banded equi-join is guaranteed to produce the candidate. Bands
+    * default to `maxHamming + 1` to make the stated threshold lossless —
+    * 4 bands for the reference's Hamming ≤ 3 is the classic Manku et al.
+    * split; more bands mean shorter band keys and therefore larger buckets,
+    * so at very large corpora prefer a smaller maxHamming over more bands
+    * (bucket size grows as n / 2^(64/numBands)). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, numBandsOverride: Option[Int] = None): DataFrame = {
+    val numBands = numBandsOverride.getOrElse(maxHamming + 1)
+    require(numBands >= 1 && numBands <= 64, "numBands must be in [1, 64]")
+    val baseLen = 64 / numBands
+    val rem = 64 % numBands
+    // band i gets baseLen (+1 for the first `rem`) bits; offsets cumulative
+    val bandSpecs: Seq[(Int, Int)] = {
+      val lens = (0 until numBands).map(i => baseLen + (if (i < rem) 1 else 0))
+      lens.scanLeft(0)(_ + _).zip(lens)
+    }
     val sh = simhashes(docs, idCol, textCol)
     val banded = sh.select(col("id"),
-      posexplode(array((0 until 4).map { b =>
-        shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)
+      posexplode(array(bandSpecs.map { case (offset, len) =>
+        val mask = if (len == 64) -1L else (1L << len) - 1L
+        shiftright(col("sh"), offset).bitwiseAND(mask)
       }: _*)).as(Seq("band", "bandKey")))
     val a = banded.select(col("band"), col("bandKey"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bandKey"), col("id").as("id_b"))

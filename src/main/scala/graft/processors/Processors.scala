@@ -70,11 +70,15 @@ object Processors {
     * eventDate parse with year/month/day fallback, transposed day/month
     * repair, first-of-month/year flags, invalid/missing date assertions. */
   def processEvent(df0: DataFrame): DataFrame = {
+    // try_cast everywhere raw user strings are typed: Spark 4 runs ANSI mode
+    // by default, where cast('int') on "june" THROWS instead of yielding
+    // null — one malformed record must not crash the job (the reference
+    // parsers tolerate garbage by design).
     val df = df0
       .withColumn("_ed_raw", colOrNull(df0, "eventDate"))
-      .withColumn("_yr_raw", colOrNull(df0, "year").cast("int"))
-      .withColumn("_mo_raw", colOrNull(df0, "month").cast("int"))
-      .withColumn("_dy_raw", colOrNull(df0, "day").cast("int"))
+      .withColumn("_yr_raw", colOrNull(df0, "year").try_cast("int"))
+      .withColumn("_mo_raw", colOrNull(df0, "month").try_cast("int"))
+      .withColumn("_dy_raw", colOrNull(df0, "day").try_cast("int"))
       .withColumn("_verb_raw", colOrNull(df0, "verbatimEventDate"))
       .withColumn("_parsed", parseDateUdf(col("_ed_raw")))
       .withColumn("_parsedVerb", parseDateUdf(col("_verb_raw")))
@@ -93,7 +97,7 @@ object Processors {
     val epochStart = coalesce(col("_parsed.startEpochDay"),
       when(yr.isNotNull && mo.isNotNull && dy.isNotNull,
         datediff(
-          to_date(concat_ws("-", yr, lpad(mo, 2, "0"), lpad(dy, 2, "0"))),
+          try_to_date(concat_ws("-", yr, lpad(mo, 2, "0"), lpad(dy, 2, "0"))),
           lit("1970-01-01"))).otherwise(lit(null)),
       col("_parsedVerb.startEpochDay"))
 
@@ -120,8 +124,14 @@ object Processors {
         assertCodeIf(noDateSupplied, MISSING_COLLECTION_DATE),
         assertCodeIf(unparseable || future || pre1600, INVALID_COLLECTION_DATE),
         assertCodeIf(transposed, DAY_MONTH_TRANSPOSED),
+        // reference processFirstDates (EventProcessor.scala:357-375): day 1
+        // always flags FIRST_OF_MONTH; Jan 1 additionally FIRST_OF_YEAR;
+        // year divisible by 100 additionally FIRST_OF_CENTURY (nested, so
+        // Jan 1 1900 carries all three)
+        assertCodeIf(dy === 1, FIRST_OF_MONTH),
         assertCodeIf(dy === 1 && mo === 1, FIRST_OF_YEAR),
-        assertCodeIf(dy === 1 && (mo =!= 1 || mo.isNull), FIRST_OF_MONTH),
+        assertCodeIf(dy === 1 && mo === 1 && yr.isNotNull && yr > 0 &&
+          yr % 100 === 0, FIRST_OF_CENTURY),
         assertCodeIf(col("_ed_raw").isNotNull && col("_parsed").isNull &&
           col("_yr_raw").isNull, INCOMPLETE_COLLECTION_DATE))))
       .drop("_ed_raw", "_yr_raw", "_mo_raw", "_dy_raw", "_verb_raw",
@@ -143,8 +153,11 @@ object Processors {
         when(colOrNull(df0, "gridReference").isNotNull,
           gridRefUdf(colOrNull(df0, "gridReference"))).otherwise(lit(null)))
 
-    val latDec = col("_latS").cast("double")
-    val lonDec = col("_lonS").cast("double")
+    // ANSI-safe: try_cast returns null on non-numeric strings where plain
+    // cast throws; the "unparseable coordinates" assertion paths below
+    // depend on the null
+    val latDec = col("_latS").try_cast("double")
+    val lonDec = col("_lonS").try_cast("double")
     val fromVerbatim = latDec.isNull && lonDec.isNull &&
       col("_vlat").isNotNull && col("_vlon").isNotNull
     val fromGrid = latDec.isNull && lonDec.isNull && !fromVerbatim &&

@@ -69,6 +69,21 @@ class DateParserSpec extends AnyFunSuite {
     }
   }
 
+  test("abbreviated day range 2007-11-13/15 completes from start month") {
+    val r = DateParser.parseDate("2007-11-13/15").get
+    assert(r.startYear == "2007" && r.startMonth == "11" && r.startDay == "13")
+    assert(r.endYear == "2007" && r.endMonth == "11" && r.endDay == "15")
+    assert(r.endDate.get.toString == "2007-11-15")
+    assert(!r.singleDate)
+  }
+
+  test("abbreviated month range 1906-06/07 completes from start year") {
+    val r = DateParser.parseDate("1906-06/07").get
+    assert(r.startYear == "1906" && r.startMonth == "06")
+    assert(r.endYear == "1906" && r.endMonth == "07")
+    assert(r.endDate.get.toString == "1906-07-31")
+  }
+
   test("timestamp range collapsing to single date") {
     val r = DateParser.parseDate("2005-06-12 00:00:00.0/2005-06-12 00:00:00.0").get
     assert(r.singleDate)

@@ -49,6 +49,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
   }
 
+  test("simhash banding at maxHamming=8 has full recall vs brute force") {
+    // 120 docs: 20 base texts × 6 variants with growing perturbations, so
+    // pair Hamming distances spread across [0, 64]. The banded join must
+    // reproduce the brute-force pair set exactly (pigeonhole: 9 bands
+    // guarantee any pair with ≤ 8 differing bits shares a band).
+    val docs = (0 until 20).flatMap { b =>
+      val base = (0 until 30).map(i => s"base${b}tok$i")
+      (0 until 6).map { v =>
+        val txt = (base.take(30 - v) ++ (0 until v).map(i => s"var${b}_${v}_$i"))
+          .mkString(" ")
+        (b * 10L + v, txt)
+      }
+    }.toDF("doc_id", "text")
+    val hashes = Dedup.simhashes(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 8
+    } yield (ia, ib)).toSet
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    assert(brute.nonEmpty) // fixture actually exercises the ≤8 range
+  }
+
   test("brute-force topk ranks identical vector first") {
     val corpus = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.9f, 0.1f)),
       (12L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")

@@ -98,4 +98,38 @@ class ProcessorsSpec extends AnyFunSuite {
       .select("processed_occurrenceStatus").head()
     assert(r4.getString(0) == "absent")
   }
+
+  // ANSI-mode safety: Spark 4 default ANSI casts THROW on garbage; the
+  // pipeline must instead null-and-assert (reference parsers tolerate
+  // garbage by design). One malformed record must not crash the job.
+  lazy val garbage = Seq(
+    ("g1", null, "june", "first", "one", "not-a-lat", "not-a-lon", null),
+    ("g2", "99999-13-45", "12345678901", null, null, "-35.2", "east-ish", null),
+    ("g3", "1900-01-01", null, null, null, "-35.2", "149.1", "100")
+  ).toDF("occurrenceID", "eventDate", "year", "month", "day",
+    "decimalLatitude", "decimalLongitude", "coordinateUncertaintyInMeters")
+
+  lazy val enrichedGarbage = Processors.enrich(garbage).cache()
+
+  test("non-numeric year/month/day/lat/lon survive ANSI mode as nulls") {
+    val g1 = enrichedGarbage.filter($"occurrenceID" === "g1")
+      .select("processed_year", "processed_decimalLatitude").head()
+    assert(g1.isNullAt(0) && g1.isNullAt(1))
+    // lat unparseable + lon supplied-only → no decimal coordinates
+    assert(assertions(enrichedGarbage, "g1").contains(44))
+  }
+
+  test("out-of-range date strings survive ANSI mode and flag 30007") {
+    val g2 = enrichedGarbage.filter($"occurrenceID" === "g2")
+      .select("processed_eventDate").head()
+    assert(g2.isNullAt(0))
+    assert(assertions(enrichedGarbage, "g2").contains(30007))
+  }
+
+  test("first-of-month and first-of-year and first-of-century all emitted on Jan 1 1900") {
+    val a = assertions(enrichedGarbage, "g3")
+    assert(a.contains(30003)) // firstOfMonth fires on every day==1
+    assert(a.contains(30004)) // firstOfYear additionally on Jan 1
+    assert(a.contains(30005)) // firstOfCentury additionally on year % 100 == 0
+  }
 }
