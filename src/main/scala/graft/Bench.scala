@@ -12,17 +12,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // warm-up run: JIT + codegen + parquet footer caches; then measure.
-      // clearCache drops DataFrames the operators persist internally so
-      // repeated builds don't accumulate cached copies.
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      spark.catalog.clearCache()
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      name -> dt
+      dt
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      // warm-up run: JIT + codegen + parquet footer caches; then take the
+      // min of two measured runs so a stray JIT/GC pause on either doesn't
+      // get attributed to the query (round-2 bench showed 9x swings on
+      // whichever heavy-UDF query ran first). clearCache between runs drops
+      // DataFrames the operators persist internally.
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      spark.catalog.clearCache()
+      name -> math.min(timed(fn), timed(fn))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

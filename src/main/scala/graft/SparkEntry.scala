@@ -362,10 +362,9 @@ object SparkEntry {
         .orderBy("etype")),
 
     // ── J8 blocked similarity self-join (Levenshtein ≤ 2 within nation).
-    //    Banded early-exit kernel: O(k·n) per pair vs full-DP levenshtein ──
+    //    Built-in 3-arg levenshtein (codegen'd, banded early-exit; returns
+    //    -1 when the distance exceeds the threshold) ──
     "q36_blocked_levenshtein" -> ((s, dir) => {
-      val levWithin = udf((a: String, b: String) =>
-        graft.functions.HashKernels.levenshteinWithin(a, b, 2))
       val c = t(s, dir, "customer")
       val a = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("ck_a"),
         col("c_name").as("name_a"))
@@ -373,7 +372,7 @@ object SparkEntry {
         col("c_name").as("name_b"))
       a.join(b, Seq("nk"))
         .filter(col("ck_a") < col("ck_b") &&
-          levWithin(col("name_a"), col("name_b")))
+          levenshtein(col("name_a"), col("name_b"), 2) >= 0)
         .groupBy(col("nk").as("nationkey"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("nationkey")

@@ -105,6 +105,11 @@ object Dedup {
       maxHamming: Int = 3, numBandsOverride: Option[Int] = None): DataFrame = {
     val numBands = numBandsOverride.getOrElse(maxHamming + 1)
     require(numBands >= 1 && numBands <= 64, "numBands must be in [1, 64]")
+    // Pigeonhole recall guarantee needs more bands than differing bits: with
+    // numBands <= maxHamming every band can be hit and true pairs are missed.
+    require(numBands > maxHamming,
+      s"numBands ($numBands) must exceed maxHamming ($maxHamming); " +
+        "fewer bands silently voids the full-recall guarantee")
     val baseLen = 64 / numBands
     val rem = 64 % numBands
     // band i gets baseLen (+1 for the first `rem`) bits; offsets cumulative
@@ -154,35 +159,31 @@ object Dedup {
       .withColumn("setSize", size(col("shingles")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // global document frequency per shingle → rarest-first total order.
-    // The df table is collected and broadcast (one agg over the exploded
-    // shingles); per-doc prefix ranking then runs as a kernel pass instead
-    // of a join + per-group sort. At corpus sizes where the distinct-shingle
-    // table itself is too big to broadcast, swap this for the equivalent
-    // join+collect_list ranking — the candidate join below is unchanged.
+    // Global document frequency per shingle → rarest-first total order,
+    // computed fully distributed: agg df over the exploded shingles, join it
+    // back, and rank shingles per doc with a window. Nothing touches the
+    // driver — at 100 TB the distinct-shingle table is billions of rows and
+    // must never be collected/broadcast. The per-doc prefix is the first
+    // |A| − ⌈t·|A|⌉ + 1 shingles under the (df asc, shingle asc) order.
     val exploded = sh.select(col("id"), col("setSize"),
       explode(col("shingles")).as("shingle"))
-    val dfMap: Map[Long, Long] = exploded.groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val bcDf = docs.sparkSession.sparkContext.broadcast(dfMap)
-    val prefixUdf = udf { (shingles: Seq[Long]) =>
-      val m = bcDf.value
-      val prefixLen = shingles.length -
-        math.ceil(threshold * shingles.length).toInt + 1
-      shingles.sortBy(s => (m.getOrElse(s, 0L), s)).take(prefixLen)
-    }
-    val prefixes = sh.select(col("id"), col("setSize"),
-      explode(prefixUdf(col("shingles"))).as("shingle"))
+    val dfTable = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("shingle"))
+    val prefixes = exploded.join(dfTable, "shingle")
+      .withColumn("_rn", row_number().over(rankW))
+      .filter(col("_rn") <= col("setSize") -
+        ceil(lit(threshold) * col("setSize")).cast("int") + 1)
+      .select(col("id"), col("setSize"), col("shingle"))
 
     val a = prefixes.select(col("shingle"), col("id").as("id_a"),
       col("setSize").as("size_a"))
     val b = prefixes.select(col("shingle"), col("id").as("id_b"),
       col("setSize").as("size_b"))
-    val candidates = a.join(b,
-        a("shingle") === b("shingle") && col("id_a") < col("id_b") &&
-          col("size_b") >= lit(threshold) * col("size_a") &&
-          col("size_a") >= lit(threshold) * col("size_b"))
+    val candidates = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        col("size_b") >= lit(threshold) * col("size_a") &&
+        col("size_a") >= lit(threshold) * col("size_b"))
       .select("id_a", "id_b").distinct()
 
     // verify candidates with the exact set Jaccard

@@ -43,10 +43,20 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, vecCol: String, numCells: Int,
       iterations: Int = 3, idCol: String = "vec_id",
       maxTrainingRows: Int = 20000): Array[Array[Float]] = {
+    // Deterministic O(scan) sample: keep rows whose id-hash falls under a
+    // threshold sized from the corpus count (~1.5x over-draw), then trim to
+    // maxTrainingRows in driver-side hash order. No global sort — the old
+    // orderBy(xxhash64).limit shape was a full cluster sort just to sample.
+    val n = corpus.count()
+    val denom = 1000000L
+    val keep = if (n <= maxTrainingRows) denom
+      else math.min(denom, (denom * 3L * maxTrainingRows / (2L * n)).max(1L))
     val sample: Array[Array[Float]] = corpus
-      .orderBy(xxhash64(col(idCol)))
-      .limit(maxTrainingRows)
-      .select(vecCol).collect()
+      .select(col(vecCol), pmod(xxhash64(col(idCol)), lit(denom)).as("_h"))
+      .filter(col("_h") < keep)
+      .collect()
+      .sortBy(_.getLong(1))
+      .take(maxTrainingRows)
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty corpus")
 
