@@ -21,9 +21,29 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Spark shape: `groupByKey(blockKey).flatMapGroups(clusterKernel)` — the
   * only shuffle is by block key; pair comparison never leaves a block, so
-  * cost is Σ|block|², not N². Skewed blocks are handled by AQE partition
-  * splitting at the shuffle, matching the reference's thread-per-year
-  * workaround (`:434-452`) without custom code.
+  * cost is Σ|block|², not N².
+  *
+  * Skew: AQE can split shuffle partitions but NOT a single `flatMapGroups`
+  * key — one mega-block (common taxon × UNKNOWN date) would be one task
+  * running the quadratic kernel (the reference hit the same wall and
+  * threaded per year, `tool/DuplicationDetection.scala:434-452`). Two
+  * defences here:
+  *  1. The block key always includes the integer-rounded "lat,lon" cell.
+  *     This is LOSSLESS: `isSpatialDuplicate` returns false whenever the
+  *     level-0 ladder entries differ, so no matching pair can span cells,
+  *     and since cluster membership is only ever a direct pair with the
+  *     seed record, no cluster spans cells either — the greedy outcome per
+  *     cell is bit-identical to the unsplit block.
+  *  2. Blocks still larger than `maxBlockSize` are salted by the 1-dp cell.
+  *     A cross-1-dp-cell pair requires one member to be "flat" (its 1-dp
+  *     ladder entry equals its 0-dp entry, i.e. sub-degree-precision
+  *     coordinates), so flat records are replicated into every sub-cell and
+  *     clusters sharing a record are merged afterwards (union-find). Recall
+  *     is preserved; only greedy seeding order — which the reference never
+  *     guaranteed across thread schedules either — can differ from the
+  *     unsplit kernel, and only inside oversized blocks. Blocks that are
+  *     degenerate even at 1 dp (mass records at one coordinate) stay
+  *     quadratic, exactly as the reference.
   */
 object DuplicationDetection {
 
@@ -197,19 +217,118 @@ object DuplicationDetection {
     out.iterator
   }
 
-  /** Distributed driver: block by (taxon, year, month, day) with UNKNOWN
-    * buckets, run the kernel per block. Input df needs columns: rowKey,
-    * taxonGuid, year, month, day, lat, lon, collector, recordNumber,
-    * catalogueNumber, druid (strings). */
-  def findDuplicates(spark: SparkSession, df: DataFrame): Dataset[DupResult] = {
+  /** Kernel row + the context the cross-salt merge needs. */
+  case class SaltedResult(blk: String, druid: String, res: DupResult)
+
+  /** Merge clusters produced in different salt sub-blocks of one block:
+    * union-find over cluster ids linked by shared rowKeys (replicated flat
+    * records), then re-pick the representative (max precision, min rowKey
+    * tie-break) and recompute statuses / coordinate dup-types. */
+  def mergeSaltedClusters(rows: Iterator[SaltedResult]): Iterator[DupResult] = {
+    val all = rows.toArray
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: String, b: String): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    all.groupBy(_.res.rowKey).values.foreach { appearances =>
+      val cids = appearances.map(_.res.clusterId).distinct
+      cids.tail.foreach(union(cids.head, _))
+    }
+    all.groupBy(r => find(r.res.clusterId)).valuesIterator.flatMap { group =>
+      // one row per member; a replicated record merges its dup types
+      val members = group.groupBy(_.res.rowKey).values.map { g =>
+        val h = g.minBy(_.res.clusterId)
+        h.copy(res = h.res.copy(
+          dupTypes = g.flatMap(_.res.dupTypes).distinct.sorted.toSeq))
+      }.toArray.sortBy(_.res.rowKey)
+      val rep = members.minBy(m => (-m.res.precision, m.res.rowKey))
+      val repPrec = rep.res.precision
+      members.iterator.map { m =>
+        if (m.res.rowKey == rep.res.rowKey)
+          m.res.copy(clusterId = rep.res.rowKey, status = "R",
+            dupTypes = m.res.dupTypes.filter(_ <= 3))
+        else
+          m.res.copy(clusterId = rep.res.rowKey,
+            status = if (m.druid == rep.druid) "D1" else "D2",
+            dupTypes = m.res.dupTypes.filterNot(t => t == 4 || t == 5) :+
+              (if (m.res.precision == repPrec) 4 else 5))
+      }
+    }
+  }
+
+  /** Distributed driver: block by (taxon, year, month, day, integer cell)
+    * with UNKNOWN date buckets, run the kernel per block; blocks over
+    * `maxBlockSize` rows take the salted path (see object doc). Input df
+    * needs columns: rowKey, taxonGuid, year, month, day, lat, lon,
+    * collector, recordNumber, catalogueNumber, druid (strings). Rows with
+    * unparseable coordinates are excluded (no precision ladder exists). */
+  def findDuplicates(spark: SparkSession, df: DataFrame,
+      maxBlockSize: Int = 20000): Dataset[DupResult] = {
     import spark.implicits._
-    df.filter(col("lat").isNotNull && col("lon").isNotNull &&
+    import org.apache.spark.sql.expressions.Window
+
+    def parseD(s: String): Option[Double] =
+      try Some(s.trim.toDouble) catch { case _: NumberFormatException => None }
+    val cell0Udf = udf { (lat: String, lon: String) =>
+      (parseD(lat), parseD(lon)) match {
+        case (Some(a), Some(o)) => fmt(a, 0) + "," + fmt(o, 0)
+        case _ => null
+      }
+    }
+    val sub1Udf = udf { (lat: String, lon: String) =>
+      fmt(lat.trim.toDouble, 1) + "," + fmt(lon.trim.toDouble, 1)
+    }
+    val candStruct = struct(col("rowKey"), col("taxonGuid"), col("year"),
+      col("month"), col("day"), col("lat"), col("lon"), col("collector"),
+      col("recordNumber"), col("catalogueNumber"), col("druid")).as("_2")
+
+    val base = df
+      .filter(col("lat").isNotNull && col("lon").isNotNull &&
         col("taxonGuid").isNotNull)
-      .as[DupCandidate]
-      .groupByKey(r => (r.taxonGuid,
-        Option(r.year).filter(_.nonEmpty).getOrElse("UNKNOWN"),
-        Option(r.month).filter(_.nonEmpty).getOrElse("UNKNOWN"),
-        Option(r.day).filter(_.nonEmpty).getOrElse("UNKNOWN")))
-      .flatMapGroups((_, recs) => clusterBlock(recs))
+      .withColumn("_cell0", cell0Udf(col("lat"), col("lon")))
+      .filter(col("_cell0").isNotNull)
+      .withColumn("_blk", concat_ws("|", col("taxonGuid"),
+        coalesce(nullif(col("year"), lit("")), lit("UNKNOWN")),
+        coalesce(nullif(col("month"), lit("")), lit("UNKNOWN")),
+        coalesce(nullif(col("day"), lit("")), lit("UNKNOWN")),
+        col("_cell0")))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_blk"))))
+
+    val small = base.filter(col("_n") <= maxBlockSize)
+      .select(col("_blk").as("_1"), candStruct)
+      .as[(String, DupCandidate)]
+      .groupByKey(_._1)
+      .flatMapGroups((_, recs) => clusterBlock(recs.map(_._2)))
+
+    val big = base.filter(col("_n") > maxBlockSize)
+      .withColumn("_sub1", sub1Udf(col("lat"), col("lon")))
+    val nonFlatCells = big.filter(col("_sub1") =!= col("_cell0"))
+      .select(col("_blk"), col("_sub1")).distinct()
+    val naturals = big.select(col("_blk"), col("_sub1"), candStruct)
+    val flatReplicas = big.filter(col("_sub1") === col("_cell0"))
+      .drop("_sub1")
+      .join(nonFlatCells, Seq("_blk"))
+      .select(col("_blk"), col("_sub1"), candStruct)
+    val bigClusters = naturals.union(flatReplicas)
+      .select(concat_ws("\u0001", col("_blk"), col("_sub1")).as("_1"), col("_2"))
+      .as[(String, DupCandidate)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, rows) =>
+        val blk = key.substring(0, key.lastIndexOf('\u0001'))
+        val recs = rows.map(_._2).toArray
+        val druidOf = recs.iterator.map(r => r.rowKey -> r.druid).toMap
+        clusterBlock(recs.iterator).map(r =>
+          SaltedResult(blk, druidOf(r.rowKey), r))
+      }
+    val bigMerged = bigClusters
+      .groupByKey(_.blk)
+      .flatMapGroups((_, rows) => mergeSaltedClusters(rows))
+
+    small.union(bigMerged)
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class DuplicationSpec extends AnyFunSuite {
@@ -62,6 +63,62 @@ class DuplicationSpec extends AnyFunSuite {
       cand("a", "-35.0", "149.0"),
       cand("b", "-36.0", "150.0"))
     assert(clusterBlock(rs).isEmpty)
+  }
+
+  test("salted path merges clusters linked by a flat record across 1-dp cells") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // a and d sit in different 1-dp cells; c is flat (integer precision) and
+    // spatially matches both. With maxBlockSize=2 the block splits by 1-dp
+    // cell, c is replicated, and the two clusters must merge around c.
+    val df = Seq(
+      ("a", "t1", "2000", "01", "02", "-35.2", "149.2", null, null, null, "dr1"),
+      ("c", "t1", "2000", "01", "02", "-35", "149", null, null, null, "dr1"),
+      ("d", "t1", "2000", "01", "02", "-35.3", "149.3", null, null, null, "dr2"))
+      .toDF("rowKey", "taxonGuid", "year", "month", "day", "lat", "lon",
+        "collector", "recordNumber", "catalogueNumber", "druid")
+    val out = DuplicationDetection.findDuplicates(spark, df, maxBlockSize = 2)
+      .collect()
+    assert(out.map(_.rowKey).toSet == Set("a", "c", "d"))
+    assert(out.map(_.clusterId).toSet.size == 1)
+    val rep = out.find(_.status == "R").get
+    assert(rep.rowKey == "a") // max precision 1dp, min rowKey tie-break vs d
+    assert(out.find(_.rowKey == "c").get.status == "D1")
+    assert(out.find(_.rowKey == "d").get.status == "D2")
+    // exact path on the same data: c links to a only (greedy seed a),
+    // d stays unclustered — documents the (intended) drift in big blocks
+    val exact = DuplicationDetection.findDuplicates(spark, df).collect()
+    assert(exact.map(_.rowKey).toSet == Set("a", "c"))
+  }
+
+  test("100k-row skewed block (one taxon, unknown date) finishes bounded") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // one mega-block by (taxon, UNKNOWN, UNKNOWN, UNKNOWN, cell0): 100k rows
+    // spread over the 1-dp grid of a single integer cell. The unsalted
+    // kernel would run ~1e10 pair comparisons in ONE task; the salted path
+    // splits it into ~100 sub-blocks.
+    val n = 100000
+    val df = spark.range(n).select(
+      format_string("r%07d", col("id")).as("rowKey"),
+      lit("taxonX").as("taxonGuid"),
+      lit(null).cast("string").as("year"),
+      lit(null).cast("string").as("month"),
+      lit(null).cast("string").as("day"),
+      concat(lit("-35."), (col("id") % 10).cast("string")).as("lat"),
+      concat(lit("149."), ((col("id") / 10) % 10).cast("string")).as("lon"),
+      format_string("Collector %d", col("id")).as("collector"),
+      lit(null).cast("string").as("recordNumber"),
+      lit(null).cast("string").as("catalogueNumber"),
+      lit("dr1").as("druid"))
+    val t0 = System.nanoTime()
+    val out = DuplicationDetection.findDuplicates(spark, df, maxBlockSize = 20000)
+    // distinct collectors (levenshtein > 3 apart for differing ids) means few
+    // clusters; the point is wall-clock, not the cluster content
+    val cnt = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 300.0, s"salted mega-block took ${secs}s")
+    assert(cnt >= 0)
   }
 
   test("spark end-to-end: blocks isolate taxa") {
