@@ -118,8 +118,12 @@ object IndexSupport {
     * assertion names, kosher flags) are built once at the end. */
   def project(enriched: DataFrame): DataFrame = {
     val base = shouldIndex(enriched)
-    val lat = col("processed_decimalLatitude")
-    val lon = col("processed_decimalLongitude")
+    // try_cast at the source: the processed coords are doubles out of the
+    // enrichment pipeline, but project() also accepts re-read tables where
+    // they may be strings — a garbage value must not ANSI-crash the
+    // roundings / concat below (Spark 4 runs ANSI mode by default)
+    val lat = col("processed_decimalLatitude").try_cast("double")
+    val lon = col("processed_decimalLongitude").try_cast("double")
     def rawOf(f: String): Column =
       if (base.columns.contains(f)) col(f) else lit(null)
     def parsedOf(f: String): Column = {
@@ -137,8 +141,8 @@ object IndexSupport {
     }
     val cols: Seq[Column] =
       col("rowKey").as("id") +: mapped ++: Seq(
-        lat.cast("double").as("decimalLatitude"),
-        lon.cast("double").as("decimalLongitude"),
+        lat.as("decimalLatitude"),
+        lon.as("decimalLongitude"),
         concat_ws(",", lat.cast("string"), lon.cast("string")).as("latLong"),
         // point-rounding grid (reference `IndexDAO.scala:170-198`)
         concat_ws(",", round(lat, 0), round(lon, 0)).as("point1"),

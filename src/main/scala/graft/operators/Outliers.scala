@@ -64,10 +64,14 @@ object Outliers {
         Wkt.distanceToBoundaryMetres(lon, lat, rings))
     }
     records
-      .filter(col("decimalLatitude").isNotNull && col("decimalLongitude").isNotNull)
+      // try_cast: garbage coordinate strings become null and are filtered,
+      // never an ANSI cast crash (Spark 4 default)
+      .withColumn("_latD", col("decimalLatitude").try_cast("double"))
+      .withColumn("_lonD", col("decimalLongitude").try_cast("double"))
+      .filter(col("_latD").isNotNull && col("_lonD").isNotNull)
       .withColumn("distanceOutsideMetres",
-        distUdf(col("taxonGuid"), col("decimalLatitude").cast("double"),
-          col("decimalLongitude").cast("double")))
+        distUdf(col("taxonGuid"), col("_latD"), col("_lonD")))
+      .drop("_latD", "_lonD")
       .filter(col("distanceOutsideMetres").isNotNull &&
         col("distanceOutsideMetres") > thresholdMetres)
   }

@@ -18,17 +18,20 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Rounded coordinate key: `round(lat,4)+","+round(lon,4)` —
-    * `LocationDAO.scala:75-92`. */
+    * `LocationDAO.scala:75-92`. try_cast: a garbage coordinate string must
+    * yield a null key, not an ANSI cast crash (Spark 4 default). */
   def latLonKey(lat: org.apache.spark.sql.Column, lon: org.apache.spark.sql.Column) =
-    concat_ws(",", format_number(lat.cast("double"), 4),
-      format_number(lon.cast("double"), 4))
+    concat_ws(",", format_number(lat.try_cast("double"), 4),
+      format_number(lon.try_cast("double"), 4))
 
-  /** A4: distinct coordinates of a record set. */
+  /** A4: distinct coordinates of a record set. Unparseable coordinate
+    * strings are dropped (try_cast null), matching the reference's skip of
+    * unsampleable points rather than failing the whole scan. */
   def distinctCoordinates(records: DataFrame): DataFrame =
     records
-      .filter(col("decimalLatitude").isNotNull && col("decimalLongitude").isNotNull)
-      .select(col("decimalLatitude").cast("double").as("lat"),
-        col("decimalLongitude").cast("double").as("lon"))
+      .select(col("decimalLatitude").try_cast("double").as("lat"),
+        col("decimalLongitude").try_cast("double").as("lon"))
+      .filter(col("lat").isNotNull && col("lon").isNotNull)
       .distinct()
 
   /** J3: point→contextual-layer values via broadcast polygon intersect.

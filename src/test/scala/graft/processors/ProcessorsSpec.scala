@@ -132,4 +132,37 @@ class ProcessorsSpec extends AnyFunSuite {
     assert(a.contains(30004)) // firstOfYear additionally on Jan 1
     assert(a.contains(30005)) // firstOfCentury additionally on year % 100 == 0
   }
+
+  test("e2e garbage survives sampling, outliers and index build (ANSI-safe)") {
+    import graft.operators.{Outliers, Sampling}
+    // raw strings incl. "east-ish" / "not-a-lat" flow through every operator
+    // that types coordinates; none may ANSI-crash, garbage rows just drop out
+    val pts = Sampling.distinctCoordinates(garbage).collect()
+    assert(pts.length == 1) // only g3 has parseable coords
+
+    val layers = Seq(("cl22", "NSW",
+      "POLYGON((148 -37, 151 -37, 151 -33, 148 -33, 148 -37))"))
+      .toDF("layerId", "value", "wkt")
+    val samples = Sampling.samplePoints(spark,
+      Sampling.distinctCoordinates(garbage), layers)
+    val back = Sampling.loadSamplesIntoRecords(garbage, samples)
+    assert(back.count() == 3) // all rows survive, keys null on garbage
+
+    val dists = Seq(("t1",
+      "POLYGON((150 -36, 151 -36, 151 -35, 150 -35, 150 -36))"))
+      .toDF("taxonGuid", "wkt")
+    val recs = garbage.withColumn("taxonGuid", lit("t1"))
+    // g3 (-35.2, 149.1) is outside the polygon -> appears; g1/g2 dropped
+    val out = Outliers.expertDistributionOutliers(spark, recs, dists,
+      thresholdMetres = 1000)
+    assert(out.select("occurrenceID").collect().map(_.getString(0)).toSeq
+      == Seq("g3"))
+
+    val enrichedIdx = graft.index.IndexSupport.project(
+      enrichedGarbage.withColumn("rowKey", col("occurrenceID")))
+    assert(enrichedIdx.count() == 3)
+    val g3 = enrichedIdx.filter(col("id") === "g3")
+      .select("point01", "latitude").head()
+    assert(g3.getString(0) == "-35.2,149.1")
+  }
 }
