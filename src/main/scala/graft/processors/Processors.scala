@@ -62,6 +62,18 @@ object Processors {
   }
 
   private def vocabUdf(v: Vocab) = udf((s: String) => v.matchTerm(s))
+  private val datumUdf = udf((s: String) => GeodeticDatum.epsg(s))
+  private val licenseUdf = udf((s: String) =>
+    Option(s).filter(_.trim.nonEmpty).flatMap(License.matchRegex))
+  // establishmentMeans is ";"-delimited in the wild; each part vocab-mapped,
+  // unmatched parts preserved (reference MiscellaneousProcessor.scala:96-106)
+  private val establishmentMeansUdf = udf { (s: String) =>
+    Option(s).filter(_.trim.nonEmpty).map { v =>
+      v.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(p => EstablishmentMeans.matchTerm(p).getOrElse(p))
+        .distinct.mkString("; ")
+    }
+  }
 
   private def colOrNull(df: DataFrame, name: String): Column =
     if (df.columns.contains(name)) col(name).cast("string") else lit(null).cast("string")
@@ -186,8 +198,14 @@ object Processors {
       .withColumn("processed_coordinateUncertaintyInMeters",
         coalesce(when(uncParsed > 0, uncParsed.cast("double")),
           when(fromGrid, col("_grid._3"))))
-      .withColumn("processed_geodeticDatum",
-        when(col("_datum").isNotNull, lit("EPSG:4326")).otherwise(lit(null)))
+      // Datum vocab (reference `vocab/GeodeticDatum.scala` + `datums.txt` /
+      // `crsEpsgCodes.txt`): processed datum is the recognised datum's EPSG
+      // code — NOT a blanket EPSG:4326 stamp. The reference additionally
+      // reprojects non-WGS84 coordinates to WGS84 via GeoTools
+      // (`LocationProcessor.scala:369-568`); with no GeoTools in this stack
+      // the coordinates keep their source datum and the EPSG label stays
+      // truthful (AGD66 in → EPSG:4202 out, never mislabelled 4326).
+      .withColumn("processed_geodeticDatum", datumUdf(col("_datum")))
       .withColumn("assertions_loc", array_compact(array(
         assertCodeIf(lat0.isNull && lon0.isNull, DECIMAL_COORDINATES_NOT_SUPPLIED),
         assertCodeIf(fromVerbatim && lat0.isNotNull && lon0.isNotNull,
@@ -199,6 +217,8 @@ object Processors {
         assertCodeIf(lat === 0 && !zeroZero, ZERO_LATITUDE_COORDINATES),
         assertCodeIf(lon === 0 && !zeroZero, ZERO_LONGITUDE_COORDINATES),
         assertCodeIf(lat.isNotNull && col("_datum").isNull, MISSING_GEODETICDATUM),
+        assertCodeIf(col("_datum").isNotNull &&
+          datumUdf(col("_datum")).isNull, UNRECOGNIZED_GEODETIC_DATUM),
         assertCodeIf(lat.isNotNull && col("_unc").isNull, UNCERTAINTY_NOT_SPECIFIED),
         assertCodeIf(uncBad, UNCERTAINTY_RANGE_MISMATCH))))
       .drop("_latS", "_lonS", "_vlat", "_vlon", "_unc", "_datum", "_grid")
@@ -224,9 +244,17 @@ object Processors {
     val tsM = vocabUdf(TypeStatus)(ts)
     val sexRaw = colOrNull(df0, "sex")
     df0.withColumn("processed_occurrenceStatus",
-        coalesce(statusM, lit("present")))
+        // reference MiscellaneousProcessor.processOccurrenceStatus: blank →
+        // assumed "present"; supplied but unrecognised → "unknown"
+        when(status.isNull, lit("present"))
+          .otherwise(coalesce(statusM, lit("unknown"))))
       .withColumn("processed_typeStatus", tsM)
       .withColumn("processed_sex", vocabUdf(Sex)(sexRaw))
+      .withColumn("processed_lifeStage",
+        vocabUdf(LifeStage)(colOrNull(df0, "lifeStage")))
+      .withColumn("processed_establishmentMeans",
+        establishmentMeansUdf(colOrNull(df0, "establishmentMeans")))
+      .withColumn("processed_license", licenseUdf(colOrNull(df0, "license")))
       .withColumn("processed_recordedBy", collectorUdf(colOrNull(df0, "recordedBy")))
       .withColumn("assertions_misc", array_compact(array(
         assertCodeIf(status.isNotNull && statusM.isNull, UNRECOGNISED_OCCURRENCE_STATUS),

@@ -1,91 +1,267 @@
 package graft.vocab
 
 import java.util.Locale
+import java.util.regex.Pattern
 
-/** Vocabulary normalisation: variant term → canonical term.
+/** Vocabulary normalisation: variant term → canonical term, driven by the
+  * reference's public vocabulary data tables (the `.txt` tables under
+  * /root/reference/src/main/resources, copied verbatim — data, the
+  * matching contract).
   *
-  * Mirrors the reference vocab system (`vocab/Vocab.scala:50-101` plus the
-  * txt variant tables under src/main/resources in /root/reference): match is
-  * case-insensitive on the alphanumeric-only form of the term. Each vocab
-  * below carries a curated variant subset of the reference tables (the
-  * matching semantics, not the full data dump, are the contract).
+  * Matching mirrors `vocab/Vocab.scala:50-66` in
+  * /root/reference/src/main/scala/au/org/ala/biocache/: the lookup string is
+  * lower-cased and stripped to alphanumerics, then matched against (a) the
+  * canonical form, (b) the variant table, (c) the Porter-stemmed lookup
+  * against the variant table. Beyond the reference we ALSO stem the variant
+  * table itself at build time, so plural canonical entries match
+  * ("Paratypes" → paratype — the reference's own test expectation, which its
+  * unstemmed variant table cannot actually satisfy).
+  *
+  * Earlier terms win ties, preserving the reference's first-match-in-file
+  * iteration order.
   */
 trait Vocab extends Serializable {
-  def variants: Map[String, String] // normalised variant -> canonical
+
+  /** (canonical, raw variant strings) in file order. */
+  def terms: IndexedSeq[(String, Seq[String])]
 
   protected def norm(s: String): String =
     s.toLowerCase(Locale.ROOT).replaceAll("[^a-z0-9]", "")
 
+  /** term-index-tracking maps: first term wins on key collision. */
+  @transient private lazy val (exactMap, stemmedMap) = {
+    val exact = collection.mutable.LinkedHashMap[String, (Int, String)]()
+    val stemmed = collection.mutable.LinkedHashMap[String, (Int, String)]()
+    terms.zipWithIndex.foreach { case ((canonical, variants), i) =>
+      (norm(canonical) +: variants.map(norm)).filter(_.nonEmpty).foreach { v =>
+        if (!exact.contains(v)) exact(v) = (i, canonical)
+        val sv = Stemmer.stem(v)
+        if (!stemmed.contains(sv)) stemmed(sv) = (i, canonical)
+      }
+    }
+    (exact.toMap, stemmed.toMap)
+  }
+
   def matchTerm(raw: String): Option[String] = {
     if (raw == null) return None
     val n = norm(raw)
-    if (n.isEmpty) None else variants.get(n)
+    if (n.isEmpty) return None
+    val s = Stemmer.stem(n)
+    // reference precedence: term order first, then match kind within a term
+    Seq(exactMap.get(n), exactMap.get(s), stemmedMap.get(s))
+      .flatten.sortBy(_._1).headOption.map(_._2)
   }
 
-  protected def build(pairs: (String, Seq[String])*): Map[String, String] =
-    pairs.flatMap { case (canonical, vs) =>
-      (canonical +: vs).map(v => norm(v) -> canonical)
+  def canonicals: Seq[String] = terms.map(_._1)
+}
+
+/** Classpath data-table loaders (formats per reference `vocab/Vocab
+  * .scala:103-127`: horizontal = canonical + variants per line; vertical =
+  * variant TAB canonical per line, grouped). Reference files use bare-\r
+  * line endings; split on any of \r\n, \r, \n. */
+object VocabData {
+
+  def lines(resource: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"missing vocab resource $resource")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      .split("\r\n|\r|\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    finally in.close()
+  }
+
+  /** Each line: canonical TAB variant TAB variant ... */
+  def horizontal(resource: String): IndexedSeq[(String, Seq[String])] =
+    lines(resource).map { row =>
+      val values = row.split("\t").toSeq
+      values.head -> values
+    }.toIndexedSeq
+
+  /** Each line: variant TAB ... TAB canonical; grouped by canonical in
+    * first-seen order. */
+  def vertical(resource: String): IndexedSeq[(String, Seq[String])] = {
+    val pairs = lines(resource).map { row =>
+      val values = row.split("\t")
+      values.last -> values.head
+    }
+    val order = pairs.map(_._1).distinct
+    val grouped = pairs.groupBy(_._1)
+    order.map(c => c -> grouped(c).map(_._2)).toIndexedSeq
+  }
+
+  /** Each line: canonical TAB regex [TAB regex ...]. */
+  def regexes(resource: String): IndexedSeq[(String, Seq[String])] =
+    lines(resource).map { row =>
+      val values = row.split("\t").toSeq
+      values.head -> values.tail
+    }.toIndexedSeq
+
+  /** KEY=VALUE lines (crsEpsgCodes.txt / zoneEpsgCodes.txt). */
+  def keyValues(resource: String): Map[String, String] =
+    lines(resource).filter(_.contains("=")).map { row =>
+      val i = row.indexOf('=')
+      row.substring(0, i).trim -> row.substring(i + 1).trim
     }.toMap
 }
 
-/** Darwin Core basisOfRecord (reference `basisOfRecord.txt`). */
+/** Regex-matching vocabulary (reference `loadRegexFromFile` +
+  * `Vocab.matchRegex`): first term whose pattern finds in the input wins. */
+trait RegexVocab extends Serializable {
+  def terms: IndexedSeq[(String, Seq[String])]
+
+  @transient private lazy val compiled: IndexedSeq[(String, Seq[Pattern])] =
+    terms.map { case (c, rs) =>
+      c -> rs.map(r => Pattern.compile(r, Pattern.CASE_INSENSITIVE))
+    }
+
+  def matchRegex(raw: String): Option[String] = {
+    if (raw == null) return None
+    compiled.collectFirst {
+      case (canonical, ps) if ps.exists(_.matcher(raw).find()) => canonical
+    }
+  }
+}
+
+/** Darwin Core basisOfRecord (reference `basisOfRecord.txt`, vertical). */
 object BasisOfRecord extends Vocab {
-  val variants: Map[String, String] = build(
-    "PreservedSpecimen" -> Seq("specimen", "voucher", "sheet", "s", "sp",
-      "spec", "herbarium specimen", "museum specimen", "preserved",
-      "preserved specimen", "dried specimen", "collection", "accession"),
-    "HumanObservation" -> Seq("observation", "obs", "o", "sight", "sighting",
-      "human observation", "photo", "photograph", "field survey",
-      "live observation", "still image", "audio recording"),
-    "MachineObservation" -> Seq("machine", "machine observation"),
-    "FossilSpecimen" -> Seq("fossil", "f", "fos", "fossil record",
-      "specimen, fossil"),
-    "LivingSpecimen" -> Seq("living", "l", "zoo", "living organism",
-      "live plant collection"),
-    "MaterialSample" -> Seq("material sample"),
-    "EnvironmentalDNA" -> Seq("edna", "environmental dna"),
-    "GenomicDNA" -> Seq("genomic dna"),
-    "Literature" -> Seq("literature", "publication", "published report",
-      "checklist record", "literature record"),
-    "Image" -> Seq("i", "img", "jpg", "png"),
-    "Sound" -> Seq("snd", "wav", "track"),
-    "Video" -> Seq("mov", "mp4", "mpg", "avi", "v", "vid"))
+  val terms = VocabData.vertical("/graft/vocab/basisOfRecord.txt")
 }
 
 /** occurrenceStatus (reference `occurrenceStatus.txt`). */
 object OccurrenceStatus extends Vocab {
-  val variants: Map[String, String] = build(
-    "present" -> Seq("pres", "presence", "p", "common", "irregular", "rare"),
-    "absent" -> Seq("abs", "absence", "a"))
+  val terms = VocabData.horizontal("/graft/vocab/occurrenceStatus.txt")
 }
 
-/** typeStatus subset (reference `typeStatus.txt`). */
+/** typeStatus (reference `typeStatus.txt`). */
 object TypeStatus extends Vocab {
-  val variants: Map[String, String] = build(
-    "holotype" -> Seq("holo", "holotipo"),
-    "paratype" -> Seq("para", "paratipo"),
-    "syntype" -> Seq("syn"),
-    "lectotype" -> Seq("lecto"),
-    "neotype" -> Seq("neo"),
-    "isotype" -> Seq("iso"),
-    "topotype" -> Seq("topo"),
-    "allotype" -> Seq("allo"),
-    "notatype" -> Seq("not a type", "nonType"))
+  val terms = VocabData.horizontal("/graft/vocab/typeStatus.txt")
 }
 
 /** sex (reference `sex.txt`). */
 object Sex extends Vocab {
-  val variants: Map[String, String] = build(
-    "Male" -> Seq("m", "males"),
-    "Female" -> Seq("f", "females"),
-    "Hermaphrodite" -> Seq("herm"),
-    "Indeterminate" -> Seq("indet", "unknown", "und", "undetermined"))
+  val terms = VocabData.horizontal("/graft/vocab/sex.txt")
 }
 
-/** Habitat → biome grouping (reference `vocab/HabitatMap.scala`). */
+/** lifeStage (reference `lifeStage.txt`). */
+object LifeStage extends Vocab {
+  val terms = VocabData.horizontal("/graft/vocab/lifeStage.txt")
+}
+
+/** establishmentMeans (reference `establishmentMeans.txt`). */
+object EstablishmentMeans extends Vocab {
+  val terms = VocabData.horizontal("/graft/vocab/establishmentMeans.txt")
+}
+
+/** taxon ranks (reference `taxonRanks.txt`). */
+object TaxonRanks extends Vocab {
+  val terms = VocabData.horizontal("/graft/vocab/taxonRanks.txt")
+}
+
+/** kingdoms (reference `kingdoms.txt`). */
+object Kingdoms extends Vocab {
+  val terms = VocabData.horizontal("/graft/vocab/kingdoms.txt")
+}
+
+/** species interactions (reference `interactions.txt`). */
+object Interactions extends Vocab {
+  val terms = VocabData.horizontal("/graft/vocab/interactions.txt")
+}
+
+/** datePrecision terms → precision codes (reference `datePrecision.txt`). */
+object DatePrecision extends Vocab {
+  val terms = VocabData.horizontal("/graft/vocab/datePrecision.txt")
+}
+
+/** ISO countries with alpha-2/alpha-3/numeric variants (reference
+  * `countries.txt`). */
+object Countries extends Vocab {
+  val terms = VocabData.horizontal("/graft/vocab/countries.txt")
+}
+
+/** State/province names + abbreviations (reference `stateProvinces.txt`). */
+object StateProvinces extends Vocab {
+  val terms = VocabData.horizontal("/graft/vocab/stateProvinces.txt")
+}
+
+/** stateProvince → country (reference `stateProvince2Countries.txt`). */
+object StateProvinceToCountry extends Serializable {
+  lazy val map: Map[String, String] =
+    VocabData.lines("/graft/vocab/stateProvince2Countries.txt").map { row =>
+      val values = row.split("\t")
+      values.head -> values.last
+    }.toMap
+
+  def countryFor(stateProvince: String): Option[String] =
+    StateProvinces.matchTerm(stateProvince).flatMap(map.get)
+}
+
+/** Geodetic datums (reference `datums.txt` + `GeodeticDatum.scala`):
+  * canonical is the EPSG code where known; the matcher strips brackets/dots
+  * and falls back to splitting on "/", " " and "-" (datums commonly arrive
+  * as "WGS84/GDA94"). */
+object GeodeticDatum extends Vocab {
+  val terms = VocabData.horizontal("/graft/vocab/datums.txt")
+
+  /** canonical datum name → EPSG code (reference `crsEpsgCodes.txt`). */
+  lazy val epsgCodes: Map[String, String] =
+    VocabData.keyValues("/graft/vocab/crsEpsgCodes.txt")
+
+  override def matchTerm(raw: String): Option[String] = {
+    if (raw == null) return None
+    val cleaned = raw.replaceAll("[(|)\\.]", "")
+    super.matchTerm(cleaned)
+      .orElse(findBySplitting(cleaned, "/"))
+      .orElse(findBySplitting(cleaned, " "))
+      .orElse(findBySplitting(cleaned, "-"))
+  }
+
+  private def findBySplitting(s: String, sep: String): Option[String] = {
+    val parts = s.split(Pattern.quote(sep))
+    if (parts.length > 1) parts.iterator.flatMap(super.matchTerm).nextOption()
+    else None
+  }
+
+  /** EPSG identifier for a raw datum string: canonical's EPSG code, the
+    * canonical itself when it is already an EPSG code, else None. */
+  def epsg(raw: String): Option[String] = matchTerm(raw).map { canonical =>
+    epsgCodes.getOrElse(canonical,
+      if (canonical.toUpperCase(Locale.ROOT).startsWith("EPSG:")) canonical
+      else canonical)
+  }
+}
+
+/** License normalisation (reference `license.txt`, regex table; the final
+  * `.*` row maps anything unrecognised to "Custom"). */
+object License extends RegexVocab {
+  val terms = VocabData.regexes("/graft/vocab/license.txt")
+}
+
+/** Media MIME types (reference `mime-types.txt`). */
+object MimeType extends Vocab {
+  val terms = VocabData.horizontal("/graft/vocab/mime-types.txt")
+}
+
+/** Habitat → biome grouping (reference `vocab/HabitatMap.scala`): habitat
+  * vocab plus the taxon-vs-location biome compatibility map. */
 object Habitat extends Vocab {
-  val variants: Map[String, String] = build(
-    "Terrestrial" -> Seq("land", "terrestre"),
-    "Marine" -> Seq("sea", "ocean", "coastal", "estuarine"),
-    "Limnetic" -> Seq("freshwater", "fresh water", "aquatic"))
+  val terms: IndexedSeq[(String, Seq[String])] = IndexedSeq(
+    "MARINE" -> Seq("marine", "sea", "ocean", "coastal", "estuarine"),
+    "NON-MARINE" -> Seq("non-marine", "nonmarine"),
+    "TERRESTRIAL" -> Seq("terrestrial", "land", "terrestre"),
+    "LIMNETIC" -> Seq("limnetic", "freshwater", "fresh water", "aquatic"),
+    "MARINE AND NON-MARINE" -> Seq("marine and non-marine"))
+
+  /** taxon habitat → compatible location biomes (`HabitatMap.termMap`). */
+  private val compatible: Map[String, Set[String]] = Map(
+    "MARINE" -> Set("MARINE", "MARINE AND NON-MARINE"),
+    "NON-MARINE" -> Set("NON-MARINE", "TERRESTRIAL", "LIMNETIC", "MARINE AND NON-MARINE"),
+    "TERRESTRIAL" -> Set("NON-MARINE", "TERRESTRIAL", "LIMNETIC", "MARINE AND NON-MARINE"),
+    "LIMNETIC" -> Set("NON-MARINE", "TERRESTRIAL", "LIMNETIC", "MARINE AND NON-MARINE"))
+
+  /** Is a taxon of habitat `taxonHabitat` compatible with a location whose
+    * biome is `locationHabitat`? None when either is unrecognised. */
+  def isCompatible(taxonHabitat: String, locationHabitat: String): Option[Boolean] =
+    for {
+      t <- matchTerm(taxonHabitat)
+      l <- matchTerm(locationHabitat)
+    } yield compatible.getOrElse(t, Set(t)).contains(l)
 }
