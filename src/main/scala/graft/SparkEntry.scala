@@ -492,13 +492,21 @@ object SparkEntry {
       val parseMonth = udf((str: String) =>
         graft.functions.DateParser.parseDate(str)
           .flatMap(d => Option(d.startMonth).filter(_.nonEmpty).map(_.toLong)))
+      val parseDay = udf((str: String) =>
+        graft.functions.DateParser.parseDate(str)
+          .flatMap(d => Option(d.startDay).filter(_.nonEmpty).map(_.toLong)))
+      // each rendering exercises a different format bank: ISO, dd-MM-uuuu,
+      // dd-MMM-uuuu, MMM-yy (2-digit pivot), dd/MM/yy (truncated year)
       t(s, dir, "orders")
         .select(
           parseYear(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("iso_year"),
-          parseMonth(date_format(col("o_orderdate"), "dd-MM-yyyy")).as("dmy_month"))
-        .groupBy("iso_year", "dmy_month")
+          parseMonth(date_format(col("o_orderdate"), "dd-MM-yyyy")).as("dmy_month"),
+          parseMonth(date_format(col("o_orderdate"), "dd-MMM-yyyy")).as("mmm_month"),
+          parseYear(date_format(col("o_orderdate"), "MMM-yy")).as("mmmyy_year"),
+          parseDay(date_format(col("o_orderdate"), "dd/MM/yy")).as("trunc_day"))
+        .groupBy("iso_year", "dmy_month", "mmm_month", "mmmyy_year", "trunc_day")
         .agg(count(lit(1)).as("n"))
-        .orderBy("iso_year", "dmy_month")
+        .orderBy("iso_year", "dmy_month", "mmm_month", "mmmyy_year", "trunc_day")
     }),
 
     // ── §2.8 enrichment pipeline end-to-end through the oracle gate:
@@ -764,9 +772,11 @@ object SparkEntry {
         |ORDER BY bucket, event_type""".stripMargin,
     "q45_dateparse" ->
       """SELECT year(o_orderdate) AS iso_year, month(o_orderdate) AS dmy_month,
-        | count(*) AS n
-        |FROM orders GROUP BY iso_year, dmy_month
-        |ORDER BY iso_year, dmy_month""".stripMargin,
+        | month(o_orderdate) AS mmm_month, year(o_orderdate) AS mmmyy_year,
+        | day(o_orderdate) AS trunc_day, count(*) AS n
+        |FROM orders
+        |GROUP BY iso_year, dmy_month, mmm_month, mmmyy_year, trunc_day
+        |ORDER BY iso_year, dmy_month, mmm_month, mmmyy_year, trunc_day""".stripMargin,
     "q46_enrich_pipeline" ->
       """SELECT year(o_orderdate) AS yr,
         | NOT (o_orderkey % 170 - 85 = 0 OR o_orderkey % 356 - 178 = 0)

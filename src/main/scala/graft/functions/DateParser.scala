@@ -25,35 +25,74 @@ object DateParser {
     "jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4, "may" -> 5, "jun" -> 6,
     "jul" -> 7, "aug" -> 8, "sep" -> 9, "oct" -> 10, "nov" -> 11, "dec" -> 12)
 
+  private def monthByName(name: String): Option[Int] =
+    months.get(name.toLowerCase(Locale.ROOT).take(3))
+
+  /** Two-digit-year pivot (reference `newTwoDigitYearDateFormat`
+    * twoDigitYearCutoff = 1920): yy resolves into [1920, 2019], so "94" →
+    * 1994 but "15" → 2015 — the reference's ambiguity guard for museum
+    * labels like "Jan-94". */
+  private def expandYear(yy: Int): Int =
+    if (1900 + yy >= 1920) 1900 + yy else 2000 + yy
+
   private val isoDateTime =
-    """(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2})(?::(\d{2}))?(?:[.,]\d+)?(?:Z|[+-]\d{2}:?\d{2})?""".r
-  private val isoDate = """(\d{4})-(\d{1,2})-(\d{1,2})-?""".r
+    """(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2})(?::(\d{2}))?(?:[.,]\d+)?(?:Z|[+-]\d{2}(?::?\d{2})?)?""".r
+  private val isoDate = """(\d{4})-(\d{1,2})-(\d{1,2})(?:-|Z)?""".r
+  private val yearMonthZeroDay = """(\d{4})-(\d{1,2})-00""".r
   private val yearMonth = """(\d{4})-(\d{1,2})-?""".r
   private val yearOnly = """(\d{4})""".r
   private val monthName = """(\d{4})-([A-Za-z]{3,})-(\d{1,2})""".r
   private val monthNameNoDay = """(\d{4})-([A-Za-z]{3,})""".r
   private val dmy = """(\d{1,2})-(\d{1,2})-(\d{4})""".r
   private val dmySlash = """(\d{1,2})/(\d{1,2})/(\d{4})""".r
+  // reference NonISOSingleDate: dd-MMM-uuuu / dd/MMM/uuuu / dd MMM uuuu
+  private val dmyMonthName = """(\d{1,2})[-/ ]([A-Za-z]{3,})[-/ ](\d{4})""".r
+  // reference ISOMonthDate: MMM-uuuu / MMMM uuuu / MM uuuu
+  private val monthNameYear = """([A-Za-z]{3,})[-/ ](\d{4})""".r
+  private val mmSpaceYear = """(\d{1,2}) (\d{4})""".r
+  // reference NonISOTruncatedYearDate: dd-MM-yy / dd/MM/yy (+ MMM forms)
+  private val dmTruncYear = """(\d{1,2})[-/](\d{1,2})[-/](\d{2})""".r
+  private val dmyMonthNameTrunc = """(\d{1,2})[-/ ]([A-Za-z]{3,})[-/ ](\d{2})""".r
+  private val monthNameTruncYear = """([A-Za-z]{3,})[-/ ](\d{2})""".r
+  // reference ISOVerboseDateTime: EEE MMM dd HH:mm:ss zzz uuuu
+  private val verboseDateTime =
+    """[A-Za-z]{3} ([A-Za-z]{3}) (\d{1,2}) \d{2}:\d{2}:\d{2} \S+ (\d{4})""".r
 
   private def mm(m: Int) = f"$m%02d"
   private def dd(d: Int) = f"$d%02d"
 
-  /** One side of a (possibly ranged) date; None on garbage. */
+  /** One side of a (possibly ranged) date; None on garbage. Pattern order
+    * follows the reference: ISO families first, then non-ISO month-name
+    * forms, then the two-digit-year bank (an ISO-parseable string never
+    * reaches the ambiguous formats). */
   private[functions] def parseSingle(raw: String): Option[EventDate] = {
     val s = raw.trim
     s match {
       case isoDateTime(y, m, d, _, _, _) => ymd(y.toInt, m.toInt, d.toInt)
+      case yearMonthZeroDay(y, m) => ym(y.toInt, m.toInt)
       case isoDate(y, m, d) => ymd(y.toInt, m.toInt, d.toInt)
       case monthName(y, mname, d) =>
-        months.get(mname.toLowerCase(Locale.ROOT).take(3))
-          .flatMap(m => ymd(y.toInt, m, d.toInt))
+        monthByName(mname).flatMap(m => ymd(y.toInt, m, d.toInt))
       case monthNameNoDay(y, mname) =>
-        months.get(mname.toLowerCase(Locale.ROOT).take(3))
-          .flatMap(m => ym(y.toInt, m))
+        monthByName(mname).flatMap(m => ym(y.toInt, m))
       case yearMonth(y, m) => ym(y.toInt, m.toInt)
       case yearOnly(y) => Some(year(y.toInt))
       case dmy(d, m, y) if m.toInt <= 12 => ymd(y.toInt, m.toInt, d.toInt)
       case dmySlash(d, m, y) if m.toInt <= 12 => ymd(y.toInt, m.toInt, d.toInt)
+      case dmyMonthName(d, mname, y) =>
+        monthByName(mname).flatMap(m => ymd(y.toInt, m, d.toInt))
+      case monthNameYear(mname, y) =>
+        monthByName(mname).flatMap(m => ym(y.toInt, m))
+      case mmSpaceYear(m, y) if m.toInt >= 1 && m.toInt <= 12 =>
+        ym(y.toInt, m.toInt)
+      case verboseDateTime(mname, d, y) =>
+        monthByName(mname).flatMap(m => ymd(y.toInt, m, d.toInt))
+      case dmTruncYear(d, m, yy) if m.toInt <= 12 =>
+        ymd(expandYear(yy.toInt), m.toInt, d.toInt)
+      case dmyMonthNameTrunc(d, mname, yy) =>
+        monthByName(mname).flatMap(m => ymd(expandYear(yy.toInt), m, d.toInt))
+      case monthNameTruncYear(mname, yy) =>
+        monthByName(mname).flatMap(m => ym(expandYear(yy.toInt), m))
       case _ => None
     }
   }
@@ -80,20 +119,38 @@ object DateParser {
   /** Full parse incl. `/` ranges. Returns None for unparseable input. */
   def parseDate(raw: String): Option[EventDate] = {
     if (raw == null) return None
-    val s = raw.trim
+    // reference parseDate normalisation: a leading "/" or "-" is shed
+    val s0 = raw.trim
+    val s = if (s0.startsWith("/") || s0.startsWith("-")) s0.substring(1) else s0
     if (s.isEmpty) return None
-    if (s.contains("/") && !s.matches("""\d{1,2}/\d{1,2}/\d{4}""")) {
-      val parts = s.split("/", 2)
+    // range separators: "/", " & ", " to " (reference DateRange variants);
+    // a slash only separates a range when the whole string is not itself a
+    // slash-delimited single date (dd/MM/uuuu, dd/MM/yy, dd/MMM/uuuu)
+    val slashIsRange = s.contains("/") &&
+      !s.matches("""\d{1,2}/\d{1,2}/\d{4}""") &&
+      !s.matches("""\d{1,2}/\d{1,2}/\d{2}""") &&
+      !s.matches("""\d{1,2}/[A-Za-z]{3,}/\d{2,4}""")
+    val sep =
+      if (s.contains(" to ")) Some(" to ")
+      else if (s.contains(" & ")) Some(" & ")
+      else if (slashIsRange) Some("/")
+      else None
+    if (sep.isDefined) {
+      val parts = s.split(java.util.regex.Pattern.quote(sep.get), 2)
       val start = parseSingle(parts(0))
       // Abbreviated end side, completed from the start's granularity
-      // (reference ISODayDateRange / ISOMonthDateRange / same-century year
-      // ranges): a bare 1-2 digit end is a DAY when the start parsed to a
-      // full date (2007-11-13/15 → 13–15 Nov 2007), a MONTH when the start
-      // parsed to year-month (1906-06/07 → Jun–Jul 1906), and a same-century
-      // YEAR abbreviation only when the start is year-only (1978/91).
+      // (reference ISODayDateRange / ISODayMonthRange / ISOMonthDateRange /
+      // same-century year ranges): a bare 1-2 digit end is a DAY when the
+      // start parsed to a full date (2007-11-13/15 → 13–15 Nov 2007), an
+      // MM-dd end completes with the start's year (1998-9-30/10-7), a bare
+      // end is a MONTH when the start parsed to year-month (1906-06/07),
+      // and a same-century YEAR abbreviation when the start is year-only
+      // (1978/91).
       val endRaw = (start, parts(1).trim) match {
         case (Some(st), e) if e.matches("""\d{1,2}""") && st.startDay.nonEmpty =>
           s"${st.startYear}-${st.startMonth}-$e"
+        case (Some(st), e) if e.matches("""\d{1,2}-\d{1,2}""") && st.startDay.nonEmpty =>
+          s"${st.startYear}-$e"
         case (Some(st), e) if e.matches("""\d{1,2}""") && st.startMonth.nonEmpty =>
           s"${st.startYear}-$e"
         case (Some(st), e) if e.matches("""\d{2}""") && st.startYear.length == 4 =>
