@@ -528,6 +528,30 @@ object SparkEntry {
         .orderBy("yr", "kosher")
     }),
 
+    // ── J3/J4-driven state/country inference through the oracle gate:
+    //    quadrant-rectangle "state" layer + west-hemisphere "country"
+    //    layer; the oracle re-derives the point-in-rectangle inference ──
+    "q48_infer_state" -> ((s, dir) => {
+      import graft.processors.{LocationInference, Processors}
+      val pseudo = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("occurrenceID"),
+        ((col("o_orderkey") % 120) - 60 + 0.5).cast("string").as("decimalLatitude"),
+        ((col("o_orderkey") % 340) - 170 + 0.5).cast("string").as("decimalLongitude"))
+      val layers = s.createDataFrame(Seq(
+        ("cl927", "NorthEast", "POLYGON((0 0, 170 0, 170 60, 0 60, 0 0))"),
+        ("cl927", "NorthWest", "POLYGON((-170 0, 0 0, 0 60, -170 60, -170 0))"),
+        ("cl927", "SouthEast", "POLYGON((0 -60, 170 -60, 170 0, 0 0, 0 -60))"),
+        ("cl927", "SouthWest", "POLYGON((-170 -60, 0 -60, 0 0, -170 0, -170 -60))"),
+        ("cl932", "Westland", "POLYGON((-170 -60, 0 -60, 0 60, -170 60, -170 -60))")))
+        .toDF("layerId", "value", "wkt")
+      Processors.enrichAll(pseudo,
+          Processors.Dimensions(layers = Some(layers)))
+        .groupBy(col("processed_stateProvince").as("state"),
+          col("processed_country").as("country"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("state"), col("country").asc_nulls_first)
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -777,6 +801,17 @@ object SparkEntry {
         |FROM orders
         |GROUP BY iso_year, dmy_month, mmm_month, mmmyy_year, trunc_day
         |ORDER BY iso_year, dmy_month, mmm_month, mmmyy_year, trunc_day""".stripMargin,
+    "q48_infer_state" ->
+      """SELECT CASE WHEN lat > 0 AND lon > 0 THEN 'NorthEast'
+        |            WHEN lat > 0 THEN 'NorthWest'
+        |            WHEN lon > 0 THEN 'SouthEast'
+        |            ELSE 'SouthWest' END AS state,
+        |       CASE WHEN lon < 0 THEN 'Westland' END AS country,
+        |       count(*) AS n
+        |FROM (SELECT (o_orderkey % 120) - 60 + 0.5 AS lat,
+        |             (o_orderkey % 340) - 170 + 0.5 AS lon FROM orders)
+        |GROUP BY state, country
+        |ORDER BY state, country NULLS FIRST""".stripMargin,
     "q46_enrich_pipeline" ->
       """SELECT year(o_orderdate) AS yr,
         | NOT (o_orderkey % 170 - 85 = 0 OR o_orderkey % 356 - 178 = 0)

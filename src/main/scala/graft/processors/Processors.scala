@@ -300,7 +300,17 @@ object Processors {
       attribution: Option[DataFrame] = None,
       sensitivity: Option[DataFrame] = None,
       speciesGroups: Option[DataFrame] = None,
-      countryCentres: Option[DataFrame] = None)
+      countryCentres: Option[DataFrame] = None,
+      /** GIS layers (layerId, value, wkt) for J3/J4 sampling-driven
+        * state/country/biome inference. */
+      layers: Option[DataFrame] = None,
+      layerConfig: LocationInference.LayerConfig =
+        LocationInference.LayerConfig(),
+      /** J5 taxon profiles (taxonConceptID, habitats, commonName,
+        * conservation). */
+      taxonProfiles: Option[DataFrame] = None,
+      /** J12 species lists (taxonConceptID, listUid). */
+      speciesLists: Option[DataFrame] = None)
 
   private val emptyAssertions = "array<int>"
 
@@ -324,13 +334,29 @@ object Processors {
       case None => afterMisc.withColumn("assertions_class",
         array().cast(emptyAssertions))
     }
-    val afterLoc = processLocation(processEvent(afterClass))
+    val afterLoc = LocationInference.processIdentificationQualifier(
+      processLocation(processEvent(afterClass)))
     val afterCentre = dims.countryCentres.map(d =>
       DimensionStages.checkCentrePoints(afterLoc, d)).getOrElse(
       afterLoc.withColumn("assertions_centre", array().cast(emptyAssertions)))
+    // layer-sampling-driven inference (J3/J4 → state/country/biome +
+    // mismatch/centre assertions); without layers the stage still runs so
+    // the raw-value vocab fallbacks and centre checks apply
+    val sampled = dims.layers match {
+      case Some(layers) => LocationInference.attachLayerSamples(
+        afterCentre.sparkSession, afterCentre, layers)
+      case None => afterCentre
+    }
+    val afterInfer = LocationInference.inferStateCountry(sampled, dims.layerConfig)
+    val afterProfiles = dims.taxonProfiles.map(d =>
+      LocationInference.applyTaxonProfiles(afterInfer, d)).getOrElse(
+      afterInfer.withColumn("assertions_profile", array().cast(emptyAssertions)))
+    val afterLists = dims.speciesLists.map(d =>
+      LocationInference.applySpeciesLists(afterProfiles, d))
+      .getOrElse(afterProfiles)
     val afterSens = dims.sensitivity.map(d =>
-      DimensionStages.processSensitivity(afterCentre, d)).getOrElse(
-      afterCentre.withColumn("assertions_sensitive", array().cast(emptyAssertions)))
+      DimensionStages.processSensitivity(afterLists, d)).getOrElse(
+      afterLists.withColumn("assertions_sensitive", array().cast(emptyAssertions)))
     val afterGroups = dims.speciesGroups match {
       case Some(d) if afterSens.columns.contains("processed_lft") &&
         afterSens.columns.contains("rowKey") =>
@@ -339,8 +365,9 @@ object Processors {
     }
     val assertionCols = Seq("assertions_attr", "assertions_bor",
       "assertions_misc", "assertions_class", "assertions_event",
-      "assertions_loc", "assertions_centre", "assertions_sensitive")
-    afterGroups
+      "assertions_loc", "assertions_centre", "assertions_inference",
+      "assertions_profile", "assertions_sensitive")
+    val finished = afterGroups
       .withColumn("assertionCodes", concat(assertionCols.map(col): _*))
       .withColumn("assertions", structsFromCodes(col("assertionCodes")))
       .withColumn("geospatiallyKosher",
@@ -348,5 +375,14 @@ object Processors {
       .withColumn("taxonomicallyKosher",
         taxonomicallyKosherCodes(col("assertionCodes")))
       .drop(assertionCols: _*)
+    // A9 processing metrics (reference RecordProcessor nanosecond
+    // accumulators → Spark observed metrics; read via a
+    // QueryExecutionListener or the Observation API)
+    finished.observe(s"graft_enrich_${obsCounter.incrementAndGet()}",
+      count(lit(1)).as("records"),
+      sum(when(col("geospatiallyKosher"), 0L).otherwise(1L)).as("geoUnkosher"),
+      sum(size(col("assertionCodes")).cast("long")).as("assertionsEmitted"))
   }
+
+  private val obsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 }

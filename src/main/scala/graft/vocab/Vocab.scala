@@ -240,6 +240,53 @@ object MimeType extends Vocab {
   val terms = VocabData.horizontal("/graft/vocab/mime-types.txt")
 }
 
+/** identificationQualifier classification (reference
+  * `processor/IdentificationQualifierProcessor.scala:26-139` +
+  * `identificationQualifiers.txt`): keyword-regex sections map free text to
+  * Certain / Uncertain; Uncertain wins ("not confirmed" is uncertain even
+  * though it contains the certain keyword "confirm(ed)"). */
+object IdentificationQualifier extends Serializable {
+  val Certain = "Certain"
+  val Uncertain = "Uncertain"
+  val NotRecognised = "Not recognised"
+  val NotProvided = "Not provided"
+
+  private def keywordRegex(keyword: String): String =
+    if (keyword == "?") "\\?"
+    else if (keyword.contains("."))
+      "\\b" + keyword.replace(".", "\\b[.]").replace("(ed)", "(?:ed)?")
+        .replaceAll("\\s+", " ")
+    else
+      "\\b" + keyword.replace("(ed)", "(?:ed)?").replaceAll("\\s+", " ") + "\\b"
+
+  @transient private lazy val (certainPattern, uncertainPattern) = {
+    val certain = collection.mutable.ArrayBuffer[String]()
+    val uncertain = collection.mutable.ArrayBuffer[String]()
+    var section = ""
+    VocabData.lines("/graft/vocab/identificationQualifiers.txt").foreach { l =>
+      l.toLowerCase(Locale.ROOT) match {
+        case "[certain]" => section = "certain"
+        case "[uncertain]" => section = "uncertain"
+        case kw if section == "certain" => certain += keywordRegex(kw)
+        case kw if section == "uncertain" => uncertain += keywordRegex(kw)
+        case _ =>
+      }
+    }
+    (Pattern.compile("(?:.*?)?(?:" + certain.mkString("|") + ")(?:.*)?"),
+      Pattern.compile("(?:.*?)?(?:" + uncertain.mkString("|") + ")(?:.*)?"))
+  }
+
+  def classify(raw: String): String = {
+    if (raw == null || raw.trim.isEmpty) NotProvided
+    else {
+      val s = raw.trim.replaceAll("\\s+", " ").toLowerCase(Locale.ROOT)
+      if (uncertainPattern.matcher(s).matches) Uncertain
+      else if (certainPattern.matcher(s).matches) Certain
+      else NotRecognised
+    }
+  }
+}
+
 /** Habitat → biome grouping (reference `vocab/HabitatMap.scala`): habitat
   * vocab plus the taxon-vs-location biome compatibility map. */
 object Habitat extends Vocab {

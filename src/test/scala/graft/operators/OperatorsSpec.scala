@@ -158,8 +158,12 @@ class OperatorsSpec extends AnyFunSuite {
     val enriched = Processors.enrich(raw)
     val index = IndexSupport.project(enriched)
     assert(index.columns.contains("point00001"))
+    // r3 has no coordinates, so its supplied "NSW" is vocab-canonicalised
+    // to "New South Wales"; r1/r2 have coordinates (no layers dim here) and
+    // keep their raw state strings
     val facets = Serving.facet(index, "state").collect()
-    assert(facets.head.getAs[Long]("count") == 2) // NSW
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    assert(facets == Map("ACT" -> 1L, "NSW" -> 1L, "New South Wales" -> 1L))
     val distinct = Serving.distinctValues(index, "basis_of_record", 10).collect()
     assert(distinct.map(_.getString(0)).filter(_ != null)
       .toSet == Set("PreservedSpecimen"))

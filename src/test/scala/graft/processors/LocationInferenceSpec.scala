@@ -1,0 +1,161 @@
+package graft.processors
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LocationInferenceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val layers = Seq(
+    ("cl927", "New South Wales",
+      "POLYGON((140 -38, 154 -38, 154 -28, 140 -28, 140 -38))"),
+    ("cl932", "Australia",
+      "POLYGON((110 -45, 155 -45, 155 -9, 110 -9, 110 -45))"),
+    ("cl1048", "1", "POLYGON((140 -38, 154 -38, 154 -28, 140 -28, 140 -38))"))
+    .toDF("layerId", "value", "wkt")
+
+  private def enriched(rows: Seq[(String, String, String, String, String)]) =
+    Processors.enrichAll(
+      rows.toDF("occurrenceID", "decimalLatitude", "decimalLongitude",
+        "stateProvince", "country"),
+      Processors.Dimensions(layers = Some(layers)))
+
+  private def codes(df: org.apache.spark.sql.DataFrame, id: String): Seq[Int] =
+    df.filter($"occurrenceID" === id).select("assertionCodes")
+      .head().getSeq[Int](0)
+
+  test("state/country/biome inferred from layers; inference assertion fires") {
+    val df = enriched(Seq(("a", "-33.8", "151.2", null, null))).cache()
+    val row = df.select("processed_stateProvince", "processed_country",
+      "processed_biome").head()
+    assert(row.getString(0) == "New South Wales")
+    assert(row.getString(1) == "Australia")
+    assert(row.getString(2) == "Terrestrial")
+    assert(codes(df, "a").contains(21)) // COUNTRY_INFERRED_FROM_COORDINATES
+  }
+
+  test("state mismatch assertion when supplied state disagrees with layers") {
+    val df = enriched(Seq(("a", "-33.8", "151.2", "Queensland", null)))
+    assert(codes(df, "a").contains(18)) // STATE_COORDINATE_MISMATCH
+    val ok = enriched(Seq(("b", "-33.8", "151.2", "nsw", null)))
+    assert(!codes(ok, "b").contains(18)) // vocab 'nsw' == layer value
+  }
+
+  test("no coordinates: state via vocab, country via state-to-country") {
+    val df = enriched(Seq(("a", null, null, "NSW", null)))
+    val row = df.select("processed_stateProvince", "processed_country").head()
+    assert(row.getString(0) == "New South Wales")
+    assert(row.getString(1) == "Australia")
+  }
+
+  test("unknown country name asserts code 6; country code fallback resolves") {
+    val df = enriched(Seq(("a", null, null, null, "Notaland")))
+    assert(codes(df, "a").contains(6)) // UNKNOWN_COUNTRY_NAME
+    val cc = Processors.enrichAll(
+      Seq(("b", null.asInstanceOf[String], null.asInstanceOf[String], "AU"))
+        .toDF("occurrenceID", "decimalLatitude", "decimalLongitude", "countryCode"),
+      Processors.Dimensions(layers = Some(layers)))
+    assert(cc.select("processed_country").head().getString(0) == "Australia")
+  }
+
+  test("centre-of-country and centre-of-state assertions at supplied precision") {
+    val df = enriched(Seq(
+      ("centre", "-29.532", "145.491", null, "Australia"),
+      ("off", "-29.1", "145.1", null, "Australia")))
+    assert(codes(df, "centre").contains(28)) // COORDINATES_CENTRE_OF_COUNTRY
+    assert(!codes(df, "off").contains(28))
+    val st = enriched(Seq(("c", "-31.253", "146.921", "NSW", null)))
+    assert(codes(st, "c").contains(22)) // COORDINATES_CENTRE_OF_STATEPROVINCE
+  }
+
+  test("taxon profile join: habitat mismatch + conservation statuses (J5)") {
+    val names = Seq(("frog sp", "lsid:frog", "Frog sp", "species",
+      "Animalia", "Ranidae", "Rana", 10L, 20L))
+      .toDF("nameLower", "taxonConceptID", "acceptedName", "taxonRank",
+        "kingdom", "family", "genus", "lft", "rgt")
+    val profiles = Seq(
+      ("lsid:frog", Seq("Marine"), "A Frog",
+        Map("Australia" -> "Endangered", "New South Wales" -> "Vulnerable",
+          "global" -> "Least Concern")))
+      .toDF("taxonConceptID", "habitats", "commonName", "conservation")
+    val df = Processors.enrichAll(
+      Seq(("a", "-33.8", "151.2", "Frog sp"))
+        .toDF("occurrenceID", "decimalLatitude", "decimalLongitude", "scientificName"),
+      Processors.Dimensions(names = Some(names), layers = Some(layers),
+        taxonProfiles = Some(profiles))).cache()
+    // marine taxon at a terrestrial point → HABITAT_MISMATCH (19), fatal
+    assert(codes(df, "a").contains(19))
+    assert(!df.select("geospatiallyKosher").head().getBoolean(0))
+    val row = df.select("processed_countryConservation",
+      "processed_stateConservation", "processed_globalConservation",
+      "processed_vernacularName").head()
+    assert(row.getString(0) == "Endangered")
+    assert(row.getString(1) == "Vulnerable")
+    assert(row.getString(2) == "Least Concern")
+    assert(row.getString(3) == "A Frog")
+  }
+
+  test("species-list membership join (J12)") {
+    val names = Seq(("frog sp", "lsid:frog", "Frog sp", "species",
+      "Animalia", "Ranidae", "Rana", 10L, 20L))
+      .toDF("nameLower", "taxonConceptID", "acceptedName", "taxonRank",
+        "kingdom", "family", "genus", "lft", "rgt")
+    val lists = Seq(("lsid:frog", "dr123"), ("lsid:frog", "dr456"),
+      ("lsid:other", "dr999")).toDF("taxonConceptID", "listUid")
+    val df = Processors.enrichAll(
+      Seq(("a", "Frog sp"), ("b", "Unknown sp"))
+        .toDF("occurrenceID", "scientificName"),
+      Processors.Dimensions(names = Some(names), speciesLists = Some(lists)))
+    val a = df.filter($"occurrenceID" === "a")
+      .select("processed_speciesListUids").head().getSeq[String](0)
+    assert(a == Seq("dr123", "dr456"))
+    assert(df.filter($"occurrenceID" === "b")
+      .select("processed_speciesListUids").head().isNullAt(0))
+  }
+
+  test("identification qualifier classification (reference IQ processor)") {
+    import graft.vocab.IdentificationQualifier._
+    assert(classify("confirmed") == Certain)
+    assert(classify("verified") == Certain)
+    assert(classify("?") == Uncertain)
+    assert(classify("cf.") == Uncertain)
+    assert(classify("not confirmed") == Uncertain) // uncertain wins
+    assert(classify("gibberish xyzzy") == NotRecognised)
+    assert(classify(null) == NotProvided)
+    assert(classify("  ") == NotProvided)
+    val df = enriched(Seq(("a", null, null, null, null)))
+    assert(df.columns.contains("processed_identificationQualifier"))
+  }
+
+  test("A9: enrich emits observed metrics (records / unkosher / assertions)") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val metrics = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = {
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_enrich_")) {
+            metrics.put("records", row.getAs[Long]("records"))
+            metrics.put("assertionsEmitted", row.getAs[Long]("assertionsEmitted"))
+            latch.countDown()
+          }
+        }
+      }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      enriched(Seq(("a", "-33.8", "151.2", null, null),
+        ("b", null, null, null, null))).count()
+      assert(latch.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "observed metrics never arrived")
+      assert(metrics.get("records") == 2L)
+      assert(metrics.get("assertionsEmitted") > 0L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+}
