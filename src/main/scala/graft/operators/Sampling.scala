@@ -34,20 +34,24 @@ object Sampling {
       .filter(col("lat").isNotNull && col("lon").isNotNull)
       .distinct()
 
-  /** J3: point→contextual-layer values via broadcast polygon intersect.
-    * `layers`: (layerId, value, wkt) — vector layers only; raster layers
-    * would use a broadcast grid lookup with the same UDF shape. */
+  /** J3: point→contextual-layer values via a broadcast spatial grid index
+    * (`graft.geo.SpatialIndex`): each point ray-casts only the polygons
+    * whose bbox shares its grid cell, so per-point cost is flat in the
+    * layer count — the Spark analogue of the reference's STRtree cache
+    * (`caches/SpatialLayerDAO.scala:120-210`). `layers`: (layerId, value,
+    * wkt) — vector layers only; raster layers would use a broadcast grid
+    * lookup with the same UDF shape. The layer table is collected to the
+    * driver under a documented size contract: layer polygons are dimension
+    * data (thousands), never fact-scale. */
   def samplePoints(spark: SparkSession, points: DataFrame,
       layers: DataFrame): DataFrame = {
     val layerPolys: Array[(String, String, Seq[Wkt.Ring])] = layers
       .select("layerId", "value", "wkt").collect()
       .map(r => (r.getString(0), r.getString(1), Wkt.parsePolygons(r.getString(2))))
-    val bc = spark.sparkContext.broadcast(layerPolys)
+    val bc = spark.sparkContext.broadcast(
+      graft.geo.SpatialIndex.build(layerPolys))
     val sampleUdf = udf { (lat: Double, lon: Double) =>
-      bc.value.collect {
-        case (layerId, value, rings) if Wkt.contains(lon, lat, rings) =>
-          layerId -> value
-      }.toMap
+      bc.value.sample(lon, lat)
     }
     points.withColumn("cl", sampleUdf(col("lat"), col("lon")))
       .withColumn("latLonKey", latLonKey(col("lat"), col("lon")))
