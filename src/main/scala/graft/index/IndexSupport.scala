@@ -43,80 +43,184 @@ object IndexSupport {
   case object Best extends Mode           // processed-else-raw coalesce
 
   /** The index field table (DwC term → index column(s)): the table-driven
-    * core of the ~200-column projection (`index/IndexDAO.scala:212-433`).
-    * Fields absent from the input project as nulls, so the index schema is
-    * fixed regardless of which columns a resource supplied. */
+    * core of the ~200-column projection, following the reference's
+    * `headerAttributes` + `headerAttributesFix` schemes
+    * (`index/IndexDAO.scala:212-433`). Fields absent from the input
+    * project as nulls, so the index schema is fixed regardless of which
+    * columns a resource supplied. SOLR's hyphenated point fields keep
+    * their Parquet-friendly names (point1 … point00001), built in
+    * [[project]] alongside the other derived columns. */
   val indexFields: Seq[(String, String, Mode)] = Seq(
-    ("occurrenceID", "occurrence_id", RawOnly),
+    // dates (headerAttributes date block)
+    ("dateIdentified", "identified_date", ParsedOnly),
+    ("dateIdentified", "raw_identified_date", RawOnly),
+    ("firstLoaded", "first_loaded_date", RawOnly),
+    ("lastModifiedTime", "last_load_date", RawOnly),
+    ("lastModifiedTime", "last_processed_date", ParsedOnly),
+    ("eventDate", "occurrence_date", ParsedOnly),
+    ("eventDate", "raw_occurrence_date", RawOnly),
+    ("eventDateEnd", "occurrence_date_end_dt", ParsedOnly),
+    ("eventDateEnd", "raw_occurrence_date_end_dt", RawOnly),
+    ("loanDate", "loan_date", RawOnly),
+    ("loanReturnDate", "loan_return_date", RawOnly),
+    ("modified", "modified_date", ParsedOnly),
+    ("modified", "raw_modified_date", RawOnly),
+    // multi-value blocks
+    ("dataHubUid", "data_hub_uid", RawAndParsed),
+    ("speciesGroups", "species_group", ParsedOnly),
+    ("interactions", "interaction", ParsedOnly),
+    ("taxonomicIssue", "taxonomic_issue", ParsedOnly),
+    ("speciesHabitats", "species_habitats", ParsedOnly),
+    ("duplicationType", "duplicate_type", ParsedOnly),
+    ("establishmentMeans", "establishment_means", ParsedOnly),
+    ("establishmentMeans", "raw_establishment_means", RawOnly),
+    // attribution
+    ("dataProviderName", "data_provider", RawAndParsed),
+    ("dataProviderUid", "data_provider_uid", RawAndParsed),
+    ("dataResourceName", "data_resource", RawAndParsed),
+    ("dataResourceUid", "data_resource_uid", RawAndParsed),
+    // raw-only identifiers and verbatim values
     ("catalogNumber", "catalogue_number", RawOnly),
-    ("recordNumber", "record_number", RawOnly),
     ("collectionCode", "collection_code", RawOnly),
-    ("institutionCode", "institution_code", RawOnly),
-    ("dataResourceUid", "data_resource_uid", RawOnly),
+    ("countryCode", "country_code", RawOnly),
     ("datasetName", "dataset_name", RawOnly),
+    ("datePrecision", "date_precision", RawOnly),
+    ("decimalLatitude", "raw_latitude", RawOnly),
+    ("decimalLongitude", "raw_longitude", RawOnly),
+    ("duplicates", "duplicate_inst", RawOnly),
     ("eventID", "event_id", RawOnly),
-    ("locationID", "location_id", RawOnly),
-    ("locality", "raw_locality", RawOnly),
-    ("locationRemarks", "location_remarks", RawOnly),
-    ("occurrenceRemarks", "occurrence_remarks", RawOnly),
+    ("geodeticDatum", "raw_datum", RawOnly),
+    ("geodeticDatum", "datum", ParsedOnly),
+    ("samplingProtocol", "raw_sampling_protocol", RawOnly),
+    ("samplingProtocol", "sampling_protocol", ParsedOnly),
+    ("georeferenceVerificationStatus", "raw_geo_validation_status", RawOnly),
+    ("georeferenceVerificationStatus", "georeference_verification_status", ParsedOnly),
+    ("identificationQualifier", "raw_identification_qualifier", RawOnly),
+    ("identificationQualifier", "identification_qualifier", ParsedOnly),
+    ("identificationVerificationStatus", "identification_verification_status", ParsedOnly),
     ("identifiedBy", "identified_by", RawOnly),
     ("individualCount", "individual_count", RawOnly),
-    ("samplingProtocol", "sampling_protocol", Best),
-    ("identificationQualifier", "raw_identification_qualifier", RawOnly),
+    ("institutionCode", "institution_code", RawOnly),
+    ("loanDestination", "loan_destination", RawOnly),
+    ("loanForBotanist", "loan_botanist", RawOnly),
+    ("loanIdentifier", "loan_identifier", RawOnly),
+    ("loanSequenceNumber", "loan_number", RawOnly),
+    ("locality", "raw_locality", RawOnly),
+    ("locationID", "location_id", RawOnly),
+    ("locationRemarks", "location_remarks", RawOnly),
+    ("occurrenceDetails", "occurrence_details", RawOnly),
+    ("occurrenceID", "occurrence_id", RawOnly),
+    ("occurrenceRemarks", "occurrence_remarks", RawOnly),
+    ("occurrenceStatus", "raw_occurrence_status", RawOnly),
+    ("occurrenceStatus", "occurrence_status", ParsedOnly),
+    ("originalNameUsage", "original_name_usage", RawOnly),
+    ("phenology", "life_stage_phenology", RawOnly),
+    ("lifeStage", "life_stage", Best),
+    ("photographer", "photographer", RawOnly),
+    ("recordedBy", "collector", RawOnly),
+    ("recordedBy", "collectors", ParsedOnly),
+    ("recordNumber", "record_number", RawOnly),
+    ("reproductiveCondition", "reproductive_condition", RawOnly),
+    ("rights", "rights", RawOnly),
+    ("sex", "raw_sex", RawOnly),
+    ("sex", "sex", ParsedOnly),
+    ("taxonConceptID", "taxon_concept_lsid", ParsedOnly),
+    ("typeStatus", "raw_type_status", RawOnly),
+    ("typeStatus", "type_status", ParsedOnly),
+    ("userId", "user_id", RawOnly),
+    ("userId", "alau_user_id", RawOnly),
+    ("vernacularName", "raw_common_name", RawOnly),
+    ("vernacularName", "common_name", ParsedOnly),
+    // parsed classification / location / measurement block
+    ("distanceOutsideExpertRange", "distance_outside_expert_range", ParsedOnly),
+    ("associatedOccurrences", "duplicate_record", ParsedOnly),
+    ("associatedOccurrences", "raw_duplicate_record", RawOnly),
+    ("basisOfRecord", "basis_of_record", ParsedOnly),
+    ("basisOfRecord", "raw_basis_of_record", RawOnly),
+    ("classs", "class", ParsedOnly),
+    ("classs", "raw_class", RawOnly),
+    ("collectionName", "collection_name", ParsedOnly),
+    ("collectionUid", "collection_uid", ParsedOnly),
+    ("coordinateUncertaintyInMeters", "coordinate_uncertainty", ParsedOnly),
+    ("coordinateUncertaintyInMeters", "raw_coordinate_uncertainty", RawOnly),
+    ("coordinatePrecision", "coordinate_precision", RawOnly),
+    ("country", "country", ParsedOnly),
+    ("country", "raw_country", RawOnly),
+    ("countryConservation", "country_conservation", ParsedOnly),
+    ("stateConservation", "state_conservation", ParsedOnly),
+    ("globalConservation", "global_conservation", ParsedOnly),
+    ("dataHub", "data_hub", ParsedOnly),
+    ("dataGeneralizations", "data_generalizations", ParsedOnly),
+    ("decimalLatitude", "latitude", ParsedOnly),
+    ("decimalLongitude", "longitude", ParsedOnly),
+    ("duplicationStatus", "duplicate_status", ParsedOnly),
+    ("family", "family", ParsedOnly),
+    ("family", "raw_family", RawOnly),
+    ("genus", "genus", ParsedOnly),
+    ("genus", "raw_genus", RawOnly),
+    ("genusID", "genus_guid", ParsedOnly),
+    ("gridReference", "grid_reference", RawOnly),
     ("habitat", "raw_habitat", RawOnly),
+    ("biome", "biome", ParsedOnly),
+    ("institutionName", "institution_name", ParsedOnly),
+    ("institutionUid", "institution_uid", ParsedOnly),
+    ("infraspecificEpithet", "infraspecific_epithet", RawOnly),
+    ("kingdom", "kingdom", ParsedOnly),
+    ("kingdom", "raw_kingdom", RawOnly),
+    ("lft", "lft", ParsedOnly),
+    ("lga", "places", ParsedOnly),
+    ("license", "license", ParsedOnly),
+    ("license", "raw_license", RawOnly),
+    ("maximumDepthInMeters", "max_depth_d", ParsedOnly),
+    ("maximumDepthInMeters", "raw_max_depth", RawOnly),
+    ("maximumElevationInMeters", "max_elevation_d", ParsedOnly),
+    ("maximumElevationInMeters", "raw_max_elevation", RawOnly),
+    ("minimumDepthInMeters", "min_depth_d", ParsedOnly),
+    ("minimumDepthInMeters", "raw_min_depth", RawOnly),
+    ("minimumElevationInMeters", "min_elevation_d", ParsedOnly),
+    ("minimumElevationInMeters", "raw_min_elevation", RawOnly),
+    ("month", "month", ParsedOnly),
+    ("month", "raw_month", RawOnly),
+    ("day", "day", ParsedOnly),
+    ("nameMatchMetric", "name_match_metric", ParsedOnly),
+    ("nameParseType", "name_parse_type", ParsedOnly),
+    ("order", "order", ParsedOnly),
+    ("order", "raw_order", RawOnly),
+    ("phylum", "phylum", ParsedOnly),
+    ("phylum", "raw_phylum", RawOnly),
+    ("provenance", "provenance", ParsedOnly),
+    ("rgt", "rgt", ParsedOnly),
+    ("scientificName", "taxon_name", ParsedOnly),
+    ("scientificName", "raw_taxon_name", RawOnly),
+    ("species", "species", ParsedOnly),
+    ("speciesID", "species_guid", ParsedOnly),
+    ("specificEpithet", "specific_epithet", RawOnly),
+    ("stateProvince", "state", ParsedOnly),
+    ("stateProvince", "raw_state", RawOnly),
+    ("taxonRank", "rank", ParsedOnly),
+    ("taxonRank", "raw_rank", RawOnly),
+    ("taxonRankID", "rank_id", ParsedOnly),
+    ("verbatimDepth", "depth", ParsedOnly),
+    ("verbatimDepth", "raw_verbatim_depth", RawOnly),
+    ("verbatimElevation", "elevation", ParsedOnly),
+    ("verbatimElevation", "raw_verbatim_elevation", RawOnly),
     ("verbatimEventDate", "verbatim_event_date", RawOnly),
     ("verbatimLatitude", "verbatim_latitude", RawOnly),
     ("verbatimLongitude", "verbatim_longitude", RawOnly),
-    ("rights", "rights", RawOnly),
-    ("license", "license", Best),
-    ("recordedBy", "collector", Best),
-    ("scientificName", "taxon_name", Best),
-    ("vernacularName", "common_name", Best),
-    ("taxonConceptID", "taxon_concept_lsid", ParsedOnly),
-    ("taxonRank", "rank", Best),
-    ("kingdom", "kingdom", Best),
-    ("phylum", "phylum", Best),
-    ("classs", "class", Best),
-    ("order", "order", Best),
-    ("family", "family", Best),
-    ("genus", "genus", Best),
-    ("specificEpithet", "specific_epithet", RawOnly),
-    ("speciesGroups", "species_group", ParsedOnly),
-    ("basisOfRecord", "basis_of_record", RawAndParsed),
-    ("occurrenceStatus", "occurrence_status", RawAndParsed),
-    ("typeStatus", "type_status", RawAndParsed),
-    ("sex", "sex", RawAndParsed),
-    ("lifeStage", "life_stage", Best),
-    ("establishmentMeans", "establishment_means", Best),
-    ("eventDate", "occurrence_date", ParsedOnly),
-    ("eventDateEnd", "occurrence_date_end_dt", ParsedOnly),
-    ("year", "occurrence_year", ParsedOnly),
-    ("month", "month", ParsedOnly),
-    ("day", "day", ParsedOnly),
-    ("dateIdentified", "identified_date", Best),
-    ("datePrecision", "date_precision", RawOnly),
-    ("decimalLatitude", "latitude", RawAndParsed),
-    ("decimalLongitude", "longitude", RawAndParsed),
-    ("coordinateUncertaintyInMeters", "coordinate_uncertainty", ParsedOnly),
-    ("coordinatePrecision", "coordinate_precision", RawOnly),
-    ("geodeticDatum", "datum", RawAndParsed),
-    ("gridReference", "grid_reference", RawOnly),
-    ("country", "country", Best),
-    ("countryCode", "country_code", RawOnly),
-    ("stateProvince", "state", Best),
-    ("minimumDepthInMeters", "min_depth_d", RawOnly),
-    ("maximumDepthInMeters", "max_depth_d", RawOnly),
-    ("minimumElevationInMeters", "min_elevation_d", RawOnly),
-    ("maximumElevationInMeters", "max_elevation_d", RawOnly),
-    ("institutionName", "institution_name", ParsedOnly),
-    ("collectionName", "collection_name", ParsedOnly),
-    ("dataGeneralizations", "data_generalizations", ParsedOnly),
-    ("associatedMedia", "multimedia_url", RawOnly))
+    ("associatedMedia", "multimedia_url", RawOnly),
+    ("speciesListUids", "species_list_uid", ParsedOnly),
+    ("year", "year", ParsedOnly),
+    ("year", "raw_occurrence_year", RawOnly))
 
   /** P2 projection: enriched record → flat search schema. Table-driven from
     * `indexFields`; derived fields (point rounding grid, latLong string,
-    * assertion names, kosher flags) are built once at the end. */
-  def project(enriched: DataFrame): DataFrame = {
+    * occurrence year/decade, name+lsid concatenations, assertion buckets,
+    * kosher flags, sensitive columns) are built once at the end.
+    * `layerIds` adds the reference's dynamic el/cl layer columns
+    * (`index/SolrIndexDAO.scala:173-181`): one column per sampled layer id,
+    * numeric (double) for `el*`, string for `cl*`, sourced from the
+    * record's `cl` sample map. */
+  def project(enriched: DataFrame, layerIds: Seq[String] = Nil): DataFrame = {
     val base = shouldIndex(enriched)
     // try_cast at the source: the processed coords are doubles out of the
     // enrichment pipeline, but project() also accepts re-read tables where
@@ -139,19 +243,63 @@ object IndexSupport {
           Seq(rawOf(dwc).as(s"raw_$idx"), parsedOf(dwc).as(idx))
       }
     }
+    val yearCol = parsedOf("year").try_cast("int")
+    val assertionNames = col("assertions").getField("name")
+    val allAssertionNames = array(
+      graft.model.AssertionCodes.all.map(ec => lit(ec.name)): _*)
+    val clMap =
+      if (base.columns.contains("cl")) col("cl")
+      else lit(null).cast("map<string,string>")
+    // dynamic layer columns: el* numeric, cl* string (reference
+    // `SolrIndexDAO.addFieldsToDocument` dynamic fields)
+    val layerCols: Seq[Column] = layerIds.map { id =>
+      val v = element_at(clMap, id)
+      if (id.startsWith("el")) v.try_cast("double").as(id) else v.as(id)
+    }
+    val sensitiveFlag =
+      if (base.columns.contains("isSensitive")) col("isSensitive")
+      else lit(false)
+    val origSens =
+      if (base.columns.contains("originalSensitiveValues"))
+        col("originalSensitiveValues")
+      else lit(null).cast("map<string,string>")
     val cols: Seq[Column] =
-      col("rowKey").as("id") +: mapped ++: Seq(
+      col("rowKey").as("id") +: mapped ++: layerCols ++: Seq(
         lat.as("decimalLatitude"),
         lon.as("decimalLongitude"),
         concat_ws(",", lat.cast("string"), lon.cast("string")).as("latLong"),
-        // point-rounding grid (reference `IndexDAO.scala:170-198`)
+        // point-rounding grid (reference `IndexDAO.scala:170-198`;
+        // SOLR's hyphenated point-0.1 names made Parquet-friendly)
         concat_ws(",", round(lat, 0), round(lon, 0)).as("point1"),
         concat_ws(",", round(lat, 1), round(lon, 1)).as("point01"),
         concat_ws(",", round(lat, 2), round(lon, 2)).as("point001"),
         concat_ws(",", round(lat, 3), round(lon, 3)).as("point0001"),
         concat_ws(",", round(lat, 4), round(lon, 4)).as("point00001"),
-        col("assertions").getField("name").as("assertions"),
-        col("geospatiallyKosher"), col("taxonomicallyKosher"))
+        // derived date facets (reference addField occurrence_year /
+        // occurrence_decade_i)
+        yearCol.as("occurrence_year"),
+        (floor(yearCol / 10) * 10).try_cast("int").as("occurrence_decade_i"),
+        // name + lsid concatenations (reference addField names_and_lsid /
+        // common_name_and_lsid)
+        concat_ws("|", parsedOf("scientificName"),
+          parsedOf("taxonConceptID"), parsedOf("vernacularName"),
+          parsedOf("kingdom"), parsedOf("family")).as("names_and_lsid"),
+        concat_ws("|", parsedOf("vernacularName"),
+          parsedOf("scientificName"), parsedOf("taxonConceptID"),
+          parsedOf("vernacularName"), parsedOf("kingdom"),
+          parsedOf("family")).as("common_name_and_lsid"),
+        // assertion buckets (reference system_assertions / assertions_*)
+        assertionNames.as("assertions"),
+        array_except(allAssertionNames, assertionNames).as("assertions_unchecked"),
+        // sensitive handling (reference sensitive_* fields)
+        sensitiveFlag.as("sensitive"),
+        element_at(origSens, "decimalLatitude").try_cast("double")
+          .as("sensitive_latitude"),
+        element_at(origSens, "decimalLongitude").try_cast("double")
+          .as("sensitive_longitude"),
+        col("geospatiallyKosher"), col("taxonomicallyKosher"),
+        col("geospatiallyKosher").as("geospatial_kosher"),
+        col("taxonomicallyKosher").as("taxonomic_kosher"))
     base.select(cols: _*)
   }
 }

@@ -158,12 +158,15 @@ class OperatorsSpec extends AnyFunSuite {
     val enriched = Processors.enrich(raw)
     val index = IndexSupport.project(enriched)
     assert(index.columns.contains("point00001"))
-    // r3 has no coordinates, so its supplied "NSW" is vocab-canonicalised
-    // to "New South Wales"; r1/r2 have coordinates (no layers dim here) and
-    // keep their raw state strings
-    val facets = Serving.facet(index, "state").collect()
+    // "state" is PARSED (reference scheme): only r3 (no coords) gets a
+    // vocab-canonicalised state without a layers dim; the supplied strings
+    // live in raw_state
+    val facets = Serving.facet(index, "raw_state").collect()
       .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
-    assert(facets == Map("ACT" -> 1L, "NSW" -> 1L, "New South Wales" -> 1L))
+    assert(facets == Map("ACT" -> 1L, "NSW" -> 2L))
+    val parsedStates = Serving.facet(index, "state").collect()
+      .map(r => Option(r.getString(0)) -> r.getAs[Long]("count")).toMap
+    assert(parsedStates == Map(Some("New South Wales") -> 1L, None -> 2L))
     val distinct = Serving.distinctValues(index, "basis_of_record", 10).collect()
     assert(distinct.map(_.getString(0)).filter(_ != null)
       .toSet == Set("PreservedSpecimen"))
