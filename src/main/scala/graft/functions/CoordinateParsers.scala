@@ -58,13 +58,20 @@ object CoordinateParsers {
 
   /** "100-1000 m", ">10km", "5 ft", "444" → metres. Range takes the upper
     * bound; </> take the stated bound (reference semantics). */
-  def parseDistanceMetres(raw: String): Option[Float] = {
+  def parseDistanceMetres(raw: String): Option[Float] =
+    parseDistanceWithUnit(raw).map(_._1)
+
+  /** As [[parseDistanceMetres]] but also reports whether the source unit
+    * was feet (the reference DistanceRangeParser returns the source unit so
+    * ALTITUDE_IN_FEET / DEPTH_IN_FEET can be asserted). */
+  def parseDistanceWithUnit(raw: String): Option[(Float, Boolean)] = {
     if (raw == null) return None
     val s = raw.replaceAll("[ ,]", "").toLowerCase.trim
+    def feet(u: String) = u != null && u.startsWith("f")
     s match {
-      case rangePat(_, _, v2, u2) => toMetres(v2, u2)
-      case gtltPat(v, u) => toMetres(v, u)
-      case singlePat(v, u) => toMetres(v, u)
+      case rangePat(_, _, v2, u2) => toMetres(v2, u2).map((_, feet(u2)))
+      case gtltPat(v, u) => toMetres(v, u).map((_, feet(u)))
+      case singlePat(v, u) => toMetres(v, u).map((_, feet(u)))
       case _ => None
     }
   }

@@ -224,6 +224,53 @@ object Processors {
       .drop("_latS", "_lonS", "_vlat", "_vlon", "_unc", "_datum", "_grid")
   }
 
+  /** Altitude/depth checks (reference
+    * `processor/LocationProcessor.scala:217-310`): verbatim elevation/depth
+    * parsed through the distance parser (feet converted + flagged),
+    * range-checked, and reversed min/max pairs repaired. */
+  def processAltitudeAndDepth(df0: DataFrame): DataFrame = {
+    val distUnitUdf = udf((s: String) =>
+      CoordinateParsers.parseDistanceWithUnit(s))
+    val df = df0
+      .withColumn("_velev", colOrNull(df0, "verbatimElevation"))
+      .withColumn("_vdepth", colOrNull(df0, "verbatimDepth"))
+      .withColumn("_velevP", distUnitUdf(col("_velev")))
+      .withColumn("_vdepthP", distUnitUdf(col("_vdepth")))
+      .withColumn("_minD", colOrNull(df0, "minimumDepthInMeters").try_cast("float"))
+      .withColumn("_maxD", colOrNull(df0, "maximumDepthInMeters").try_cast("float"))
+      .withColumn("_minE", colOrNull(df0, "minimumElevationInMeters").try_cast("float"))
+      .withColumn("_maxE", colOrNull(df0, "maximumElevationInMeters").try_cast("float"))
+    val elev = col("_velevP._1")
+    val depth = col("_vdepthP._1")
+    val depthReversed = col("_minD").isNotNull && col("_maxD").isNotNull &&
+      col("_minD") > col("_maxD")
+    val elevReversed = col("_minE").isNotNull && col("_maxE").isNotNull &&
+      col("_minE") > col("_maxE")
+    df.withColumn("processed_verbatimElevation", elev.cast("double"))
+      .withColumn("processed_verbatimDepth", depth.cast("double"))
+      .withColumn("processed_minimumDepthInMeters",
+        when(depthReversed, col("_maxD")).otherwise(col("_minD")).cast("double"))
+      .withColumn("processed_maximumDepthInMeters",
+        when(depthReversed, col("_minD")).otherwise(col("_maxD")).cast("double"))
+      .withColumn("processed_minimumElevationInMeters",
+        when(elevReversed, col("_maxE")).otherwise(col("_minE")).cast("double"))
+      .withColumn("processed_maximumElevationInMeters",
+        when(elevReversed, col("_minE")).otherwise(col("_maxE")).cast("double"))
+      .withColumn("assertions_altdepth", array_compact(array(
+        assertCodeIf(col("_velev").isNotNull && col("_velevP").isNull,
+          ALTITUDE_NON_NUMERIC),
+        assertCodeIf(elev > 10000 || elev < -100, ALTITUDE_OUT_OF_RANGE),
+        assertCodeIf(col("_velevP._2") === true, ALTITUDE_IN_FEET),
+        assertCodeIf(col("_vdepth").isNotNull && col("_vdepthP").isNull,
+          DEPTH_NON_NUMERIC),
+        assertCodeIf(depth > 10000, DEPTH_OUT_OF_RANGE),
+        assertCodeIf(col("_vdepthP._2") === true, DEPTH_IN_FEET),
+        assertCodeIf(depthReversed, MIN_MAX_DEPTH_REVERSED),
+        assertCodeIf(elevReversed, MIN_MAX_ALTITUDE_REVERSED))))
+      .drop("_velev", "_vdepth", "_velevP", "_vdepthP",
+        "_minD", "_maxD", "_minE", "_maxE")
+  }
+
   /** BOR stage (reference `processor/BasisOfRecordProcessor.scala:22-54`). */
   def processBasisOfRecord(df0: DataFrame): DataFrame = {
     val raw = colOrNull(df0, "basisOfRecord")
@@ -263,31 +310,39 @@ object Processors {
   }
 
   /** CLASS stage (reference `processor/ClassificationProcessor.scala:152-322`
-    * / `caches/ClassificationDAO.scala:42-206`): broadcast left join against
-    * a names dimension replaces the per-record name-index lookup. The dim
-    * schema: (nameLower, taxonConceptID, acceptedName, taxonRank, kingdom,
-    * phylum, classs, order, family, genus, lft, rgt). */
+    * / `caches/ClassificationDAO.scala:42-206`): exact → kingdom-resolved
+    * homonym → blocked fuzzy matching against a broadcast [[NameMatcher]]
+    * built from the names dimension (schema: nameLower, taxonConceptID,
+    * acceptedName, taxonRank, kingdom, family, genus, lft, rgt). The match
+    * metric ("exactMatch" / "fuzzyMatch") lands in
+    * processed_nameMatchMetric, mirroring the reference's
+    * name_match_metric index field. */
   def processClassification(df0: DataFrame, namesDim: DataFrame): DataFrame = {
+    val matcher = NameMatcher.fromDataFrame(namesDim)
+    val bc = df0.sparkSession.sparkContext.broadcast(matcher)
+    val lookupUdf = udf((name: String, kingdom: String) =>
+      bc.value.lookup(name, kingdom))
     val nameRaw = colOrNull(df0, "scientificName")
-    val joined = df0
-      .withColumn("_nameKey", lower(trim(nameRaw)))
-      .join(broadcast(namesDim
-        .withColumnRenamed("nameLower", "_nameKey")
-        .select(col("_nameKey"),
-          col("taxonConceptID").as("processed_taxonConceptID"),
-          col("acceptedName").as("processed_scientificName"),
-          col("taxonRank").as("processed_taxonRank"),
-          col("kingdom").as("processed_kingdom"),
-          col("family").as("processed_family"),
-          col("genus").as("processed_genus"),
-          col("lft").as("processed_lft"),
-          col("rgt").as("processed_rgt"))),
-        Seq("_nameKey"), "left")
-    joined.withColumn("assertions_class", array_compact(array(
+    val kingdomRaw = colOrNull(df0, "kingdom")
+    df0.withColumn("_nm", lookupUdf(nameRaw, kingdomRaw))
+      .withColumn("processed_taxonConceptID", col("_nm.taxonConceptID"))
+      .withColumn("processed_scientificName", col("_nm.acceptedName"))
+      .withColumn("processed_taxonRank", col("_nm.taxonRank"))
+      .withColumn("processed_kingdom", col("_nm.kingdom"))
+      .withColumn("processed_family", col("_nm.family"))
+      .withColumn("processed_genus", col("_nm.genus"))
+      .withColumn("processed_lft", col("_nm.lft"))
+      .withColumn("processed_rgt", col("_nm.rgt"))
+      .withColumn("processed_nameMatchMetric",
+        when(col("_nm.taxonConceptID").isNull, lit(null))
+          .when(col("_nm.fuzzy"), lit("fuzzyMatch"))
+          .otherwise(lit("exactMatch")))
+      .withColumn("assertions_class", array_compact(array(
         assertCodeIf(nameRaw.isNull, NAME_NOT_SUPPLIED),
         assertCodeIf(nameRaw.isNotNull && col("processed_taxonConceptID").isNull,
-          NAME_NOT_RECOGNISED))))
-      .drop("_nameKey")
+          NAME_NOT_RECOGNISED),
+        assertCodeIf(col("_nm.homonym") === true, HOMONYM_ISSUE))))
+      .drop("_nm")
   }
 
   /** Dimension tables consumed by the pipeline's broadcast-join stages —
@@ -335,7 +390,7 @@ object Processors {
         array().cast(emptyAssertions))
     }
     val afterLoc = LocationInference.processIdentificationQualifier(
-      processLocation(processEvent(afterClass)))
+      processAltitudeAndDepth(processLocation(processEvent(afterClass))))
     val afterCentre = dims.countryCentres.map(d =>
       DimensionStages.checkCentrePoints(afterLoc, d)).getOrElse(
       afterLoc.withColumn("assertions_centre", array().cast(emptyAssertions)))
@@ -365,8 +420,8 @@ object Processors {
     }
     val assertionCols = Seq("assertions_attr", "assertions_bor",
       "assertions_misc", "assertions_class", "assertions_event",
-      "assertions_loc", "assertions_centre", "assertions_inference",
-      "assertions_profile", "assertions_sensitive")
+      "assertions_loc", "assertions_altdepth", "assertions_centre",
+      "assertions_inference", "assertions_profile", "assertions_sensitive")
     val finished = afterGroups
       .withColumn("assertionCodes", concat(assertionCols.map(col): _*))
       .withColumn("assertions", structsFromCodes(col("assertionCodes")))

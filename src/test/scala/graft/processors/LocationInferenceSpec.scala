@@ -115,6 +115,38 @@ class LocationInferenceSpec extends AnyFunSuite {
       .select("processed_speciesListUids").head().isNullAt(0))
   }
 
+  test("J1 name matching: exact, fuzzy misspelling, homonym by kingdom") {
+    val names = Seq(
+      ("macropus rufus", "lsid:roo", "Macropus rufus", "species",
+        "Animalia", "Macropodidae", "Macropus", 10L, 11L),
+      ("morus alba", "lsid:plant", "Morus alba", "species",
+        "Plantae", "Moraceae", "Morus", 20L, 21L),
+      ("morus alba", "lsid:bird", "Morus alba", "species",
+        "Animalia", "Sulidae", "Morus", 30L, 31L))
+      .toDF("nameLower", "taxonConceptID", "acceptedName", "taxonRank",
+        "kingdom", "family", "genus", "lft", "rgt")
+    val df = Processors.enrichAll(
+      Seq(
+        ("exact", "Macropus rufus", null),
+        ("fuzzy", "Macropus ruffus", null), // one edit
+        ("hom_plant", "Morus alba", "Plantae"),
+        ("hom_none", "Morus alba", null),
+        ("miss", "Totally unknownus", null))
+        .toDF("occurrenceID", "scientificName", "kingdom"),
+      Processors.Dimensions(names = Some(names))).cache()
+    def row(id: String) = df.filter($"occurrenceID" === id)
+      .select("processed_taxonConceptID", "processed_nameMatchMetric").head()
+    assert(row("exact").getString(0) == "lsid:roo")
+    assert(row("exact").getString(1) == "exactMatch")
+    assert(row("fuzzy").getString(0) == "lsid:roo")
+    assert(row("fuzzy").getString(1) == "fuzzyMatch")
+    assert(row("hom_plant").getString(0) == "lsid:plant")
+    assert(row("hom_none").isNullAt(0))
+    assert(codes(df, "hom_none").contains(10006)) // HOMONYM_ISSUE
+    assert(row("miss").isNullAt(0))
+    assert(codes(df, "miss").contains(10004)) // NAME_NOT_RECOGNISED
+  }
+
   test("identification qualifier classification (reference IQ processor)") {
     import graft.vocab.IdentificationQualifier._
     assert(classify("confirmed") == Certain)

@@ -133,6 +133,33 @@ class ProcessorsSpec extends AnyFunSuite {
     assert(a.contains(30005)) // firstOfCentury additionally on year % 100 == 0
   }
 
+  test("altitude/depth: feet conversion, range checks, min/max repair") {
+    import graft.processors.Processors
+    val df = Processors.processAltitudeAndDepth(Seq(
+      ("a", "100 ft", null, null, null, null, null),
+      ("b", "15000", "200", null, null, null, null),
+      ("c", "unclear", "11km", null, null, null, null),
+      ("d", null, null, "50", "10", "900", "100"))
+      .toDF("occurrenceID", "verbatimElevation", "verbatimDepth",
+        "minimumDepthInMeters", "maximumDepthInMeters",
+        "minimumElevationInMeters", "maximumElevationInMeters")).cache()
+    def codes(id: String) = df.filter($"occurrenceID" === id)
+      .select("assertions_altdepth").head().getSeq[Int](0).toSet
+    val a = df.filter($"occurrenceID" === "a")
+      .select("processed_verbatimElevation").head().getDouble(0)
+    assert(math.abs(a - 30.48) < 0.01)
+    assert(codes("a") == Set(13)) // ALTITUDE_IN_FEET
+    assert(codes("b") == Set(7))  // ALTITUDE_OUT_OF_RANGE (15000 > 10000)
+    assert(codes("c") == Set(14, 11)) // non-numeric elev + 11km depth range
+    assert(codes("d") == Set(12, 9))  // both min/max pairs reversed
+    val d = df.filter($"occurrenceID" === "d")
+      .select("processed_minimumDepthInMeters", "processed_maximumDepthInMeters",
+        "processed_minimumElevationInMeters", "processed_maximumElevationInMeters")
+      .head()
+    assert(d.getDouble(0) == 10.0 && d.getDouble(1) == 50.0)
+    assert(d.getDouble(2) == 100.0 && d.getDouble(3) == 900.0)
+  }
+
   test("e2e garbage survives sampling, outliers and index build (ANSI-safe)") {
     import graft.operators.{Outliers, Sampling}
     // raw strings incl. "east-ish" / "not-a-lat" flow through every operator
