@@ -826,7 +826,7 @@ object SparkEntry {
     "q47_enrich_assertions" ->
       """WITH per_row AS (
         | SELECT list_concat(list_concat(list_concat(
-        |   [20018, 30, 27],
+        |   [20018, 30, 51, 27],
         |   CASE WHEN lat = 0 AND lon = 0 THEN [4]
         |        WHEN lat = 0 THEN [53]
         |        WHEN lon = 0 THEN [54] ELSE [] END),

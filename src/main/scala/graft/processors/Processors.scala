@@ -30,6 +30,13 @@ case class ParsedDate(
     startYear: java.lang.Integer, startMonth: java.lang.Integer,
     startDay: java.lang.Integer, singleDate: Boolean)
 
+/** UDF return shape for datum resolution: possibly-transformed coordinates
+  * + the truthful datum label + whether a reprojection happened. PUBLIC
+  * top-level with boxed fields (Janino codegen requirement, see above). */
+case class DatumResolved(
+    lat: java.lang.Double, lon: java.lang.Double,
+    label: String, converted: Boolean)
+
 object Processors {
 
   // ── UDFs over the pure parsers (date bank is far beyond built-in to_date) ──
@@ -62,7 +69,31 @@ object Processors {
   }
 
   private def vocabUdf(v: Vocab) = udf((s: String) => v.matchTerm(s))
-  private val datumUdf = udf((s: String) => GeodeticDatum.epsg(s))
+
+  /** Datum vocab + reprojection (reference `LocationProcessor.processLatLong`
+    * + `GISUtil.reprojectCoordinatesToWGS84`): recognised datums with a
+    * published transform reproject to WGS84 (label EPSG:4326, converted);
+    * WGS84-equivalent datums relabel only; recognised datums without a
+    * transform keep coordinates + their truthful EPSG label; junk yields a
+    * null label (→ UNRECOGNIZED_GEODETIC_DATUM). */
+  private val datumResolveUdf = udf {
+    (lat: java.lang.Double, lon: java.lang.Double, datum: String) =>
+      if (datum == null) null
+      else GeodeticDatum.epsg(datum) match {
+        case None => DatumResolved(lat, lon, null, converted = false)
+        case Some(epsg) =>
+          if (lat == null || lon == null)
+            DatumResolved(lat, lon, epsg, converted = false)
+          else graft.geo.DatumTransform.toWgs84(lat, lon, epsg) match {
+            case Some((la, lo))
+              if !graft.geo.DatumTransform.wgs84Equivalent.contains(epsg) =>
+              DatumResolved(la, lo, "EPSG:4326", converted = true)
+            case Some(_) =>
+              DatumResolved(lat, lon, "EPSG:4326", converted = false)
+            case None => DatumResolved(lat, lon, epsg, converted = false)
+          }
+      }
+  }
   private val licenseUdf = udf((s: String) =>
     Option(s).filter(_.trim.nonEmpty).flatMap(License.matchRegex))
   // establishmentMeans is ";"-delimited in the wild; each part vocab-mapped,
@@ -191,21 +222,25 @@ object Processors {
     val uncParsed = distanceUdf(col("_unc"))
     val uncBad = col("_unc").isNotNull && (uncParsed.isNull || uncParsed <= 0)
 
-    df.withColumn("processed_decimalLatitude",
-        when(outOfRange, lit(null)).otherwise(lat))
+    val validLat = when(outOfRange, lit(null)).otherwise(lat)
+    val validLon = when(outOfRange, lit(null)).otherwise(lon)
+    df.withColumn("_dr",
+        datumResolveUdf(validLat.cast("double"), validLon.cast("double"),
+          col("_datum")))
+      // Datum resolution (reference `vocab/GeodeticDatum.scala` +
+      // `GISUtil.reprojectCoordinatesToWGS84`): AGD66/AGD84/NZGD49/NAD27
+      // coordinates are reprojected to WGS84 via the published Helmert
+      // transforms (geo/DatumTransform) and flagged converted; recognised
+      // datums without a transform keep their truthful EPSG label — never a
+      // blanket EPSG:4326 stamp.
+      .withColumn("processed_decimalLatitude",
+        coalesce(col("_dr.lat"), validLat.cast("double")))
       .withColumn("processed_decimalLongitude",
-        when(outOfRange, lit(null)).otherwise(lon))
+        coalesce(col("_dr.lon"), validLon.cast("double")))
+      .withColumn("processed_geodeticDatum", col("_dr.label"))
       .withColumn("processed_coordinateUncertaintyInMeters",
         coalesce(when(uncParsed > 0, uncParsed.cast("double")),
           when(fromGrid, col("_grid._3"))))
-      // Datum vocab (reference `vocab/GeodeticDatum.scala` + `datums.txt` /
-      // `crsEpsgCodes.txt`): processed datum is the recognised datum's EPSG
-      // code — NOT a blanket EPSG:4326 stamp. The reference additionally
-      // reprojects non-WGS84 coordinates to WGS84 via GeoTools
-      // (`LocationProcessor.scala:369-568`); with no GeoTools in this stack
-      // the coordinates keep their source datum and the EPSG label stays
-      // truthful (AGD66 in → EPSG:4202 out, never mislabelled 4326).
-      .withColumn("processed_geodeticDatum", datumUdf(col("_datum")))
       .withColumn("assertions_loc", array_compact(array(
         assertCodeIf(lat0.isNull && lon0.isNull, DECIMAL_COORDINATES_NOT_SUPPLIED),
         assertCodeIf(fromVerbatim && lat0.isNotNull && lon0.isNotNull,
@@ -217,11 +252,14 @@ object Processors {
         assertCodeIf(lat === 0 && !zeroZero, ZERO_LATITUDE_COORDINATES),
         assertCodeIf(lon === 0 && !zeroZero, ZERO_LONGITUDE_COORDINATES),
         assertCodeIf(lat.isNotNull && col("_datum").isNull, MISSING_GEODETICDATUM),
-        assertCodeIf(col("_datum").isNotNull &&
-          datumUdf(col("_datum")).isNull, UNRECOGNIZED_GEODETIC_DATUM),
+        assertCodeIf(lat.isNotNull && col("_datum").isNull,
+          GEODETIC_DATUM_ASSUMED_WGS84),
+        assertCodeIf(col("_datum").isNotNull && col("_dr.label").isNull,
+          UNRECOGNIZED_GEODETIC_DATUM),
+        assertCodeIf(col("_dr.converted") === true, DECIMAL_LAT_LONG_CONVERTED),
         assertCodeIf(lat.isNotNull && col("_unc").isNull, UNCERTAINTY_NOT_SPECIFIED),
         assertCodeIf(uncBad, UNCERTAINTY_RANGE_MISMATCH))))
-      .drop("_latS", "_lonS", "_vlat", "_vlon", "_unc", "_datum", "_grid")
+      .drop("_latS", "_lonS", "_vlat", "_vlon", "_unc", "_datum", "_grid", "_dr")
   }
 
   /** Altitude/depth checks (reference

@@ -133,6 +133,44 @@ class ProcessorsSpec extends AnyFunSuite {
     assert(a.contains(30005)) // firstOfCentury additionally on year % 100 == 0
   }
 
+  test("datum reprojection: AGD66/NZGD49 shift to WGS84; junk stays put (reference DatumTest)") {
+    import graft.geo.Wkt.haversineMetres
+    val df = Processors.enrich(Seq(
+      ("agd66", "-27.5623432", "152.28342342", "AGD66"),
+      ("agd8466", "-27.5623432", "152.28342342", "AGD84/66"),
+      ("nzgd49", "-43.5321", "172.6362", "NZGD49"),
+      ("nzgd1949", "-43.5321", "172.6362", "NZGD1949"),
+      ("wgs", "-27.5623432", "152.28342342", "WGS84"),
+      ("junk", "-27.5623432", "152.28342342", "sjdsakjdkjskaldj"),
+      ("nodatum", "-27.5623432", "152.28342342", null))
+      .toDF("occurrenceID", "decimalLatitude", "decimalLongitude",
+        "geodeticDatum")).cache()
+    def row(id: String) = df.filter($"occurrenceID" === id)
+      .select("processed_decimalLatitude", "processed_decimalLongitude",
+        "processed_geodeticDatum", "assertionCodes").head()
+    for (id <- Seq("agd66", "agd8466", "nzgd49", "nzgd1949")) {
+      val r = row(id)
+      assert(r.getString(2) == "EPSG:4326", id)
+      val srcLat = if (id.startsWith("agd")) -27.5623432 else -43.5321
+      val srcLon = if (id.startsWith("agd")) 152.28342342 else 172.6362
+      val d = haversineMetres(srcLon, srcLat, r.getDouble(1), r.getDouble(0))
+      assert(d > 50 && d < 300, s"$id shifted ${d}m")
+      assert(r.getSeq[Int](3).contains(45), id) // DECIMAL_LAT_LONG_CONVERTED
+    }
+    // AGD66 national shift in QLD is north-east: GDA94 coords are larger
+    val a = row("agd66")
+    assert(a.getDouble(0) > -27.5623432 && a.getDouble(1) > 152.28342342)
+    val w = row("wgs")
+    assert(w.getDouble(0) == -27.5623432 && w.getString(2) == "EPSG:4326")
+    assert(!w.getSeq[Int](3).contains(45))
+    val j = row("junk")
+    assert(j.isNullAt(2) && j.getDouble(0) == -27.5623432)
+    assert(j.getSeq[Int](3).contains(52)) // UNRECOGNIZED_GEODETIC_DATUM
+    val n = row("nodatum")
+    assert(n.getSeq[Int](3).contains(51)) // GEODETIC_DATUM_ASSUMED_WGS84
+    assert(n.getSeq[Int](3).contains(30)) // MISSING_GEODETICDATUM
+  }
+
   test("altitude/depth: feet conversion, range checks, min/max repair") {
     import graft.processors.Processors
     val df = Processors.processAltitudeAndDepth(Seq(
