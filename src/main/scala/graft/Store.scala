@@ -94,4 +94,27 @@ object Store {
 
   def deleteByQuery(records: DataFrame, predicate: Column): DataFrame =
     records.filter(!predicate)
+
+  // ── Deletion log (reference `dellog` table,
+  //    dao/DeletedRecordDAOImpl.scala + Store.scala:686-687): deletions
+  //    append (deletedDate, rowKey) rows to a date-partitioned log so
+  //    downstream consumers (index sync, harvesters) can replay them ──
+
+  /** Append deleted keys to the dellog at `logPath` under today's date
+    * (or an explicit ISO `date`). */
+  def logDeletions(doomedKeys: DataFrame, logPath: String,
+      date: Option[String] = None): Unit = {
+    val d = date.map(lit).getOrElse(date_format(current_date(), "yyyy-MM-dd"))
+    doomedKeys.select(col("rowKey"), d.as("deletedDate"))
+      .write.mode("append").partitionBy("deletedDate").parquet(logPath)
+  }
+
+  /** Row keys deleted on/after `startDate` (reference
+    * `getUuidsForDeletedRecords`); partition pruning keeps the scan to the
+    * requested date range. */
+  def deletedKeysSince(spark: SparkSession, logPath: String,
+      startDate: String): DataFrame =
+    spark.read.parquet(logPath)
+      .filter(col("deletedDate") >= startDate)
+      .select("rowKey").distinct()
 }

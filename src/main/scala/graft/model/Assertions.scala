@@ -165,6 +165,12 @@ object AssertionCodes {
 
   def byCode(code: Int): Option[ErrorCode] = all.find(_.code == code)
 
+  /** Assertions produced by the offline analytics passes, carried forward
+    * on reprocess (reference `AssertionCodes.offlineAssertionCodes`). */
+  val offlineAssertionCodes: Seq[Int] =
+    Seq(INFERRED_DUPLICATE_RECORD, SPECIES_OUTSIDE_EXPERT_RANGE,
+      DETECTED_OUTLIER).map(_.code)
+
   def isGeospatial(code: Int): Boolean = code >= 0 && code < 10000
   def isTaxonomic(code: Int): Boolean = code >= 10000 && code < 20000
   def isTemporal(code: Int): Boolean = code >= 30000 && code < 40000

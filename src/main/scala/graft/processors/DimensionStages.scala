@@ -163,6 +163,56 @@ object DimensionStages {
       .drop("_cc", "centreLat", "centreLon")
   }
 
+  /** OFFLINE stage (reference `processor/OfflineTestProcessor.scala:11-36`):
+    * carry the offline-analytics results — outlier layers, duplication
+    * status/type, associated occurrences, expert-range distance — and the
+    * offline assertion codes forward from the previous processed snapshot.
+    * This is a fact-to-fact join on rowKey (NOT broadcast: the snapshot is
+    * fact-scale); at cluster scale both sides should be bucketed by rowKey
+    * so the join is co-located. */
+  def carryForwardOffline(df: DataFrame, lastProcessed: DataFrame): DataFrame = {
+    val offline = array(AssertionCodes.offlineAssertionCodes.map(lit): _*)
+    def prevCol(name: String): Column =
+      if (lastProcessed.columns.contains(name)) col(name)
+      else lit(null).cast("string")
+    val prev = lastProcessed.select(
+      col("rowKey"),
+      prevCol("processed_outlierForLayers").as("processed_outlierForLayers"),
+      prevCol("processed_duplicationStatus").as("processed_duplicationStatus"),
+      prevCol("processed_duplicationType").as("processed_duplicationType"),
+      prevCol("processed_associatedOccurrences").as("processed_associatedOccurrences"),
+      prevCol("processed_distanceOutsideExpertRange")
+        .as("processed_distanceOutsideExpertRange"),
+      (if (lastProcessed.columns.contains("assertionCodes"))
+        array_intersect(col("assertionCodes"), offline)
+      else array().cast("array<int>")).as("assertions_offline"))
+    df.join(prev, Seq("rowKey"), "left")
+      .withColumn("assertions_offline",
+        coalesce(col("assertions_offline"), array().cast("array<int>")))
+  }
+
+  /** REPROCESSING stage (reference `ReprocessingProcessor.scala:18-36`):
+    * when the processed coordinates are unchanged from the previous
+    * snapshot, reuse its el/cl layer-sample maps instead of re-sampling.
+    * Same rowKey-join contract as [[carryForwardOffline]]. */
+  def reuseSamplesWhenUnchanged(df: DataFrame,
+      lastProcessed: DataFrame): DataFrame = {
+    if (!lastProcessed.columns.contains("cl")) return df
+    val prev = lastProcessed.select(col("rowKey"),
+      col("processed_decimalLatitude").as("_prevLat"),
+      col("processed_decimalLongitude").as("_prevLon"),
+      col("cl").as("_prevCl"))
+    val unchanged = col("_prevLat") <=> col("processed_decimalLatitude") &&
+      col("_prevLon") <=> col("processed_decimalLongitude") &&
+      col("_prevCl").isNotNull
+    val existing =
+      if (df.columns.contains("cl")) col("cl")
+      else lit(null).cast("map<string,string>")
+    df.join(prev, Seq("rowKey"), "left")
+      .withColumn("cl", when(unchanged, col("_prevCl")).otherwise(existing))
+      .drop("_prevLat", "_prevLon", "_prevCl")
+  }
+
   /** Validation-rule application (reference `qa/ValidationRuleRunner`):
     * records matching `predicate` gain a query assertion. */
   def applyValidationRule(df: DataFrame, predicate: Column,

@@ -59,18 +59,30 @@ object LocationInference {
     if (df.columns.contains(name)) col(name) else default
 
   /** Sample the distinct processed coordinates against the layer table and
-    * attach the `cl` map (J3 + J4). `layers`: (layerId, value, wkt). */
+    * attach the `cl` map (J3 + J4). `layers`: (layerId, value, wkt). A
+    * pre-existing `cl` column (REPROCESSING carry-over, see
+    * `DimensionStages.reuseSamplesWhenUnchanged`) is preserved: only rows
+    * still lacking samples contribute distinct points, so unchanged
+    * records cost nothing to re-sample. */
   def attachLayerSamples(spark: SparkSession, df: DataFrame,
       layers: DataFrame): DataFrame = {
     val lat = col("processed_decimalLatitude")
     val lon = col("processed_decimalLongitude")
-    val pts = df.select(lat.as("lat"), lon.as("lon"))
+    val hasPrev = df.columns.contains("cl")
+    val base = if (hasPrev) df.withColumnRenamed("cl", "_prevCl") else df
+    val needs = if (hasPrev) col("_prevCl").isNull else lit(true)
+    val pts = base.filter(needs)
+      .select(lat.as("lat"), lon.as("lon"))
       .filter(col("lat").isNotNull && col("lon").isNotNull).distinct()
     val samples = Sampling.samplePoints(spark, pts, layers)
-    df.withColumn("latLonKey", Sampling.latLonKey(lat, lon))
+    val joined = base.withColumn("latLonKey", Sampling.latLonKey(lat, lon))
       .join(broadcast(samples.select(col("latLonKey"), col("cl"))),
         Seq("latLonKey"), "left")
       .drop("latLonKey")
+    if (hasPrev)
+      joined.withColumn("cl", coalesce(col("_prevCl"), col("cl")))
+        .drop("_prevCl")
+    else joined
   }
 
   /** Inference + assertion stage; expects the `cl` column from

@@ -403,7 +403,10 @@ object Processors {
         * conservation). */
       taxonProfiles: Option[DataFrame] = None,
       /** J12 species lists (taxonConceptID, listUid). */
-      speciesLists: Option[DataFrame] = None)
+      speciesLists: Option[DataFrame] = None,
+      /** Previous enrichment snapshot for incremental reprocessing:
+        * OFFLINE carry-forward + el/cl sample reuse (rowKey join). */
+      lastProcessed: Option[DataFrame] = None)
 
   private val emptyAssertions = "array<int>"
 
@@ -432,13 +435,24 @@ object Processors {
     val afterCentre = dims.countryCentres.map(d =>
       DimensionStages.checkCentrePoints(afterLoc, d)).getOrElse(
       afterLoc.withColumn("assertions_centre", array().cast(emptyAssertions)))
+    // OFFLINE carry-forward + REPROCESSING sample reuse against the
+    // previous snapshot (reference OfflineTestProcessor /
+    // ReprocessingProcessor); both are rowKey joins, only taken when a
+    // snapshot is supplied
+    val afterOffline = dims.lastProcessed match {
+      case Some(lp) if afterCentre.columns.contains("rowKey") =>
+        DimensionStages.reuseSamplesWhenUnchanged(
+          DimensionStages.carryForwardOffline(afterCentre, lp), lp)
+      case _ =>
+        afterCentre.withColumn("assertions_offline", array().cast(emptyAssertions))
+    }
     // layer-sampling-driven inference (J3/J4 → state/country/biome +
     // mismatch/centre assertions); without layers the stage still runs so
     // the raw-value vocab fallbacks and centre checks apply
     val sampled = dims.layers match {
       case Some(layers) => LocationInference.attachLayerSamples(
-        afterCentre.sparkSession, afterCentre, layers)
-      case None => afterCentre
+        afterOffline.sparkSession, afterOffline, layers)
+      case None => afterOffline
     }
     val afterInfer = LocationInference.inferStateCountry(sampled, dims.layerConfig)
     val afterProfiles = dims.taxonProfiles.map(d =>
@@ -459,7 +473,8 @@ object Processors {
     val assertionCols = Seq("assertions_attr", "assertions_bor",
       "assertions_misc", "assertions_class", "assertions_event",
       "assertions_loc", "assertions_altdepth", "assertions_centre",
-      "assertions_inference", "assertions_profile", "assertions_sensitive")
+      "assertions_offline", "assertions_inference", "assertions_profile",
+      "assertions_sensitive")
     val finished = afterGroups
       .withColumn("assertionCodes", concat(assertionCols.map(col): _*))
       .withColumn("assertions", structsFromCodes(col("assertionCodes")))

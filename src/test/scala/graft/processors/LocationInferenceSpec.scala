@@ -161,6 +161,51 @@ class LocationInferenceSpec extends AnyFunSuite {
     assert(df.columns.contains("processed_identificationQualifier"))
   }
 
+  test("OFFLINE/REPROCESSING: offline assertions carry forward, samples reused") {
+    val raw = Seq(("k1", "-33.8", "151.2"), ("k2", "-20.0", "145.0"))
+      .toDF("rowKey", "decimalLatitude", "decimalLongitude")
+    // previous snapshot: k1 was flagged a duplicate + outlier offline and
+    // carries a sampled cl map; k2's coordinates have since changed
+    val lastProcessed = Seq(
+      ("k1", -33.8, 151.2, Map("cl927" -> "PrevState"),
+        Seq(20014, 20, 4), "D1", "assoc|other"),
+      ("k2", -10.0, 140.0, Map("cl927" -> "StaleState"),
+        Seq.empty[Int], null, null))
+      .toDF("rowKey", "processed_decimalLatitude", "processed_decimalLongitude",
+        "cl", "assertionCodes", "processed_duplicationStatus",
+        "processed_associatedOccurrences")
+    val out = Processors.enrichAll(raw,
+      Processors.Dimensions(layers = Some(layers),
+        lastProcessed = Some(lastProcessed))).cache()
+    // offline codes (20014 dup, 20 outlier) carried; non-offline (4) not
+    val k1Codes = codes(out.withColumnRenamed("rowKey", "occurrenceID"), "k1")
+    assert(k1Codes.contains(20014) && k1Codes.contains(20))
+    assert(!k1Codes.contains(4))
+    assert(out.filter($"rowKey" === "k1")
+      .select("processed_duplicationStatus").head().getString(0) == "D1")
+    // k1 coords unchanged -> previous cl reused (PrevState, not the layer
+    // value); k2 coords changed -> freshly sampled from the layers
+    val k1State = out.filter($"rowKey" === "k1")
+      .select("processed_stateProvince").head().getString(0)
+    assert(k1State == "PrevState")
+    val k2State = out.filter($"rowKey" === "k2")
+      .select("processed_stateProvince").head()
+    assert(k2State.isNullAt(0)) // (-20, 145) is outside the NSW rectangle
+  }
+
+  test("dellog: deletions append by date and replay since a start date") {
+    val dir = java.nio.file.Files.createTempDirectory("dellog").toString
+    import graft.Store
+    Store.logDeletions(Seq("a", "b").toDF("rowKey"), dir, Some("2026-01-01"))
+    Store.logDeletions(Seq("c").toDF("rowKey"), dir, Some("2026-03-01"))
+    val since = Store.deletedKeysSince(spark, dir, "2026-02-01")
+      .collect().map(_.getString(0)).toSet
+    assert(since == Set("c"))
+    val all = Store.deletedKeysSince(spark, dir, "2020-01-01")
+      .collect().map(_.getString(0)).toSet
+    assert(all == Set("a", "b", "c"))
+  }
+
   test("A9: enrich emits observed metrics (records / unkosher / assertions)") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
