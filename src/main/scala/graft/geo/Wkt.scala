@@ -13,23 +13,16 @@ object Wkt {
 
   type Ring = Array[(Double, Double)] // (lon, lat)
 
-  /** Outer rings only (holes ignored — adequate for range polygons). */
+  /** All rings — outers and holes. Containment uses even-odd parity over
+    * the full ring set ([[contains]]), which is exact for valid (O)GC
+    * geometries: multipolygon outer rings are disjoint, so a point falls in
+    * at most one outer, and each enclosing hole flips it back outside. */
   def parsePolygons(wkt: String): Seq[Ring] = {
     val s = wkt.trim.toUpperCase
     val body = s.substring(s.indexOf('('))
     // ring = innermost (...) group of "lon lat, lon lat, ..."
     val ringPat = """\(([^()]+)\)""".r
-    val rings = ringPat.findAllMatchIn(body).map(_.group(1)).toSeq
-    val outers =
-      if (s.startsWith("POLYGON")) rings.take(1)
-      else if (s.startsWith("MULTIPOLYGON")) {
-        // every ring that opens a polygon group is an outer ring; holes
-        // follow within the same group. Approximation: keep rings whose
-        // preceding non-space char sequence is "((" — cheap and adequate
-        // for hole-free range maps; otherwise keep all rings.
-        rings
-      } else rings
-    outers.map { r =>
+    ringPat.findAllMatchIn(body).map(_.group(1)).toSeq.map { r =>
       r.split(",").map { pt =>
         val xy = pt.trim.split("\\s+")
         (xy(0).toDouble, xy(1).toDouble)
@@ -50,8 +43,10 @@ object Wkt {
     inside
   }
 
+  /** Even-odd rule over all rings: inside an odd number of rings ⇒ inside
+    * the geometry (outer ring = in; outer + its hole = out again). */
   def contains(lon: Double, lat: Double, rings: Seq[Ring]): Boolean =
-    rings.exists(r => pointInRing(lon, lat, r))
+    rings.count(r => pointInRing(lon, lat, r)) % 2 == 1
 
   private val EarthRadiusM = 6378137.0
 

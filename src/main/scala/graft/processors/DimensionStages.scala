@@ -67,47 +67,132 @@ object DimensionStages {
   /** SENSITIVE stage (J6/P5): match against the sensitivity rule table,
     * generalise coordinates to the rule's precision, stash the precise
     * originals (the reference keeps them in `originalSensitiveValues` for
-    * authorised download). `sensitivityDim`: (nameLower,
-    * generalisationMetres). Requires processed coordinates. */
+    * authorised download; `processor/SensitivityProcessor.scala:37-280`
+    * via the SDS rule engine).
+    *
+    * `sensitivityDim` minimally carries (nameLower, generalisationMetres);
+    * the full SDS rule model adds optional columns:
+    *  - `zone`: rule applies only where the record's (inferred)
+    *    state/province matches; null = everywhere. The reference resolves
+    *    the zone by layer intersect before consulting the rules
+    *    (`SensitivityProcessor.scala:97-118`), which is why this stage runs
+    *    after location inference.
+    *  - `category`: e.g. conservation vs biosecurity; echoed in the
+    *    dataGeneralizations text.
+    *  - `fromDate`/`toDate` (ISO strings): date-bounded rules (plant-
+    *    biosecurity outbreak windows); compared against the processed
+    *    event date (`SensitivityProcessor.scala:126-131` feeds
+    *    day/month/year to the rule engine).
+    *  - `withholdEvent` (boolean): additionally blank the day/event-date
+    *    detail and set informationWithheld
+    *    (`SensitivityProcessor.scala:228-257`).
+    *
+    * Multiple applicable rules resolve to the most restrictive (largest
+    * generalisation radius). The rule table is dimension-sized: it is
+    * aggregated to one row per name and broadcast, so the fact side never
+    * shuffles and row count is preserved regardless of rule multiplicity. */
   def processSensitivity(df: DataFrame, sensitivityDim: DataFrame): DataFrame = {
-    val dim = sensitivityDim.select(col("nameLower").as("_sensName"),
-      col("generalisationMetres"))
+    def dimCol(name: String, tpe: String): Column =
+      if (sensitivityDim.columns.contains(name)) col(name).cast(tpe)
+      else lit(null).cast(tpe)
+    val rules = sensitivityDim.select(
+      lower(col("nameLower")).as("_sensName"),
+      struct(
+        col("generalisationMetres").cast("int").as("metres"),
+        dimCol("zone", "string").as("zone"),
+        dimCol("category", "string").as("category"),
+        dimCol("fromDate", "date").as("fromDate"),
+        dimCol("toDate", "date").as("toDate"),
+        coalesce(dimCol("withholdEvent", "boolean"), lit(false))
+          .as("withholdEvent")).as("_rule"))
+      .groupBy("_sensName").agg(collect_list("_rule").as("_sensRules"))
+    def colOr(name: String): Column =
+      if (df.columns.contains(name)) col(name) else lit(null).cast("string")
     val nameKey = lower(coalesce(
-      if (df.columns.contains("processed_scientificName"))
-        col("processed_scientificName") else lit(null),
-      if (df.columns.contains("scientificName")) col("scientificName")
-      else lit(null)))
+      colOr("processed_scientificName"), colOr("scientificName")))
+    val zoneKey = coalesce(
+      colOr("processed_stateProvince"), colOr("stateProvince"))
+    val evtDate = coalesce(
+      colOr("processed_eventDate").cast("date"),
+      colOr("eventDate").try_cast("date"))
+    // rule applicability: zone match (null zone = anywhere) + event date
+    // inside the rule window (null bound = open). HOFs are interpreted, so
+    // the applicable-rule selection is staged once in `_sensRule` and only
+    // scalar fields of it are referenced afterwards.
+    val applicable = filter(col("_sensRules"), r =>
+      (r.getField("zone").isNull || (zoneKey.isNotNull &&
+        lower(r.getField("zone")) === lower(zoneKey))) &&
+      (r.getField("fromDate").isNull ||
+        (evtDate.isNotNull && evtDate >= r.getField("fromDate"))) &&
+      (r.getField("toDate").isNull ||
+        (evtDate.isNotNull && evtDate <= r.getField("toDate"))))
+    val mostRestrictive = try_element_at(array_sort(applicable, (l, r) =>
+      when(l.getField("metres") > r.getField("metres"), -1)
+        .when(l.getField("metres") < r.getField("metres"), 1)
+        .otherwise(0)), lit(1))
     // metres → decimal places: 100m→3, 1km→2, 10km→1, 100km→0.
     // round()'s scale must be foldable, so generalise via scale-factor
     // arithmetic instead of a per-row scale.
-    val decimals = when(col("generalisationMetres") <= 100, 3)
-      .when(col("generalisationMetres") <= 1000, 2)
-      .when(col("generalisationMetres") <= 10000, 1)
+    val metres = col("_sensRule.metres")
+    val decimals = when(metres <= 100, 3)
+      .when(metres <= 1000, 2)
+      .when(metres <= 10000, 1)
       .otherwise(0)
     val factor = pow(lit(10.0), decimals)
     def generalise(c: Column): Column = round(c * factor, 0) / factor
     val lat = col("processed_decimalLatitude")
     val lon = col("processed_decimalLongitude")
-    val sensitive = col("generalisationMetres").isNotNull && lat.isNotNull
-    df.withColumn("_sensName", nameKey)
-      .join(broadcast(dim), Seq("_sensName"), "left")
+    val sensitive = metres.isNotNull && lat.isNotNull
+    val withhold = sensitive && col("_sensRule.withholdEvent")
+    val stashEntries: Seq[(String, Column)] = Seq(
+      "decimalLatitude" -> lat.cast("string"),
+      "decimalLongitude" -> lon.cast("string"),
+      "coordinateUncertaintyInMeters" ->
+        colOr("processed_coordinateUncertaintyInMeters").cast("string"),
+      "eventDate" -> when(withhold, colOr("processed_eventDate").cast("string")),
+      "day" -> when(withhold, colOr("processed_day").cast("string")))
+    val stash = map_filter(
+      map(stashEntries.flatMap { case (k, v) => Seq(lit(k), v) }: _*),
+      (_, v) => v.isNotNull)
+    val withRule = df.withColumn("_sensName", nameKey)
+      .join(broadcast(rules), Seq("_sensName"), "left")
+      .withColumn("_sensRule", mostRestrictive)
+    val out = withRule
       .withColumn("originalSensitiveValues",
-        when(sensitive, map(
-          lit("decimalLatitude"), lat.cast("string"),
-          lit("decimalLongitude"), lon.cast("string"))).otherwise(lit(null)))
+        when(sensitive, stash).otherwise(lit(null)))
+      // reference adds the generalisation radius to the existing
+      // uncertainty (`SensitivityProcessor.scala:185-196`); always double
+      .withColumn("processed_coordinateUncertaintyInMeters",
+        when(sensitive,
+          coalesce(colOr("processed_coordinateUncertaintyInMeters")
+            .try_cast("double"), lit(0.0)) + metres)
+          .otherwise(colOr("processed_coordinateUncertaintyInMeters")
+            .try_cast("double")))
       .withColumn("processed_decimalLatitude",
         when(sensitive, generalise(lat)).otherwise(lat))
       .withColumn("processed_decimalLongitude",
         when(sensitive, generalise(lon)).otherwise(lon))
       .withColumn("processed_dataGeneralizations",
-        when(sensitive, concat(lit("Coordinates generalised to "),
-          col("generalisationMetres").cast("string"), lit(" metres")))
-          .otherwise(lit(null)))
+        when(sensitive, concat(
+          lit("Coordinates generalised to "), metres.cast("string"),
+          lit(" metres"),
+          when(col("_sensRule.category").isNotNull,
+            concat(lit(" ["), col("_sensRule.category"), lit("]")))
+            .otherwise(lit("")))).otherwise(lit(null)))
+      .withColumn("processed_informationWithheld",
+        when(withhold, lit("Event date withheld under a sensitivity rule"))
+          .otherwise(lit(null).cast("string")))
       .withColumn("isSensitive", sensitive)
       .withColumn("assertions_sensitive", array_compact(array(
         AssertionCodes.assertCodeIf(sensitive,
           AssertionCodes.DATA_ARE_GENERALISED))))
-      .drop("_sensName", "generalisationMetres")
+    val blanked = Seq("processed_eventDate", "processed_day")
+      .foldLeft(out) { (acc, c) =>
+        if (acc.columns.contains(c))
+          acc.withColumn(c, when(withhold, lit(null)).otherwise(col(c)))
+        else acc
+      }
+    blanked.drop("_sensName", "_sensRules", "_sensRule")
   }
 
   /** P5: masked projection for un-authorised consumers vs full for

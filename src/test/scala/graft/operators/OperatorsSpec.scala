@@ -21,6 +21,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d > 100000 && d < 120000)
   }
 
+  test("WKT: polygon holes and multipolygon even-odd containment") {
+    val holed = Wkt.parsePolygons(
+      "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(holed.length == 2)
+    assert(Wkt.contains(2, 2, holed))   // in outer, outside hole
+    assert(!Wkt.contains(5, 5, holed))  // inside the hole
+    // point inside a hole is outside: distance is to the hole boundary (~1°)
+    val dHole = Wkt.distanceToBoundaryMetres(5, 5, holed)
+    assert(dHole > 100000 && dHole < 120000)
+    val multi = Wkt.parsePolygons(
+      "MULTIPOLYGON(((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4)), ((20 0, 30 0, 30 10, 20 10, 20 0)))")
+    assert(multi.length == 3)
+    assert(Wkt.contains(25, 5, multi))  // second polygon
+    assert(!Wkt.contains(5, 5, multi))  // first polygon's hole
+    assert(Wkt.contains(1, 1, multi))
+    assert(!Wkt.contains(15, 5, multi)) // between the polygons
+  }
+
   test("exact dedup drops lower-id duplicates only") {
     val docs = Seq((1L, "hello world"), (2L, "hello  world "),
       (3L, "different")).toDF("doc_id", "text")

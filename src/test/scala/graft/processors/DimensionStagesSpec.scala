@@ -58,6 +58,58 @@ class DimensionStagesSpec extends AnyFunSuite {
       .select("processed_decimalLatitude").head().getDouble(0) == -35.26781)
   }
 
+  test("sensitivity rules: zone, date window, withholding, most-restrictive") {
+    val df = Seq(
+      // in-zone NSW record inside the outbreak window
+      ("r1", "Phytophthora cinnamomi", "New South Wales",
+        java.sql.Date.valueOf("2021-06-01"), -33.86001, 151.21001, Some(50.0)),
+      // same name, Queensland: the NSW-zoned rule must not fire
+      ("r2", "Phytophthora cinnamomi", "Queensland",
+        java.sql.Date.valueOf("2021-06-01"), -27.47001, 153.02001, None),
+      // same name, NSW but outside the date window
+      ("r3", "Phytophthora cinnamomi", "New South Wales",
+        java.sql.Date.valueOf("2023-01-01"), -33.86001, 151.21001, None),
+      // two applicable rules -> the 10km one must win over the 1km one
+      ("r4", "Calyptorhynchus lathami", "New South Wales",
+        java.sql.Date.valueOf("2021-06-01"), -33.86001, 151.21001, None))
+      .toDF("rowKey", "processed_scientificName", "processed_stateProvince",
+        "processed_eventDate", "processed_decimalLatitude",
+        "processed_decimalLongitude", "processed_coordinateUncertaintyInMeters")
+      .withColumn("processed_day", lit(1))
+    val dim = Seq(
+      ("phytophthora cinnamomi", 1000, "New South Wales", "PBC2",
+        "2021-01-01", "2021-12-31", true),
+      ("calyptorhynchus lathami", 1000, null, "Conservation", null, null, false),
+      ("calyptorhynchus lathami", 10000, "New South Wales", "Conservation",
+        null, null, false))
+      .toDF("nameLower", "generalisationMetres", "zone", "category",
+        "fromDate", "toDate", "withholdEvent")
+    val out = DimensionStages.processSensitivity(df, dim).cache()
+
+    val r1 = out.filter($"rowKey" === "r1").select(
+      "processed_decimalLatitude", "processed_coordinateUncertaintyInMeters",
+      "processed_eventDate", "processed_informationWithheld",
+      "originalSensitiveValues").head()
+    assert(r1.getDouble(0) == -33.86)        // 1 km -> 2 dp
+    assert(r1.getDouble(1) == 1050.0)        // 50 + 1000 rule radius
+    assert(r1.isNullAt(2))                   // event date withheld
+    assert(r1.getString(3) != null)
+    val stash = r1.getMap[String, String](4)
+    assert(stash("eventDate") == "2021-06-01" && stash("day") == "1")
+
+    // zone and window misses leave coordinates untouched
+    for (k <- Seq("r2", "r3")) {
+      val r = out.filter($"rowKey" === k)
+        .select("isSensitive", "processed_eventDate").head()
+      assert(!r.getBoolean(0) && !r.isNullAt(1))
+    }
+    // most restrictive of two applicable rules: 10 km -> 1 dp
+    val r4 = out.filter($"rowKey" === "r4").select(
+      "processed_decimalLatitude", "processed_dataGeneralizations").head()
+    assert(r4.getDouble(0) == -33.9)
+    assert(r4.getString(1).contains("10000 metres"))
+  }
+
   test("species groups containment join") {
     val df = Seq(("r1", 150), ("r2", 50), ("r3", 999))
       .toDF("rowKey", "processed_lft")
