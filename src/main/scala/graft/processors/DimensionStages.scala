@@ -233,20 +233,64 @@ object DimensionStages {
     * .scala:652-790`): a record whose coordinates equal its country's centre
     * point (at 2-dp tolerance, the common data-entry artefact) is flagged.
     * `centresDim`: (country, centreLat, centreLon). */
-  def checkCentrePoints(df: DataFrame, centresDim: DataFrame): DataFrame = {
-    val dim = centresDim.select(lower(col("country")).as("_cc"),
-      col("centreLat"), col("centreLon"))
-    val isCentre = col("centreLat").isNotNull &&
-      round(col("processed_decimalLatitude"), 2) === round(col("centreLat"), 2) &&
-      round(col("processed_decimalLongitude"), 2) === round(col("centreLon"), 2)
-    df.withColumn("_cc", lower(
-        if (df.columns.contains("country")) col("country") else lit(null)))
-      .join(broadcast(dim), Seq("_cc"), "left")
-      .withColumn("assertions_centre", array_compact(array(
-        AssertionCodes.assertCodeIf(isCentre,
-          AssertionCodes.COORDINATES_CENTRE_OF_COUNTRY))))
-      .drop("_cc", "centreLat", "centreLon")
+  /** Centre-point comparison at the precision of the supplied coordinates
+    * (reference `vocab/CentrePoints.coordinatesMatchCentre`: the region
+    * centre is rounded to the record's decimal places before comparing, so
+    * a 1-dp record matches a 1-dp-rounded centre). `rawLat`/`rawLon` are
+    * the verbatim coordinate strings the decimal-place count comes from. */
+  private def matchesCentre(rawLat: Column, rawLon: Column,
+      lat: Column, lon: Column, cLat: Column, cLon: Column): Column = {
+    def dp(s: Column): Column = least(
+      when(s.contains("."), length(substring_index(s, ".", -1)))
+        .otherwise(0), lit(7))
+    // round()'s scale must be foldable: round via a per-row power-of-ten
+    // factor instead
+    val fLat = pow(lit(10.0), dp(rawLat))
+    val fLon = pow(lit(10.0), dp(rawLon))
+    cLat.isNotNull && lat.isNotNull && lon.isNotNull &&
+      round(cLat * fLat, 0) / fLat === lat &&
+      round(cLon * fLon, 0) / fLon === lon
   }
+
+  private def centreCheckStage(df: DataFrame, centresDim: DataFrame,
+      dimRegionCol: String, recordRegionCols: Seq[String],
+      code: graft.model.ErrorCode, outCol: String): DataFrame = {
+    val key = s"_centre_$dimRegionCol"
+    val dim = centresDim.select(lower(col(dimRegionCol)).as(key),
+      col("centreLat").as(s"${key}Lat"), col("centreLon").as(s"${key}Lon"))
+    def colOr(name: String): Column =
+      if (df.columns.contains(name)) col(name) else lit(null).cast("string")
+    val lat = col("processed_decimalLatitude")
+    val lon = col("processed_decimalLongitude")
+    val isCentre = matchesCentre(
+      coalesce(colOr("decimalLatitude"), lat.cast("string")),
+      coalesce(colOr("decimalLongitude"), lon.cast("string")),
+      lat, lon, col(s"${key}Lat"), col(s"${key}Lon"))
+    df.withColumn(key,
+        lower(coalesce(recordRegionCols.map(colOr): _*)))
+      .join(broadcast(dim), Seq(key), "left")
+      .withColumn(outCol, array_compact(array(
+        AssertionCodes.assertCodeIf(isCentre, code))))
+      .drop(key, s"${key}Lat", s"${key}Lon")
+  }
+
+  /** Country-centre check (F11). `centresDim`: (country, centreLat,
+    * centreLon); reference `LocationProcessor.scala:206-208` +
+    * `vocab/CountryCentrePoints`. */
+  def checkCentrePoints(df: DataFrame, centresDim: DataFrame): DataFrame =
+    centreCheckStage(df, centresDim, "country",
+      Seq("processed_country", "country"),
+      AssertionCodes.COORDINATES_CENTRE_OF_COUNTRY, "assertions_centre")
+
+  /** State/province-centre check (reference `LocationProcessor.scala:199-201`
+    * + `vocab/StateProvinceCentrePoints`); runs after state inference so the
+    * layer-derived state is used. `centresDim`: (stateProvince, centreLat,
+    * centreLon). */
+  def checkStateCentrePoints(df: DataFrame, centresDim: DataFrame): DataFrame =
+    centreCheckStage(df, centresDim, "stateProvince",
+      Seq("processed_stateProvince", "stateProvince"),
+      AssertionCodes.COORDINATES_CENTRE_OF_STATEPROVINCE,
+      "assertions_statecentre")
 
   /** OFFLINE stage (reference `processor/OfflineTestProcessor.scala:11-36`):
     * carry the offline-analytics results — outlier layers, duplication

@@ -394,6 +394,9 @@ object Processors {
       sensitivity: Option[DataFrame] = None,
       speciesGroups: Option[DataFrame] = None,
       countryCentres: Option[DataFrame] = None,
+      /** State/province centres (stateProvince, centreLat, centreLon);
+        * checked after state inference. */
+      stateCentres: Option[DataFrame] = None,
       /** GIS layers (layerId, value, wkt) for J3/J4 sampling-driven
         * state/country/biome inference. */
       layers: Option[DataFrame] = None,
@@ -454,7 +457,13 @@ object Processors {
         afterOffline.sparkSession, afterOffline, layers)
       case None => afterOffline
     }
-    val afterInfer = LocationInference.inferStateCountry(sampled, dims.layerConfig)
+    val afterInfer0 = LocationInference.inferStateCountry(sampled, dims.layerConfig)
+    // state-centre check after inference so the layer-derived state is used
+    // (reference checks processed.location.stateProvince)
+    val afterInfer = dims.stateCentres.map(d =>
+      DimensionStages.checkStateCentrePoints(afterInfer0, d)).getOrElse(
+      afterInfer0.withColumn("assertions_statecentre",
+        array().cast(emptyAssertions)))
     val afterProfiles = dims.taxonProfiles.map(d =>
       LocationInference.applyTaxonProfiles(afterInfer, d)).getOrElse(
       afterInfer.withColumn("assertions_profile", array().cast(emptyAssertions)))
@@ -473,8 +482,8 @@ object Processors {
     val assertionCols = Seq("assertions_attr", "assertions_bor",
       "assertions_misc", "assertions_class", "assertions_event",
       "assertions_loc", "assertions_altdepth", "assertions_centre",
-      "assertions_offline", "assertions_inference", "assertions_profile",
-      "assertions_sensitive")
+      "assertions_statecentre", "assertions_offline", "assertions_inference",
+      "assertions_profile", "assertions_sensitive")
     val finished = afterGroups
       .withColumn("assertionCodes", concat(assertionCols.map(col): _*))
       .withColumn("assertions", structsFromCodes(col("assertionCodes")))

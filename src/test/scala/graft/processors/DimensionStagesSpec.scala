@@ -58,6 +58,23 @@ class DimensionStagesSpec extends AnyFunSuite {
       .select("processed_decimalLatitude").head().getDouble(0) == -35.26781)
   }
 
+  test("state-centre dim check matches at supplied precision") {
+    val df = Seq(
+      // 1-dp coords equal the NSW centre rounded to 1 dp -> fires
+      ("r1", "New South Wales", "-31.3", "146.9", -31.3, 146.9),
+      // coords near but not at the rounded centre -> no assertion
+      ("r2", "New South Wales", "-31.2600", "146.9211", -31.26, 146.9211))
+      .toDF("rowKey", "processed_stateProvince",
+        "decimalLatitude", "decimalLongitude",
+        "processed_decimalLatitude", "processed_decimalLongitude")
+    val dim = Seq(("New South Wales", -31.2532183, 146.921099))
+      .toDF("stateProvince", "centreLat", "centreLon")
+    val out = DimensionStages.checkStateCentrePoints(df, dim)
+    val byKey = out.select($"rowKey", $"assertions_statecentre")
+      .as[(String, Seq[Int])].collect().toMap
+    assert(byKey("r1") == Seq(22) && byKey("r2").isEmpty)
+  }
+
   test("sensitivity rules: zone, date window, withholding, most-restrictive") {
     val df = Seq(
       // in-zone NSW record inside the outbreak window
