@@ -501,8 +501,12 @@ object SparkEntry {
         graft.functions.DateParser.parseDate(str)
           .flatMap(d => Option(d.startDay).filter(_.nonEmpty).map(_.toLong)))
       // each rendering exercises a different format bank: ISO, dd-MM-uuuu,
-      // dd-MMM-uuuu, MMM-yy (2-digit pivot), dd/MM/yy (truncated year)
+      // dd-MMM-uuuu, MMM-yy (2-digit pivot), dd/MM/yy (truncated year).
+      // Small-SF parquet is one row group = one scan task; spread the
+      // CPU-heavy parser battery across cores first (at production scale
+      // the scan has thousands of splits and this repartition is noise).
       t(s, dir, "orders")
+        .repartition(col("o_orderkey"))
         .select(
           parseYear(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("iso_year"),
           parseMonth(date_format(col("o_orderdate"), "dd-MM-yyyy")).as("dmy_month"),

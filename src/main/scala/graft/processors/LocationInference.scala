@@ -58,6 +58,12 @@ object LocationInference {
   private def colOr(df: DataFrame, name: String, default: Column): Column =
     if (df.columns.contains(name)) col(name) else default
 
+  /** Null-guarded UDF application (see Processors.ng): every UDF here maps
+    * null input → null/false, so guarding is semantics-preserving and lets
+    * Catalyst fold the call away when the input is an absent column. */
+  private def ng(u: org.apache.spark.sql.expressions.UserDefinedFunction)(
+      c: Column): Column = when(c.isNotNull, u(c))
+
   /** Sample the distinct processed coordinates against the layer table and
     * attach the `cl` map (J3 + J4). `layers`: (layerId, value, wkt). A
     * pre-existing `cl` column (REPROCESSING carry-over, see
@@ -98,7 +104,8 @@ object LocationInference {
       col("processed_decimalLongitude").isNull
 
     val stateFromLayers = element_at(cl, cfg.stateLayerId)
-    val stateFromRaw = when(noCoords, stateVocabUdf(rawState))
+    val stateFromRaw = when(noCoords && rawState.isNotNull,
+      stateVocabUdf(rawState))
     val state = coalesce(stateFromLayers, stateFromRaw)
     // reference: state layer beats country layer; defaultCountry overrides
     // when the state layer hit (LocationProcessor.scala:63-67)
@@ -108,15 +115,15 @@ object LocationInference {
       case None => element_at(cl, cfg.countryLayerId)
     }
     val country = coalesce(countryFromLayers,
-      stateToCountryUdf(stateFromRaw),
-      when(noCoords, countryVocabUdf(rawCountry)),
-      countryVocabUdf(rawCountryCode))
+      ng(stateToCountryUdf)(stateFromRaw),
+      when(noCoords && rawCountry.isNotNull, countryVocabUdf(rawCountry)),
+      ng(countryVocabUdf)(rawCountryCode))
     val biome = when(element_at(cl, cfg.terrestrialLayerId).isNotNull,
         lit("Terrestrial"))
       .when(element_at(cl, cfg.marineLayerId).isNotNull, lit("Marine"))
       .otherwise(lit(null).cast("string"))
 
-    val stateSupplied = stateVocabUdf(rawState)
+    val stateSupplied = ng(stateVocabUdf)(rawState)
     val mismatch = rawState.isNotNull && stateFromLayers.isNotNull &&
       stateSupplied.isNotNull && !(stateSupplied <=> stateFromLayers)
 
@@ -124,15 +131,19 @@ object LocationInference {
       .withColumn("processed_country", country)
       .withColumn("processed_biome", biome)
       .withColumn("assertions_inference", array_compact(array(
-        assertCodeIf(rawCountry.isNotNull && countryVocabUdf(rawCountry).isNull,
-          UNKNOWN_COUNTRY_NAME),
+        assertCodeIf(rawCountry.isNotNull &&
+          ng(countryVocabUdf)(rawCountry).isNull, UNKNOWN_COUNTRY_NAME),
         assertCodeIf(countryFromLayers.isNotNull && rawCountry.isNull,
           COUNTRY_INFERRED_FROM_COORDINATES),
         assertCodeIf(mismatch, STATE_COORDINATE_MISMATCH),
-        assertCodeIf(stateCentreUdf(state, rawLat, rawLon),
+        // centre UDFs return false on any null input, so the guard is exact
+        assertCodeIf(state.isNotNull && rawLat.isNotNull && rawLon.isNotNull &&
+          stateCentreUdf(state, rawLat, rawLon),
           COORDINATES_CENTRE_OF_STATEPROVINCE),
-        assertCodeIf(countryCentreUdf(coalesce(country, rawCountry),
-          rawLat, rawLon), COORDINATES_CENTRE_OF_COUNTRY))))
+        assertCodeIf(coalesce(country, rawCountry).isNotNull &&
+          rawLat.isNotNull && rawLon.isNotNull &&
+          countryCentreUdf(coalesce(country, rawCountry), rawLat, rawLon),
+          COORDINATES_CENTRE_OF_COUNTRY))))
   }
 
   /** J5 taxon-profile join + biome-mismatch + conservation statuses.
@@ -160,7 +171,8 @@ object LocationInference {
       .withColumn("processed_globalConservation",
         element_at(conservation, lit("global")))
       .withColumn("assertions_profile", array_compact(array(
-        assertCodeIf(
+        assertCodeIf(biome.isNotNull &&
+          col("processed_speciesHabitats").isNotNull &&
           biomeMismatchUdf(biome, col("processed_speciesHabitats")),
           HABITAT_MISMATCH))))
       .drop("_profileId", "_conservation")
@@ -183,7 +195,11 @@ object LocationInference {
     * Not provided. */
   def processIdentificationQualifier(df: DataFrame): DataFrame = {
     val iqUdf = udf((s: String) => IdentificationQualifier.classify(s))
+    val raw = colOr(df, "identificationQualifier", lit(null).cast("string"))
+    // classify(null) == "Not provided": keep that in the otherwise branch so
+    // the UDF still folds away when the column is absent
     df.withColumn("processed_identificationQualifier",
-      iqUdf(colOr(df, "identificationQualifier", lit(null).cast("string"))))
+      when(raw.isNotNull, iqUdf(raw))
+        .otherwise(lit(IdentificationQualifier.NotProvided)))
   }
 }

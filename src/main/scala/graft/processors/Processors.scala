@@ -4,6 +4,7 @@ import graft.functions.{CoordinateParsers, DateParser}
 import graft.model.AssertionCodes._
 import graft.vocab._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 /** The record-enrichment pipeline: raw Darwin Core strings → typed processed
@@ -109,6 +110,16 @@ object Processors {
   private def colOrNull(df: DataFrame, name: String): Column =
     if (df.columns.contains(name)) col(name).cast("string") else lit(null).cast("string")
 
+  /** Null-guarded UDF application. Every parser/vocab UDF in this pipeline
+    * maps null → null, so the guard is semantics-preserving; what it buys:
+    * Catalyst never constant-folds a ScalaUDF, so an unguarded call whose
+    * input is an absent column's null literal runs once per row (and the
+    * wrapped conversion machinery with it) — the guard folds the whole call
+    * out of the plan at optimize time, and skips invocation for null values
+    * of present columns at run time. */
+  private def ng(u: UserDefinedFunction)(c: Column): Column =
+    when(c.isNotNull, u(c))
+
   /** EVENT stage (reference `processor/EventProcessor.scala:48-654`):
     * eventDate parse with year/month/day fallback, transposed day/month
     * repair, first-of-month/year flags, invalid/missing date assertions. */
@@ -123,26 +134,38 @@ object Processors {
       .withColumn("_mo_raw", colOrNull(df0, "month").try_cast("int"))
       .withColumn("_dy_raw", colOrNull(df0, "day").try_cast("int"))
       .withColumn("_verb_raw", colOrNull(df0, "verbatimEventDate"))
-      .withColumn("_parsed", parseDateUdf(col("_ed_raw")))
-      .withColumn("_parsedVerb", parseDateUdf(col("_verb_raw")))
+      .withColumn("_parsed", ng(parseDateUdf)(col("_ed_raw")))
+      .withColumn("_parsedVerb", ng(parseDateUdf)(col("_verb_raw")))
 
     // day/month transposed repair: month>12 while day≤12
     val transposed = col("_mo_raw").isNotNull && col("_dy_raw").isNotNull &&
       col("_mo_raw") > 12 && col("_dy_raw") <= 12
-    val yr = coalesce(col("_parsed.startYear"), col("_yr_raw"),
+    val yr0 = coalesce(col("_parsed.startYear"), col("_yr_raw"),
       col("_parsedVerb.startYear"))
-    val mo = coalesce(col("_parsed.startMonth"),
+    val mo0 = coalesce(col("_parsed.startMonth"),
       when(transposed, col("_dy_raw")).otherwise(col("_mo_raw")),
       col("_parsedVerb.startMonth"))
-    val dy = coalesce(col("_parsed.startDay"),
+    val dy0 = coalesce(col("_parsed.startDay"),
       when(transposed, col("_mo_raw")).otherwise(col("_dy_raw")),
       col("_parsedVerb.startDay"))
-    val epochStart = coalesce(col("_parsed.startEpochDay"),
+    // Stage the shared intermediates as real columns: the Column DSL inlines
+    // a val into every expression that references it, so leaving yr/mo/dy
+    // inline multiplies their coalesce trees ~10× across the assertion and
+    // processed columns — the blow-up costs nothing at run time (codegen
+    // dedups) but makes every driver-side tree walk (analysis, optimizer,
+    // AQE replanning) proportionally slower. As attributes they are one
+    // node each.
+    val staged = df
+      .withColumn("_yr", yr0).withColumn("_mo", mo0).withColumn("_dy", dy0)
+    val yr = col("_yr"); val mo = col("_mo"); val dy = col("_dy")
+    val epochStart0 = coalesce(col("_parsed.startEpochDay"),
       when(yr.isNotNull && mo.isNotNull && dy.isNotNull,
         datediff(
           try_to_date(concat_ws("-", yr, lpad(mo, 2, "0"), lpad(dy, 2, "0"))),
           lit("1970-01-01"))).otherwise(lit(null)),
       col("_parsedVerb.startEpochDay"))
+    val staged2 = staged.withColumn("_epochStart", epochStart0)
+    val epochStart = col("_epochStart")
 
     val noDateSupplied = col("_ed_raw").isNull && col("_yr_raw").isNull &&
       col("_verb_raw").isNull
@@ -152,7 +175,7 @@ object Processors {
       epochStart > datediff(current_date(), lit("1970-01-01"))
     val pre1600 = yr.isNotNull && yr < 1600
 
-    df.withColumn("processed_eventDate", date_add(lit("1970-01-01"), coalesce(epochStart, lit(0)))
+    staged2.withColumn("processed_eventDate", date_add(lit("1970-01-01"), coalesce(epochStart, lit(0)))
         .cast("date"))
       .withColumn("processed_eventDate",
         when(epochStart.isNotNull, col("processed_eventDate")).otherwise(lit(null)))
@@ -178,7 +201,7 @@ object Processors {
         assertCodeIf(col("_ed_raw").isNotNull && col("_parsed").isNull &&
           col("_yr_raw").isNull, INCOMPLETE_COLLECTION_DATE))))
       .drop("_ed_raw", "_yr_raw", "_mo_raw", "_dy_raw", "_verb_raw",
-        "_parsed", "_parsedVerb")
+        "_parsed", "_parsedVerb", "_yr", "_mo", "_dy", "_epochStart")
   }
 
   /** LOC stage (reference `processor/LocationProcessor.scala:30-943` core):
@@ -205,28 +228,41 @@ object Processors {
       col("_vlat").isNotNull && col("_vlon").isNotNull
     val fromGrid = latDec.isNull && lonDec.isNull && !fromVerbatim &&
       col("_grid").isNotNull
-    val lat0 = coalesce(latDec, verbatimLatLongUdf(col("_vlat")).cast("double"),
-      col("_grid._1"))
-    val lon0 = coalesce(lonDec, verbatimLatLongUdf(col("_vlon")).cast("double"),
-      col("_grid._2"))
+    // stage the shared intermediates as columns (see processEvent): inlined
+    // DSL vals would repeat the parse/validate trees in every assertion
+    // expression below, bloating every driver-side plan walk
+    val stagedA = df
+      .withColumn("_lat0", coalesce(latDec,
+        ng(verbatimLatLongUdf)(col("_vlat")).cast("double"), col("_grid._1")))
+      .withColumn("_lon0", coalesce(lonDec,
+        ng(verbatimLatLongUdf)(col("_vlon")).cast("double"), col("_grid._2")))
+    val lat0 = col("_lat0"); val lon0 = col("_lon0")
 
     // transposition repair: |lat|>90 with |lon|≤90 → swap
     val inverted = lat0.isNotNull && lon0.isNotNull &&
       abs(lat0) > 90 && abs(lat0) <= 180 && abs(lon0) <= 90
-    val lat = when(inverted, lon0).otherwise(lat0)
-    val lon = when(inverted, lat0).otherwise(lon0)
+    val stagedB = stagedA
+      .withColumn("_latT", when(inverted, lon0).otherwise(lat0))
+      .withColumn("_lonT", when(inverted, lat0).otherwise(lon0))
+      .withColumn("_uncP", ng(distanceUdf)(col("_unc")))
+    val lat = col("_latT"); val lon = col("_lonT")
+    val uncParsed = col("_uncP")
 
     val outOfRange = lat.isNotNull && lon.isNotNull &&
       (abs(lat) > 90 || abs(lon) > 180)
     val zeroZero = lat === 0 && lon === 0
-    val uncParsed = distanceUdf(col("_unc"))
     val uncBad = col("_unc").isNotNull && (uncParsed.isNull || uncParsed <= 0)
 
-    val validLat = when(outOfRange, lit(null)).otherwise(lat)
-    val validLon = when(outOfRange, lit(null)).otherwise(lon)
-    df.withColumn("_dr",
-        datumResolveUdf(validLat.cast("double"), validLon.cast("double"),
-          col("_datum")))
+    val stagedC = stagedB
+      .withColumn("_validLat", when(outOfRange, lit(null)).otherwise(lat))
+      .withColumn("_validLon", when(outOfRange, lit(null)).otherwise(lon))
+    val validLat = col("_validLat"); val validLon = col("_validLon")
+    // guard on _datum: the UDF's own contract is null-on-null-datum, so the
+    // call folds away entirely when no geodeticDatum column exists
+    stagedC.withColumn("_dr",
+        when(col("_datum").isNotNull,
+          datumResolveUdf(validLat.cast("double"), validLon.cast("double"),
+            col("_datum"))))
       // Datum resolution (reference `vocab/GeodeticDatum.scala` +
       // `GISUtil.reprojectCoordinatesToWGS84`): AGD66/AGD84/NZGD49/NAD27
       // coordinates are reprojected to WGS84 via the published Helmert
@@ -259,7 +295,9 @@ object Processors {
         assertCodeIf(col("_dr.converted") === true, DECIMAL_LAT_LONG_CONVERTED),
         assertCodeIf(lat.isNotNull && col("_unc").isNull, UNCERTAINTY_NOT_SPECIFIED),
         assertCodeIf(uncBad, UNCERTAINTY_RANGE_MISMATCH))))
-      .drop("_latS", "_lonS", "_vlat", "_vlon", "_unc", "_datum", "_grid", "_dr")
+      .drop("_latS", "_lonS", "_vlat", "_vlon", "_unc", "_datum", "_grid",
+        "_dr", "_lat0", "_lon0", "_latT", "_lonT", "_uncP",
+        "_validLat", "_validLon")
   }
 
   /** Altitude/depth checks (reference
@@ -272,8 +310,8 @@ object Processors {
     val df = df0
       .withColumn("_velev", colOrNull(df0, "verbatimElevation"))
       .withColumn("_vdepth", colOrNull(df0, "verbatimDepth"))
-      .withColumn("_velevP", distUnitUdf(col("_velev")))
-      .withColumn("_vdepthP", distUnitUdf(col("_vdepth")))
+      .withColumn("_velevP", ng(distUnitUdf)(col("_velev")))
+      .withColumn("_vdepthP", ng(distUnitUdf)(col("_vdepth")))
       .withColumn("_minD", colOrNull(df0, "minimumDepthInMeters").try_cast("float"))
       .withColumn("_maxD", colOrNull(df0, "maximumDepthInMeters").try_cast("float"))
       .withColumn("_minE", colOrNull(df0, "minimumElevationInMeters").try_cast("float"))
@@ -312,7 +350,7 @@ object Processors {
   /** BOR stage (reference `processor/BasisOfRecordProcessor.scala:22-54`). */
   def processBasisOfRecord(df0: DataFrame): DataFrame = {
     val raw = colOrNull(df0, "basisOfRecord")
-    val matched = vocabUdf(BasisOfRecord)(raw)
+    val matched = ng(vocabUdf(BasisOfRecord))(raw)
     df0.withColumn("processed_basisOfRecord", matched)
       .withColumn("assertions_bor", array_compact(array(
         assertCodeIf(raw.isNull, MISSING_BASIS_OF_RECORD),
@@ -324,9 +362,9 @@ object Processors {
     * sex vocab normalisation, collector-name normalisation. */
   def processMiscellaneous(df0: DataFrame): DataFrame = {
     val status = colOrNull(df0, "occurrenceStatus")
-    val statusM = vocabUdf(OccurrenceStatus)(status)
+    val statusM = ng(vocabUdf(OccurrenceStatus))(status)
     val ts = colOrNull(df0, "typeStatus")
-    val tsM = vocabUdf(TypeStatus)(ts)
+    val tsM = ng(vocabUdf(TypeStatus))(ts)
     val sexRaw = colOrNull(df0, "sex")
     df0.withColumn("processed_occurrenceStatus",
         // reference MiscellaneousProcessor.processOccurrenceStatus: blank →
@@ -334,13 +372,14 @@ object Processors {
         when(status.isNull, lit("present"))
           .otherwise(coalesce(statusM, lit("unknown"))))
       .withColumn("processed_typeStatus", tsM)
-      .withColumn("processed_sex", vocabUdf(Sex)(sexRaw))
+      .withColumn("processed_sex", ng(vocabUdf(Sex))(sexRaw))
       .withColumn("processed_lifeStage",
-        vocabUdf(LifeStage)(colOrNull(df0, "lifeStage")))
+        ng(vocabUdf(LifeStage))(colOrNull(df0, "lifeStage")))
       .withColumn("processed_establishmentMeans",
-        establishmentMeansUdf(colOrNull(df0, "establishmentMeans")))
-      .withColumn("processed_license", licenseUdf(colOrNull(df0, "license")))
-      .withColumn("processed_recordedBy", collectorUdf(colOrNull(df0, "recordedBy")))
+        ng(establishmentMeansUdf)(colOrNull(df0, "establishmentMeans")))
+      .withColumn("processed_license", ng(licenseUdf)(colOrNull(df0, "license")))
+      .withColumn("processed_recordedBy",
+        ng(collectorUdf)(colOrNull(df0, "recordedBy")))
       .withColumn("assertions_misc", array_compact(array(
         assertCodeIf(status.isNotNull && statusM.isNull, UNRECOGNISED_OCCURRENCE_STATUS),
         assertCodeIf(status.isNull, ASSUMED_PRESENT_OCCURRENCE_STATUS),
@@ -362,7 +401,8 @@ object Processors {
       bc.value.lookup(name, kingdom))
     val nameRaw = colOrNull(df0, "scientificName")
     val kingdomRaw = colOrNull(df0, "kingdom")
-    df0.withColumn("_nm", lookupUdf(nameRaw, kingdomRaw))
+    df0.withColumn("_nm",
+        when(nameRaw.isNotNull, lookupUdf(nameRaw, kingdomRaw)))
       .withColumn("processed_taxonConceptID", col("_nm.taxonConceptID"))
       .withColumn("processed_scientificName", col("_nm.acceptedName"))
       .withColumn("processed_taxonRank", col("_nm.taxonRank"))
