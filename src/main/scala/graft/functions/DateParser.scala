@@ -50,8 +50,10 @@ object DateParser {
   // reference ISOMonthDate: MMM-uuuu / MMMM uuuu / MM uuuu
   private val monthNameYear = """([A-Za-z]{3,})[-/ ](\d{4})""".r
   private val mmSpaceYear = """(\d{1,2}) (\d{4})""".r
-  // reference NonISOTruncatedYearDate: dd-MM-yy / dd/MM/yy (+ MMM forms)
-  private val dmTruncYear = """(\d{1,2})[-/](\d{1,2})[-/](\d{2})""".r
+  // reference NonISOTruncatedYearDate: STRICT dd-MM-yy / dd/MM/yy — the
+  // reference's DateTimeFormatter patterns require two-digit day and month,
+  // so "24-5-26" stays unparseable (ambiguous; ProcessEventTest:734)
+  private val dmTruncYear = """(\d{2})[-/](\d{2})[-/](\d{2})""".r
   private val dmyMonthNameTrunc = """(\d{1,2})[-/ ]([A-Za-z]{3,})[-/ ](\d{2})""".r
   private val monthNameTruncYear = """([A-Za-z]{3,})[-/ ](\d{2})""".r
   // reference ISOVerboseDateTime: EEE MMM dd HH:mm:ss zzz uuuu

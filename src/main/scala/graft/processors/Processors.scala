@@ -120,88 +120,49 @@ object Processors {
   private def ng(u: UserDefinedFunction)(c: Column): Column =
     when(c.isNotNull, u(c))
 
-  /** EVENT stage (reference `processor/EventProcessor.scala:48-654`):
-    * eventDate parse with year/month/day fallback, transposed day/month
-    * repair, first-of-month/year flags, invalid/missing date assertions. */
+  /** EVENT stage (reference `processor/EventProcessor.scala:48-654`): one
+    * kernel UDF per row running the reference's full control flow — y/m/d
+    * triage + transposition repair, year pivot/validation (First Fleet,
+    * out-of-range, future), eventDate/eventDateEnd/verbatim resolution,
+    * other-date checks, first-of flags, and datePrecision reformatting.
+    * See [[graft.functions.EventKernel]] for the port notes. */
+  private val eventUdf = udf(
+    (ed: String, edEnd: String, y: String, m: String, d: String,
+        verb: String, dp: String, mod: String, di: String, gd: String) =>
+      graft.functions.EventKernel.process(ed, edEnd, y, m, d, verb, dp, mod, di, gd))
+
+  /** Kernel result for an all-null row — what absent-column datasets fold
+    * to at plan time (the guarded UDF below never runs for them). */
+  private lazy val eventAllNull: graft.functions.EventResult =
+    graft.functions.EventKernel.process(null, null, null, null, null, null,
+      null, null, null, null)
+
   def processEvent(df0: DataFrame): DataFrame = {
-    // try_cast everywhere raw user strings are typed: Spark 4 runs ANSI mode
-    // by default, where cast('int') on "june" THROWS instead of yielding
-    // null — one malformed record must not crash the job (the reference
-    // parsers tolerate garbage by design).
-    val df = df0
-      .withColumn("_ed_raw", colOrNull(df0, "eventDate"))
-      .withColumn("_yr_raw", colOrNull(df0, "year").try_cast("int"))
-      .withColumn("_mo_raw", colOrNull(df0, "month").try_cast("int"))
-      .withColumn("_dy_raw", colOrNull(df0, "day").try_cast("int"))
-      .withColumn("_verb_raw", colOrNull(df0, "verbatimEventDate"))
-      .withColumn("_parsed", ng(parseDateUdf)(col("_ed_raw")))
-      .withColumn("_parsedVerb", ng(parseDateUdf)(col("_verb_raw")))
-
-    // day/month transposed repair: month>12 while day≤12
-    val transposed = col("_mo_raw").isNotNull && col("_dy_raw").isNotNull &&
-      col("_mo_raw") > 12 && col("_dy_raw") <= 12
-    val yr0 = coalesce(col("_parsed.startYear"), col("_yr_raw"),
-      col("_parsedVerb.startYear"))
-    val mo0 = coalesce(col("_parsed.startMonth"),
-      when(transposed, col("_dy_raw")).otherwise(col("_mo_raw")),
-      col("_parsedVerb.startMonth"))
-    val dy0 = coalesce(col("_parsed.startDay"),
-      when(transposed, col("_mo_raw")).otherwise(col("_dy_raw")),
-      col("_parsedVerb.startDay"))
-    // Stage the shared intermediates as real columns: the Column DSL inlines
-    // a val into every expression that references it, so leaving yr/mo/dy
-    // inline multiplies their coalesce trees ~10× across the assertion and
-    // processed columns — the blow-up costs nothing at run time (codegen
-    // dedups) but makes every driver-side tree walk (analysis, optimizer,
-    // AQE replanning) proportionally slower. As attributes they are one
-    // node each.
-    val staged = df
-      .withColumn("_yr", yr0).withColumn("_mo", mo0).withColumn("_dy", dy0)
-    val yr = col("_yr"); val mo = col("_mo"); val dy = col("_dy")
-    val epochStart0 = coalesce(col("_parsed.startEpochDay"),
-      when(yr.isNotNull && mo.isNotNull && dy.isNotNull,
-        datediff(
-          try_to_date(concat_ws("-", yr, lpad(mo, 2, "0"), lpad(dy, 2, "0"))),
-          lit("1970-01-01"))).otherwise(lit(null)),
-      col("_parsedVerb.startEpochDay"))
-    val staged2 = staged.withColumn("_epochStart", epochStart0)
-    val epochStart = col("_epochStart")
-
-    val noDateSupplied = col("_ed_raw").isNull && col("_yr_raw").isNull &&
-      col("_verb_raw").isNull
-    val unparseable = (col("_ed_raw").isNotNull && col("_parsed").isNull) ||
-      (yr.isNotNull && mo.isNotNull && dy.isNotNull && epochStart.isNull)
-    val future = epochStart.isNotNull &&
-      epochStart > datediff(current_date(), lit("1970-01-01"))
-    val pre1600 = yr.isNotNull && yr < 1600
-
-    staged2.withColumn("processed_eventDate", date_add(lit("1970-01-01"), coalesce(epochStart, lit(0)))
-        .cast("date"))
-      .withColumn("processed_eventDate",
-        when(epochStart.isNotNull, col("processed_eventDate")).otherwise(lit(null)))
-      .withColumn("processed_eventDateEnd",
-        when(col("_parsed.endEpochDay").isNotNull,
-          date_add(lit("1970-01-01"), col("_parsed.endEpochDay")).cast("date"))
-          .otherwise(lit(null)))
-      .withColumn("processed_year", yr)
-      .withColumn("processed_month", mo)
-      .withColumn("processed_day", dy)
-      .withColumn("assertions_event", array_compact(array(
-        assertCodeIf(noDateSupplied, MISSING_COLLECTION_DATE),
-        assertCodeIf(unparseable || future || pre1600, INVALID_COLLECTION_DATE),
-        assertCodeIf(transposed, DAY_MONTH_TRANSPOSED),
-        // reference processFirstDates (EventProcessor.scala:357-375): day 1
-        // always flags FIRST_OF_MONTH; Jan 1 additionally FIRST_OF_YEAR;
-        // year divisible by 100 additionally FIRST_OF_CENTURY (nested, so
-        // Jan 1 1900 carries all three)
-        assertCodeIf(dy === 1, FIRST_OF_MONTH),
-        assertCodeIf(dy === 1 && mo === 1, FIRST_OF_YEAR),
-        assertCodeIf(dy === 1 && mo === 1 && yr.isNotNull && yr > 0 &&
-          yr % 100 === 0, FIRST_OF_CENTURY),
-        assertCodeIf(col("_ed_raw").isNotNull && col("_parsed").isNull &&
-          col("_yr_raw").isNull, INCOMPLETE_COLLECTION_DATE))))
-      .drop("_ed_raw", "_yr_raw", "_mo_raw", "_dy_raw", "_verb_raw",
-        "_parsed", "_parsedVerb", "_yr", "_mo", "_dy", "_epochStart")
+    val ins = Seq("eventDate", "eventDateEnd", "year", "month", "day",
+      "verbatimEventDate", "datePrecision", "modified", "dateIdentified",
+      "georeferencedDate").map(colOrNull(df0, _))
+    // guard like ng(): when every input column is absent the whole call
+    // folds to the all-null constants below instead of running per row
+    val anyInput = coalesce(ins: _*).isNotNull
+    val df = df0.withColumn("_ev", when(anyInput, eventUdf(ins: _*)))
+    def epochToDate(c: Column): Column =
+      when(c.isNotNull,
+        date_add(lit("1970-01-01"), coalesce(c, lit(0))).cast("date"))
+    df.withColumn("processed_eventDate", epochToDate(col("_ev.startEpochDay")))
+      .withColumn("processed_eventDateEnd", epochToDate(col("_ev.endEpochDay")))
+      .withColumn("processed_year", col("_ev.year"))
+      .withColumn("processed_month", col("_ev.month"))
+      .withColumn("processed_day", col("_ev.day"))
+      .withColumn("processed_datePrecision",
+        coalesce(col("_ev.datePrecision"), lit(eventAllNull.datePrecision)))
+      .withColumn("processed_modified", epochToDate(col("_ev.modifiedEpochDay")))
+      .withColumn("processed_dateIdentified",
+        epochToDate(col("_ev.dateIdentifiedEpochDay")))
+      .withColumn("processed_georeferencedDate",
+        epochToDate(col("_ev.georeferencedEpochDay")))
+      .withColumn("assertions_event",
+        coalesce(col("_ev.codes"), typedlit(eventAllNull.codes.toSeq)))
+      .drop("_ev")
   }
 
   /** LOC stage (reference `processor/LocationProcessor.scala:30-943` core):
