@@ -830,8 +830,8 @@ object SparkEntry {
     "q47_enrich_assertions" ->
       """WITH per_row AS (
         | SELECT list_concat(list_concat(list_concat(
-        |   [20018, 30, 51, 27],
-        |   CASE WHEN lat = 0 AND lon = 0 THEN [4]
+        |   [20018, 51, 27, 29, 31, 32, 33, 34, 42],
+        |   CASE WHEN lat = 0 AND lon = 0 THEN [4, 53, 54]
         |        WHEN lat = 0 THEN [53]
         |        WHEN lon = 0 THEN [54] ELSE [] END),
         |   CASE WHEN day(o_orderdate) = 1 AND month(o_orderdate) = 1

@@ -166,99 +166,68 @@ object Processors {
   }
 
   /** LOC stage (reference `processor/LocationProcessor.scala:30-943` core):
-    * decimal parse with verbatim-DMS fallback, inverted/negated/zero/range
-    * validation, uncertainty parsing. */
+    * one kernel UDF per row running the reference's full coordinate path —
+    * decimal/verbatim/easting-northing/grid resolution, datum handling and
+    * reprojection, inverted/negated/zero/range validation with the country
+    * bounding-box repair, and uncertainty/precision checks. See
+    * [[graft.functions.LocationKernel]] for the port notes. Georeference
+    * completeness checks stay column-side. */
+  // 13 inputs exceed the 10-arg scala UDF limit; one array argument instead
+  private val locationUdf = udf((a: Seq[String]) =>
+    graft.functions.LocationKernel.process(a(0), a(1), a(2), a(3), a(4),
+      a(5), a(6), a(7), a(8), a(9), a(10), a(11), a(12)))
+
+  /** Kernel result for an all-null row (plan-time constant for absent
+    * columns, like eventAllNull). */
+  private lazy val locationAllNull: graft.functions.LocationResult =
+    graft.functions.LocationKernel.process(null, null, null, null, null,
+      null, null, null, null, null, null, null, null)
+
   def processLocation(df0: DataFrame): DataFrame = {
-    val df = df0
-      .withColumn("_latS", colOrNull(df0, "decimalLatitude"))
-      .withColumn("_lonS", colOrNull(df0, "decimalLongitude"))
-      .withColumn("_vlat", colOrNull(df0, "verbatimLatitude"))
-      .withColumn("_vlon", colOrNull(df0, "verbatimLongitude"))
-      .withColumn("_unc", colOrNull(df0, "coordinateUncertaintyInMeters"))
-      .withColumn("_datum", colOrNull(df0, "geodeticDatum"))
-      .withColumn("_grid",
-        when(colOrNull(df0, "gridReference").isNotNull,
-          gridRefUdf(colOrNull(df0, "gridReference"))).otherwise(lit(null)))
+    val ins = Seq("decimalLatitude", "decimalLongitude", "geodeticDatum",
+      "verbatimLatitude", "verbatimLongitude", "verbatimSRS", "easting",
+      "northing", "zone", "gridReference", "coordinateUncertaintyInMeters",
+      "coordinatePrecision", "country").map(colOrNull(df0, _))
+    val anyInput = coalesce(ins: _*).isNotNull
+    val df = df0.withColumn("_lr",
+      when(anyInput, locationUdf(array(ins: _*))))
 
-    // ANSI-safe: try_cast returns null on non-numeric strings where plain
-    // cast throws; the "unparseable coordinates" assertion paths below
-    // depend on the null
-    val latDec = col("_latS").try_cast("double")
-    val lonDec = col("_lonS").try_cast("double")
-    val fromVerbatim = latDec.isNull && lonDec.isNull &&
-      col("_vlat").isNotNull && col("_vlon").isNotNull
-    val fromGrid = latDec.isNull && lonDec.isNull && !fromVerbatim &&
-      col("_grid").isNotNull
-    // stage the shared intermediates as columns (see processEvent): inlined
-    // DSL vals would repeat the parse/validate trees in every assertion
-    // expression below, bloating every driver-side plan walk
-    val stagedA = df
-      .withColumn("_lat0", coalesce(latDec,
-        ng(verbatimLatLongUdf)(col("_vlat")).cast("double"), col("_grid._1")))
-      .withColumn("_lon0", coalesce(lonDec,
-        ng(verbatimLatLongUdf)(col("_vlon")).cast("double"), col("_grid._2")))
-    val lat0 = col("_lat0"); val lon0 = col("_lon0")
+    // validateGeoreferenceValues (:756-790) + checkLocationSupplied
+    // (:117-128): completeness checks + raw passthroughs
+    val georefBy = colOrNull(df0, "georeferencedBy")
+    val georefProtocol = colOrNull(df0, "georeferenceProtocol")
+    val georefSources = colOrNull(df0, "georeferenceSources")
+    val georefStatus = colOrNull(df0, "georeferenceVerificationStatus")
+    val georefRemarks = colOrNull(df0, "georeferenceRemarks")
+    val georefDate = colOrNull(df0, "georeferencedDate")
+    val rawDatum = colOrNull(df0, "geodeticDatum")
+    val noLocationContext = colOrNull(df0, "footprintWKT").isNull &&
+      colOrNull(df0, "locality").isNull && colOrNull(df0, "locationID").isNull
 
-    // transposition repair: |lat|>90 with |lon|≤90 → swap
-    val inverted = lat0.isNotNull && lon0.isNotNull &&
-      abs(lat0) > 90 && abs(lat0) <= 180 && abs(lon0) <= 90
-    val stagedB = stagedA
-      .withColumn("_latT", when(inverted, lon0).otherwise(lat0))
-      .withColumn("_lonT", when(inverted, lat0).otherwise(lon0))
-      .withColumn("_uncP", ng(distanceUdf)(col("_unc")))
-    val lat = col("_latT"); val lon = col("_lonT")
-    val uncParsed = col("_uncP")
-
-    val outOfRange = lat.isNotNull && lon.isNotNull &&
-      (abs(lat) > 90 || abs(lon) > 180)
-    val zeroZero = lat === 0 && lon === 0
-    val uncBad = col("_unc").isNotNull && (uncParsed.isNull || uncParsed <= 0)
-
-    val stagedC = stagedB
-      .withColumn("_validLat", when(outOfRange, lit(null)).otherwise(lat))
-      .withColumn("_validLon", when(outOfRange, lit(null)).otherwise(lon))
-    val validLat = col("_validLat"); val validLon = col("_validLon")
-    // guard on _datum: the UDF's own contract is null-on-null-datum, so the
-    // call folds away entirely when no geodeticDatum column exists
-    stagedC.withColumn("_dr",
-        when(col("_datum").isNotNull,
-          datumResolveUdf(validLat.cast("double"), validLon.cast("double"),
-            col("_datum"))))
-      // Datum resolution (reference `vocab/GeodeticDatum.scala` +
-      // `GISUtil.reprojectCoordinatesToWGS84`): AGD66/AGD84/NZGD49/NAD27
-      // coordinates are reprojected to WGS84 via the published Helmert
-      // transforms (geo/DatumTransform) and flagged converted; recognised
-      // datums without a transform keep their truthful EPSG label — never a
-      // blanket EPSG:4326 stamp.
-      .withColumn("processed_decimalLatitude",
-        coalesce(col("_dr.lat"), validLat.cast("double")))
-      .withColumn("processed_decimalLongitude",
-        coalesce(col("_dr.lon"), validLon.cast("double")))
-      .withColumn("processed_geodeticDatum", col("_dr.label"))
+    df.withColumn("processed_decimalLatitude", col("_lr.lat"))
+      .withColumn("processed_decimalLongitude", col("_lr.lon"))
+      .withColumn("processed_geodeticDatum", col("_lr.datum"))
       .withColumn("processed_coordinateUncertaintyInMeters",
-        coalesce(when(uncParsed > 0, uncParsed.cast("double")),
-          when(fromGrid, col("_grid._3"))))
-      .withColumn("assertions_loc", array_compact(array(
-        assertCodeIf(lat0.isNull && lon0.isNull, DECIMAL_COORDINATES_NOT_SUPPLIED),
-        assertCodeIf(fromVerbatim && lat0.isNotNull && lon0.isNotNull,
-          DECIMAL_LAT_LONG_CALCULATED_FROM_VERBATIM),
-        assertCodeIf(fromGrid, DECIMAL_LAT_LONG_CALCULATED_FROM_GRID_REF),
-        assertCodeIf(inverted, INVERTED_COORDINATES),
-        assertCodeIf(outOfRange, COORDINATES_OUT_OF_RANGE),
-        assertCodeIf(zeroZero, ZERO_COORDINATES),
-        assertCodeIf(lat === 0 && !zeroZero, ZERO_LATITUDE_COORDINATES),
-        assertCodeIf(lon === 0 && !zeroZero, ZERO_LONGITUDE_COORDINATES),
-        assertCodeIf(lat.isNotNull && col("_datum").isNull, MISSING_GEODETICDATUM),
-        assertCodeIf(lat.isNotNull && col("_datum").isNull,
-          GEODETIC_DATUM_ASSUMED_WGS84),
-        assertCodeIf(col("_datum").isNotNull && col("_dr.label").isNull,
-          UNRECOGNIZED_GEODETIC_DATUM),
-        assertCodeIf(col("_dr.converted") === true, DECIMAL_LAT_LONG_CONVERTED),
-        assertCodeIf(lat.isNotNull && col("_unc").isNull, UNCERTAINTY_NOT_SPECIFIED),
-        assertCodeIf(uncBad, UNCERTAINTY_RANGE_MISMATCH))))
-      .drop("_latS", "_lonS", "_vlat", "_vlon", "_unc", "_datum", "_grid",
-        "_dr", "_lat0", "_lon0", "_latT", "_lonT", "_uncP",
-        "_validLat", "_validLon")
+        col("_lr.uncertainty"))
+      .withColumn("processed_georeferencedBy", georefBy)
+      .withColumn("processed_georeferenceProtocol", georefProtocol)
+      .withColumn("processed_georeferenceSources", georefSources)
+      .withColumn("processed_georeferenceVerificationStatus", georefStatus)
+      .withColumn("processed_georeferenceRemarks", georefRemarks)
+      .withColumn("assertions_loc", concat(
+        coalesce(col("_lr.codes"), typedlit(locationAllNull.codes.toSeq)),
+        array_compact(array(
+          assertCodeIf(rawDatum.isNull && col("_lr.datum").isNull,
+            MISSING_GEODETICDATUM),
+          assertCodeIf(georefBy.isNull, MISSING_GEOREFERENCEDBY),
+          assertCodeIf(georefProtocol.isNull, MISSING_GEOREFERENCEPROTOCOL),
+          assertCodeIf(georefSources.isNull, MISSING_GEOREFERENCESOURCES),
+          assertCodeIf(georefStatus.isNull,
+            MISSING_GEOREFERENCEVERIFICATIONSTATUS),
+          assertCodeIf(georefDate.isNull, MISSING_GEOREFERENCE_DATE),
+          assertCodeIf((col("_lr.lat").isNull || col("_lr.lon").isNull) &&
+            noLocationContext, LOCATION_NOT_SUPPLIED)))))
+      .drop("_lr")
   }
 
   /** Altitude/depth checks (reference

@@ -50,6 +50,24 @@ trait CentrePoints extends Serializable {
     if (dp > 0) { val f = math.pow(10, dp); (v * f).toLong / f }
     else math.round(v).toDouble
 
+  /** Region bounding box (north, east, south, west), vocab-resolved
+    * (reference `CountryCentrePoints.matchName` → `BBox`). */
+  def boundingBox(name: String): Option[(Double, Double, Double, Double)] =
+    lookup(name).map { case (_, _, north, east, south, west) =>
+      (north, east, south, west)
+    }
+
+  /** Point-in-bbox with date-line handling (reference `vocab/BBox.scala`). */
+  def bboxContains(bbox: (Double, Double, Double, Double), lat: Double,
+      lon: Double): Boolean = {
+    val (north, east, south, west) = bbox
+    if (east < west) // crosses the date line
+      north >= lat && south <= lat &&
+        ((lon >= -180 && lon <= east) || (lon >= west && lon <= 180))
+    else
+      north >= lat && south <= lat && east >= lon && west <= lon
+  }
+
   /** Hemisphere letters covered by the region's bounding box (reference
     * `CentrePoints.getHemispheres`). */
   def getHemispheres(name: String): Option[Set[Char]] =

@@ -168,7 +168,9 @@ class ProcessorsSpec extends AnyFunSuite {
     assert(j.getSeq[Int](3).contains(52)) // UNRECOGNIZED_GEODETIC_DATUM
     val n = row("nodatum")
     assert(n.getSeq[Int](3).contains(51)) // GEODETIC_DATUM_ASSUMED_WGS84
-    assert(n.getSeq[Int](3).contains(30)) // MISSING_GEODETICDATUM
+    // reference validateGeoreferenceValues: the assumed WGS84 label counts
+    // as a processed datum, so MISSING_GEODETICDATUM passes
+    assert(!n.getSeq[Int](3).contains(30))
   }
 
   test("altitude/depth: feet conversion, range checks, min/max repair") {
