@@ -830,7 +830,8 @@ object SparkEntry {
     "q47_enrich_assertions" ->
       """WITH per_row AS (
         | SELECT list_concat(list_concat(list_concat(
-        |   [20018, 51, 27, 29, 31, 32, 33, 34, 42],
+        |   [20018, 51, 27, 29, 31, 32, 33, 34, 42,
+        |    20015, 10009, 10010, 10011, 10012],
         |   CASE WHEN lat = 0 AND lon = 0 THEN [4, 53, 54]
         |        WHEN lat = 0 THEN [53]
         |        WHEN lon = 0 THEN [54] ELSE [] END),

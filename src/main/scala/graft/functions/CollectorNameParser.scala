@@ -57,6 +57,9 @@ object CollectorNameParser {
     if (raw == null) return None
     var s = raw.trim.stripPrefix("\"").stripSuffix("\"").trim
     if (s.isEmpty) return None
+    // a name needs at least one letter; pure symbols/digits are unparsable
+    // (reference MiscellaneousProcessor → RECORDED_BY_UNPARSABLE)
+    if (!s.exists(_.isLetter)) return None
     if (emailPattern.findFirstIn(s).isDefined) return Some(s)
     s = bracketPattern.replaceAllIn(s, " ")
     s = etAlPattern.replaceAllIn(s, " ")

@@ -97,15 +97,40 @@ object Processors {
   }
   private val licenseUdf = udf((s: String) =>
     Option(s).filter(_.trim.nonEmpty).flatMap(License.matchRegex))
-  // establishmentMeans is ";"-delimited in the wild; each part vocab-mapped,
-  // unmatched parts preserved (reference MiscellaneousProcessor.scala:96-106)
+  // establishmentMeans is ";"-delimited in the wild; each part vocab-mapped
+  // and UNMATCHED PARTS DROPPED (reference
+  // MiscellaneousProcessor.processEstablishmentMeans:96-110 — "not
+  // cultivated; missing from vocab" → "not cultivated"); all-unmatched
+  // leaves the field null
   private val establishmentMeansUdf = udf { (s: String) =>
     Option(s).filter(_.trim.nonEmpty).map { v =>
       v.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
-        .map(p => EstablishmentMeans.matchTerm(p).getOrElse(p))
+        .flatMap(p => EstablishmentMeans.matchTerm(p))
         .distinct.mkString("; ")
-    }
+    }.filter(_.nonEmpty)
   }
+
+  /** The reference's cultivated/escapee establishmentMeans values
+    * (MiscellaneousProcessor.scala:112, "FIXME extract to a vocabulary"). */
+  private val cultivatedMeans = Seq("cultivated", "assumed to be cultivated",
+    "formerly cultivated (extinct)", "possibly cultivated",
+    "presumably cultivated")
+
+  // interaction prefix of associatedTaxa ("infects:Tax on" → "Infects");
+  // reference MiscellaneousProcessor.processInteractions:151-169
+  private val interactionUdf = udf { (s: String) =>
+    val pat = """([A-Za-z]*):([\x00-\x7F\s]*)""".r
+    Option(s).filter(_.nonEmpty).flatMap {
+      case pat(interaction, _) => Interactions.matchTerm(interaction)
+      case _ => None
+    }.map(Array(_))
+  }
+
+  // reference processCollectors: parseForList, "|"-joined canonical forms;
+  // unparsable non-blank input asserts RECORDED_BY_UNPARSABLE
+  private val collectorsUdf = udf((s: String) =>
+    graft.functions.CollectorNameParser.parseForList(s)
+      .map(_.filter(_ != null).mkString("|")))
 
   private def colOrNull(df: DataFrame, name: String): Column =
     if (df.columns.contains(name)) col(name).cast("string") else lit(null).cast("string")
@@ -289,14 +314,20 @@ object Processors {
 
   /** IMAGE/misc stage (reference `processor/MiscellaneousProcessor.scala` +
     * `processor/TypeStatusProcessor.scala`): occurrenceStatus, typeStatus,
-    * sex vocab normalisation, collector-name normalisation. */
+    * sex vocab normalisation, collector-name parsing, establishment-means
+    * mapping with the cultivated/escapee check, interactions from
+    * associatedTaxa, identification/catalogue completeness checks, and the
+    * generalised-data flag. */
   def processMiscellaneous(df0: DataFrame): DataFrame = {
     val status = colOrNull(df0, "occurrenceStatus")
     val statusM = ng(vocabUdf(OccurrenceStatus))(status)
     val ts = colOrNull(df0, "typeStatus")
     val tsM = ng(vocabUdf(TypeStatus))(ts)
     val sexRaw = colOrNull(df0, "sex")
-    df0.withColumn("processed_occurrenceStatus",
+    val recordedBy = colOrNull(df0, "recordedBy")
+    val em = colOrNull(df0, "establishmentMeans")
+    val staged = df0
+      .withColumn("processed_occurrenceStatus",
         // reference MiscellaneousProcessor.processOccurrenceStatus: blank →
         // assumed "present"; supplied but unrecognised → "unknown"
         when(status.isNull, lit("present"))
@@ -305,15 +336,41 @@ object Processors {
       .withColumn("processed_sex", ng(vocabUdf(Sex))(sexRaw))
       .withColumn("processed_lifeStage",
         ng(vocabUdf(LifeStage))(colOrNull(df0, "lifeStage")))
-      .withColumn("processed_establishmentMeans",
-        ng(establishmentMeansUdf)(colOrNull(df0, "establishmentMeans")))
+      .withColumn("processed_establishmentMeans", ng(establishmentMeansUdf)(em))
       .withColumn("processed_license", ng(licenseUdf)(colOrNull(df0, "license")))
-      .withColumn("processed_recordedBy",
-        ng(collectorUdf)(colOrNull(df0, "recordedBy")))
-      .withColumn("assertions_misc", array_compact(array(
-        assertCodeIf(status.isNotNull && statusM.isNull, UNRECOGNISED_OCCURRENCE_STATUS),
-        assertCodeIf(status.isNull, ASSUMED_PRESENT_OCCURRENCE_STATUS),
-        assertCodeIf(ts.isNotNull && tsM.isNull, UNRECOGNISED_TYPESTATUS))))
+      .withColumn("processed_recordedBy", ng(collectorsUdf)(recordedBy))
+      .withColumn("processed_interactions",
+        ng(interactionUdf)(colOrNull(df0, "associatedTaxa")))
+      // media identifiers pass through (processImages:175-179)
+      .withColumn("processed_images", colOrNull(df0, "images"))
+      .withColumn("processed_sounds", colOrNull(df0, "sounds"))
+      .withColumn("processed_videos", colOrNull(df0, "videos"))
+    val cultivated = cultivatedMeans.map(m =>
+      array_contains(split(col("processed_establishmentMeans"), "; "), m))
+      .reduce(_ || _)
+    staged.withColumn("assertions_misc", array_compact(array(
+      assertCodeIf(status.isNotNull && statusM.isNull, UNRECOGNISED_OCCURRENCE_STATUS),
+      assertCodeIf(status.isNull, ASSUMED_PRESENT_OCCURRENCE_STATUS),
+      assertCodeIf(ts.isNotNull && tsM.isNull, UNRECOGNISED_TYPESTATUS),
+      // processMiscOccurrence (:63-77)
+      assertCodeIf(colOrNull(df0, "catalogNumber").isNull, MISSING_CATALOGUENUMBER),
+      assertCodeIf(colOrNull(df0, "dataGeneralizations").isNotNull,
+        DATA_ARE_GENERALISED),
+      // processEstablishmentMeans (:112-118): only checked when supplied
+      assertCodeIf(em.isNotNull &&
+        col("processed_establishmentMeans").isNotNull && cultivated,
+        OCCURRENCE_IS_CULTIVATED_OR_ESCAPEE),
+      // processCollectors (:82-93)
+      assertCodeIf(recordedBy.isNotNull &&
+        col("processed_recordedBy").isNull, RECORDED_BY_UNPARSABLE),
+      // processIdentification (:121-140)
+      assertCodeIf(colOrNull(df0, "identificationQualifier").isNull,
+        MISSING_IDENTIFICATIONQUALIFIER),
+      assertCodeIf(colOrNull(df0, "identifiedBy").isNull, MISSING_IDENTIFIEDBY),
+      assertCodeIf(colOrNull(df0, "identificationReferences").isNull,
+        MISSING_IDENTIFICATIONREFERENCES),
+      assertCodeIf(colOrNull(df0, "dateIdentified").isNull,
+        MISSING_DATEIDENTIFIED))))
   }
 
   /** CLASS stage (reference `processor/ClassificationProcessor.scala:152-322`
@@ -331,8 +388,15 @@ object Processors {
       bc.value.lookup(name, kingdom))
     val nameRaw = colOrNull(df0, "scientificName")
     val kingdomRaw = colOrNull(df0, "kingdom")
+    // reference getExactSciName (:898-913): fall back to subspecies /
+    // species / a genus(+specificEpithet) constructed name
+    val nameForMatch = coalesce(nameRaw,
+      colOrNull(df0, "subspecies"), colOrNull(df0, "species"),
+      when(colOrNull(df0, "genus").isNotNull,
+        nullif(concat_ws(" ", colOrNull(df0, "genus"),
+          colOrNull(df0, "specificEpithet")), lit(""))))
     df0.withColumn("_nm",
-        when(nameRaw.isNotNull, lookupUdf(nameRaw, kingdomRaw)))
+        when(nameForMatch.isNotNull, lookupUdf(nameForMatch, kingdomRaw)))
       .withColumn("processed_taxonConceptID", col("_nm.taxonConceptID"))
       .withColumn("processed_scientificName", col("_nm.acceptedName"))
       .withColumn("processed_taxonRank", col("_nm.taxonRank"))
@@ -346,9 +410,19 @@ object Processors {
           .when(col("_nm.fuzzy"), lit("fuzzyMatch"))
           .otherwise(lit("exactMatch")))
       .withColumn("assertions_class", array_compact(array(
-        assertCodeIf(nameRaw.isNull, NAME_NOT_SUPPLIED),
-        assertCodeIf(nameRaw.isNotNull && col("processed_taxonConceptID").isNull,
-          NAME_NOT_RECOGNISED),
+        // doQualityTests (ClassificationProcessor.scala:120-146)
+        assertCodeIf(colOrNull(df0, "taxonRank").isNull, MISSING_TAXONRANK),
+        assertCodeIf(nameRaw.isNull &&
+          colOrNull(df0, "vernacularName").isNull, NAME_NOT_SUPPLIED),
+        assertCodeIf(kingdomRaw.isNotNull &&
+          ng(vocabUdf(Kingdoms))(kingdomRaw).isNull, UNKNOWN_KINGDOM),
+        // placeholder/no-name detection (reference checks the GBIF parser's
+        // NameType.PLACEHOLDER/NO_NAME, :106-110)
+        assertCodeIf(nameRaw.isNotNull && upper(trim(nameRaw)).isin(
+          "UNKNOWN", "UNIDENTIFIED", "NOT IDENTIFIED", "UNDETERMINED",
+          "NONE", "NULL", "?", "NO NAME"), INVALID_SCIENTIFIC_NAME),
+        assertCodeIf(nameForMatch.isNotNull &&
+          col("processed_taxonConceptID").isNull, NAME_NOT_RECOGNISED),
         assertCodeIf(col("_nm.homonym") === true, HOMONYM_ISSUE))))
       .drop("_nm")
   }
