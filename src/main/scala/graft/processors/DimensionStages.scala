@@ -64,6 +64,53 @@ object DimensionStages {
       .drop("_ic", "_cc")
   }
 
+  /** Taxonomic-hints scope check (reference
+    * `processor/ClassificationProcessor.parseHints`/`isMatchValid` +
+    * `TaxonomicHintsTest`): each data resource may declare rank→allowed-name
+    * hints; a matched classification whose value at a hinted rank is not in
+    * that rank's set is out of the resource's scope — the match is voided
+    * and RESOURCE_TAXONOMIC_SCOPE_MISMATCH asserted. `hintsDim`:
+    * (dataResourceUid, rank, name) with rank ∈ kingdom/phylum/classs/....
+    * Broadcast-joined per rank; a record with no value at a hinted rank
+    * passes that rank (reference isMatchValid iterates supplied values). */
+  def checkTaxonomicHints(df: DataFrame, hintsDim: DataFrame): DataFrame = {
+    if (!df.columns.contains("dataResourceUid")) return df.withColumn(
+      "assertions_hints", array().cast("array<int>"))
+    val ranks = Seq("kingdom", "phylum", "classs", "family", "genus")
+    val perRank = hintsDim
+      .groupBy(col("dataResourceUid"), lower(col("rank")).as("rank"))
+      .agg(collect_set(lower(col("name"))).as("allowed"))
+    val joined = ranks.foldLeft(df) { (acc, r) =>
+      val dim = perRank.filter(col("rank") === r)
+        .select(col("dataResourceUid"), col("allowed").as(s"_hint_$r"))
+      acc.join(broadcast(dim), Seq("dataResourceUid"), "left")
+    }
+    // stage the verdict BEFORE voiding: the Column DSL is lazy, so an
+    // inline expression would re-evaluate over the already-nulled fields
+    val mismatch0 = ranks.map { r =>
+      val processedVal =
+        if (df.columns.contains(s"processed_$r")) lower(col(s"processed_$r"))
+        else lit(null).cast("string")
+      col(s"_hint_$r").isNotNull && processedVal.isNotNull &&
+        !array_contains(col(s"_hint_$r"), processedVal)
+    }.reduce(_ || _)
+    val staged = joined.withColumn("_scopeMismatch", mismatch0)
+    val mismatch = col("_scopeMismatch") === true
+    val voided = Seq("processed_taxonConceptID", "processed_scientificName",
+      "processed_taxonRank", "processed_kingdom", "processed_phylum",
+      "processed_classs", "processed_family", "processed_genus",
+      "processed_lft", "processed_rgt")
+      .filter(df.columns.contains)
+      .foldLeft(staged) { (acc, c) =>
+        acc.withColumn(c, when(mismatch, lit(null)).otherwise(col(c)))
+      }
+    voided
+      .withColumn("assertions_hints", array_compact(array(
+        AssertionCodes.assertCodeIf(mismatch,
+          AssertionCodes.RESOURCE_TAXONOMIC_SCOPE_MISMATCH))))
+      .drop(ranks.map(r => s"_hint_$r") :+ "_scopeMismatch": _*)
+  }
+
   /** SENSITIVE stage (J6/P5): match against the sensitivity rule table,
     * generalise coordinates to the rule's precision, stash the precise
     * originals (the reference keeps them in `originalSensitiveValues` for

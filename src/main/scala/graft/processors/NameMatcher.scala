@@ -6,8 +6,8 @@ import org.apache.spark.sql.DataFrame
   * fields — Janino codegen requirement (see ParsedDate note). */
 case class NameHit(
     taxonConceptID: String, acceptedName: String, taxonRank: String,
-    kingdom: String, family: String, genus: String,
-    lft: java.lang.Long, rgt: java.lang.Long,
+    kingdom: String, phylum: String, classs: String, family: String,
+    genus: String, lft: java.lang.Long, rgt: java.lang.Long,
     homonym: Boolean, fuzzy: Boolean)
 
 /** Broadcast taxon-name matcher: exact → kingdom-resolved homonym →
@@ -51,11 +51,11 @@ final class NameMatcher private (entries: Array[NameMatcher.Entry])
   private def hit(i: Int, homonym: Boolean, fuzzy: Boolean): NameHit = {
     val e = entries(i)
     NameHit(e.taxonConceptID, e.acceptedName, e.taxonRank, e.kingdom,
-      e.family, e.genus, e.lft, e.rgt, homonym, fuzzy)
+      e.phylum, e.classs, e.family, e.genus, e.lft, e.rgt, homonym, fuzzy)
   }
 
   private val homonymHit =
-    NameHit(null, null, null, null, null, null, null, null,
+    NameHit(null, null, null, null, null, null, null, null, null, null,
       homonym = true, fuzzy = false)
 
   /** Resolve a raw scientific name (with optional kingdom hint). None when
@@ -99,7 +99,8 @@ final class NameMatcher private (entries: Array[NameMatcher.Entry])
 object NameMatcher {
   case class Entry(nameLower: String, taxonConceptID: String,
       acceptedName: String, taxonRank: String, kingdom: String,
-      family: String, genus: String, lft: java.lang.Long, rgt: java.lang.Long)
+      phylum: String, classs: String, family: String, genus: String,
+      lft: java.lang.Long, rgt: java.lang.Long)
 
   /** Blocking key: first 4 chars of the genus word + initial of the
     * epithet — a single edit rarely crosses it, keeping candidate lists
@@ -113,21 +114,26 @@ object NameMatcher {
   }
 
   def fromDataFrame(dim: DataFrame): NameMatcher = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
+    // phylum/classs are optional dim columns (used by the taxonomic-hints
+    // scope check); absent columns read as null
+    def optCol(name: String) =
+      if (dim.columns.contains(name)) col(name).cast("string")
+      else lit(null).cast("string")
     val rows = dim.select(
       col("nameLower").cast("string"), col("taxonConceptID").cast("string"),
       col("acceptedName").cast("string"), col("taxonRank").cast("string"),
-      col("kingdom").cast("string"), col("family").cast("string"),
-      col("genus").cast("string"), col("lft").cast("long"),
-      col("rgt").cast("long"))
+      col("kingdom").cast("string"), optCol("phylum"), optCol("classs"),
+      col("family").cast("string"), col("genus").cast("string"),
+      col("lft").cast("long"), col("rgt").cast("long"))
       .collect()
     new NameMatcher(rows.map { r =>
       Entry(
         Option(r.getString(0)).map(_.trim.toLowerCase).orNull,
         r.getString(1), r.getString(2), r.getString(3), r.getString(4),
-        r.getString(5), r.getString(6),
-        if (r.isNullAt(7)) null else Long.box(r.getLong(7)),
-        if (r.isNullAt(8)) null else Long.box(r.getLong(8)))
+        r.getString(5), r.getString(6), r.getString(7), r.getString(8),
+        if (r.isNullAt(9)) null else Long.box(r.getLong(9)),
+        if (r.isNullAt(10)) null else Long.box(r.getLong(10)))
     })
   }
 }

@@ -401,6 +401,8 @@ object Processors {
       .withColumn("processed_scientificName", col("_nm.acceptedName"))
       .withColumn("processed_taxonRank", col("_nm.taxonRank"))
       .withColumn("processed_kingdom", col("_nm.kingdom"))
+      .withColumn("processed_phylum", col("_nm.phylum"))
+      .withColumn("processed_classs", col("_nm.classs"))
       .withColumn("processed_family", col("_nm.family"))
       .withColumn("processed_genus", col("_nm.genus"))
       .withColumn("processed_lft", col("_nm.lft"))
@@ -451,6 +453,10 @@ object Processors {
       taxonProfiles: Option[DataFrame] = None,
       /** J12 species lists (taxonConceptID, listUid). */
       speciesLists: Option[DataFrame] = None,
+      /** Per-resource taxonomic scope hints (dataResourceUid, rank, name);
+        * out-of-scope matches are voided +
+        * RESOURCE_TAXONOMIC_SCOPE_MISMATCH. */
+      taxonomicHints: Option[DataFrame] = None,
       /** Previous enrichment snapshot for incremental reprocessing:
         * OFFLINE carry-forward + el/cl sample reuse (rowKey join). */
       lastProcessed: Option[DataFrame] = None)
@@ -477,8 +483,11 @@ object Processors {
       case None => afterMisc.withColumn("assertions_class",
         array().cast(emptyAssertions))
     }
+    val afterHints = dims.taxonomicHints.map(d =>
+      DimensionStages.checkTaxonomicHints(afterClass, d)).getOrElse(
+      afterClass.withColumn("assertions_hints", array().cast(emptyAssertions)))
     val afterLoc = LocationInference.processIdentificationQualifier(
-      processAltitudeAndDepth(processLocation(processEvent(afterClass))))
+      processAltitudeAndDepth(processLocation(processEvent(afterHints))))
     val afterCentre = dims.countryCentres.map(d =>
       DimensionStages.checkCentrePoints(afterLoc, d)).getOrElse(
       afterLoc.withColumn("assertions_centre", array().cast(emptyAssertions)))
@@ -524,7 +533,8 @@ object Processors {
       case _ => afterSens
     }
     val assertionCols = Seq("assertions_attr", "assertions_bor",
-      "assertions_misc", "assertions_class", "assertions_event",
+      "assertions_misc", "assertions_class", "assertions_hints",
+      "assertions_event",
       "assertions_loc", "assertions_altdepth", "assertions_centre",
       "assertions_statecentre", "assertions_offline", "assertions_inference",
       "assertions_profile", "assertions_sensitive")

@@ -121,4 +121,48 @@ class MiscStageSpec extends AnyFunSuite {
     assert(classCodes("c3").contains(UNKNOWN_KINGDOM.code))
     assert(!classCodes("c2").contains(UNKNOWN_KINGDOM.code))
   }
+
+  // ── taxonomic-hints scope check (reference TaxonomicHintsTest) ──
+
+  lazy val hintsDim = Seq(
+    // dr1 accepts phylum a|b, kingdom k|l, class n — the reference's
+    // "happy days" hint map
+    ("dr1", "phylum", "A"), ("dr1", "kingdom", "K"), ("dr1", "phylum", "B"),
+    ("dr1", "kingdom", "L"), ("dr1", "classs", "N"))
+    .toDF("dataResourceUid", "rank", "name")
+
+  lazy val hintNames = Seq(
+    ("lbus", "lsid:h1", "Lbus", "species", "L", null, null, null, null, 1L, 2L),
+    ("cbus", "lsid:h2", "Cbus", "species", "L", "C", null, null, null, 3L, 4L),
+    ("abus", "lsid:h3", "Abus", "species", "L", "B", "A", null, null, 5L, 6L))
+    .toDF("nameLower", "taxonConceptID", "acceptedName", "taxonRank",
+      "kingdom", "phylum", "classs", "family", "genus", "lft", "rgt")
+
+  lazy val hinted = DimensionStages.checkTaxonomicHints(
+    Processors.processClassification(Seq(
+      ("h1", "dr1", "Lbus"), // kingdom L, no phylum → valid (happy days)
+      ("h2", "dr1", "Cbus"), // phylum C ∉ {a,b} → mismatch
+      ("h3", "dr1", "Abus")) // phylum B ok, class A ∉ {n} → mismatch
+      .toDF("occurrenceID", "dataResourceUid", "scientificName"),
+      hintNames), hintsDim).cache()
+
+  private def hintCodes(id: String): Set[Int] =
+    hinted.filter(col("occurrenceID") === id)
+      .select(explode(col("assertions_hints"))).as[Int].collect().toSet
+
+  test("no conflicts passes (TaxonomicHintsTest:20)") {
+    assert(hintCodes("h1").isEmpty)
+    assert(hinted.filter(col("occurrenceID") === "h1")
+      .select("processed_taxonConceptID").head().getString(0) == "lsid:h1")
+  }
+
+  test("phylum mismatch voids the match (TaxonomicHintsTest:26)") {
+    assert(hintCodes("h2").contains(RESOURCE_TAXONOMIC_SCOPE_MISMATCH.code))
+    assert(hinted.filter(col("occurrenceID") === "h2")
+      .select("processed_taxonConceptID").head().isNullAt(0))
+  }
+
+  test("class mismatch voids the match (TaxonomicHintsTest:32)") {
+    assert(hintCodes("h3").contains(RESOURCE_TAXONOMIC_SCOPE_MISMATCH.code))
+  }
 }
