@@ -27,6 +27,33 @@ object Multimodal {
     StructField("sampleRate", IntegerType),
     StructField("durationMs", LongType)))
 
+  /** Split an associatedMedia value into its media URLs (reference
+    * `load/DownloadMedia.unpackAssociatedMedia:40-63`): pipe is the DwC
+    * default delimiter, then semicolon, then comma; a split is only
+    * accepted when the parts are uniformly URL-like or uniformly not
+    * (a comma inside a single filename must not split it). */
+  def unpackAssociatedMedia(associatedMedia: String): Seq[String] = {
+    def mediaUrl(u: String) = u.startsWith("http") || u.startsWith("ftp") ||
+      u.startsWith("file:")
+    def splitBy(c: Char): Seq[String] = {
+      val parts = associatedMedia.split(c).map(_.trim).filter(_.nonEmpty).toSeq
+      if (parts.forall(mediaUrl) || parts.forall(!mediaUrl(_))) parts
+      else Seq(associatedMedia)
+    }
+    if (associatedMedia == null || associatedMedia.trim.isEmpty) Seq()
+    else if (associatedMedia.indexOf('|') > 0) splitBy('|')
+    else if (associatedMedia.indexOf(';') > 0) splitBy(';')
+    else if (associatedMedia.indexOf(',') > 0) splitBy(',')
+    else Seq(associatedMedia)
+  }
+
+  /** Image-URL shape check (reference `MediaStore.isValidImageURL`). */
+  private val imageUrlPattern =
+    """(?i)^(https?|ftp|file)://.*\.(jpg|jpeg|gif|png)$""".r
+
+  def isValidImageUrl(url: String): Boolean =
+    url != null && imageUrlPattern.findFirstIn(url.trim).isDefined
+
   /** Attach a deterministic fake binary payload + metadata to a DataFrame —
     * stands in for reading real media files alongside records (the reference
     * stores media paths per record, `load/MediaStore.scala`). */
