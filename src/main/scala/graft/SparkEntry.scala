@@ -561,6 +561,30 @@ object SparkEntry {
         .orderBy(col("state"), col("country").asc_nulls_first)
     }),
 
+    // ── EVENT-kernel semantics through the oracle gate: datePrecision
+    //    truncation/nullify rules, eventDateEnd resolution and range
+    //    component nulling, determined precision — the oracle re-derives
+    //    the reference EventProcessor rules from first principles ──
+    "q49_event_precision" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val pseudo = t(s, dir, "orders").select(
+        k.cast("string").as("occurrenceID"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("eventDate"),
+        date_format(date_add(col("o_orderdate"), (k % 3).cast("int")),
+          "yyyy-MM-dd").as("eventDateEnd"),
+        when(k % 4 === 0, "D").when(k % 4 === 1, "M")
+          .when(k % 4 === 2, "YY").as("datePrecision"))
+      graft.processors.Processors.enrich(pseudo)
+        .groupBy(col("processed_datePrecision").as("precision"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("processed_day").isNull, 1L).otherwise(0L)).as("day_nulls"),
+          sum(when(col("processed_month").isNull, 1L).otherwise(0L)).as("month_nulls"),
+          sum(when(col("processed_year").isNull, 1L).otherwise(0L)).as("year_nulls"),
+          min(col("processed_eventDate")).as("min_start"),
+          max(col("processed_eventDateEnd")).as("max_end"))
+        .orderBy("precision")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -827,6 +851,36 @@ object SparkEntry {
         |   AS kosher,
         | 'PreservedSpecimen' AS bor, count(*) AS n
         |FROM orders GROUP BY yr, kosher ORDER BY yr, kosher""".stripMargin,
+    "q49_event_precision" ->
+      """WITH base AS (
+        | SELECT CAST(o_orderdate AS DATE) AS d0,
+        |   CAST(o_orderdate AS DATE) + CAST(o_orderkey % 3 AS INT) AS d1,
+        |   o_orderkey % 4 AS p4, o_orderkey % 3 AS p3
+        | FROM orders),
+        |rowed AS (
+        | SELECT
+        |  CASE p4 WHEN 0 THEN 'Day' WHEN 1 THEN 'Month'
+        |   WHEN 2 THEN 'Year Range'
+        |   ELSE CASE WHEN p3 = 0 THEN 'Day'
+        |     WHEN month(d1) = month(d0) AND year(d1) = year(d0) THEN 'Month'
+        |     WHEN year(d1) = year(d0) THEN 'Year'
+        |     ELSE 'Day Range' END END AS precision,
+        |  CASE WHEN p4 IN (1, 2) OR p3 <> 0 THEN 1 ELSE 0 END AS day_null,
+        |  CASE WHEN p4 = 2 OR (p3 <> 0 AND (month(d1) <> month(d0)
+        |    OR year(d1) <> year(d0))) THEN 1 ELSE 0 END AS month_null,
+        |  CASE WHEN p4 = 2 OR (p3 <> 0 AND year(d1) <> year(d0))
+        |    THEN 1 ELSE 0 END AS year_null,
+        |  CASE p4 WHEN 1 THEN CAST(date_trunc('month', d0) AS DATE)
+        |   WHEN 2 THEN CAST(date_trunc('year', d0) AS DATE)
+        |   ELSE d0 END AS start_d,
+        |  CASE p4 WHEN 1 THEN CAST(date_trunc('month', d1) AS DATE)
+        |   WHEN 2 THEN CAST(date_trunc('year', d1) AS DATE)
+        |   ELSE d1 END AS end_d
+        | FROM base)
+        |SELECT precision, count(*) AS n, sum(day_null) AS day_nulls,
+        |  sum(month_null) AS month_nulls, sum(year_null) AS year_nulls,
+        |  min(start_d) AS min_start, max(end_d) AS max_end
+        |FROM rowed GROUP BY precision ORDER BY precision""".stripMargin,
     "q47_enrich_assertions" ->
       """WITH per_row AS (
         | SELECT list_concat(list_concat(list_concat(
