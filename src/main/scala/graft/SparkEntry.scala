@@ -585,6 +585,39 @@ object SparkEntry {
         .orderBy("precision")
     }),
 
+    // ── LOC-kernel uncertainty/precision semantics through the oracle
+    //    gate: distance-unit parsing, the uncertainty-in-precision rescue,
+    //    precision range + decimal-place checks (reference
+    //    checkCoordinateUncertainty), re-derived in SQL ──
+    "q50_loc_uncertainty" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val pseudo = t(s, dir, "orders").select(
+        k.cast("string").as("occurrenceID"),
+        (k % 5).cast("long").as("_u"), (k % 4).cast("long").as("_p"),
+        ((k % 120) - 60 + 0.25).cast("string").as("decimalLatitude"),
+        ((k % 340) - 170 + 0.25).cast("string").as("decimalLongitude"),
+        when(k % 5 === 0, "100 metres").when(k % 5 === 1, "2km")
+          .when(k % 5 === 2, "-1").as("coordinateUncertaintyInMeters"),
+        when(k % 4 === 0, "0.01").when(k % 4 === 1, "700")
+          .when(k % 4 === 2, "junk").as("coordinatePrecision"))
+      graft.processors.Processors.processLocation(pseudo)
+        .groupBy(col("_u").as("unc_kind"), col("_p").as("prec_kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("processed_coordinateUncertaintyInMeters"),
+            lit(0.0))).as("unc_sum"),
+          sum(when(array_contains(col("assertions_loc"), 25), 1L)
+            .otherwise(0L)).as("unc_in_prec"),
+          sum(when(array_contains(col("assertions_loc"), 17), 1L)
+            .otherwise(0L)).as("prec_range"),
+          sum(when(array_contains(col("assertions_loc"), 23), 1L)
+            .otherwise(0L)).as("prec_mismatch"),
+          sum(when(array_contains(col("assertions_loc"), 24), 1L)
+            .otherwise(0L)).as("unc_range"),
+          sum(when(array_contains(col("assertions_loc"), 27), 1L)
+            .otherwise(0L)).as("unc_missing"))
+        .orderBy("unc_kind", "prec_kind")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -881,6 +914,28 @@ object SparkEntry {
         |  sum(month_null) AS month_nulls, sum(year_null) AS year_nulls,
         |  min(start_d) AS min_start, max(end_d) AS max_end
         |FROM rowed GROUP BY precision ORDER BY precision""".stripMargin,
+    "q50_loc_uncertainty" ->
+      """WITH base AS (
+        | SELECT o_orderkey % 5 AS u, o_orderkey % 4 AS p FROM orders),
+        |rowed AS (
+        | SELECT u, p,
+        |  CASE WHEN u = 0 THEN 100.0 WHEN u = 1 THEN 2000.0
+        |       WHEN u >= 3 AND p = 1 THEN 700.0 ELSE 0.0 END AS unc_val,
+        |  CASE WHEN u >= 3 AND p = 1 THEN 1 ELSE 0 END AS uip,
+        |  CASE WHEN NOT (u >= 3 AND p = 1) AND p IN (1, 2)
+        |       THEN 1 ELSE 0 END AS pr,
+        |  CASE WHEN u = 2 THEN 1 ELSE 0 END AS ur,
+        |  CASE WHEN u IN (0, 1) OR (u >= 3 AND p = 1)
+        |       THEN 0 ELSE 1 END AS um
+        | FROM base)
+        |SELECT CAST(u AS BIGINT) AS unc_kind, CAST(p AS BIGINT) AS prec_kind,
+        |  count(*) AS n, sum(unc_val) AS unc_sum,
+        |  CAST(sum(uip) AS BIGINT) AS unc_in_prec,
+        |  CAST(sum(pr) AS BIGINT) AS prec_range,
+        |  CAST(0 AS BIGINT) AS prec_mismatch,
+        |  CAST(sum(ur) AS BIGINT) AS unc_range,
+        |  CAST(sum(um) AS BIGINT) AS unc_missing
+        |FROM rowed GROUP BY u, p ORDER BY unc_kind, prec_kind""".stripMargin,
     "q47_enrich_assertions" ->
       """WITH per_row AS (
         | SELECT list_concat(list_concat(list_concat(
