@@ -117,4 +117,65 @@ object Store {
     spark.read.parquet(logPath)
       .filter(col("deletedDate") >= startDate)
       .select("rowKey").distinct()
+
+  // ── User assertions (reference Store.addUserAssertion /
+  //    getUserAssertions / deleteUserAssertion via
+  //    dao/OccurrenceDAOImpl.scala + QualityAssertionTests): QA flags
+  //    raised by users against individual records, kept as their own
+  //    table and merged into the record's assertion codes + kosher flags
+  //    at read time. `assertionUuid` is deterministic over
+  //    (rowKey, code, userId) so adds are idempotent. ──
+
+  /** Append one user assertion. `problemAsserted` false records a user
+    * VERIFICATION (disagreeing with the system assertion). */
+  def addUserAssertion(assertions: Option[DataFrame], spark: SparkSession,
+      rowKey: String, code: Int, userId: String,
+      problemAsserted: Boolean = true, comment: String = ""): DataFrame = {
+    import spark.implicits._
+    val name = graft.model.AssertionCodes.byCode(code).map(_.name)
+      .getOrElse("unknown")
+    val row = Seq((rowKey, code, name, userId, problemAsserted, comment))
+      .toDF("rowKey", "code", "name", "userId", "problemAsserted", "comment")
+      .withColumn("assertionUuid",
+        sha2(concat_ws("|", col("rowKey"), col("code"), col("userId")), 256))
+    assertions match {
+      case Some(existing) =>
+        existing.join(row.select("assertionUuid"), Seq("assertionUuid"),
+          "left_anti").unionByName(row.select(existing.columns.map(col): _*))
+      case None => row.select("assertionUuid", "rowKey", "code", "name",
+        "userId", "problemAsserted", "comment")
+    }
+  }
+
+  def getUserAssertions(assertions: DataFrame, rowKey: String): DataFrame =
+    assertions.filter(col("rowKey") === rowKey)
+
+  def deleteUserAssertion(assertions: DataFrame, rowKey: String,
+      assertionUuid: String): DataFrame =
+    assertions.filter(!(col("rowKey") === rowKey &&
+      col("assertionUuid") === assertionUuid))
+
+  /** Merge user assertions into enriched records: problem-asserted codes
+    * join the record's `assertionCodes` and both kosher flags are
+    * recomputed (reference FullRecordMapper kosher semantics — a user
+    * assertion flips kosher exactly like a system one). Broadcast-joined:
+    * user assertions are curation-scale, not fact-scale. */
+  def applyUserAssertions(records: DataFrame,
+      userAssertions: DataFrame): DataFrame = {
+    val perKey = userAssertions.filter(col("problemAsserted"))
+      .groupBy(col("rowKey"))
+      .agg(collect_set(col("code")).as("_userCodes"))
+    records.join(broadcast(perKey), Seq("rowKey"), "left")
+      .withColumn("assertionCodes",
+        when(col("_userCodes").isNotNull,
+          array_union(col("assertionCodes"), col("_userCodes")))
+          .otherwise(col("assertionCodes")))
+      .withColumn("assertions",
+        graft.model.AssertionCodes.structsFromCodes(col("assertionCodes")))
+      .withColumn("geospatiallyKosher",
+        graft.model.AssertionCodes.geospatiallyKosherCodes(col("assertionCodes")))
+      .withColumn("taxonomicallyKosher",
+        graft.model.AssertionCodes.taxonomicallyKosherCodes(col("assertionCodes")))
+      .drop("_userCodes")
+  }
 }
