@@ -65,10 +65,28 @@ object DwcSource {
       dataResourceUid, uniqueTerms)
   }
 
-  private def normalizeColumns(df: DataFrame): DataFrame =
-    reservedRenames.foldLeft(df) { case (acc, (from, to)) =>
+  /** lowercase → canonical Darwin Core term, from the index field scheme
+    * (reference `load/FullRecordMapper` maps supplied headers onto model
+    * properties case-insensitively — FullRecordMapperTest "Test wrong
+    * case": SCIENTIFICNAME → scientificName). */
+  private lazy val canonicalTerms: Map[String, String] =
+    graft.index.IndexSupport.indexFields.map(_._1)
+      .map(t => t.toLowerCase -> t).toMap +
+      ("class" -> "class") // case-fixed first, then reservedRenames → classs
+
+  private def normalizeColumns(df: DataFrame): DataFrame = {
+    val caseFixed = df.columns.foldLeft(df) { (acc, c) =>
+      canonicalTerms.get(c.toLowerCase) match {
+        case Some(canonical) if canonical != c &&
+          !acc.columns.contains(canonical) =>
+          acc.withColumnRenamed(c, canonical)
+        case _ => acc
+      }
+    }
+    reservedRenames.foldLeft(caseFixed) { case (acc, (from, to)) =>
       if (acc.columns.contains(from)) acc.withColumnRenamed(from, to) else acc
     }
+  }
 
   /** J7: rowKey = dataResourceUid | sha256(dataResourceUid + unique terms).
     * Falls back to a whole-row hash when no unique terms configured. */

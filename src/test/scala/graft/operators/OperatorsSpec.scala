@@ -156,6 +156,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(keys1.forall(_.startsWith("dr1|")))
   }
 
+  test("dwc source: wrong-case headers map to canonical terms (FullRecordMapperTest)") {
+    val rows = Seq(Map("occurrenceID" -> "o1", "SCIENTIFICNAME" -> "Aves",
+      "CLASS" -> "Aves", "decimallatitude" -> "-35.2"))
+    val df = DwcSource.loadRows(spark, rows, "dr1", Seq("occurrenceID"))
+    assert(df.columns.contains("scientificName"))
+    assert(df.columns.contains("classs"))
+    assert(df.columns.contains("decimalLatitude"))
+    assert(!df.columns.exists(c => c == "SCIENTIFICNAME" || c == "CLASS"))
+  }
+
   test("upsert: latest version per rowKey wins") {
     val v1 = Seq(("dr1|k1", "old"), ("dr1|k2", "keep")).toDF("rowKey", "v")
     val v2 = Seq(("dr1|k1", "new")).toDF("rowKey", "v")
