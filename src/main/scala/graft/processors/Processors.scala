@@ -19,82 +19,12 @@ import org.apache.spark.sql.functions._
   * order; the whole pipeline is a single narrow (no-shuffle) projection plus
   * the broadcast dimension joins, so it scales linearly with partitions.
   */
-/** UDF return shape for the date parser. Must be a PUBLIC top-level class
-  * with nullable boxed fields: generated code calls the accessors directly,
-  * so a private class (or Option-typed fields) makes Janino compilation fail
-  * and every downstream projection silently falls back to interpreted eval —
-  * a ~3× slowdown of the whole pipeline (watch for "Expr codegen error"
-  * warnings).
-  */
-case class ParsedDate(
-    startEpochDay: java.lang.Integer, endEpochDay: java.lang.Integer,
-    startYear: java.lang.Integer, startMonth: java.lang.Integer,
-    startDay: java.lang.Integer, singleDate: Boolean)
-
-/** UDF return shape for datum resolution: possibly-transformed coordinates
-  * + the truthful datum label + whether a reprojection happened. PUBLIC
-  * top-level with boxed fields (Janino codegen requirement, see above). */
-case class DatumResolved(
-    lat: java.lang.Double, lon: java.lang.Double,
-    label: String, converted: Boolean)
-
 object Processors {
 
   // ── UDFs over the pure parsers (date bank is far beyond built-in to_date) ──
 
-  private val parseDateUdf = udf { (s: String) =>
-    def boxed(o: Option[Int]): java.lang.Integer =
-      o.map(Int.box).orNull
-    DateParser.parseDate(s).map { ed =>
-      ParsedDate(
-        boxed(ed.startDate.map(_.toEpochDay.toInt)),
-        boxed(ed.endDate.map(_.toEpochDay.toInt)),
-        boxed(Option(ed.startYear).filter(_.nonEmpty).map(_.toInt)),
-        boxed(Option(ed.startMonth).filter(_.nonEmpty).map(_.toInt)),
-        boxed(Option(ed.startDay).filter(_.nonEmpty).map(_.toInt)),
-        ed.singleDate)
-    }
-  }
-
-  private val verbatimLatLongUdf =
-    udf((s: String) => CoordinateParsers.parseVerbatimLatLong(s))
-  private val distanceUdf =
-    udf((s: String) => CoordinateParsers.parseDistanceMetres(s))
-  // canonical "Surname, Initials FirstName" form (dedup comparison uses the
-  // cruder normalizeCollector — different purposes)
-  private val collectorUdf =
-    udf((s: String) => graft.functions.CollectorNameParser.parse(s))
-  private val gridRefUdf = udf { (s: String) =>
-    graft.functions.GridRef.parse(s).map(g =>
-      (g.lat, g.lon, g.gridSizeMetres.toDouble))
-  }
-
   private def vocabUdf(v: Vocab) = udf((s: String) => v.matchTerm(s))
 
-  /** Datum vocab + reprojection (reference `LocationProcessor.processLatLong`
-    * + `GISUtil.reprojectCoordinatesToWGS84`): recognised datums with a
-    * published transform reproject to WGS84 (label EPSG:4326, converted);
-    * WGS84-equivalent datums relabel only; recognised datums without a
-    * transform keep coordinates + their truthful EPSG label; junk yields a
-    * null label (→ UNRECOGNIZED_GEODETIC_DATUM). */
-  private val datumResolveUdf = udf {
-    (lat: java.lang.Double, lon: java.lang.Double, datum: String) =>
-      if (datum == null) null
-      else GeodeticDatum.epsg(datum) match {
-        case None => DatumResolved(lat, lon, null, converted = false)
-        case Some(epsg) =>
-          if (lat == null || lon == null)
-            DatumResolved(lat, lon, epsg, converted = false)
-          else graft.geo.DatumTransform.toWgs84(lat, lon, epsg) match {
-            case Some((la, lo))
-              if !graft.geo.DatumTransform.wgs84Equivalent.contains(epsg) =>
-              DatumResolved(la, lo, "EPSG:4326", converted = true)
-            case Some(_) =>
-              DatumResolved(lat, lon, "EPSG:4326", converted = false)
-            case None => DatumResolved(lat, lon, epsg, converted = false)
-          }
-      }
-  }
   private val licenseUdf = udf((s: String) =>
     Option(s).filter(_.trim.nonEmpty).flatMap(License.matchRegex))
   // establishmentMeans is ";"-delimited in the wild; each part vocab-mapped
