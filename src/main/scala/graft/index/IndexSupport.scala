@@ -26,12 +26,41 @@ object IndexSupport {
     else lit(null)
   }
 
-  /** P3 shouldIndex filter (reference `SolrIndexDAO.scala:580-607`). */
-  def shouldIndex(df: DataFrame): DataFrame = {
+  /** P3 shouldIndex filter (reference `SolrIndexDAO.scala:580-607` +
+    * IndexTest "Tests Index Date Ranges"): drop deleted records, and with
+    * an incremental `modifiedSince` cutoff keep a record only when its
+    * latest modification stamp (raw `lastModifiedTime` or processed
+    * `lastModifiedTime_p`, whichever is later) reaches the cutoff. */
+  def shouldIndex(df: DataFrame, modifiedSince: Option[String] = None): DataFrame = {
     val deleted =
       if (df.columns.contains("deleted")) col("deleted") === true
       else lit(false)
-    df.filter(!deleted)
+    val cutoffOk = modifiedSince match {
+      case None => lit(true)
+      case Some(cutoff) =>
+        def ts(name: String): Column =
+          if (df.columns.contains(name)) col(name).try_cast("timestamp")
+          else lit(null).cast("timestamp")
+        val latest = greatest(ts("lastModifiedTime"), ts("lastModifiedTime_p"))
+        latest.isNotNull && latest >= lit(cutoff).cast("timestamp")
+    }
+    df.filter(!deleted && cutoffOk)
+  }
+
+  /** Raw scientific name for the index, constructed when not supplied
+    * (reference `SolrIndexDAO.getRawScientificName`, IndexTest cases):
+    * scientificName, else genus + (species|specificEpithet) +
+    * (subspecies|infraspecificEpithet), else family. */
+  def rawScientificName(df: DataFrame): Column = {
+    def c(f: String): Column =
+      if (df.columns.contains(f)) col(f) else lit(null).cast("string")
+    coalesce(
+      c("scientificName"),
+      when(c("genus").isNotNull, concat_ws(" ",
+        array_compact(array(c("genus"),
+          coalesce(c("species"), c("specificEpithet")),
+          coalesce(c("subspecies"), c("infraspecificEpithet")))))),
+      c("family"))
   }
 
   /** Field-mapping modes, mirroring the reference's RAW / PARSED /
@@ -236,6 +265,10 @@ object IndexSupport {
     }
     val mapped: Seq[Column] = indexFields.flatMap { case (dwc, idx, mode) =>
       mode match {
+        // raw name falls back to a constructed genus/epithet/family name
+        // (reference getRawScientificName, IndexTest cases)
+        case RawOnly if idx == "raw_taxon_name" =>
+          Seq(rawScientificName(base).as(idx))
         case RawOnly => Seq(rawOf(dwc).as(idx))
         case ParsedOnly => Seq(parsedOf(dwc).as(idx))
         case Best => Seq(p(base, dwc).as(idx))

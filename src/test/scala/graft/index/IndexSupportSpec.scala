@@ -57,4 +57,36 @@ class IndexSupportSpec extends AnyFunSuite {
     val row = index.select("occurrence_year", "occurrence_decade_i").head()
     assert(row.getInt(0) == 1987 && row.getInt(1) == 1980)
   }
+  test("shouldIndex honours the modified-since cutoff (reference IndexTest)") {
+    val df = Seq(
+      ("a", "2011-07-07T10:00:00Z", "2011-07-17T10:00:00Z"),
+      ("b", "2011-07-07T10:00:00Z", null))
+      .toDF("rowKey", "lastModifiedTime", "lastModifiedTime_p")
+    def keys(cutoff: Option[String]) =
+      IndexSupport.shouldIndex(df, cutoff).select("rowKey")
+        .collect().map(_.getString(0)).toSet
+    assert(keys(None) == Set("a", "b"))
+    assert(keys(Some("2011-07-10T10:00:00Z")) == Set("a"))
+    assert(keys(Some("2011-07-20T10:00:00Z")) == Set.empty[String])
+    assert(keys(Some("2011-07-01T10:00:00Z")) == Set("a", "b"))
+  }
+
+  test("raw scientific name construction (reference IndexTest:39)") {
+    def nameOf(cols: Map[String, String]): String = {
+      val df0 = Seq(("k1")).toDF("rowKey")
+      val df = cols.foldLeft(df0) { case (acc, (k, v)) => acc.withColumn(k, lit(v)) }
+      val r = df.select(IndexSupport.rawScientificName(df).as("n")).head()
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    assert(nameOf(Map("scientificName" -> "Aus bus")) == "Aus bus")
+    assert(nameOf(Map("genus" -> "Aus")) == "Aus")
+    assert(nameOf(Map("genus" -> "Aus", "species" -> "bus")) == "Aus bus")
+    assert(nameOf(Map("genus" -> "Aus", "species" -> "bus",
+      "subspecies" -> "cus")) == "Aus bus cus")
+    assert(nameOf(Map("scientificName" -> "Aus", "genus" -> "Dus")) == "Aus")
+    assert(nameOf(Map("genus" -> "Aus", "specificEpithet" -> "bus")) == "Aus bus")
+    assert(nameOf(Map("genus" -> "Aus", "specificEpithet" -> "bus",
+      "infraspecificEpithet" -> "cus")) == "Aus bus cus")
+    assert(nameOf(Map("family" -> "Family")) == "Family")
+  }
 }
