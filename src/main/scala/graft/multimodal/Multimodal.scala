@@ -47,6 +47,24 @@ object Multimodal {
     else Seq(associatedMedia)
   }
 
+  /** Media MIME type from DC format/identifier metadata (reference
+    * `model/Multimedia.findMimeType:35-54` + MultimediaTest): the format
+    * term resolves through the MIME vocab ("jpeg" → "image/jpeg", full
+    * types pass through, unknowns stay as supplied); without a format the
+    * identifier's extension decides, defaulting to the generic image
+    * wildcard type. */
+  def findMimeType(format: Option[String], identifier: Option[String]): String = {
+    val extensionPattern = raw"(\.[\d\w\-_]+)(\?.*)?$$".r
+    val extensionMap = Map(".jpg" -> "image/jpeg", ".gif" -> "image/gif",
+      ".png" -> "image/png")
+    val f = format.getOrElse {
+      identifier.flatMap(id => extensionPattern.findFirstMatchIn(id)
+        .map(m => extensionMap.getOrElse(m.group(1).toLowerCase, "image/*")))
+        .getOrElse("image/*")
+    }
+    graft.vocab.MimeType.matchTerm(f).getOrElse(f)
+  }
+
   /** Image-URL shape check (reference `MediaStore.isValidImageURL`). */
   private val imageUrlPattern =
     """(?i)^(https?|ftp|file)://.*\.(jpg|jpeg|gif|png)$""".r

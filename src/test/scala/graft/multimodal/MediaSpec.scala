@@ -47,6 +47,18 @@ class MediaSpec extends AnyFunSuite {
     assert(unpackAssociatedMedia("http://a.org/1.jpg") == Seq("http://a.org/1.jpg"))
   }
 
+  test("mime type from format/identifier (MultimediaTest)") {
+    import Multimodal.findMimeType
+    assert(findMimeType(Some("image/jpeg"), None) == "image/jpeg")
+    assert(findMimeType(Some("jpeg"), None) == "image/jpeg")
+    assert(findMimeType(Some("mp3"), None) == "audio/mp3")
+    assert(findMimeType(Some("something-odd"), None) == "something-odd")
+    assert(findMimeType(None, Some("fred.jpg")) == "image/jpeg")
+    assert(findMimeType(None, Some("fred.PNG")) == "image/png")
+    assert(findMimeType(None, Some("fred.tooodd")) == "image/*")
+    assert(findMimeType(None, None) == "image/*")
+  }
+
   test("image URL validation (MiscTest:65)") {
     assert(isValidImageUrl(
       "http://74.50.62.163/images/display/biodiversity/vertebrates/id_images/web-birds/o29275a.jpg"))
