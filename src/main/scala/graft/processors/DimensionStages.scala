@@ -16,21 +16,27 @@ import org.apache.spark.sql.functions._
 object DimensionStages {
 
   /** DEFAULT stage: inject per-resource default DwC values for null fields.
-    * `defaultsDim`: (dataResourceUid, field, value) long format. */
+    * `defaultsDim`: (dataResourceUid, field, value) long format, pivoted to
+    * one field→value map per resource so the whole stage is a SINGLE
+    * broadcast join regardless of how many fields carry defaults (a
+    * join-per-field shape multiplies plan size and broadcast exchanges).
+    * The field list itself is a driver-side distinct over the dim —
+    * defaults are configuration-scale. */
   def applyDefaultValues(df: DataFrame, defaultsDim: DataFrame): DataFrame = {
     val fields = defaultsDim.select("field").distinct()
       .collect().map(_.getString(0))
-    fields.foldLeft(df) { (acc, field) =>
-      val dim = defaultsDim.filter(col("field") === field)
-        .select(col("dataResourceUid"), col("value").as(s"_default_$field"))
-      val joined = acc.join(broadcast(dim), Seq("dataResourceUid"), "left")
-      val withDefault =
-        if (acc.columns.contains(field))
-          joined.withColumn(field,
-            coalesce(col(field), col(s"_default_$field")))
-        else joined.withColumn(field, col(s"_default_$field"))
-      withDefault.drop(s"_default_$field")
-    }
+    if (fields.isEmpty) return df
+    val perResource = defaultsDim
+      .groupBy("dataResourceUid")
+      .agg(map_from_entries(collect_list(struct(col("field"), col("value"))))
+        .as("_defaults"))
+    val joined = df.join(broadcast(perResource), Seq("dataResourceUid"), "left")
+    fields.foldLeft(joined) { (acc, field) =>
+      val default = element_at(col("_defaults"), field)
+      if (acc.columns.contains(field))
+        acc.withColumn(field, coalesce(col(field), default))
+      else acc.withColumn(field, default)
+    }.drop("_defaults")
   }
 
   /** ATTR stage (J2): (institutionCode, collectionCode) → attribution
