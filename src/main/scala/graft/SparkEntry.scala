@@ -910,8 +910,10 @@ object SparkEntry {
         |   WHEN 2 THEN CAST(date_trunc('year', d1) AS DATE)
         |   ELSE d1 END AS end_d
         | FROM base)
-        |SELECT precision, count(*) AS n, sum(day_null) AS day_nulls,
-        |  sum(month_null) AS month_nulls, sum(year_null) AS year_nulls,
+        |SELECT precision, count(*) AS n,
+        |  CAST(sum(day_null) AS BIGINT) AS day_nulls,
+        |  CAST(sum(month_null) AS BIGINT) AS month_nulls,
+        |  CAST(sum(year_null) AS BIGINT) AS year_nulls,
         |  min(start_d) AS min_start, max(end_d) AS max_end
         |FROM rowed GROUP BY precision ORDER BY precision""".stripMargin,
     "q50_loc_uncertainty" ->

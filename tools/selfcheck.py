@@ -40,7 +40,19 @@ def main(sf_dir, out_dir):
             n_skip += 1
             continue
         exp = con.sql(oracle[name]).fetchall()
-        exp_cols = [d[0] for d in con.sql(oracle[name]).description]
+        exp_desc = con.sql(oracle[name]).description
+        exp_cols = [d[0] for d in exp_desc]
+        # The driver canonicalizes via pandas dtypes, where DuckDB HUGEINT
+        # (e.g. sum(INTEGER)) becomes float64 and hash-mismatches Spark's
+        # int64 even when fetchall() values compare equal. Flag it here.
+        huge = [c for c, dt in zip(exp_cols,
+                con.sql(oracle[name]).fetchdf().dtypes)
+                if str(dt) == "float64" and any(
+                    type(r[exp_cols.index(c)]) is int
+                    for r in exp[:5] if r[exp_cols.index(c)] is not None)]
+        if huge:
+            print(f"WARN  {name:24s} oracle cols {huge} fetch as float64 "
+                  f"but hold ints (HUGEINT?) — CAST(... AS BIGINT)")
         # driver sorts columns by name before hashing values
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         ei = [exp_cols.index(c) for c in sorted(exp_cols)]
