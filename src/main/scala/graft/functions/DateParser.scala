@@ -118,8 +118,28 @@ object DateParser {
     EventDate(Some(LocalDate.of(y, 1, 1)), Some(LocalDate.of(y, 12, 31)),
       y.toString, "", "", y.toString, "", "", singleDate = false)
 
-  /** Full parse incl. `/` ranges. Returns None for unparseable input. */
+  /** Full parse incl. `/` ranges. Returns None for unparseable input.
+    *
+    * Memoised: occurrence datasets repeat the same eventDate string across
+    * thousands of rows, and the format battery below is regex-heavy. The
+    * map is shared across task threads and cleared when it outgrows the
+    * cap, so unbounded-cardinality (garbage) input cannot leak memory; at
+    * the cap the cost degrades to the uncached parse, never worse. */
+  private val memoCap = 1 << 16
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[EventDate]]()
+
   def parseDate(raw: String): Option[EventDate] = {
+    if (raw == null) return None
+    val hit = memo.get(raw)
+    if (hit != null) return hit
+    val res = parseDateUncached(raw)
+    if (memo.size >= memoCap) memo.clear()
+    memo.put(raw, res)
+    res
+  }
+
+  private def parseDateUncached(raw: String): Option[EventDate] = {
     if (raw == null) return None
     // reference parseDate normalisation: a leading "/" or "-" is shed
     val s0 = raw.trim

@@ -170,10 +170,15 @@ object Dedup {
     val dfTable = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("shingle"))
+    // df = 1 prefix shingles can never produce a candidate (a shingle
+    // shared by a qualifying pair appears in both docs, so its df >= 2);
+    // dropping them AFTER the rank keeps the prefix positions intact and
+    // is therefore lossless while shrinking the self-join input.
     val prefixes = exploded.join(dfTable, "shingle")
       .withColumn("_rn", row_number().over(rankW))
       .filter(col("_rn") <= col("setSize") -
         ceil(lit(threshold) * col("setSize")).cast("int") + 1)
+      .filter(col("df") >= 2)
       .select(col("id"), col("setSize"), col("shingle"))
 
     val a = prefixes.select(col("shingle"), col("id").as("id_a"),
