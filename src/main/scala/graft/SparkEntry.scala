@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Components, Dedup, Similarity}
 
 /** Driver contract — one `queries` entry per implemented operator family from
   * SURVEY.md §2, exercised over the synthetic star schema per FIXTURES.md §B.
@@ -618,6 +618,16 @@ object SparkEntry {
         .orderBy("unc_kind", "prec_kind")
     }),
 
+    // ── duplicate CLUSTERS from near-dup pairs: the reference's
+    //    duplicates-table shape (representative + members) via distributed
+    //    connected components over the exact-Jaccard pair table ──
+    "q51_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 16, threshold = 0.5)
+      Components.clusterSummary(pairs, "id_a", "id_b")
+        .orderBy("representative")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -803,6 +813,34 @@ object SparkEntry {
         | WHERE length(list_intersect(a.shingles, b.shingles)) > 0)
         |SELECT id_a, id_b, round(j,4) AS jaccard FROM pairs
         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // same brute-force pair derivation as q30, then transitive closure via
+    // a recursive CTE → min-id component labels (mirrors Components'
+    // min-label propagation from first principles)
+    "q51_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(norm) < 16 THEN [norm]
+        |   ELSE list_distinct(list_transform(
+        |    range(1, length(norm)-14), i -> norm[i:i+15])) END AS shingles
+        | FROM (SELECT doc_id,
+        |   regexp_replace(lower(trim(text)),'\s+',' ','g') AS norm
+        |   FROM documents)),
+        |p AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |  (length(a.shingles)+length(b.shingles)
+        |    -length(list_intersect(a.shingles,b.shingles))) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |walk(node, reach) AS (
+        | SELECT s, s FROM edges
+        | UNION
+        | SELECT w.node, e.t FROM walk w JOIN edges e ON w.reach = e.s),
+        |comp AS (SELECT node, min(reach) AS component FROM walk GROUP BY node)
+        |SELECT component AS representative,
+        |  count(*) AS n_members, max(node) AS max_member
+        |FROM comp GROUP BY component ORDER BY representative""".stripMargin,
     "q31_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |   CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),

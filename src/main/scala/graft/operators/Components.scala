@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a pair table — turns the near-duplicate PAIR
+  * output of the `Dedup` family (minhash/simhash/Jaccard/embedding) and of
+  * `DuplicationDetection` into duplicate CLUSTERS, the shape the reference
+  * materialises in its `duplicates` table (cluster representative + members,
+  * `tool/DuplicationDetection.scala:560-600` in
+  * /root/reference/src/main/scala/au/org/ala/biocache/).
+  *
+  * Algorithm: distributed min-label propagation. Every node starts labelled
+  * with itself; each round joins labels across edges and keeps the minimum
+  * label seen; convergence when no label changes. Rounds are O(graph
+  * diameter) — near-dup graphs are dense blobs with tiny diameter, so this
+  * converges in a handful of rounds even at 100 TB (each round is one
+  * shuffle of the label table keyed by node, never an all-pairs step). A
+  * hard `maxIterations` bounds adversarial path graphs; label tables are
+  * persisted per round and `localCheckpoint` truncates the lineage so the
+  * plan does not grow exponentially with rounds.
+  */
+object Components {
+
+  /** (node, component) for every node appearing in `pairs`; the component
+    * id is the minimum node id in the component (deterministic). */
+  def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
+      maxIterations: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected: keep both orientations so min labels flow either way
+    val edges = pairs
+      .select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIterations && !converged) {
+      // candidate labels arriving over edges, merged with the current label
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min("component").as("viaEdge"))
+      // carry the changed flag through the eager checkpoint so convergence
+      // is a cheap scan of materialized partitions, not a second recompute
+      val next = labels.join(viaEdges, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("viaEdge"), col("component")))
+            .as("component"),
+          (col("viaEdge") < col("component")).as("_changed"))
+        .localCheckpoint(true)
+      converged = next.filter(col("_changed")).isEmpty
+      labels = next.drop("_changed")
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster summary in the reference's duplicates-table shape: one row per
+    * component with its representative (min id) and member count. */
+  def clusterSummary(pairs: DataFrame, idACol: String, idBCol: String): DataFrame =
+    connectedComponents(pairs, idACol, idBCol)
+      .groupBy(col("component").as("representative"))
+      .agg(count(lit(1)).as("n_members"),
+        max("node").as("max_member"))
+}
