@@ -628,6 +628,16 @@ object SparkEntry {
         .orderBy("representative")
     }),
 
+    // ── SemDeDup-style semantic dedup: k-means cells → within-cell cosine
+    //    pairs → connected components → keep min-id representative.
+    //    k-means is not SQL-expressible → rows-only check ──
+    "q52_semantic_dedup" -> ((s, dir) => {
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        numCells = 4, threshold = 0.4)
+        .groupBy("keep").agg(count(lit(1)).as("n"))
+        .orderBy("keep")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {

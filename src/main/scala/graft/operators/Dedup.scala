@@ -202,6 +202,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * k-means-partition the embedding space, compare cosine only within a
+    * cell, and keep one representative (min id) per connected component of
+    * the ≥-threshold pair graph.
+    *
+    * Scale shape: centroid training is sample-based (one scan), assignment
+    * is map-only, the pair join shuffles by cell, and within-cell work is
+    * O(Σ|cell|²) — the published SemDeDup trade-off, tuned by `numCells`
+    * (more cells = cheaper + lower recall across cell boundaries).
+    *
+    * Returns one row per input doc: (id, representative, keep). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      numCells: Int = 64, threshold: Double = 0.95,
+      iterations: Int = 2): DataFrame = {
+    val centroids = Similarity.trainCentroids(emb, vecCol, numCells,
+      iterations, idCol)
+    val celled = Similarity.cellAssignment(emb, vecCol, centroids)
+    val a = celled.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = celled.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val cosUdf = udf((x: Seq[Float], y: Seq[Float]) =>
+      graft.functions.HashKernels.cosine(x, y))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosUdf(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+    val comps = Components.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "id")
+    emb.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("representative"),
+        (coalesce(col("component"), col("id")) === col("id")).as("keep"))
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold within LSH buckets.
     * `bits` controls bucket granularity (recall/cost trade-off). */
   def embeddingNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
