@@ -222,11 +222,10 @@ object Dedup {
     val celled = Similarity.cellAssignment(emb, vecCol, centroids)
     val a = celled.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = celled.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    val cosUdf = udf((x: Seq[Float], y: Seq[Float]) =>
-      graft.functions.HashKernels.cosine(x, y))
     val pairs = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosUdf(col("v_a"), col("v_b")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineCol(emb)(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
     val comps = Components.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("node", "id")
@@ -246,12 +245,10 @@ object Dedup {
       VectorFunctions.lshSignature(col(vecCol), bits).as("bucket"))
     val a = keyed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = keyed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    val cosUdf = udf((x: Seq[Float], y: Seq[Float]) =>
-      graft.functions.HashKernels.cosine(x, y))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosUdf(col("v_a"), col("v_b")).as("cosine"))
+        Similarity.cosineCol(emb)(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
   }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,17 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Codegen'd cosine over array<float> columns (`plans.CosineSimilarity`):
+    * stays inside whole-stage codegen, no per-row Seq boxing — the UDF form
+    * cost ~6x on the near-dup pair scans. */
+  private[operators] def cosineCol(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    graft.plans.GraftFunctions.cosine_sim(a, b)
+  }
+
   /** Exact top-k by cosine for each query vector.
     * `queries` must be small (it is broadcast). Output: (query_id, id, cosine, rank). */
-  private val cosUdf = udf((x: Seq[Float], y: Seq[Float]) =>
-    graft.functions.HashKernels.cosine(x, y))
-
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col(queryId), col(corpusId),
-        cosUdf(col(corpusVec), col(queryVec)).as("cosine"))
+        cosineCol(corpus)(col(corpusVec), col(queryVec)).as("cosine"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId).asc)
     scored.withColumn("rank", row_number().over(w))
@@ -123,7 +128,7 @@ object Similarity {
       explode(probeUdf(col(queryVec))).as("cell"))
     val scored = celled.join(broadcast(probes), Seq("cell"))
       .select(col(queryId), col(corpusId),
-        cosUdf(col(corpusVec), col(queryVec)).as("cosine"))
+        cosineCol(corpus)(col(corpusVec), col(queryVec)).as("cosine"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
