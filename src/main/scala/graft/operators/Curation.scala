@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-dataset curation operators: deterministic splits, mixture
+  * control, and token-budget packing for large-scale document corpora.
+  *
+  * Everything here is pure column algebra over codegen'd built-ins (md5,
+  * windows, arithmetic) — no UDFs, no driver-side state, no randomness.
+  * Determinism is the point: split membership and sampling decisions are
+  * content-addressed (hash of a stable id + salt), so re-running the
+  * pipeline on a grown corpus never reshuffles previously assigned rows,
+  * and any engine that can compute md5 reproduces the exact same dataset
+  * (the DuckDB oracles for q53/q56/q57 do precisely that).
+  *
+  * Scale shape at 100 TB:
+  *  - split/sample assignment is map-only (one hash per row, no shuffle);
+  *  - mixture weights need one tiny aggregate (rows per class — broadcast
+  *    back as a literal CASE, never a shuffled join);
+  *  - packing windows are partitioned by shard key, so the sort is
+  *    per-shard and parallel, never a single global order-by.
+  */
+object Curation {
+
+  /** Lowercase-hex prefix of md5(id:salt) — an 8-hex-digit (32-bit) uniform
+    * key in [0, 16^8). Lexicographic comparison on the hex string equals
+    * numeric comparison, which is what makes thresholds portable SQL. */
+  private def hashKey(idCol: Column, salt: String): Column =
+    substring(md5(concat(idCol.cast("string"), lit(":" + salt))), 1, 8)
+
+  /** 8-digit lowercase-hex threshold for a fraction of the 32-bit space. */
+  private def hexThreshold(fraction: Double): String = {
+    val bound = math.min(math.max(fraction, 0.0), 1.0)
+    f"${(bound * 4294967296.0).toLong.min(4294967295L)}%08x"
+  }
+
+  /** Deterministic train/val/test-style split assignment.
+    *
+    * `fractions` maps split name → fraction; fractions must sum to ≤ 1 and
+    * any remainder falls into `defaultSplit`. A row's split is decided by
+    * where the md5 hash of its id lands in [0,1) — stable under corpus
+    * growth, engine-portable, and exactly reproducible (no RNG seeds). */
+  def assignSplit(df: DataFrame, idCol: String, salt: String,
+      fractions: Seq[(String, Double)],
+      defaultSplit: String = "train"): DataFrame = {
+    require(fractions.nonEmpty, "at least one split fraction required")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val key = hashKey(col(idCol), salt)
+    val cumulative = fractions.scanLeft(0.0)(_ + _._2).tail
+    val firstBranch: Column = when(
+      key < lit(hexThreshold(cumulative.head)), lit(fractions.head._1))
+    val assigned = fractions.tail.zip(cumulative.tail).foldLeft(firstBranch) {
+      case (acc, ((name, _), cum)) =>
+        acc.when(key < lit(hexThreshold(cum)), lit(name))
+    }
+    df.withColumn("split", assigned.otherwise(lit(defaultSplit)))
+  }
+
+  /** Deterministic Bernoulli-style sample: keep rows whose id-hash falls
+    * under `rate`. Map-only; same contract as assignSplit. */
+  def deterministicSample(df: DataFrame, idCol: String, salt: String,
+      rate: Double): DataFrame =
+    df.filter(hashKey(col(idCol), salt) < lit(hexThreshold(rate)))
+
+  /** Rebalance a corpus to target per-class proportions by deterministic
+    * down-sampling (no up-sampling): with n_c rows of class c and target
+    * share s_c, the largest achievable total is T = min_c(n_c / s_c) and
+    * class c keeps s_c·T / n_c of its rows, selected by id-hash.
+    *
+    * Classes absent from `targetShares` are dropped. The per-class counts
+    * are one tiny aggregate collected to the driver (bounded by the number
+    * of classes, not rows) and folded into a literal CASE expression, so
+    * the sampling pass itself is map-only. */
+  def rebalanceClasses(df: DataFrame, idCol: String, classCol: String,
+      salt: String, targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0))
+    val counts = df.groupBy(classCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targetShares.filter { case (c, _) => counts.getOrElse(c, 0L) > 0L }
+    require(present.nonEmpty, "no targeted class present in the data")
+    val total = present.map { case (c, s) => counts(c) / s }.min
+    val keepRates = present.map { case (c, s) =>
+      c -> math.min(1.0, s * total / counts(c))
+    }
+    val key = hashKey(col(idCol), salt)
+    val keep = keepRates.foldLeft(lit(false)) { case (acc, (c, rate)) =>
+      acc || (col(classCol) === lit(c) && key < lit(hexThreshold(rate)))
+    }
+    df.filter(keep)
+  }
+
+  /** Token-budget sequence packing: assign documents to training bins of
+    * `budgetTokens` by token offset. Within each shard (documents ordered
+    * by id), a document starting at cumulative token offset o lands in bin
+    * floor(o / budget) — the contiguous-fill contract used for packed
+    * pre-training shards. A document longer than the budget spills past its
+    * bin boundary by construction (documents are never split here; cap
+    * inputs upstream if hard bin limits are needed).
+    *
+    * The window is partitioned by `shardCol`: the per-shard running sum is
+    * a parallel sort over shards, never one global order-by — the shard key
+    * (source file / date bucket) is what makes this viable at 100 TB. */
+  def packByTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+      shardCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0)
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("tok_offset",
+        coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("bin", floor(col("tok_offset") / lit(budgetTokens)))
+  }
+}
