@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Components, Dedup, Similarity}
+import graft.operators.{Components, Curation, Dedup, Similarity}
 
 /** Driver contract — one `queries` entry per implemented operator family from
   * SURVEY.md §2, exercised over the synthetic star schema per FIXTURES.md §B.
@@ -638,6 +638,78 @@ object SparkEntry {
         .orderBy("keep")
     }),
 
+    // ── Curation: deterministic content-addressed train/val/test split
+    //    (map-only; md5 hash so any engine reproduces the assignment) ──
+    "q53_hash_split" -> ((s, dir) => {
+      Curation.assignSplit(t(s, dir, "documents"), "doc_id", "v1",
+          Seq("test" -> 0.05, "val" -> 0.05))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")
+    }),
+
+    // ── Curation: deterministic down-sampling to target class mixture ──
+    "q54_rebalance" -> ((s, dir) => {
+      Curation.rebalanceClasses(t(s, dir, "documents"), "doc_id", "lang",
+          "mix1", Map("en" -> 0.5, "zh" -> 0.25, "es" -> 0.25))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
+    // ── Curation: deterministic Bernoulli sample (content-addressed) ──
+    "q55_det_sample" -> ((s, dir) => {
+      Curation.deterministicSample(t(s, dir, "documents"), "doc_id",
+          "s1", 0.25)
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast("long")).as("chars"))
+    }),
+
+    // ── Curation: token-budget sequence packing (contiguous fill per
+    //    shard; per-shard window, never a global sort) ──
+    "q56_pack_tokens" -> ((s, dir) => {
+      val withTok = t(s, dir, "documents")
+        .withColumn("n_tokens", TF.tokenCount(col("text")))
+      Curation.packByTokenBudget(withTok, "doc_id", "n_tokens",
+          "source", 2048L)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("source", "bin")
+    }),
+
+    // ── Text: Gopher-style quality-filter battery (map-only flags) ──
+    "q57_gopher_quality" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(col("doc_id"),
+          TF.tokenCount(txt).as("n_words"),
+          round(TF.meanWordLength(txt), 4).as("mean_word_len"),
+          round(TF.alphaWordRatio(txt), 4).as("alpha_word_ratio"),
+          round(TF.stopwordRatio(txt), 4).as("stop_ratio"))
+        .withColumn("pass",
+          col("n_words") >= 20 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 2.0 && col("mean_word_len") <= 10.0 &&
+          col("alpha_word_ratio") >= 0.8)
+        .orderBy("doc_id")
+    }),
+
+    // ── Curation: benchmark decontamination (word n-gram overlap against
+    //    an eval set; broadcast-able benchmark gram side) ──
+    "q58_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("source") === "src0")
+      Curation.decontaminate(docs.filter(col("source") =!= "src0"),
+          bench, "doc_id", "text", n = 8)
+        .filter(col("contaminated"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ── Text: within-document repetition (duplicate n-gram fraction) ──
+    "q59_repetition" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          round(TF.duplicateNgramRatio(col("text"), 2), 4).as("dup2"),
+          round(TF.duplicateNgramRatio(col("text"), 3), 4).as("dup3"))
+        .orderBy("doc_id")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -851,6 +923,118 @@ object SparkEntry {
         |SELECT component AS representative,
         |  count(*) AS n_members, max(node) AS max_member
         |FROM comp GROUP BY component ORDER BY representative""".stripMargin,
+    // content-addressed split: same md5 key + hex thresholds as
+    // Curation.assignSplit (0.05 → 0ccccccc, 0.10 cumulative → 19999999)
+    "q53_hash_split" ->
+      """SELECT split, lang, count(*) AS n FROM (
+        | SELECT lang, CASE
+        |  WHEN substr(md5(doc_id::VARCHAR || ':v1'),1,8) < '0ccccccc'
+        |    THEN 'test'
+        |  WHEN substr(md5(doc_id::VARCHAR || ':v1'),1,8) < '19999999'
+        |    THEN 'val'
+        |  ELSE 'train' END AS split
+        | FROM documents)
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    // mirrors Curation.rebalanceClasses arithmetic step by step: per-class
+    // counts, T = min(n/s), keep-rate = least(1, s*T/n), hex threshold =
+    // printf('%08x', floor(rate * 2^32))
+    "q54_rebalance" ->
+      """WITH counts AS (
+        | SELECT lang, count(*)::BIGINT AS n FROM documents
+        | WHERE lang IN ('en','zh','es') GROUP BY lang),
+        |shares AS (SELECT * FROM (VALUES ('en',0.5::DOUBLE),
+        |  ('zh',0.25::DOUBLE),('es',0.25::DOUBLE)) AS t(lang, s)),
+        |j AS (SELECT c.lang, c.n, sh.s FROM counts c JOIN shares sh USING (lang)),
+        |tot AS (SELECT min(n / s) AS T FROM j),
+        |thr AS (SELECT lang, printf('%08x', least(CAST(floor(
+        |   least(1.0, s * (SELECT T FROM tot) / n)*4294967296.0) AS BIGINT),
+        |   4294967295)) AS hex
+        | FROM j)
+        |SELECT d.lang, count(*) AS n
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE substr(md5(d.doc_id::VARCHAR || ':mix1'),1,8) < thr.hex
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q55_det_sample" ->
+      """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR || ':s1'),1,8) < '40000000'""".stripMargin,
+    "q56_pack_tokens" ->
+      """WITH tok AS (
+        | SELECT doc_id, source,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |   ELSE CAST(length(regexp_split_to_array(trim(text),'\s+')) AS BIGINT)
+        |  END AS n_tokens
+        | FROM documents),
+        |off AS (
+        | SELECT source, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        | FROM tok)
+        |SELECT source, CAST(floor(tok_offset / 2048.0) AS BIGINT) AS bin,
+        | count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM off GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    "q57_gopher_quality" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |   ELSE CAST(length(regexp_split_to_array(trim(text),'\s+')) AS BIGINT)
+        |  END AS n_words,
+        |  regexp_split_to_array(trim(text),'\s+') AS ws,
+        |  regexp_split_to_array(lower(trim(text)),'\s+') AS lws
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id, n_words,
+        |  CASE WHEN n_words=0 THEN 0.0 ELSE
+        |   round(CAST(list_sum(list_transform(ws, x -> length(x)))
+        |    AS DOUBLE)/n_words, 4) END AS mean_word_len,
+        |  CASE WHEN n_words=0 THEN 0.0 ELSE
+        |   round(CAST(length(list_filter(ws,
+        |    w -> regexp_matches(w,'[A-Za-z]'))) AS DOUBLE)/n_words, 4)
+        |  END AS alpha_word_ratio,
+        |  CASE WHEN n_words=0 THEN 0.0 ELSE
+        |   round(CAST(length(list_filter(lws, t -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','it','that',
+        |     'for','on','with','as','was','at','by','be'],
+        |    regexp_replace(t,'[^a-z]','','g')))) AS DOUBLE)/n_words, 4)
+        |  END AS stop_ratio
+        | FROM base)
+        |SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, stop_ratio,
+        | (n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 2.0
+        |  AND mean_word_len <= 10.0 AND alpha_word_ratio >= 0.8) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q58_decontaminate" ->
+      """WITH w AS (
+        | SELECT doc_id, source,
+        |  regexp_split_to_array(lower(trim(text)),'\s+') AS ws
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, source,
+        |  CASE WHEN length(ws) < 8 THEN [array_to_string(ws,' ')]
+        |   ELSE list_distinct(list_transform(range(1, length(ws)-6),
+        |    i -> array_to_string(list_slice(ws,i,i+7),' '))) END AS grams
+        | FROM w),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+        |          WHERE source='src0'),
+        |corpus AS (SELECT doc_id, unnest(grams) AS gram FROM g
+        |           WHERE source<>'src0')
+        |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
+        |ORDER BY doc_id""".stripMargin,
+    "q59_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)),'\s+') AS ws
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN length(ws) < 2 THEN 0.0 ELSE
+        |  round(1.0 - CAST(length(list_distinct(list_transform(
+        |   range(1, length(ws)),
+        |   i -> array_to_string(list_slice(ws,i,i+1),' ')))) AS DOUBLE) /
+        |  (length(ws)-1), 4) END AS dup2,
+        | CASE WHEN length(ws) < 3 THEN 0.0 ELSE
+        |  round(1.0 - CAST(length(list_distinct(list_transform(
+        |   range(1, length(ws)-1),
+        |   i -> array_to_string(list_slice(ws,i,i+2),' ')))) AS DOUBLE) /
+        |  (length(ws)-2), 4) END AS dup3
+        |FROM w ORDER BY doc_id""".stripMargin,
     "q31_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |   CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),

@@ -111,4 +111,48 @@ object TextFunctions {
         sequence(lit(0), size(toks) - lit(n)),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
+
+  /** Word n-grams WITHOUT de-duplication (positional) — the multiset the
+    * repetition filters need; `wordShingles` collapses repeats. */
+  def wordNgramsAll(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Fraction of duplicate word n-grams in [0,1]: 1 − distinct/total over
+    * the positional n-gram multiset. The Gopher-style repetition signal
+    * ("fraction of duplicate n-grams"); high values flag looping/boilerplate
+    * text. 0 for texts shorter than n words. */
+  def duplicateNgramRatio(text: Column, n: Int): Column = {
+    val grams = wordNgramsAll(text, n)
+    when(size(split(lower(trim(text)), "\\s+")) < n, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(grams)).cast("double") /
+          size(grams).cast("double"))
+  }
+
+  /** Fraction of whitespace tokens containing at least one ASCII letter —
+    * the Gopher "80% of words must contain an alphabetic character" signal.
+    * 0 for empty text. */
+  def alphaWordRatio(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+          tokenCount(text).cast("double"))
+  }
+
+  /** Symbol-to-word ratio: occurrences of `#` or `...` per whitespace token
+    * (Gopher uses the same two markers). 0 for empty text. */
+  def symbolToWordRatio(text: Column): Column = {
+    val symbols = (length(text) -
+      length(regexp_replace(text, "#", ""))).cast("double") +
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", "")))
+        .cast("double") / lit(3.0)
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(symbols / tokenCount(text).cast("double"))
+  }
 }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * content-addressed (hash of a stable id + salt), so re-running the
   * pipeline on a grown corpus never reshuffles previously assigned rows,
   * and any engine that can compute md5 reproduces the exact same dataset
-  * (the DuckDB oracles for q53/q56/q57 do precisely that).
+  * (the DuckDB oracles for q53–q56 do precisely that).
   *
   * Scale shape at 100 TB:
   *  - split/sample assignment is map-only (one hash per row, no shuffle);
@@ -110,5 +110,32 @@ object Curation {
     df.withColumn("tok_offset",
         coalesce(sum(col(tokensCol)).over(w), lit(0L)))
       .withColumn("bin", floor(col("tok_offset") / lit(budgetTokens)))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with a benchmark/eval set (the GPT-3-style "13-gram overlap"
+    * test-set leak check; `n` is a parameter because short synthetic docs
+    * need smaller windows).
+    *
+    * Shape at 100 TB: the benchmark side is exploded to distinct n-grams
+    * (eval sets are small — typically < 10⁶ grams, broadcast-able, and
+    * Spark's join planner picks broadcast when it fits), the corpus side is
+    * exploded lazily, and the semi-join never materialises matched pairs —
+    * only the distinct contaminated id set comes back. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val benchGrams = benchmark
+      .select(explode(TF.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val corpusGrams = corpus.select(col(idCol),
+      explode(TF.wordShingles(col(textCol), n)).as("gram"))
+    val contaminatedIds = corpusGrams
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select(idCol).distinct()
+      .withColumn("contaminated", lit(true))
+    corpus.join(contaminatedIds, Seq(idCol), "left")
+      .withColumn("contaminated",
+        coalesce(col("contaminated"), lit(false)))
   }
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = (0L until 1000L)
+    .map(i => (i, s"doc number $i body", if (i % 3 == 0) "en" else "de"))
+    .toDF("id", "text", "lang")
+
+  test("assignSplit is deterministic, exhaustive, and near the target fractions") {
+    val split = Curation.assignSplit(docs, "id", "v1",
+      Seq("test" -> 0.1, "val" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 1000L)
+    // md5 is uniform: 10% ± a loose tolerance on 1000 rows
+    assert(counts("test") > 60 && counts("test") < 140)
+    assert(counts("val") > 60 && counts("val") < 140)
+    // re-running yields the identical assignment (content-addressed)
+    val again = Curation.assignSplit(docs, "id", "v1",
+      Seq("test" -> 0.1, "val" -> 0.1))
+    assert(split.select("id", "split").except(
+      again.select("id", "split")).isEmpty)
+  }
+
+  test("assignSplit membership is stable under corpus growth") {
+    val half = docs.filter(col("id") < 500)
+    val fromHalf = Curation.assignSplit(half, "id", "v1",
+      Seq("test" -> 0.1)).select("id", "split")
+    val fromFull = Curation.assignSplit(docs, "id", "v1",
+      Seq("test" -> 0.1)).filter(col("id") < 500).select("id", "split")
+    assert(fromHalf.except(fromFull).isEmpty &&
+      fromFull.except(fromHalf).isEmpty)
+  }
+
+  test("deterministicSample keeps a stable subset at roughly the rate") {
+    val s = Curation.deterministicSample(docs, "id", "s1", 0.2)
+    val n = s.count()
+    assert(n > 120 && n < 280)
+    // sample of a sample at a higher rate contains the lower-rate sample
+    val s2 = Curation.deterministicSample(docs, "id", "s1", 0.1)
+    assert(s2.select("id").except(s.select("id")).isEmpty)
+  }
+
+  test("rebalanceClasses hits the target mixture without up-sampling") {
+    // 334 en / 666 de; target 50/50 → en is the binding class:
+    // T = min(334/0.5, 666/0.5) = 668 → keep all 334 en, ~334 de
+    val got = Curation.rebalanceClasses(docs, "id", "lang", "m1",
+      Map("en" -> 0.5, "de" -> 0.5))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got("en") == 334L)
+    assert(math.abs(got("de") - 334L) < 40)
+  }
+
+  test("rebalanceClasses drops classes absent from the target") {
+    val got = Curation.rebalanceClasses(docs, "id", "lang", "m1",
+      Map("en" -> 1.0))
+    assert(got.filter(col("lang") =!= "en").isEmpty)
+    assert(got.count() == 334L)
+  }
+
+  test("packByTokenBudget fills bins contiguously per shard") {
+    val d = Seq((1L, "a", 1000L), (2L, "a", 1000L), (3L, "a", 1000L),
+      (4L, "a", 100L), (5L, "b", 5000L), (6L, "b", 10L))
+      .toDF("id", "shard", "toks")
+    // shard a: offsets 0,1000,2000,3000 → bins 0,0,0,1
+    val bins = Curation.packByTokenBudget(d, "id", "toks", "shard", 2048L)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    assert(bins(1L) == 0L && bins(2L) == 0L && bins(3L) == 0L)
+    assert(bins(4L) == 1L)
+    // shard b restarts at offset 0
+    assert(bins(5L) == 0L && bins(6L) == 2L)
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "prefix alpha beta gamma delta suffix"), // contains the 4-gram
+      (2L, "alpha beta delta gamma"),               // same words, no 4-gram
+      (3L, "totally unrelated content here")
+    ).toDF("id", "text")
+    val got = Curation.decontaminate(corpus, bench, "id", "text", n = 4)
+      .select("id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("duplicateNgramRatio measures within-doc repetition") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam"),   // 4 bigrams, 1 distinct → 0.75
+      (2L, "all words here are unique"),  // no repeats → 0.0
+      (3L, "x")                           // shorter than n → 0.0
+    ).toDF("id", "text")
+    val got = d.select(col("id"),
+        round(TF.duplicateNgramRatio(col("text"), 2), 4).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.75 && got(2L) == 0.0 && got(3L) == 0.0)
+  }
+
+  test("alphaWordRatio and symbolToWordRatio") {
+    val d = Seq((1L, "abc 123 d4f ###"), (2L, "")).toDF("id", "text")
+    val got = d.select(col("id"),
+        round(TF.alphaWordRatio(col("text")), 4).as("a"),
+        round(TF.symbolToWordRatio(col("text")), 4).as("s"))
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((0.5, 0.75)))  // 2 of 4 words alphabetic; 3 '#' / 4
+    assert(got(2L) == ((0.0, 0.0)))
+  }
+}
