@@ -143,6 +143,25 @@ object HashKernels {
     out
   }
 
+  /** Distinct hashed word n-gram shingles: set semantics identical to
+    * `wordShingles` up to 64-bit hash collisions, carrying 8 bytes per gram
+    * instead of the n-word string — the explode+join sides of
+    * decontamination shuffle a fraction of the bytes. */
+  def wordShinglesHashed(text: String, n: Int): Array[Long] = {
+    val toks = normalize(text).split(' ')
+    if (toks.length < n) return Array(hash64(toks.mkString(" ")))
+    val seen = new java.util.LinkedHashSet[java.lang.Long](toks.length * 2)
+    var i = 0
+    while (i + n <= toks.length) {
+      seen.add(hash64(toks.slice(i, i + n).mkString(" "))); i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
   /** Exact Jaccard of two hashed shingle sets. */
   def jaccardLong(a: Seq[Long], b: Seq[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0

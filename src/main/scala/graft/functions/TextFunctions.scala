@@ -125,13 +125,17 @@ object TextFunctions {
   /** Fraction of duplicate word n-grams in [0,1]: 1 − distinct/total over
     * the positional n-gram multiset. The Gopher-style repetition signal
     * ("fraction of duplicate n-grams"); high values flag looping/boilerplate
-    * text. 0 for texts shorter than n words. */
+    * text. 0 for texts shorter than n words.
+    *
+    * The n-gram `transform` is a higher-order function (interpreted, no CSE)
+    * so it must appear exactly once: the multiset SIZE is derived
+    * arithmetically (tokens − n + 1), never by a second `size(grams)`. */
   def duplicateNgramRatio(text: Column, n: Int): Column = {
-    val grams = wordNgramsAll(text, n)
-    when(size(split(lower(trim(text)), "\\s+")) < n, lit(0.0))
+    val toks = split(lower(trim(text)), "\\s+")
+    val total = (size(toks) - lit(n - 1)).cast("double")
+    when(size(toks) < n, lit(0.0))
       .otherwise(lit(1.0) -
-        size(array_distinct(grams)).cast("double") /
-          size(grams).cast("double"))
+        size(array_distinct(wordNgramsAll(text, n))).cast("double") / total)
   }
 
   /** Fraction of whitespace tokens containing at least one ASCII letter —

@@ -28,16 +28,22 @@ object Components {
   def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
       maxIterations: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
-    // undirected: keep both orientations so min labels flow either way
+    // undirected: keep both orientations so min labels flow either way.
+    // No distinct(): the min aggregates below are duplicate-tolerant, and
+    // deduplicating the edge table would cost a full extra shuffle.
     val edges = pairs
       .select(col(idACol).as("src"), col(idBCol).as("dst"))
       .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = edges.select(col("src").as("node"))
-      .distinct()
-      .withColumn("component", col("node"))
+    // Fold the first propagation round into initialisation: every node (=
+    // every dst, since both orientations are present) starts at
+    // min(self, min direct neighbour) — one groupBy instead of a
+    // distinct + a full join round.
+    var labels = edges.groupBy(col("dst"))
+      .agg(min(col("src")).as("_minNbr"))
+      .select(col("dst").as("node"),
+        least(col("dst"), col("_minNbr")).as("component"))
       .localCheckpoint(true)
 
     var iter = 0

@@ -117,6 +117,11 @@ object Curation {
     * test-set leak check; `n` is a parameter because short synthetic docs
     * need smaller windows).
     *
+    * Grams travel as 64-bit hashes (`HashKernels.wordShinglesHashed`):
+    * equality — all the overlap test needs — is preserved up to hash
+    * collisions (~2⁻⁶⁴ per comparison), and both explode sides shuffle
+    * 8 bytes per gram instead of an n-word string.
+    *
     * Shape at 100 TB: the benchmark side is exploded to distinct n-grams
     * (eval sets are small — typically < 10⁶ grams, broadcast-able, and
     * Spark's join planner picks broadcast when it fits), the corpus side is
@@ -124,13 +129,13 @@ object Curation {
     * only the distinct contaminated id set comes back. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    import graft.functions.{TextFunctions => TF}
+    val gramsUdf = udf((text: String) =>
+      graft.functions.HashKernels.wordShinglesHashed(text, n))
     val benchGrams = benchmark
-      .select(explode(TF.wordShingles(col(textCol), n)).as("gram"))
+      .select(explode(gramsUdf(col(textCol))).as("gram"))
       .distinct()
-    val corpusGrams = corpus.select(col(idCol),
-      explode(TF.wordShingles(col(textCol), n)).as("gram"))
-    val contaminatedIds = corpusGrams
+    val contaminatedIds = corpus
+      .select(col(idCol), explode(gramsUdf(col(textCol))).as("gram"))
       .join(benchGrams, Seq("gram"), "left_semi")
       .select(idCol).distinct()
       .withColumn("contaminated", lit(true))

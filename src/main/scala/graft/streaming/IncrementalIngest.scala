@@ -50,4 +50,38 @@ object IncrementalIngest {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_, slide), col(keyCol))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+
+  /** Cross-micro-batch exact deduplication of a document stream by content
+    * fingerprint — the streaming form of `Dedup.dropExactDuplicates`,
+    * built on `flatMapGroupsWithState` (custom keyed state: one boolean per
+    * fingerprint, "seen before").
+    *
+    * A document is emitted the first time its normalised-content hash
+    * arrives; every later arrival — same batch or any later batch — is
+    * dropped. Within one micro-batch the min id wins (deterministic, and
+    * what the batch operator does).
+    *
+    * Scale shape: state is shuffled by fingerprint (the same partitioning
+    * every micro-batch), each key holds ONE boolean — state size is bounded
+    * by distinct-content count, not row count, and the RocksDB state store
+    * spills it off-heap at 100 TB stream volumes. */
+  def dedupStreamByContent(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: Long, rows: Iterator[(Long, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((rows.map(_._1).min, fp))
+          }
+      }
+      .toDF("id", "fp")
+  }
 }

@@ -51,4 +51,35 @@ class StreamingSpec extends AnyFunSuite {
       .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
     assert(streamed == batch)
   }
+
+  test("streaming content dedup drops repeats across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val deduped = IncrementalIngest.dedupStreamByContent(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+
+    // batch 1: two distinct contents, one in-batch repeat (min id wins)
+    in.addData((1L, "alpha beta"), (2L, "gamma"), (3L, "alpha  BETA "))
+    q.processAllAvailable()
+    // batch 2: one cross-batch repeat, one genuinely new content
+    in.addData((4L, "gamma"), (5L, "delta"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT id FROM dedup_out")
+      .as[Long].collect().toSet
+    // 3 drops to 1 (same normalised content), 4 drops to 2 cross-batch
+    assert(got == Set(1L, 2L, 5L))
+
+    // stream ≡ batch: same survivors as Dedup.dropExactDuplicates
+    val all = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "alpha  BETA "),
+      (4L, "gamma"), (5L, "delta")).toDF("doc_id", "text")
+    val batchSurvivors = graft.operators.Dedup
+      .dropExactDuplicates(all, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == batchSurvivors)
+  }
 }
