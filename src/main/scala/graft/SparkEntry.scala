@@ -710,6 +710,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── §2.10 stateful streaming dedup (flatMapGroupsWithState): stream
+    //    the documents table, keep first arrival per content fingerprint;
+    //    oracle = batch min-id per normalised content ──
+    "q60_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val deduped = graft.streaming.IncrementalIngest
+        .dedupStreamByContent(stream, "doc_id", "text")
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName("q60_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q60_out").select(col("id")).orderBy("id")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -1019,6 +1037,14 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    // hash-free restatement of "first arrival per distinct content":
+    // min doc_id per normalised text (single-file stream = one micro-batch,
+    // where the operator keeps the min id; fingerprints collide with
+    // probability ~2^-64, below the driver's hash resolution)
+    "q60_stream_dedup" ->
+      """SELECT min(doc_id) AS id FROM documents
+        |GROUP BY regexp_replace(lower(trim(text)),'\s+',' ','g')
+        |ORDER BY id""".stripMargin,
     "q59_repetition" ->
       """WITH w AS (SELECT doc_id,
         |  regexp_split_to_array(lower(trim(text)),'\s+') AS ws

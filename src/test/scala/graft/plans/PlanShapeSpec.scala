@@ -1,0 +1,71 @@
+package graft.plans
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make the operators
+  * viable at 100 TB — predicate pushdown reaching the parquet scan, column
+  * pruning, broadcast joins for small dimensions, map-only shapes staying
+  * shuffle-free — asserted on the executed plans so they cannot silently
+  * regress.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) executed plan text. */
+  private def planOf(df: DataFrame): String = {
+    df.collect() // materialise so AdaptiveSparkPlan reports the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q25 filter+project: predicates push to the parquet scan, columns prune") {
+    val plan = planOf(graft.SparkEntry.queries("q25_filter_project")(spark, sf))
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*(GreaterThan|LessThan|IsNotNull)[^\\]]*\\].*"),
+      "expected comparison predicates pushed to the scan")
+    // column pruning: the 16-column lineitem scan must not read all fields
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(!readSchema.contains("l_comment"),
+      s"projection did not prune unused columns: $readSchema")
+  }
+
+  test("q5 small-dim join broadcasts (no shuffled hash/sort-merge join)") {
+    val plan = planOf(graft.SparkEntry.queries("q5_broadcast_join")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "small dimension should broadcast, not sort-merge")
+  }
+
+  test("q4 star join: every dimension side broadcasts") {
+    val plan = planOf(graft.SparkEntry.queries("q4_star_join")(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q1 aggregation is partial (map-side combine before the shuffle)") {
+    val plan = planOf(graft.SparkEntry.queries("q1_agg")(spark, sf))
+    // partial + final HashAggregate pair around a single key exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregate pair in:\n$plan")
+  }
+
+  test("map-only text scoring has no shuffle at all") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => TF}
+    val df = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), TF.tokenCount(col("text")).as("n"),
+        TF.fingerprint(col("text")).as("fp"))
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"),
+      s"map-only projection must not shuffle:\n$plan")
+  }
+
+  test("q58 decontamination joins the benchmark gram side by broadcast") {
+    val plan = planOf(graft.SparkEntry.queries("q58_decontaminate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set should broadcast in:\n$plan")
+  }
+}
