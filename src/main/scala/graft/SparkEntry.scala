@@ -710,6 +710,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── Curation: deterministic global shuffle (salted hash order —
+    //    range-partitioned sort, the training-shard write order) ──
+    "q61_det_shuffle" -> ((s, dir) => {
+      Curation.shuffleDeterministic(t(s, dir, "documents"), "doc_id", "sh1")
+        .select("doc_id", "shuffle_key")
+    }),
+
     // ── §2.10 stateful streaming dedup (flatMapGroupsWithState): stream
     //    the documents table, keep first arrival per content fingerprint;
     //    oracle = batch min-id per normalised content ──
@@ -1037,6 +1044,12 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    // row ORDER is the contract here: the driver hashes rows in sequence,
+    // so a wrong permutation fails even though the row SET is identical
+    "q61_det_shuffle" ->
+      """SELECT doc_id, substr(md5(doc_id::VARCHAR || ':sh1'),1,8)
+        |  AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
     // hash-free restatement of "first arrival per distinct content":
     // min doc_id per normalised text (single-file stream = one micro-batch,
     // where the operator keeps the min id; fingerprints collide with

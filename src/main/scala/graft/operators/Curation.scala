@@ -112,6 +112,20 @@ object Curation {
       .withColumn("bin", floor(col("tok_offset") / lit(budgetTokens)))
   }
 
+  /** Deterministic global shuffle for training-shard output: order rows by
+    * the md5 hash of their id (salted, so successive epochs/reshuffles are
+    * independent permutations). Reproducible on any engine — no RNG state.
+    *
+    * The `orderBy` is a range-partitioned distributed sort: at 100 TB the
+    * result lands in hash-random order across shards AND within each shard
+    * — exactly the property pre-training dataloaders need — without any
+    * single-node bottleneck. Ties (hash collisions) break on the id, so the
+    * permutation is total. */
+  def shuffleDeterministic(df: DataFrame, idCol: String,
+      salt: String): DataFrame =
+    df.withColumn("shuffle_key", hashKey(col(idCol), salt))
+      .orderBy(col("shuffle_key"), col(idCol))
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with a benchmark/eval set (the GPT-3-style "13-gram overlap"
     * test-set leak check; `n` is a parameter because short synthetic docs

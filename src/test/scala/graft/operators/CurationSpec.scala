@@ -79,6 +79,19 @@ class CurationSpec extends AnyFunSuite {
     assert(bins(5L) == 0L && bins(6L) == 2L)
   }
 
+  test("shuffleDeterministic is a reproducible salted permutation") {
+    val once = Curation.shuffleDeterministic(docs, "id", "e1")
+      .select("id").as[Long].collect().toSeq
+    val again = Curation.shuffleDeterministic(docs, "id", "e1")
+      .select("id").as[Long].collect().toSeq
+    val otherEpoch = Curation.shuffleDeterministic(docs, "id", "e2")
+      .select("id").as[Long].collect().toSeq
+    assert(once == again)                       // reproducible
+    assert(once.sorted == (0L until 1000L))     // a permutation, no loss
+    assert(once != otherEpoch)                  // new salt = new order
+    assert(once != (0L until 1000L).toSeq)      // actually shuffled
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("id", "text")
     val corpus = Seq(
