@@ -717,6 +717,38 @@ object SparkEntry {
         .select("doc_id", "shuffle_key")
     }),
 
+    // ── Skew-safe salted equi-join: hot big-side keys spread over salt
+    //    sub-partitions, dimension side replicated; row-identical result ──
+    "q62_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_suppkey", "l_extendedprice")
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.ScaleJoins.saltedEquiJoin(li, sup, "l_suppkey", 8)
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+          "s_nationkey")
+        .groupBy("n_name")
+        .agg(round(sum("l_extendedprice"), 2).as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name")
+    }),
+
+    // ── Backward as-of join (union + per-key window; no range-join
+    //    blow-up): latest prior 'view' value per user for each 'click' ──
+    "q63_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "value")
+      graft.operators.ScaleJoins.asofJoinBackward(
+          clicks, views, "user_id", "ts", "value", "view_value")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"),
+          round(col("view_value"), 2).as("view_value"))
+        .orderBy("event_id")
+    }),
+
     // ── §2.10 stateful streaming dedup (flatMapGroupsWithState): stream
     //    the documents table, keep first arrival per content fingerprint;
     //    oracle = batch min-id per normalised content ──
@@ -1044,6 +1076,19 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    "q62_salted_join" ->
+      """SELECT n_name, round(sum(l_extendedprice),2) AS rev, count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // DuckDB's native ASOF JOIN is the oracle for the union+window shape
+    "q63_asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t_us,
+        | round(r.value,2) AS view_value
+        |FROM (SELECT * FROM events WHERE event_type='click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
     // row ORDER is the contract here: the driver hashes rows in sequence,
     // so a wrong permutation fails even though the row SET is identical
     "q61_det_shuffle" ->

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join shapes for hostile key distributions and time-series alignment —
+  * the two places a plain equi-join stops working at 100 TB.
+  *
+  * Reference behaviours covered: the reference serialises its hot-key
+  * workloads (per-year duplicate-detection threads,
+  * `tool/DuplicationDetection.scala:434-452` in
+  * /root/reference/src/main/scala/au/org/ala/biocache/) because its engine
+  * has no shuffle; on Spark the same problem is solved declaratively with
+  * salting. The as-of join covers the "most recent sample/processed value
+  * at load time" lookups the reference does row-by-row against Cassandra.
+  */
+object ScaleJoins {
+
+  /** Inner equi-join with the big side's hot keys spread over `saltFactor`
+    * sub-partitions and the small side replicated to match. Result is
+    * row-identical to `big.join(small, key)` — only the shuffle layout
+    * changes.
+    *
+    * Use when ONE key carries a disproportionate share of the big side
+    * (AQE's skew-join split handles skewed PARTITIONS, but a join key that
+    * is itself hot still lands every row in one task without salting).
+    * The small side must tolerate `saltFactor`× replication — it stays the
+    * dimension side.
+    *
+    * The salt is deterministic (hash of the whole big-side row, mod
+    * `saltFactor`), so re-runs partition identically — no RNG, no
+    * recomputation hazard under task retry (a `rand()` salt can send the
+    * same logical row to different buckets across attempts). */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    val bigSalted = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltFactor))
+        .cast("int"))
+    val smallReplicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    bigSalted.join(smallReplicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Backward as-of join: for every left row, attach `valueCol` from the
+    * right row with the greatest `timeCol` ≤ the left row's time, within
+    * the same `keyCol` group (DuckDB `ASOF JOIN`, kdb `aj`, pandas
+    * `merge_asof`). Left rows with no prior right row keep a null.
+    *
+    * NOT implemented as a join at all: both sides are union-tagged and a
+    * single per-key window carries the last non-null right value forward
+    * (`last(..., ignoreNulls)` over rows unbounded-preceding..current,
+    * right rows ordered before left rows at equal timestamps, so "at or
+    * before" is inclusive). One shuffle on the key, zero join blow-up:
+    * a range-condition join on (key, time) would otherwise explode into
+    * per-key cross products at 100 TB — this is the standard scale-safe
+    * as-of shape.
+    *
+    * Determinism contract: (keyCol, timeCol) should be unique on the right
+    * side; if two right rows tie on the exact same timestamp, which one
+    * wins is unspecified (same as DuckDB ASOF). */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, valueCol: String,
+      asofName: String = "asof_value"): DataFrame = {
+    val leftCols = left.columns
+    // right rows carry only (key, time, value); left rows carry their full
+    // payload plus a null value slot. _tag orders right before left at ties.
+    val payloadCols = leftCols.filterNot(c => c == keyCol || c == timeCol)
+    val taggedRight = right.select(
+      Seq(col(keyCol), col(timeCol), lit(0).as("_tag"),
+        col(valueCol).as(asofName)) ++
+        payloadCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      Seq(col(keyCol), col(timeCol), lit(1).as("_tag"),
+        lit(null).cast(right.schema(valueCol).dataType).as(asofName)) ++
+        payloadCols.map(col): _*)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(timeCol), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedRight.unionByName(taggedLeft)
+      .withColumn(asofName, last(col(asofName), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .drop("_tag")
+      .select((leftCols.map(col) :+ col(asofName)): _*)
+  }
+}

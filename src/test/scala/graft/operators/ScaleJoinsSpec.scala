@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleJoinsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("saltedEquiJoin is row-identical to the plain equi-join") {
+    // one hot key (90% of rows) plus a tail
+    val big = ((1 to 900).map(i => (7L, s"row$i")) ++
+      (1 to 100).map(i => (i.toLong % 5, s"tail$i")))
+      .toDF("k", "payload")
+    val small = Seq((7L, "hot"), (1L, "one"), (2L, "two"), (99L, "unmatched"))
+      .toDF("k", "dim")
+    val plain = big.join(small, "k")
+    val salted = ScaleJoins.saltedEquiJoin(big, small, "k", saltFactor = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("saltedEquiJoin with saltFactor 1 degenerates to the plain join") {
+    val big = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val small = Seq((1L, "x")).toDF("k", "d")
+    val got = ScaleJoins.saltedEquiJoin(big, small, "k", 1)
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "a", "x")))
+  }
+
+  test("asofJoinBackward attaches the most recent at-or-before right value") {
+    val left = Seq(
+      (1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e3"),
+      (2L, 10L, "e4")).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 11L, 200.0))
+      .toDF("k", "t", "v")
+    val got = ScaleJoins.asofJoinBackward(left, right, "k", "t", "v")
+      .select("name", "asof_value")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(
+      "e1" -> Some(100.0), // exact tie: inclusive
+      "e2" -> Some(150.0), // most recent prior, not first
+      "e3" -> None,        // nothing at or before t=5
+      "e4" -> None))       // right row for k=2 is later (t=11 > 10)
+  }
+
+  test("asofJoinBackward keeps every left row and column") {
+    val left = Seq((1L, 1L, "a", true)).toDF("k", "t", "s", "flag")
+    val right = Seq((1L, 1L, 9.0)).toDF("k", "t", "v")
+    val out = ScaleJoins.asofJoinBackward(left, right, "k", "t", "v")
+    assert(out.columns.toSeq == Seq("k", "t", "s", "flag", "asof_value"))
+    assert(out.count() == 1)
+  }
+}
