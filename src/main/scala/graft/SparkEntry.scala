@@ -749,6 +749,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ── Gap-based sessionization: per-user sessions split on >6h gaps
+    //    (lag + running sum; one shuffle, per-key parallel sort) ──
+    "q64_sessionize" -> ((s, dir) => {
+      graft.operators.Sessions.sessionize(
+          t(s, dir, "events"), "user_id", "ts", "value",
+          maxGapSeconds = 21600L)
+        .select(col("user_id"), col("session_seq"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     // ── §2.10 stateful streaming dedup (flatMapGroupsWithState): stream
     //    the documents table, keep first arrival per content fingerprint;
     //    oracle = batch min-id per normalised content ──
@@ -1089,6 +1102,24 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    // 21600s gap pre-multiplied to µs (DuckDB INT32 literals overflow on
+    // 21600 * 1000000)
+    "q64_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL
+        |   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+        |   THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        | SELECT user_id, value, epoch_us(ts) AS t_us,
+        |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM g)
+        |SELECT user_id, session_seq, min(t_us) AS start_us,
+        | max(t_us) AS end_us, count(*) AS n_events,
+        | round(CAST(sum(value) AS DOUBLE),2) AS total_value
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     // row ORDER is the contract here: the driver hashes rows in sequence,
     // so a wrong permutation fails even though the row SET is identical
     "q61_det_shuffle" ->

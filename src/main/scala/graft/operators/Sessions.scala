@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization of an event stream: consecutive events of the
+  * same key belong to one session while the gap between them stays within
+  * `maxGap`; a larger gap opens a new session.
+  *
+  * Shape: one shuffle on the key (the two windows share the same
+  * partitioning, so Spark plans a single Exchange + sort). Session ids are
+  * deterministic: (key, index of the session's first event). At 100 TB the
+  * per-key sort is parallel across keys; no global ordering is ever
+  * required. The streaming analogue is a `flatMapGroupsWithState` with an
+  * event-time timeout — this is the batch/backfill form.
+  */
+object Sessions {
+
+  /** Adds `session_seq` (1-based per-key session index) to every row. */
+  def assignSessions(events: DataFrame, keyCol: String, tsCol: String,
+      maxGapSeconds: Long): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(tsCol)
+    val gap = unix_micros(col(tsCol)) -
+      unix_micros(lag(col(tsCol), 1).over(byKey))
+    val isNew = when(gap.isNull || gap > maxGapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("_new", isNew)
+      .withColumn("session_seq",
+        sum(col("_new")).over(byKey.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .drop("_new")
+  }
+
+  /** One row per session: key, session_seq, start/end, event count and the
+    * sum of `valueCol`. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, maxGapSeconds: Long): DataFrame =
+    assignSessions(events, keyCol, tsCol, maxGapSeconds)
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(
+        min(tsCol).as("session_start"),
+        max(tsCol).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(valueCol), 2).as("total_value"))
+}

@@ -14,11 +14,17 @@ class PlanShapeSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  /** Final (post-AQE) executed plan text. */
+  /** Executed plan text (final + initial sections — scan details like
+    * PushedFilters are static, so either section may carry them). */
   private def planOf(df: DataFrame): String = {
     df.collect() // materialise so AdaptiveSparkPlan reports the final plan
     df.queryExecution.executedPlan.toString
   }
+
+  /** Only the post-AQE "Final Plan" section — use for operator COUNTS,
+    * which would otherwise double-count the appended "Initial Plan". */
+  private def finalPlanOf(df: DataFrame): String =
+    planOf(df).split("== Initial Plan ==")(0)
 
   test("q25 filter+project: predicates push to the parquet scan, columns prune") {
     val plan = planOf(graft.SparkEntry.queries("q25_filter_project")(spark, sf))
@@ -61,6 +67,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = planOf(df)
     assert(!plan.contains("Exchange"),
       s"map-only projection must not shuffle:\n$plan")
+  }
+
+  test("q64 sessionize: windows + session aggregate reuse ONE hash exchange") {
+    // lag-window, running-sum window, and the (user_id, session_seq)
+    // aggregate all cluster by user_id — the plan must shuffle the events
+    // once, not once per step (the final orderBy adds a range exchange,
+    // which is the query's presentation, not the operator's cost)
+    val plan = finalPlanOf(graft.SparkEntry.queries("q64_sessionize")(spark, sf))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange, got $hashExchanges in:\n$plan")
   }
 
   test("q58 decontamination joins the benchmark gram side by broadcast") {
