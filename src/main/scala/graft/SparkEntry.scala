@@ -1207,6 +1207,65 @@ object SparkEntry {
         | count(*) AS n, round(sum(value),2) AS total_value
         |FROM events GROUP BY bucket, event_type
         |ORDER BY bucket, event_type""".stripMargin,
+    // quality components restated in RE2-safe SQL; the subword count
+    // (Spark splits on lookaround word boundaries, which RE2 lacks) is
+    // restated as (#non-word chars) + (#maximal word runs) — equivalent
+    // because every non-word char is its own token under that split
+    "q44_quality_score" ->
+      """WITH base AS (
+        | SELECT doc_id, trim(text) AS t,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |   ELSE CAST(length(regexp_split_to_array(trim(text),'\s+')) AS BIGINT)
+        |  END AS n_words,
+        |  regexp_split_to_array(lower(trim(text)),'\s+') AS lws
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id, t, n_words,
+        |  CASE WHEN length(t)=0 THEN 0.0 ELSE
+        |   CAST(length(regexp_replace(t,'[^.,;:!?''"()\[\]{}-]','','g'))
+        |    AS DOUBLE) / length(t) END AS punct_ratio,
+        |  CASE WHEN n_words=0 THEN 0.0 ELSE
+        |   CAST(length(list_filter(lws, x -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','it','that',
+        |     'for','on','with','as','was','at','by','be'],
+        |    regexp_replace(x,'[^a-z]','','g')))) AS DOUBLE)/n_words
+        |  END AS stop_ratio
+        | FROM base)
+        |SELECT doc_id,
+        | round(least(n_words/20.0, 1.0)*0.5
+        |   + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.5 END)*0.25
+        |   + (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE 0.5 END)*0.25, 4)
+        |  AS quality,
+        | round(stop_ratio, 4) AS stopword_ratio,
+        | CASE WHEN length(t)=0 THEN 0 ELSE
+        |  CAST(length(regexp_replace(t,'[A-Za-z0-9_]','','g'))
+        |   + length(list_filter(regexp_split_to_array(t,'[^A-Za-z0-9_]+'),
+        |      x -> x <> '')) AS BIGINT) END AS n_subword_tokens
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // argmax over (hits, lang) mirrors Spark's array_max on
+    // struct(hits, lang): max hits, ties broken by the GREATER lang string
+    "q34_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang AS declared_lang,
+        |  regexp_split_to_array(lower(trim(text)), '[^a-zà-ÿ]+') AS toks
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, declared_lang, cand.lang AS cl,
+        |  length(list_filter(toks, x -> list_contains(cand.words, x))) AS hits
+        | FROM t, (VALUES
+        |   ('en', ['the','and','of','is','that','with','for','this']),
+        |   ('de', ['der','die','und','das','ist','nicht','mit','ein']),
+        |   ('fr', ['le','la','les','est','une','des','dans','pour']),
+        |   ('es', ['el','los','las','es','una','para','por','como']),
+        |   ('it', ['il','di','che','per','con','una','sono','della']))
+        |   AS cand(lang, words)),
+        |r AS (SELECT doc_id, declared_lang, cl, hits,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cl DESC)
+        |   AS rn
+        | FROM c)
+        |SELECT doc_id,
+        | CASE WHEN hits > 0 THEN cl ELSE 'und' END AS pred_lang,
+        | declared_lang
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q45_dateparse" ->
       """SELECT year(o_orderdate) AS iso_year, month(o_orderdate) AS dmy_month,
         | month(o_orderdate) AS mmm_month, year(o_orderdate) AS mmmyy_year,
