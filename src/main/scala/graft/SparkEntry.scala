@@ -762,6 +762,18 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ── End-to-end corpus curation: quality gate → exact dedup →
+    //    decontaminate → split; per-(split, contaminated) survivor counts ──
+    "q65_curate_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("source") === "src0")
+      graft.operators.CorpusPipeline.curateCorpus(
+          docs.filter(col("source") =!= "src0"), bench, "doc_id", "text")
+        .groupBy("split", "contaminated")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+        .orderBy("split", "contaminated")
+    }),
+
     // ── §2.10 stateful streaming dedup (flatMapGroupsWithState): stream
     //    the documents table, keep first arrival per content fingerprint;
     //    oracle = batch min-id per normalised content ──
@@ -1089,6 +1101,68 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    // the full curation pipeline restated: quality gate (word count, mean
+    // word length, alpha-word ratio), min-id exact dedup on normalised
+    // text, 8-gram decontamination flag, md5 split thresholds as in q53
+    "q65_curate_corpus" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE source<>'src0'),
+        |q AS (
+        | SELECT doc_id, text FROM (
+        |  SELECT doc_id, text,
+        |   CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE CAST(length(regexp_split_to_array(trim(text),'\s+'))
+        |     AS BIGINT) END AS nw,
+        |   CAST(list_sum(list_transform(
+        |     regexp_split_to_array(trim(text),'\s+'), x -> length(x)))
+        |    AS DOUBLE) /
+        |    length(regexp_split_to_array(trim(text),'\s+')) AS mwl,
+        |   CAST(length(list_filter(regexp_split_to_array(trim(text),'\s+'),
+        |     w -> regexp_matches(w,'[A-Za-z]'))) AS DOUBLE) /
+        |    length(regexp_split_to_array(trim(text),'\s+')) AS awr
+        |  FROM corpus)
+        | WHERE nw >= 20 AND nw <= 100000 AND mwl >= 2.0 AND mwl <= 10.0
+        |  AND awr >= 0.8),
+        |d AS (
+        | SELECT doc_id, text FROM (
+        |  SELECT doc_id, text, row_number() OVER (
+        |   PARTITION BY regexp_replace(lower(trim(text)),'\s+',' ','g')
+        |   ORDER BY doc_id) AS rn FROM q)
+        | WHERE rn = 1),
+        |dg AS (
+        | SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)),'\s+') AS ws FROM d),
+        |grams AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(ws) < 8 THEN [array_to_string(ws,' ')]
+        |   ELSE list_distinct(list_transform(range(1, length(ws)-6),
+        |    i -> array_to_string(list_slice(ws,i,i+7),' '))) END AS g
+        | FROM dg),
+        |bw AS (
+        | SELECT regexp_split_to_array(lower(trim(text)),'\s+') AS ws
+        | FROM documents WHERE source='src0'),
+        |bench AS (
+        | SELECT DISTINCT unnest(CASE WHEN length(ws) < 8
+        |   THEN [array_to_string(ws,' ')]
+        |   ELSE list_distinct(list_transform(range(1, length(ws)-6),
+        |    i -> array_to_string(list_slice(ws,i,i+7),' '))) END) AS gram
+        | FROM bw),
+        |contam AS (
+        | SELECT DISTINCT g2.doc_id FROM
+        |  (SELECT doc_id, unnest(g) AS gram FROM grams) g2
+        |  JOIN bench USING (gram)),
+        |final AS (
+        | SELECT d.doc_id,
+        |  (d.doc_id IN (SELECT doc_id FROM contam)) AS contaminated,
+        |  CASE
+        |   WHEN substr(md5(d.doc_id::VARCHAR || ':v1'),1,8) < '0ccccccc'
+        |    THEN 'test'
+        |   WHEN substr(md5(d.doc_id::VARCHAR || ':v1'),1,8) < '19999999'
+        |    THEN 'val'
+        |   ELSE 'train' END AS split
+        | FROM d)
+        |SELECT split, contaminated, count(*) AS n, min(doc_id) AS min_id
+        |FROM final GROUP BY split, contaminated
+        |ORDER BY split, contaminated""".stripMargin,
     "q62_salted_join" ->
       """SELECT n_name, round(sum(l_extendedprice),2) AS rev, count(*) AS n
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
