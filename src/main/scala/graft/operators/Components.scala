@@ -28,12 +28,17 @@ object Components {
   def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
       maxIterations: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
-    // undirected: keep both orientations so min labels flow either way.
+    // undirected: keep both orientations so min labels flow either way —
+    // via explode, NOT union(pairs, pairs.swapped): a union evaluates the
+    // (potentially expensive) upstream pair pipeline once per branch when
+    // the persist first fills; the explode scans it exactly once.
     // No distinct(): the min aggregates below are duplicate-tolerant, and
     // deduplicating the edge table would cost a full extra shuffle.
     val edges = pairs
-      .select(col(idACol).as("src"), col(idBCol).as("dst"))
-      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .select(explode(array(
+        struct(col(idACol).as("src"), col(idBCol).as("dst")),
+        struct(col(idBCol).as("src"), col(idACol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Fold the first propagation round into initialisation: every node (=
