@@ -57,9 +57,13 @@ object Dedup {
         graft.functions.HashKernels.charShingles(text, shingleLen), numHashes)
       (sig, graft.functions.HashKernels.bandHashes(sig, numBands))
     }
+    // the signature table feeds four plan branches (both sides of the
+    // band self-join and both sides of the verify join); persist so the
+    // minhash kernel runs once per row, not once per branch
     val sig = docs
       .select(col(idCol).as("id"), mhb(col(textCol)).as("s"))
       .select(col("id"), col("s._1").as("sig"), col("s._2").as("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(col("id"),
       posexplode(col("bands")).as(Seq("band", "bandHash")))
@@ -117,7 +121,10 @@ object Dedup {
       val lens = (0 until numBands).map(i => baseLen + (if (i < rem) 1 else 0))
       lens.scanLeft(0)(_ + _).zip(lens)
     }
+    // persisted for the same reason as the minhash signature table: the
+    // simhash UDF feeds the band explode and both verify-join sides
     val sh = simhashes(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("id"),
       posexplode(array(bandSpecs.map { case (offset, len) =>
         val mask = if (len == 64) -1L else (1L << len) - 1L
@@ -220,6 +227,7 @@ object Dedup {
     val centroids = Similarity.trainCentroids(emb, vecCol, numCells,
       iterations, idCol)
     val celled = Similarity.cellAssignment(emb, vecCol, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = celled.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = celled.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
     val pairs = a.join(b, Seq("cell"))
@@ -243,6 +251,7 @@ object Dedup {
     import graft.functions.VectorFunctions
     val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.lshSignature(col(vecCol), bits).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = keyed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = keyed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
