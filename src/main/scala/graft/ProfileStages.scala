@@ -80,7 +80,7 @@ object ProfileStages {
     // can't prune the stage under test
     def time(name: String)(df: => DataFrame): Unit = {
       def run(): Long = df
-        .select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("h"))
         .agg(bit_xor(col("h"))).head().getLong(0)
       run() // warm
       val t0 = System.nanoTime()

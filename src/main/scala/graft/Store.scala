@@ -141,7 +141,8 @@ object Store {
     assertions match {
       case Some(existing) =>
         existing.join(row.select("assertionUuid"), Seq("assertionUuid"),
-          "left_anti").unionByName(row.select(existing.columns.map(col): _*))
+          "left_anti").unionByName(
+          row.select(existing.columns.map(col).toIndexedSeq: _*))
       case None => row.select("assertionUuid", "rowKey", "code", "name",
         "userId", "problemAsserted", "comment")
     }

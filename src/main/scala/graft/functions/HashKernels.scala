@@ -70,7 +70,7 @@ object HashKernels {
 
   /** MinHash signature: for each of numHashes virtual permutations, the min
     * of mix64(base ^ seed) over the shingle set. */
-  def minhash(shingles: Seq[String], numHashes: Int): Array[Long] = {
+  def minhash(shingles: Array[String], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val it = shingles.iterator
     while (it.hasNext) {
@@ -107,7 +107,7 @@ object HashKernels {
   }
 
   /** 64-bit SimHash: per-bit vote over shingle hashes. */
-  def simhash(shingles: Seq[String]): Long = {
+  def simhash(shingles: Array[String]): Long = {
     val votes = new Array[Int](64)
     val it = shingles.iterator
     while (it.hasNext) {
@@ -223,6 +223,21 @@ object HashKernels {
   }
 
   /** Cosine similarity over float vectors (computed in double). */
+  /** Array overload — avoids the per-call Array→IndexedSeq copy in the
+    * k-means training loop and assignment UDF hot paths. */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
   def cosine(a: Seq[Float], b: Seq[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0

@@ -32,9 +32,10 @@ object OccurrenceSchema {
     val keep = recordLevelColumns.filter(df.columns.contains)
     df.select(
       keep.map(col) ++ Seq(
-        struct(rawCols.map(col): _*).as("raw"),
+        struct(rawCols.map(col).toIndexedSeq: _*).as("raw"),
         struct(processedCols.map(c =>
-          col(c).as(c.stripPrefix("processed_"))): _*).as("processed")): _*)
+          col(c).as(c.stripPrefix("processed_"))).toIndexedSeq: _*)
+          .as("processed")): _*)
   }
 
   /** Inverse of `nest`. */
@@ -59,7 +60,7 @@ object OccurrenceSchema {
         col(s"processed.$f").cast("string").as("processed"))
     }
     nested.filter(col("rowKey") === rowKey)
-      .select(explode(array(pairs: _*)).as("cmp"))
+      .select(explode(array(pairs.toIndexedSeq: _*)).as("cmp"))
       .select("cmp.field", "cmp.raw", "cmp.processed")
       .filter(!(col("raw") <=> col("processed")))
   }

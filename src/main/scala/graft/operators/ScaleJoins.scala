@@ -36,7 +36,8 @@ object ScaleJoins {
       saltFactor: Int): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
     val bigSalted = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltFactor))
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)),
+        lit(saltFactor))
         .cast("int"))
     val smallReplicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
@@ -82,6 +83,6 @@ object ScaleJoins {
       .withColumn(asofName, last(col(asofName), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
       .drop("_tag")
-      .select((leftCols.map(col) :+ col(asofName)): _*)
+      .select((leftCols.map(col) :+ col(asofName)).toIndexedSeq: _*)
   }
 }

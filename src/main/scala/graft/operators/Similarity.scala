@@ -95,10 +95,12 @@ object Similarity {
       centroids: Array[Array[Float]]): DataFrame = {
     val bc = emb.sparkSession.sparkContext.broadcast(centroids)
     val assignUdf = udf { (v: Seq[Float]) =>
+      // one Array conversion per row, not one implicit copy per centroid
+      val va = v.toArray
       var best = 0; var bestSim = Double.MinValue
       var c = 0
       while (c < bc.value.length) {
-        val s = graft.functions.HashKernels.cosine(v, bc.value(c))
+        val s = graft.functions.HashKernels.cosine(va, bc.value(c))
         if (s > bestSim) { bestSim = s; best = c }
         c += 1
       }
@@ -120,8 +122,9 @@ object Similarity {
     val celled = cellAssignment(corpus, corpusVec, centroids)
     val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
     val probeUdf = udf { (v: Seq[Float]) =>
+      val va = v.toArray
       bc.value.indices
-        .map(c => c -> graft.functions.HashKernels.cosine(v, bc.value(c)))
+        .map(c => c -> graft.functions.HashKernels.cosine(va, bc.value(c)))
         .sortBy(-_._2).take(nprobe).map(_._1)
     }
     val probes = queries.select(col(queryId), col(queryVec),

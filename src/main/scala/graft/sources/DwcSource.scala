@@ -42,7 +42,7 @@ object DwcSource {
         .csv(s"$dir/$extFile")
       val grouped = ext.groupBy(col("coreid"))
         .agg(collect_list(struct(ext.columns.filter(_ != "coreid")
-          .map(col): _*)).as(extName))
+          .map(col).toIndexedSeq: _*)).as(extName))
       acc.join(grouped, acc("id") === grouped("coreid"), "left")
         .drop("coreid")
     }
