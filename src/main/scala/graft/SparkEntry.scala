@@ -762,6 +762,13 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ── Unigram-LM perplexity quality signal (CCNet-style): corpus word
+    //    frequencies → per-doc avg −ln p(w) ──
+    "q66_unigram_nll" -> ((s, dir) => {
+      Curation.unigramNll(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ── End-to-end corpus curation: quality gate → exact dedup →
     //    decontaminate → split; per-(split, contaminated) survivor counts ──
     "q65_curate_corpus" -> ((s, dir) => {
@@ -1101,6 +1108,18 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    "q66_unigram_nll" ->
+      """WITH words AS (
+        | SELECT doc_id,
+        |  unnest(regexp_split_to_array(lower(trim(text)),'\s+')) AS w
+        | FROM documents),
+        |freq AS (
+        | SELECT w, CAST(count(*) AS DOUBLE) /
+        |   (SELECT count(*) FROM words) AS p
+        | FROM words GROUP BY w)
+        |SELECT doc_id, round(avg(-ln(p)), 4) AS nll, count(*) AS n_words
+        |FROM words JOIN freq USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the full curation pipeline restated: quality gate (word count, mean
     // word length, alpha-word ratio), min-id exact dedup on normalised
     // text, 8-gram decontamination flag, md5 split thresholds as in q53

@@ -126,6 +126,31 @@ object Curation {
     df.withColumn("shuffle_key", hashKey(col(idCol), salt))
       .orderBy(col("shuffle_key"), col(idCol))
 
+  /** Unigram language-model negative log-likelihood per document — the
+    * CCNet-style "perplexity against the corpus itself" quality signal:
+    * documents full of globally rare words (noise, mojibake, boilerplate
+    * IDs) score high, ordinary prose scores low.
+    *
+    * Two-pass shape: build the word-frequency table (one shuffle on the
+    * word), then join it back and average −ln p(w) per document. The
+    * corpus total is attached by broadcasting a one-row aggregate — never
+    * a driver-side collect. The frequency table is bounded by vocabulary
+    * size, not corpus size, so the join side stays dimension-like even at
+    * 100 TB (and can itself be broadcast when the vocab fits). */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val withP = freq
+      .crossJoin(broadcast(freq.agg(sum("c").as("N"))))
+      .select(col("w"), (col("c").cast("double") / col("N")).as("p"))
+    words.join(withP, "w")
+      .groupBy(idCol)
+      .agg(round(avg(-log(col("p"))), 4).as("nll"),
+        count(lit(1)).as("n_words"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with a benchmark/eval set (the GPT-3-style "13-gram overlap"
     * test-set leak check; `n` is a parameter because short synthetic docs

@@ -116,6 +116,21 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1L) == 0.75 && got(2L) == 0.0 && got(3L) == 0.0)
   }
 
+  test("unigramNll scores rare-word documents higher") {
+    val d = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common rareword"))
+      .toDF("id", "text")
+    val got = Curation.unigramNll(d, "id", "text")
+      .select("id", "nll").as[(Long, Double)].collect().toMap
+    // p(common)=7/8, p(rareword)=1/8; doc 2 mixes in the rare word
+    val pc = 7.0 / 8.0; val pr = 1.0 / 8.0
+    assert(math.abs(got(1L) - (-math.log(pc))) < 1e-3)
+    assert(math.abs(got(2L) -
+      ((-3 * math.log(pc) - math.log(pr)) / 4)) < 1e-3)
+    assert(got(2L) > got(1L))
+  }
+
   test("alphaWordRatio and symbolToWordRatio") {
     val d = Seq((1L, "abc 123 d4f ###"), (2L, "")).toDF("id", "text")
     val got = d.select(col("id"),
