@@ -762,6 +762,13 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ── BM25 ranked retrieval (the SOLR free-text ranking analogue) ──
+    "q67_bm25" -> ((s, dir) => {
+      graft.operators.TextSearch.bm25Scores(t(s, dir, "documents"),
+          "doc_id", "text", Seq("spark", "query", "vector"))
+        .orderBy("doc_id")
+    }),
+
     // ── Unigram-LM perplexity quality signal (CCNet-style): corpus word
     //    frequencies → per-doc avg −ln p(w) ──
     "q66_unigram_nll" -> ((s, dir) => {
@@ -1108,6 +1115,27 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    "q67_bm25" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CAST(length(regexp_split_to_array(lower(trim(text)),'\s+'))
+        |   AS DOUBLE) AS dl,
+        |  unnest(regexp_split_to_array(lower(trim(text)),'\s+')) AS w
+        | FROM documents),
+        |stats AS (
+        | SELECT CAST(count(*) AS DOUBLE) AS N, avg(dl) AS avgdl
+        | FROM (SELECT doc_id, any_value(dl) AS dl FROM base GROUP BY doc_id)),
+        |tf AS (
+        | SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf,
+        |  any_value(dl) AS dl
+        | FROM base WHERE w IN ('spark','query','vector')
+        | GROUP BY doc_id, w),
+        |dfx AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w)
+        |SELECT doc_id, round(sum(
+        |  ln(1.0 + (stats.N - df + 0.5)/(df + 0.5)) * tf * (1.2 + 1.0) /
+        |  (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / stats.avgdl))), 4) AS bm25
+        |FROM tf JOIN dfx USING (w), stats
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q66_unigram_nll" ->
       """WITH words AS (
         | SELECT doc_id,

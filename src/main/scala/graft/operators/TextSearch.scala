@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Term-relevance ranked retrieval over a text column — the analytics-side
+  * equivalent of the reference's SOLR free-text ranking
+  * (`index/SolrIndexDAO.scala` query paths in
+  * /root/reference/src/main/scala/au/org/ala/biocache/): BM25 scoring
+  * expressed as pure column algebra.
+  *
+  * Shape at 100 TB: the per-(doc, term) term frequencies come from one
+  * explode filtered to the query terms BEFORE the shuffle (the filter is a
+  * literal IN over a handful of terms, so the exploded volume is tiny);
+  * document frequencies and average document length are one-row/tiny
+  * aggregates attached by broadcast. Nothing collects to the driver.
+  */
+object TextSearch {
+
+  /** BM25 score per document for a bag-of-terms query; only documents
+    * containing at least one query term are returned. Standard Okapi
+    * parameters (k1 term-saturation, b length-normalisation); idf uses the
+    * ln(1 + (N − df + 0.5)/(df + 0.5)) form, non-negative by construction. */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "at least one query term")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val base = docs.select(col(idCol),
+        size(toks).cast("double").as("dl"),
+        explode(toks).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus stats: N and avgdl over ALL docs (dl is per exploded row —
+    // count distinct docs / average of per-doc dl via first-per-doc)
+    val perDoc = base.groupBy(col(idCol)).agg(first("dl").as("dl"))
+    val stats = perDoc.agg(count(lit(1)).cast("double").as("N"),
+      avg("dl").as("avgdl"))
+    // tf for query terms only — the IN filter runs before the shuffle
+    val tf = base.filter(col("w").isin(terms: _*))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).cast("double").as("tf"), first("dl").as("dl"))
+    val df_ = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) +
+      (col("N") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    tf.join(broadcast(df_), "w")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (idf * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy(col(idCol))
+      .agg(round(sum("term_score"), 4).as("bm25"))
+  }
+}
