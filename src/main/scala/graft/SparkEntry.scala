@@ -762,6 +762,19 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ── RAG-style overlapping token-window chunking (map-only explode;
+    //    per-chunk md5 proves content, not just counts) ──
+    "q68_chunk_text" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TF.chunkText(col("text"), 32, 24))
+            .as(Seq("pos", "chunk")))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5"),
+          TF.tokenCount(col("chunk")).as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ── BM25 ranked retrieval (the SOLR free-text ranking analogue) ──
     "q67_bm25" -> ((s, dir) => {
       graft.operators.TextSearch.bm25Scores(t(s, dir, "documents"),
@@ -1115,6 +1128,23 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    "q68_chunk_text" ->
+      """WITH w AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text),'\s+') AS ws FROM documents),
+        |c AS (
+        | SELECT doc_id, ws,
+        |  CASE WHEN length(ws) <= 32 THEN 1
+        |   ELSE CAST(ceil(CAST(length(ws)-32 AS DOUBLE)/24) AS INT) + 1
+        |  END AS nc
+        | FROM w),
+        |e AS (
+        | SELECT doc_id, ws, unnest(range(0, nc)) AS chunk_idx FROM c)
+        |SELECT doc_id, chunk_idx,
+        | md5(array_to_string(
+        |  list_slice(ws, chunk_idx*24+1, chunk_idx*24+32),' ')) AS chunk_md5,
+        | CAST(length(list_slice(ws, chunk_idx*24+1, chunk_idx*24+32))
+        |  AS BIGINT) AS chunk_tokens
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     "q67_bm25" ->
       """WITH base AS (
         | SELECT doc_id,

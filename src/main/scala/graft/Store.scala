@@ -54,6 +54,19 @@ object Store {
   def writeIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").parquet(path)
 
+  /** Bucketed table sink: pre-shuffles rows into `numBuckets` by `key` at
+    * WRITE time, so every later equi-join or aggregation on that key reads
+    * co-located buckets and plans with NO exchange (PlanShapeSpec proves
+    * it). This is the 100 TB answer to repeated joins on the same key —
+    * the serving/occurrence tables are written once, joined many times:
+    * pay the shuffle once at ingest, never at query. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   // ── Query surface (reference Store.occurrenceSearch/facets/…) ──
   def facet(index: DataFrame, field: String, predicate: Option[Column] = None): DataFrame =
     Serving.facet(index, field, predicate)

@@ -149,6 +149,22 @@ object TextFunctions {
           tokenCount(text).cast("double"))
   }
 
+  /** Overlapping token-window chunks (RAG/embedding indexing shape): window
+    * of `windowTokens` whitespace tokens advancing by `strideTokens`. The
+    * final window may be shorter; texts shorter than one window yield one
+    * chunk. Pure column algebra — map-only, explode-ready. */
+  def chunkText(text: Column, windowTokens: Int, strideTokens: Int): Column = {
+    require(windowTokens > 0 && strideTokens > 0 &&
+      strideTokens <= windowTokens, "0 < stride <= window")
+    val toks = split(trim(text), "\\s+")
+    val nChunks = when(size(toks) <= windowTokens, lit(1))
+      .otherwise(ceil((size(toks) - lit(windowTokens)).cast("double") /
+        lit(strideTokens)).cast("int") + lit(1))
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ",
+        slice(toks, i * strideTokens + 1, lit(windowTokens))))
+  }
+
   /** Symbol-to-word ratio: occurrences of `#` or `...` per whitespace token
     * (Gopher uses the same two markers). 0 for empty text. */
   def symbolToWordRatio(text: Column): Column = {

@@ -116,6 +116,19 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1L) == 0.75 && got(2L) == 0.0 && got(3L) == 0.0)
   }
 
+  test("chunkText windows overlap by window minus stride") {
+    import graft.functions.{TextFunctions => TF}
+    val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "short text")).toDF("id", "text")
+    val got = d.select(col("id"),
+        TF.chunkText(col("text"), 4, 2).as("chunks"))
+      .as[(Long, Seq[String])].collect().toMap
+    // 10 tokens, window 4, stride 2 → ceil(6/2)+1 = 4 chunks
+    assert(got(1L) == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(got(2L) == Seq("short text"))
+  }
+
   test("unigramNll scores rare-word documents higher") {
     val d = Seq(
       (1L, "common common common common"),

@@ -80,6 +80,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly 1 hash exchange, got $hashExchanges in:\n$plan")
   }
 
+  test("bucketed tables join with zero exchanges (shuffle paid at write)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val a = (1L to 500L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 500L).map(i => (i, s"b$i")).toDF("k", "vb")
+    graft.Store.writeBucketed(a, "bkt_a", "k", 4)
+    graft.Store.writeBucketed(b, "bkt_b", "k", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the bucket co-location is what
+      // eliminates the exchanges
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val plan = finalPlanOf(joined)
+      assert(!plan.contains("Exchange"),
+        s"bucketed equi-join must not shuffle:\n$plan")
+      assert(joined.count() == 500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("q58 decontamination joins the benchmark gram side by broadcast") {
     val plan = planOf(graft.SparkEntry.queries("q58_decontaminate")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),
