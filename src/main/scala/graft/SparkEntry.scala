@@ -762,6 +762,18 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ── Z-order spatial layout keys: Morton interleave of quantised
+    //    pseudo-coordinates; ORDER BY z is the write layout ──
+    "q69_zorder" -> ((s, dir) => {
+      val lat = (col("o_orderkey") % 170 - 85).cast("double") + lit(0.5)
+      val lon = (col("o_orderkey") % 356 - 178).cast("double") + lit(0.25)
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          graft.geo.ZOrder.zValue(lat, lon).as("z"))
+        .orderBy("z", "o_orderkey")
+    }),
+
     // ── RAG-style overlapping token-window chunking (map-only explode;
     //    per-chunk md5 proves content, not just counts) ──
     "q68_chunk_text" -> ((s, dir) => {
@@ -1128,6 +1140,31 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    // Morton bit-spreading with the standard magic masks — identical
+    // 64-bit integer ops in both engines; row ORDER (the layout) is
+    // what's checked
+    "q69_zorder" ->
+      """WITH q AS (
+        | SELECT o_orderkey,
+        |  CAST(floor((((o_orderkey % 170 - 85) + 0.5) + 90.0)
+        |    / 180.0 * 65535.0) AS BIGINT) AS latq,
+        |  CAST(floor((((o_orderkey % 356 - 178) + 0.25) + 180.0)
+        |    / 360.0 * 65535.0) AS BIGINT) AS lonq
+        | FROM orders WHERE o_orderkey <= 2000),
+        |s1 AS (SELECT o_orderkey,
+        |  ((latq | (latq << 8)) & 16711935) AS a,
+        |  ((lonq | (lonq << 8)) & 16711935) AS b FROM q),
+        |s2 AS (SELECT o_orderkey,
+        |  ((a | (a << 4)) & 252645135) AS a,
+        |  ((b | (b << 4)) & 252645135) AS b FROM s1),
+        |s3 AS (SELECT o_orderkey,
+        |  ((a | (a << 2)) & 858993459) AS a,
+        |  ((b | (b << 2)) & 858993459) AS b FROM s2),
+        |s4 AS (SELECT o_orderkey,
+        |  ((a | (a << 1)) & 1431655765) AS a,
+        |  ((b | (b << 1)) & 1431655765) AS b FROM s3)
+        |SELECT o_orderkey, a | (b << 1) AS z FROM s4
+        |ORDER BY z, o_orderkey""".stripMargin,
     "q68_chunk_text" ->
       """WITH w AS (SELECT doc_id,
         |  regexp_split_to_array(trim(text),'\s+') AS ws FROM documents),
