@@ -26,17 +26,15 @@ object TextSearch {
     require(queryTerms.nonEmpty, "at least one query term")
     val terms = queryTerms.map(_.toLowerCase).distinct
     val toks = split(lower(trim(col(textCol))), "\\s+")
-    val base = docs.select(col(idCol),
-        size(toks).cast("double").as("dl"),
-        explode(toks).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // corpus stats: N and avgdl over ALL docs (dl is per exploded row —
-    // count distinct docs / average of per-doc dl via first-per-doc)
-    val perDoc = base.groupBy(col(idCol)).agg(first("dl").as("dl"))
-    val stats = perDoc.agg(count(lit(1)).cast("double").as("N"),
-      avg("dl").as("avgdl"))
-    // tf for query terms only — the IN filter runs before the shuffle
-    val tf = base.filter(col("w").isin(terms: _*))
+    // corpus stats straight off the docs scan — one map-only aggregate,
+    // no word explode and no per-doc shuffle
+    val stats = docs.agg(count(lit(1)).cast("double").as("N"),
+      avg(size(toks).cast("double")).as("avgdl"))
+    // tf for query terms only — the IN filter runs before the shuffle,
+    // so only matching words are ever exploded into the aggregation
+    val tf = docs.select(col(idCol),
+        size(toks).cast("double").as("dl"), explode(toks).as("w"))
+      .filter(col("w").isin(terms: _*))
       .groupBy(col(idCol), col("w"))
       .agg(count(lit(1)).cast("double").as("tf"), first("dl").as("dl"))
     val df_ = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
