@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * per-key sort is parallel across keys; no global ordering is ever
   * required. The streaming analogue is a `flatMapGroupsWithState` with an
   * event-time timeout — this is the batch/backfill form.
+  *
+  * Why not the built-in `session_window`? Two contract differences: (1) it
+  * identifies sessions by their time bounds, not a stable per-key 1,2,3…
+  * sequence (which downstream session-id joins need and `assignSessions`
+  * provides per row); (2) its merge rule is end-EXCLUSIVE (an event at
+  * exactly start+gap opens a new session) where this operator keeps
+  * `gap <= maxGap` together — the convention the q64 oracle pins down.
+  * Same single-exchange plan either way, so nothing is lost.
   */
 object Sessions {
 
