@@ -52,4 +52,22 @@ object Sessions {
         max(tsCol).as("session_end"),
         count(lit(1)).as("n_events"),
         round(sum(valueCol), 2).as("total_value"))
+
+  /** Streaming sessionization over an event stream: Spark's native
+    * `session_window` + watermark (state closes once the watermark passes a
+    * session's end + gap, so state is bounded by OPEN sessions, not
+    * history). Note the built-in's end-exclusive merge rule — an event at
+    * exactly start+gap opens a new session — differs from the batch
+    * operator's inclusive `<= maxGap`; use the same form on both sides when
+    * comparing (StreamingSpec does). */
+  def sessionizeStream(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("sw"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(valueCol), 2).as("total_value"))
+      .select(col(keyCol), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"), col("total_value"))
 }

@@ -52,6 +52,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming sessionization equals batch session_window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(
+      (1L, ts(0), 1.0), (1L, ts(30), 2.0),   // one session (gap 30 < 60)
+      (1L, ts(200), 4.0),                    // next session
+      (2L, ts(10), 8.0), (2L, ts(300), 16.0))
+
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val agg = graft.operators.Sessions.sessionizeStream(
+      in.toDF().toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", "60 seconds", "1 second")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    in.addData(events.take(3))
+    q.processAllAvailable()
+    in.addData(events.drop(3))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql(
+      "SELECT user_id, session_start, n_events, total_value FROM sess_out")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+    val batch = graft.operators.Sessions.sessionizeStream(
+        events.toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value", "60 seconds", "1 second")
+      .select($"user_id", $"session_start", $"n_events", $"total_value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size == 4) // (1: 2 sessions), (2: 2 sessions)
+  }
+
   test("streaming content dedup drops repeats across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
