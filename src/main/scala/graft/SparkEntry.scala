@@ -762,6 +762,38 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ── PII scrub (privacy pass of a training-data pipeline): typed match
+    //    counts + md5 of the redacted text. Map-only regexp chain; the
+    //    synthetic corpus contains no PII so counts are zero — the oracle
+    //    proves the Java and RE2 engines agree on the same patterns, and
+    //    TextFunctionsSpec carries the positive-match cases ──
+    "q70_pii_redact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.emailCount(col("text")).cast("long").as("n_email"),
+          TF.ipv4Count(col("text")).cast("long").as("n_ip"),
+          TF.phoneCount(col("text")).cast("long").as("n_phone"),
+          md5(TF.redactPii(col("text"))).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ── Percentile-threshold perplexity filter (CCNet head+middle cut):
+    //    exact corpus p75 of unigram NLL as a broadcast scalar ──
+    "q71_perplexity_filter" -> ((s, dir) => {
+      Curation.perplexityFilter(t(s, dir, "documents"), "doc_id", "text", 0.75)
+        .orderBy("doc_id")
+    }),
+
+    // ── Corpus bigram statistics (one BPE-merge counting step /
+    //    collocation table): top-50 adjacent word pairs ──
+    "q73_bigram_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TF.wordBigrams(col("text"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(50)
+    }),
+
     // ── Z-order spatial layout keys: Morton interleave of quantised
     //    pseudo-coordinates; ORDER BY z is the write layout ──
     "q69_zorder" -> ((s, dir) => {
@@ -1140,6 +1172,52 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    // byte-identical patterns: Java regex (Spark) and RE2 (DuckDB) agree
+    // on this lookaround-free subset
+    "q70_pii_redact" ->
+      ("""WITH r AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |   AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+\d{1,3}([ -]?\d){7,14}')) AS BIGINT) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{1,3}([ -]?\d){7,14}', '<PHONE>', 'g')) AS redacted_md5
+        | FROM documents)
+        |SELECT * FROM r ORDER BY doc_id""").stripMargin,
+    // identical quantile definition: Spark exact `percentile` and DuckDB
+    // `quantile_cont` both linearly interpolate at (n-1)*q
+    "q71_perplexity_filter" ->
+      """WITH words AS (
+        | SELECT doc_id,
+        |  unnest(regexp_split_to_array(lower(trim(text)),'\s+')) AS w
+        | FROM documents),
+        |freq AS (
+        | SELECT w, CAST(count(*) AS DOUBLE) /
+        |   (SELECT count(*) FROM words) AS p
+        | FROM words GROUP BY w),
+        |nll AS (
+        | SELECT doc_id, round(avg(-ln(p)), 4) AS nll
+        | FROM words JOIN freq USING (w) GROUP BY doc_id),
+        |thr AS (SELECT round(quantile_cont(nll, 0.75), 4) AS nll_thr
+        |        FROM nll)
+        |SELECT doc_id, nll, nll_thr FROM nll, thr
+        |WHERE nll <= nll_thr ORDER BY doc_id""".stripMargin,
+    "q73_bigram_stats" ->
+      """WITH w AS (
+        | SELECT regexp_split_to_array(lower(trim(text)),'\s+') AS ws
+        | FROM documents),
+        |b AS (
+        | SELECT unnest(list_transform(range(1, len(ws)),
+        |   i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        | FROM w WHERE len(ws) >= 2)
+        |SELECT bigram, count(*) AS cnt FROM b
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin,
     // Morton bit-spreading with the standard magic masks — identical
     // 64-bit integer ops in both engines; row ORDER (the layout) is
     // what's checked

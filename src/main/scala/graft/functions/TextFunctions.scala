@@ -175,4 +175,48 @@ object TextFunctions {
     when(tokenCount(text) === 0, lit(0.0))
       .otherwise(symbols / tokenCount(text).cast("double"))
   }
+
+  // ── PII detection / redaction ─────────────────────────────────────────
+  // Patterns are deliberately restricted to the regex subset Java and RE2
+  // share (no lookaround, no backreferences) so the DuckDB oracle runs the
+  // byte-identical pattern. Redaction order is fixed (email → IPv4 →
+  // phone) and the patterns are mutually non-overlapping (emails contain
+  // '@', IPv4s contain dots but no '+', phones start '+'), so the chain is
+  // order-insensitive in effect but deterministic by construction.
+
+  /** RFC-5322-ish email addresses (pragmatic subset). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 literals. */
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** International-format phone numbers: '+' country code then 7–14
+    * digits with optional single spaces/dashes between groups. */
+  val PhonePattern = "\\+\\d{1,3}([ -]?\\d){7,14}"
+
+  /** Count of email / IPv4 / phone matches in the text. */
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
+
+  /** Replace every PII match with a typed placeholder token. Map-only,
+    * codegen'd `regexp_replace` chain — the shape a 100 TB privacy scrub
+    * needs (no shuffle, no state, safe to run inside the ingest scan). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Adjacent word pairs (the counting unit of one BPE-merge iteration and
+    * of corpus collocation stats). Empty/one-word texts yield an empty
+    * array. Positional — repeats are kept; counting is the caller's
+    * aggregation. */
+  def wordBigrams(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+  }
 }

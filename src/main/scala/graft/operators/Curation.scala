@@ -151,6 +151,27 @@ object Curation {
         count(lit(1)).as("n_words"))
   }
 
+  /** Percentile-threshold perplexity filtering (the CCNet head/middle cut):
+    * keep documents whose unigram NLL is at or below the corpus `quantile`
+    * cut-point. The threshold is ONE exact-percentile aggregate — a single
+    * double broadcast back as a cross-join literal — so the filter costs no
+    * global sort and no second pass over the word table: scalar compare,
+    * map-only after the [[unigramNll]] aggregate.
+    *
+    * Both sides of the compare are rounded to 4 dp so the decision is
+    * reproducible across engines (the DuckDB oracle recomputes the same
+    * `quantile_cont` threshold). */
+  def perplexityFilter(docs: DataFrame, idCol: String, textCol: String,
+      quantile: Double): DataFrame = {
+    require(quantile > 0 && quantile < 1, "0 < quantile < 1")
+    val nll = unigramNll(docs, idCol, textCol)
+    val thr = nll.agg(
+      round(expr(s"percentile(nll, $quantile)"), 4).as("nll_thr"))
+    nll.crossJoin(broadcast(thr))
+      .filter(col("nll") <= col("nll_thr"))
+      .select(col(idCol), col("nll"), col("nll_thr"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with a benchmark/eval set (the GPT-3-style "13-gram overlap"
     * test-set leak check; `n` is a parameter because short synthetic docs
