@@ -762,6 +762,27 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ── Cross-document repetition: fraction of each doc's 5-gram
+    //    instances also present in ≥1 other doc (boilerplate signal
+    //    exact/near-dup passes miss) ──
+    "q72_crossdoc_ngram" -> ((s, dir) => {
+      Curation.crossDocRepetitionRatio(
+          t(s, dir, "documents"), "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // ── PQ-compressed ANN (rows-only: k-means codebooks aren't
+    //    SQL-expressible; SimilaritySpec checks recall vs brute force) ──
+    "q74_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.pqTopK(emb.filter(col("vec_id") >= 3), queriesDf, 10)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 4).as("pq_cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ── PII scrub (privacy pass of a training-data pipeline): typed match
     //    counts + md5 of the redacted text. Map-only regexp chain; the
     //    synthetic corpus contains no PII so counts are zero — the oracle
@@ -1172,6 +1193,29 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    // positional n-grams (doc shorter than n → one whole-text gram, like
+    // the Spark side's wordNgramsAll); df from distinct membership
+    "q72_crossdoc_ngram" ->
+      """WITH w AS (
+        | SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)),'\s+') AS ws
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(
+        |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |   ELSE list_transform(range(1, len(ws)-3),
+        |     i -> array_to_string(list_slice(ws, i, i+4), ' '))
+        |  END) AS gram
+        | FROM w),
+        |shared AS (
+        | SELECT gram FROM (
+        |  SELECT gram, count(*) AS gdf
+        |  FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY gram)
+        | WHERE gdf >= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        | round(CAST(count(*) FILTER (gram IN (SELECT gram FROM shared))
+        |   AS DOUBLE) / count(*), 4) AS dup_ratio
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // byte-identical patterns: Java regex (Spark) and RE2 (DuckDB) agree
     // on this lookaround-free subset
     "q70_pii_redact" ->

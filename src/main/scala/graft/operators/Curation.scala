@@ -151,6 +151,34 @@ object Curation {
         count(lit(1)).as("n_words"))
   }
 
+  /** Cross-document repetition (RefinedWeb-style): for each document, the
+    * fraction of its positional word n-gram instances that also occur in at
+    * least one OTHER document. High ratios flag boilerplate/templated text
+    * that exact- and near-dup passes miss because no single pair of docs is
+    * similar enough.
+    *
+    * Shape: one explode → distinct (doc, gram) membership → gram document
+    * frequency → join-back on gram. All shuffles key on the gram, so hot
+    * grams ("click here to") spread over partitions by Spark's hash; no
+    * per-doc state. At 100 TB grams should travel as 64-bit hashes (see
+    * [[decontaminate]]'s `wordShinglesHashed` pattern); the string form
+    * here is what the DuckDB oracle can reproduce. */
+  def crossDocRepetitionRatio(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(graft.functions.TextFunctions
+        .wordNgramsAll(col(textCol), n)).as("gram"))
+    val df2 = grams.distinct()
+      .groupBy("gram").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= 2)
+      .select("gram")
+    grams.join(df2.withColumn("shared", lit(1)), Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        round(coalesce(sum("shared"), lit(0)).cast("double") /
+          count(lit(1)), 4).as("dup_ratio"))
+  }
+
   /** Percentile-threshold perplexity filtering (the CCNet head/middle cut):
     * keep documents whose unigram NLL is at or below the corpus `quantile`
     * cut-point. The threshold is ONE exact-percentile aggregate — a single

@@ -136,4 +136,174 @@ object Similarity {
       .orderBy(col("cosine").desc, col(corpusId).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  // ── Product quantisation (PQ) ──────────────────────────────────────────
+  // Each d-dim vector splits into m contiguous sub-vectors; a per-subspace
+  // k-means codebook (k codes) replaces every sub-vector with its nearest
+  // code id. A 64-dim float32 vector at m=8 becomes 8 small ints — 32×
+  // smaller, so a 100 TB embedding table's codes fit in the page cache of a
+  // modest cluster. Queries score candidates via asymmetric distance
+  // computation (ADC): per-(subspace, code) partial dot products are
+  // precomputed once per query (m·k multiplications), then every corpus row
+  // costs m table lookups instead of d multiplications.
+
+  /** Train per-subspace codebooks on a bounded deterministic sample (same
+    * O(scan) id-hash sampling as [[trainCentroids]]). Sub-quantisers use
+    * L2, the standard PQ formulation. Returns m × k × (d/m) floats. */
+  def trainPqCodebooks(corpus: DataFrame, vecCol: String, m: Int, k: Int,
+      iterations: Int = 4, idCol: String = "vec_id",
+      maxTrainingRows: Int = 20000): Array[Array[Array[Float]]] = {
+    val n = corpus.count()
+    val denom = 1000000L
+    val keep = if (n <= maxTrainingRows) denom
+      else math.min(denom, (denom * 3L * maxTrainingRows / (2L * n)).max(1L))
+    val sample: Array[Array[Float]] = corpus
+      .select(col(vecCol), pmod(xxhash64(col(idCol)), lit(denom)).as("_h"))
+      .filter(col("_h") < keep)
+      .collect()
+      .sortBy(_.getLong(1))
+      .take(maxTrainingRows)
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { mi =>
+      val vecs = sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      var codes = vecs.distinct.take(k).map(_.clone())
+      for (_ <- 1 to iterations) {
+        val sums = Array.fill(codes.length)(new Array[Double](sub))
+        val counts = new Array[Int](codes.length)
+        vecs.foreach { v =>
+          val best = nearestL2(v, codes)
+          counts(best) += 1
+          var d = 0
+          while (d < sub) { sums(best)(d) += v(d); d += 1 }
+        }
+        codes = codes.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else Array.tabulate(sub)(d => (sums(c)(d) / counts(c)).toFloat)
+        }
+      }
+      codes
+    }
+  }
+
+  private def nearestL2(v: Array[Float], codes: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < codes.length) {
+      var d2 = 0.0; var d = 0
+      val cv = codes(c)
+      while (d < v.length) {
+        val diff = v(d) - cv(d); d2 += diff * diff; d += 1
+      }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Encode each vector as its m nearest sub-codebook ids (map-only). */
+  def pqEncode(emb: DataFrame, vecCol: String,
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val bc = emb.sparkSession.sparkContext.broadcast(codebooks)
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val encodeUdf = udf { (v: Seq[Float]) =>
+      val va = v.toArray
+      Array.tabulate(m) { mi =>
+        nearestL2(java.util.Arrays.copyOfRange(va, mi * sub, (mi + 1) * sub),
+          bc.value(mi))
+      }
+    }
+    emb.withColumn("pq_codes", encodeUdf(col(vecCol)))
+  }
+
+  /** PQ-approximate cosine top-k via ADC. Per query: one m·k partial-dot
+    * table, broadcast with the query; per corpus row: m lookups. The
+    * reconstruction norm √Σ|c_code|² is query-independent and shared via
+    * one broadcast.
+    *
+    * ADC alone cannot rank candidates closer together than the
+    * quantisation error, so by default the top `k·overfetch` ADC
+    * candidates are re-ranked by exact cosine (the FAISS IVFPQ+refine
+    * shape). The rerank join touches only candidates — k·overfetch rows
+    * per query, never the corpus — so the exact pass stays tiny at any
+    * scale. Output: (query_id, id, score, rank); `score` is exact cosine
+    * when reranked, the ADC approximation otherwise. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, codesPerSub: Int = 32, iterations: Int = 4,
+      overfetch: Int = 8, rerank: Boolean = true,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val books = trainPqCodebooks(corpus, corpusVec, m, codesPerSub,
+      iterations, corpusId)
+    val encoded = pqEncode(corpus, corpusVec, books)
+      .select(col(corpusId), col("pq_codes"))
+    val sub = books.head.head.length
+    val kk = books.head.length
+    // query-independent squared norms of every code, flattened m×k
+    val codeNorm2 = books.flatMap(_.map(c => c.map(x => x.toDouble * x).sum))
+    val spark = corpus.sparkSession
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val bcNorm2 = spark.sparkContext.broadcast(codeNorm2)
+    val tableUdf = udf { (q: Seq[Float]) =>
+      val qa = q.toArray
+      val table = new Array[Double](m * kk)
+      var mi = 0
+      while (mi < m) {
+        var c = 0
+        while (c < kk) {
+          var dot = 0.0; var d = 0
+          val cv = bcBooks.value(mi)(c)
+          while (d < sub) { dot += qa(mi * sub + d) * cv(d); d += 1 }
+          table(mi * kk + c) = dot
+          c += 1
+        }
+        mi += 1
+      }
+      var qn = 0.0; var d = 0
+      while (d < qa.length) { qn += qa(d) * qa(d); d += 1 }
+      table :+ math.sqrt(qn)
+    }
+    val scoreUdf = udf { (codes: Seq[Int], table: Seq[Double]) =>
+      var dot = 0.0; var n2 = 0.0
+      var mi = 0
+      while (mi < m) {
+        val c = codes(mi)
+        dot += table(mi * kk + c)
+        n2 += bcNorm2.value(mi * kk + c)
+        mi += 1
+      }
+      val qn = table(m * kk)
+      val denom = qn * math.sqrt(n2)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    val qTables = queries.select(col(queryId),
+      tableUdf(col(queryVec)).as("adc"))
+    val scored = encoded.crossJoin(broadcast(qTables))
+      .select(col(queryId), col(corpusId),
+        scoreUdf(col("pq_codes"), col("adc")).as("pq_cosine"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("pq_cosine").desc, col(corpusId).asc)
+    if (!rerank) {
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .withColumnRenamed("pq_cosine", "score")
+    } else {
+      val candidates = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k * overfetch)
+        .select(col(queryId), col(corpusId))
+      val exact = candidates
+        .join(corpus.select(col(corpusId), col(corpusVec)), corpusId)
+        .join(broadcast(queries), queryId)
+        .select(col(queryId), col(corpusId),
+          cosineCol(corpus)(col(corpusVec), col(queryVec)).as("score"))
+      val w2 = Window.partitionBy(col(queryId))
+        .orderBy(col("score").desc, col(corpusId).asc)
+      exact.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+    }
+  }
 }

@@ -154,4 +154,25 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1L) == ((0.5, 0.75)))  // 2 of 4 words alphabetic; 3 '#' / 4
     assert(got(2L) == ((0.0, 0.0)))
   }
+
+  test("crossDocRepetitionRatio flags text shared ACROSS docs only") {
+    val boiler = "terms and conditions apply to this offer"  // 7 words
+    val d = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta"), // unique
+      (2L, s"$boiler intro one two three"),
+      (3L, s"$boiler other tail words here"),
+      // within-doc repetition but nothing shared with other docs:
+      (4L, "loop loop loop loop loop loop loop loop loop loop"))
+      .toDF("doc_id", "text")
+    val got = Curation.crossDocRepetitionRatio(d, "doc_id", "text", 3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._2 == 0.0)
+    // docs 2 and 3 share the boilerplate's five 3-grams out of their
+    // 11-word, nine-3-gram texts
+    assert(got(2L) == ((9L, 0.5556)) && got(3L) == ((9L, 0.5556)))
+    // doc 4's "loop loop loop" grams repeat within the doc but exist in
+    // no other doc: cross-doc ratio 0
+    assert(got(4L)._2 == 0.0)
+  }
 }
