@@ -762,6 +762,35 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ── Stream-stream interval join (attribution): click → purchase by
+    //    the same user within 6 h, drained with AvailableNow; inner-append
+    //    semantics make the drained stream equal the batch interval join ──
+    "q75_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("imp_id"), col("user_id"), col("ts"))
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id").as("conv_user"),
+          col("ts").as("conv_ts"), col("value").as("conv_value"))
+      val joined = graft.streaming.IncrementalIngest.intervalJoinStreams(
+        clicks, purchases, "user_id", "conv_user", "ts", "conv_ts",
+        "1 hour", 21600L)
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName("q75_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q75_out")
+        .select(col("imp_id"), col("conv_id"), col("user_id"),
+          round(col("conv_value"), 2).as("conv_value"))
+        .orderBy("imp_id", "conv_id")
+    }),
+
     // ── Cross-document repetition: fraction of each doc's 5-gram
     //    instances also present in ≥1 other doc (boilerplate signal
     //    exact/near-dup passes miss) ──
@@ -1193,6 +1222,19 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    // plain batch interval join — the stream must converge to exactly this
+    "q75_stream_join" ->
+      """WITH imp AS (
+        | SELECT event_id AS imp_id, user_id, ts FROM events
+        | WHERE event_type = 'click'),
+        |conv AS (
+        | SELECT event_id AS conv_id, user_id, ts, value FROM events
+        | WHERE event_type = 'purchase')
+        |SELECT i.imp_id, c.conv_id, i.user_id,
+        | round(c.value, 2) AS conv_value
+        |FROM imp i JOIN conv c ON i.user_id = c.user_id
+        | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 6 HOUR
+        |ORDER BY imp_id, conv_id""".stripMargin,
     // positional n-grams (doc shorter than n → one whole-text gram, like
     // the Spark side's wordNgramsAll); df from distinct membership
     "q72_crossdoc_ngram" ->

@@ -51,6 +51,33 @@ object IncrementalIngest {
       .groupBy(window(col(tsCol), window_, slide), col(keyCol))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
 
+  /** Watermarked stream-stream interval join (the attribution shape): each
+    * left event matches right events with the same key whose timestamp
+    * falls in [leftTs, leftTs + horizonSeconds]. Inner join in append mode
+    * — every match is emitted exactly once, so the drained stream equals
+    * the batch interval join.
+    *
+    * The right side must arrive with column names disjoint from the left
+    * (`rightKey` vs `keyCol`); Spark's stream-stream join cannot
+    * disambiguate same-named columns across sides.
+    *
+    * State bound: the time-range predicate plus BOTH watermarks lets Spark
+    * evict left rows once the right watermark passes leftTs + horizon and
+    * right rows once the left watermark passes rightTs — state is
+    * O(key-rate × horizon), not unbounded. That eviction window is the
+    * whole design at 100 TB/day event volumes. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+      keyCol: String, rightKey: String, leftTs: String, rightTs: String,
+      watermark: String, horizonSeconds: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, expr(
+      s"""$keyCol = $rightKey AND
+         |$rightTs >= $leftTs AND
+         |$rightTs <= $leftTs + INTERVAL $horizonSeconds SECOND
+         |""".stripMargin))
+  }
+
   /** Cross-micro-batch exact deduplication of a document stream by content
     * fingerprint — the streaming form of `Dedup.dropExactDuplicates`,
     * built on `flatMapGroupsWithState` (custom keyed state: one boolean per

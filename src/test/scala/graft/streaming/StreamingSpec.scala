@@ -115,4 +115,52 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(got == batchSurvivors)
   }
+
+  test("stream-stream interval join equals batch, across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // times sit well above epoch: a row whose event time is ≤ the query's
+    // INITIAL watermark (epoch 0) is filtered as late before any data
+    // has advanced it
+    def ts(sec: Long) = new java.sql.Timestamp((100000L + sec) * 1000L)
+    // impressions (key, imp_id, ts); conversions (key, conv_id, ts)
+    val imps = Seq((10L, 100L, ts(0)), (10L, 101L, ts(500)),
+      (20L, 102L, ts(0)))
+    val convs = Seq((10L, 900L, ts(60)),   // matches imp 100 (in horizon)
+      (10L, 901L, ts(560)),                // matches 101; too late for 100
+      (20L, 902L, ts(400)),                // outside 300 s horizon of 102
+      (30L, 903L, ts(10)))                 // no impression at all
+
+    val impIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val convIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = IncrementalIngest.intervalJoinStreams(
+      impIn.toDF().toDF("user_id", "imp_id", "ts"),
+      convIn.toDF().toDF("conv_user", "conv_id", "conv_ts"),
+      "user_id", "conv_user", "ts", "conv_ts", "10 seconds", 300L)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    // arrivals interleave across micro-batches; matches land in batches
+    // AFTER their impression, within each side's watermark
+    impIn.addData(imps.take(1) ++ imps.drop(2)) // imp 100, imp 102 (ts 0)
+    convIn.addData(convs.drop(3))               // conv 903 (ts 10)
+    q.processAllAvailable()
+    impIn.addData(imps.slice(1, 2))             // imp 101 (ts 500)
+    convIn.addData(convs.take(1) ++ convs.slice(2, 3)) // conv 900, 902
+    q.processAllAvailable()
+    convIn.addData(convs.slice(1, 2))           // conv 901 (ts 560)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT imp_id, conv_id FROM ssj_out")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 900L), (101L, 901L)))
+
+    // stream ≡ batch interval join
+    val batch = imps.toDF("user_id", "imp_id", "ts")
+      .join(convs.toDF("conv_user", "conv_id", "conv_ts"),
+        expr("""user_id = conv_user AND conv_ts >= ts AND
+                conv_ts <= ts + INTERVAL 300 SECOND"""))
+      .select("imp_id", "conv_id").as[(Long, Long)].collect().toSet
+    assert(got == batch)
+  }
 }
