@@ -762,6 +762,17 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ── DSIR importance resampling: keep the half of the corpus whose
+    //    unigram log-likelihood ratio says "looks like the src1 domain" ──
+    "q76_importance_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.importanceResample(
+          docs.filter(col("source") =!= "src1"),
+          docs.filter(col("source") === "src1"),
+          "doc_id", "text", keepFraction = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // ── Stream-stream interval join (attribution): click → purchase by
     //    the same user within 6 h, drained with AvailableNow; inner-append
     //    semantics make the drained stream equal the batch interval join ──
@@ -1222,6 +1233,31 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    // identical smoothing arithmetic; OOV target words via LEFT JOIN
+    "q76_importance_resample" ->
+      """WITH cw AS (
+        | SELECT doc_id,
+        |  unnest(regexp_split_to_array(lower(trim(text)),'\s+')) AS w
+        | FROM documents WHERE source <> 'src1'),
+        |tw AS (
+        | SELECT unnest(regexp_split_to_array(lower(trim(text)),'\s+')) AS w
+        | FROM documents WHERE source = 'src1'),
+        |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vocab
+        |      FROM (SELECT w FROM cw UNION SELECT w FROM tw)),
+        |nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM cw),
+        |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tw),
+        |fc AS (SELECT w, count(*) AS c_c FROM cw GROUP BY w),
+        |ft AS (SELECT w, count(*) AS c_t FROM tw GROUP BY w),
+        |scored AS (
+        | SELECT doc_id, round(avg(
+        |   ln((coalesce(c_t, 0) + 0.5) / (nt.n + 0.5 * v.vocab)) -
+        |   ln((c_c + 0.5) / (nc.n + 0.5 * v.vocab))), 4) + 0.0 AS weight
+        | FROM cw JOIN fc USING (w) LEFT JOIN ft USING (w), nc, nt, v
+        | GROUP BY doc_id),
+        |thr AS (SELECT round(quantile_cont(weight, 0.5), 4) + 0.0 AS w_thr
+        |        FROM scored)
+        |SELECT doc_id, weight, w_thr FROM scored, thr
+        |WHERE weight >= w_thr ORDER BY doc_id""".stripMargin,
     // plain batch interval join — the stream must converge to exactly this
     "q75_stream_join" ->
       """WITH imp AS (

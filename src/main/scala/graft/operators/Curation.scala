@@ -151,6 +151,49 @@ object Curation {
         count(lit(1)).as("n_words"))
   }
 
+  /** DSIR-style importance resampling: score each corpus document by the
+    * mean log-likelihood ratio of a target-domain unigram LM over the
+    * corpus unigram LM (add-half smoothing over the union vocabulary), and
+    * keep the top `keepFraction` by weight — "select pretraining data that
+    * looks like the target domain". Output: (id, weight, w_thr).
+    *
+    * Shape at scale: both LMs are word-count aggregates (one shuffle
+    * each); the three corpus-level scalars (token counts, union vocab) are
+    * O(scan) distributed aggregates collected as single numbers; the
+    * selection threshold is ONE exact percentile joined back as a
+    * broadcast literal, exactly like [[perplexityFilter]] — no global
+    * sort anywhere. */
+  def importanceResample(corpus: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, keepFraction: Double): DataFrame = {
+    require(keepFraction > 0 && keepFraction < 1, "0 < keepFraction < 1")
+    def words(df: DataFrame) = df.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+    val cw = words(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tw = words(target).select("w")
+    val vocab = cw.select("w").union(tw).distinct().count().toDouble
+    val nC = cw.count().toDouble
+    val nT = tw.count().toDouble
+    val fC = cw.groupBy("w").agg(count(lit(1)).as("c_c"))
+    val fT = tw.groupBy("w").agg(count(lit(1)).as("c_t"))
+    val scored = cw.join(fC, "w").join(fT, Seq("w"), "left")
+      .select(col(idCol),
+        (log((coalesce(col("c_t"), lit(0L)).cast("double") + lit(0.5)) /
+            lit(nT + 0.5 * vocab)) -
+          log((col("c_c").cast("double") + lit(0.5)) /
+            lit(nC + 0.5 * vocab))).as("llr"))
+      .groupBy(idCol)
+      // + 0.0 folds IEEE −0.0 (a tiny negative mean rounded to 4 dp) to
+      // +0.0 so engines can't disagree on the sign of zero
+      .agg((round(avg("llr"), 4) + lit(0.0)).as("weight"))
+    val thr = scored.agg(
+      (round(expr(s"percentile(weight, ${1.0 - keepFraction})"), 4) +
+        lit(0.0)).as("w_thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("weight") >= col("w_thr"))
+      .select(col(idCol), col("weight"), col("w_thr"))
+  }
+
   /** Cross-document repetition (RefinedWeb-style): for each document, the
     * fraction of its positional word n-gram instances that also occur in at
     * least one OTHER document. High ratios flag boilerplate/templated text

@@ -175,4 +175,20 @@ class CurationSpec extends AnyFunSuite {
     // no other doc: cross-doc ratio 0
     assert(got(4L)._2 == 0.0)
   }
+
+  test("importanceResample prefers corpus docs that look like the target") {
+    val target = (0L until 20L)
+      .map(i => (i, "medical patient diagnosis treatment hospital"))
+      .toDF("doc_id", "text")
+    val corpus = ((100L until 110L)
+      .map(i => (i, "patient treatment at the hospital ward")) ++
+      (200L until 210L)
+        .map(i => (i, "football match score goal referee stadium")))
+      .toDF("doc_id", "text")
+    val kept = Curation.importanceResample(corpus, target,
+        "doc_id", "text", keepFraction = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // exactly the medical-ish half survives
+    assert(kept == (100L until 110L).toSet)
+  }
 }
