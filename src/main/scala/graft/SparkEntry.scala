@@ -762,6 +762,20 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ── Unicode canonicalisation via native codegen'd Expressions
+    //    (nfc_normalize / strip_accents): the pre-hash normalisation step
+    //    of text dedup, oracle-matched against DuckDB's built-ins ──
+    "q77_normalize" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(graft.plans.GraftFunctions.nfc_normalize(col("text")))
+            .as("nfc_md5"),
+          md5(graft.plans.GraftFunctions.strip_accents(lower(col("text"))))
+            .as("folded_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ── DSIR importance resampling: keep the half of the corpus whose
     //    unigram log-likelihood ratio says "looks like the src1 domain" ──
     "q76_importance_resample" -> ((s, dir) => {
@@ -1233,6 +1247,12 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    // DuckDB ships the same two normalisation ops as built-ins
+    "q77_normalize" ->
+      """SELECT doc_id,
+        | md5(nfc_normalize(text)) AS nfc_md5,
+        | md5(strip_accents(lower(text))) AS folded_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // identical smoothing arithmetic; OOV target words via LEFT JOIN
     "q76_importance_resample" ->
       """WITH cw AS (

@@ -79,6 +79,63 @@ case class Hamming64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object NfcNormalize {
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString,
+        java.text.Normalizer.Form.NFC))
+}
+
+/** nfc_normalize(string) → string: Unicode NFC canonical composition
+  * (composed é instead of e + combining acute). The canonicalisation step
+  * text dedup needs BEFORE hashing — visually identical strings with
+  * different codepoint sequences must fingerprint identically. Matches
+  * DuckDB's `nfc_normalize`. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "nfc_normalize expects a string argument")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    NfcNormalize.compute(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.NfcNormalize.compute($s)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
+object StripAccents {
+  private val marks = java.util.regex.Pattern.compile("\\p{Mn}+")
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val nfd = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFD)
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(marks.matcher(nfd).replaceAll(""),
+        java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** strip_accents(string) → string: NFD decomposition, drop combining
+  * marks, re-compose — "café" → "cafe". The accent-folding step of
+  * language-agnostic matching (the reference lowercase/trims but cannot
+  * fold accents; DuckDB ships the same op as `strip_accents`). */
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "strip_accents expects a string argument")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    StripAccents.compute(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.StripAccents.compute($s)")
+  override protected def withNewChildInternal(c: Expression): StripAccents =
+    copy(child = c)
+}
+
 object GraftFunctions {
   /** Column-API forms (require `register(spark)` first — the public
     * `call_function` route is the supported Column↔Expression bridge). */
@@ -86,10 +143,16 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
   def hamming64(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("hamming64", a, b)
+  def nfc_normalize(s: Column): Column =
+    org.apache.spark.sql.functions.call_function("nfc_normalize", s)
+  def strip_accents(s: Column): Column =
+    org.apache.spark.sql.functions.call_function("strip_accents", s)
 
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
-    "hamming64" -> (es => Hamming64(es(0), es(1))))
+    "hamming64" -> (es => Hamming64(es(0), es(1))),
+    "nfc_normalize" -> (es => NfcNormalize(es(0))),
+    "strip_accents" -> (es => StripAccents(es(0))))
 
   /** Post-hoc registration on a live session (SQL surface). */
   def register(spark: SparkSession): Unit =
@@ -108,5 +171,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("hamming64"),
       new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
       es => Hamming64(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      es => NfcNormalize(es(0))))
+    e.injectFunction((FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      es => StripAccents(es(0))))
   }
 }

@@ -31,6 +31,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(out == 3)
   }
 
+  test("nfc_normalize composes combining sequences; codegen survives") {
+    GraftFunctions.register(spark)
+    // "é" as e + COMBINING ACUTE vs precomposed U+00E9
+    val decomposed = "cafe\u0301"
+    val composed = "caf\u00e9"
+    val df = Seq((1L, decomposed), (2L, composed)).toDF("id", "s")
+    val out = df.select($"id", GraftFunctions.nfc_normalize($"s").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == composed && out(2L) == composed)
+    // the dedup motivation: distinct codepoints, identical fingerprint
+    val fps = df.select(xxhash64(GraftFunctions.nfc_normalize($"s")))
+      .as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(decomposed != composed) // raw strings differ
+  }
+
+  test("strip_accents folds diacritics, from SQL too") {
+    GraftFunctions.register(spark)
+    Seq(("Łódź crème brûlée ÀÉÎÕÜ ñ"))
+      .toDF("s").createOrReplaceTempView("acc")
+    val out = spark.sql("SELECT strip_accents(s) FROM acc").as[String].head()
+    // Ł has no combining mark decomposition (it survives); the rest fold
+    assert(out == "Łodz creme brulee AEIOU n")
+  }
+
   test("type mismatch is an analysis error") {
     GraftFunctions.register(spark)
     Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("ints")
