@@ -762,6 +762,22 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ── Deterministic weighted sampling without replacement (A-ES keys
+    //    from md5 draws; n_chars as the weight) ──
+    "q78_weighted_sample" -> ((s, dir) => {
+      Curation.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars",
+          salt = "v1", k = 100)
+        .select(col("doc_id"), col("w"), round(col("es_key"), 4).as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id"))
+    }),
+
+    // ── Table profiling: one-scan per-column nulls/distincts/min/max ──
+    "q79_profile" -> ((s, dir) => {
+      graft.operators.Profiling.profile(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_quantity", "l_returnflag"))
+        .orderBy("col_name")
+    }),
+
     // ── Unicode canonicalisation via native codegen'd Expressions
     //    (nfc_normalize / strip_accents): the pre-hash normalisation step
     //    of text dedup, oracle-matched against DuckDB's built-ins ──
@@ -1247,6 +1263,39 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    // same md5 draw, same key formula → byte-identical sample
+    "q78_weighted_sample" ->
+      """WITH keyed AS (
+        | SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+        |  pow((CAST('0x' || substring(
+        |     md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8) AS UBIGINT)
+        |    + 1.0) / 4294967296.0,
+        |   1.0 / CAST(n_chars AS DOUBLE)) AS es_key
+        | FROM documents)
+        |SELECT doc_id, w, round(es_key, 4) AS es_key FROM keyed
+        |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
+    "q79_profile" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem)
+        |SELECT col_name, n.n_rows, n_null, n_distinct, min_str, max_str
+        |FROM n, (
+        | SELECT 'l_orderkey' AS col_name,
+        |  CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_str FROM lineitem
+        | UNION ALL
+        | SELECT 'l_quantity',
+        |  CAST(count(*) - count(l_quantity) AS BIGINT),
+        |  CAST(count(DISTINCT l_quantity) AS BIGINT),
+        |  CAST(min(l_quantity) AS VARCHAR),
+        |  CAST(max(l_quantity) AS VARCHAR) FROM lineitem
+        | UNION ALL
+        | SELECT 'l_returnflag',
+        |  CAST(count(*) - count(l_returnflag) AS BIGINT),
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        |  CAST(min(l_returnflag) AS VARCHAR),
+        |  CAST(max(l_returnflag) AS VARCHAR) FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
     // DuckDB ships the same two normalisation ops as built-ins
     "q77_normalize" ->
       """SELECT doc_id,

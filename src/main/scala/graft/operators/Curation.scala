@@ -151,6 +151,28 @@ object Curation {
         count(lit(1)).as("n_words"))
   }
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each row draws u ∈ (0,1) content-addressed
+    * from md5(id ∥ salt) and gets key u^(1/w); the global top-k keys ARE a
+    * weighted sample without replacement. One map-only key computation +
+    * one top-k — no per-row RNG state, reproducible on any engine with md5
+    * (the DuckDB oracle re-draws the identical sample).
+    *
+    * At 100 TB the top-k is Spark's orderBy+limit, which runs as
+    * per-partition top-k + a single-reducer merge of k rows — not a global
+    * sort of the corpus. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      salt: String, k: Int): DataFrame = {
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(":"), lit(salt))), 1, 8), 16, 10).cast("double") + lit(1.0)) /
+      lit(4294967296.0)
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    df.select(col(idCol), col(weightCol).cast("double").as("w"),
+        key.as("es_key"))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** DSIR-style importance resampling: score each corpus document by the
     * mean log-likelihood ratio of a target-domain unigram LM over the
     * corpus unigram LM (add-half smoothing over the union vocabulary), and

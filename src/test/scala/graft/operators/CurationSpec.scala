@@ -176,6 +176,34 @@ class CurationSpec extends AnyFunSuite {
     assert(got(4L)._2 == 0.0)
   }
 
+  test("weightedSample is deterministic and favours heavy rows") {
+    val rows = (0L until 1000L)
+      .map(i => (i, if (i < 50) 1000.0 else 1.0)).toDF("id", "w")
+    val s1 = Curation.weightedSample(rows, "id", "w", "s1", 100)
+      .select("id").as[Long].collect().toSet
+    val s2 = Curation.weightedSample(rows, "id", "w", "s1", 100)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.size == 100)
+    // nearly every weight-1000 row beats the weight-1 field
+    assert((0L until 50L).count(s1) >= 45)
+    // a different salt redraws the light tail
+    val s3 = Curation.weightedSample(rows, "id", "w", "s2", 100)
+      .select("id").as[Long].collect().toSet
+    assert(s3 != s1)
+  }
+
+  test("profile reports nulls, distincts, min/max per column in one scan") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None),
+      (Some(2L), Some("c")), (None, Some("a")))
+      .toDF("k", "v")
+    val got = graft.operators.Profiling.profile(df, Seq("k", "v"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("k") == ((4L, 1L, 2L, "1", "2")))
+    assert(got("v") == ((4L, 1L, 2L, "a", "c")))
+  }
+
   test("importanceResample prefers corpus docs that look like the target") {
     val target = (0L until 20L)
       .map(i => (i, "medical patient diagnosis treatment hospital"))
