@@ -762,6 +762,16 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ── Asymmetric containment pairs (quote/partial-dup detection):
+    //    |grams(A) ∩ grams(B)| / |grams(A)| ≥ 0.5 over word 8-grams ──
+    "q80_containment" -> ((s, dir) => {
+      graft.operators.Dedup.containmentPairs(
+          t(s, dir, "documents"), "doc_id", "text", n = 8, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ── Deterministic weighted sampling without replacement (A-ES keys
     //    from md5 draws; n_chars as the weight) ──
     "q78_weighted_sample" -> ((s, dir) => {
@@ -1263,6 +1273,30 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    // brute-force containment over the same normalised word 8-grams; the
+    // Spark side's prefix filter is lossless so results must be identical
+    "q80_containment" ->
+      """WITH w AS (
+        | SELECT doc_id, regexp_split_to_array(lower(trim(text)),'\s+') AS ws
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(
+        |  CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+        |   ELSE list_transform(range(1, len(ws)-6),
+        |     i -> array_to_string(list_slice(ws, i, i+7), ' '))
+        |  END) AS gram
+        | FROM w),
+        |d AS (SELECT DISTINCT doc_id, gram FROM g),
+        |sz AS (SELECT doc_id, count(*) AS a FROM d GROUP BY doc_id),
+        |pairs AS (
+        | SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+        | FROM d x JOIN d y ON x.gram = y.gram AND x.doc_id <> y.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        | round(CAST(shared AS DOUBLE) / sz.a, 4) AS containment
+        |FROM pairs p JOIN sz ON sz.doc_id = p.id_a
+        |WHERE CAST(shared AS DOUBLE) / sz.a >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     // same md5 draw, same key formula → byte-identical sample
     "q78_weighted_sample" ->
       """WITH keyed AS (

@@ -174,6 +174,18 @@ object HashKernels {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Exact containment |a ∩ b| / |a| of two hashed shingle sets — the
+    * asymmetric overlap measure ("how much of A sits inside B"). */
+  def containmentLong(a: Seq[Long], b: Seq[Long]): Double = {
+    if (a.isEmpty) return 1.0
+    val setB = new java.util.HashSet[java.lang.Long](b.size * 2)
+    b.foreach(setB.add(_))
+    var inter = 0
+    val seenA = new java.util.HashSet[java.lang.Long](a.size * 2)
+    a.foreach { s => if (seenA.add(s) && setB.contains(s)) inter += 1 }
+    if (seenA.isEmpty) 1.0 else inter.toDouble / seenA.size
+  }
+
   /** Exact Jaccard of two shingle sets. */
   def jaccard(a: Seq[String], b: Seq[String]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0

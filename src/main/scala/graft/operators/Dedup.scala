@@ -209,6 +209,57 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric containment pairs: (id_a, id_b, containment) where
+    * containment = |grams(A) ∩ grams(B)| / |grams(A)| ≥ threshold. Catches
+    * quote-inclusion / partial duplication that symmetric Jaccard misses:
+    * a short doc fully quoted inside a long one has high containment but
+    * low Jaccard (the big doc's extra grams inflate the union).
+    *
+    * Same prefix-filter discipline as [[ngramJaccardPairs]], adapted to
+    * the asymmetric measure: a qualifying pair shares ≥ ⌈t·|A|⌉ of A's
+    * grams, so probing with A's rarest |A| − ⌈t·|A|⌉ + 1 grams (global-df
+    * ascending) is lossless — but the B side must stay fully indexed
+    * because containment puts no lower bound on |B|'s share. df = 1 probe
+    * grams can't produce candidates (a shared gram has df ≥ 2). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val shingleUdf = udf((text: String) =>
+      graft.functions.HashKernels.wordShinglesHashed(text, n))
+    val sh = docs.select(col(idCol).as("id"),
+      shingleUdf(col(textCol)).as("shingles"))
+      .withColumn("setSize", size(col("shingles")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val exploded = sh.select(col("id"), col("setSize"),
+      explode(col("shingles")).as("shingle"))
+    val dfTable = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("shingle"))
+    val probes = exploded.join(dfTable, "shingle")
+      .withColumn("_rn", row_number().over(rankW))
+      .filter(col("_rn") <= col("setSize") -
+        ceil(lit(threshold) * col("setSize")).cast("int") + 1)
+      .filter(col("df") >= 2)
+      .select(col("id").as("id_a"), col("shingle"))
+
+    val candidates = probes
+      .join(exploded.select(col("id").as("id_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val contUdf = udf((x: Seq[Long], y: Seq[Long]) =>
+      graft.functions.HashKernels.containmentLong(x, y))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")),
+        Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        contUdf(col("sh_a"), col("sh_b")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication"):
     * k-means-partition the embedding space, compare cosine only within a

@@ -51,6 +51,19 @@ object IncrementalIngest {
       .groupBy(window(col(tsCol), window_, slide), col(keyCol))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
 
+  /** Time-bounded streaming deduplication: drop events repeating a key
+    * within the watermark horizon (Spark's `dropDuplicatesWithinWatermark`).
+    * Unlike [[dedupStreamByContent]] — whose "seen" state grows with
+    * distinct keys forever — this keeps state only `watermark` long:
+    * the right tool when duplicates are REDELIVERIES (at-least-once
+    * sources, retried batches), which arrive close together, rather than
+    * content duplicates that can recur any time. State is O(key-rate ×
+    * horizon) at any corpus size. */
+  def dedupStreamWithinHorizon(events: DataFrame, keyCols: Seq[String],
+      tsCol: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Watermarked stream-stream interval join (the attribution shape): each
     * left event matches right events with the same key whose timestamp
     * falls in [leftTs, leftTs + horizonSeconds]. Inner join in append mode

@@ -203,4 +203,27 @@ class OperatorsSpec extends AnyFunSuite {
       Seq("missingBasisOfRecord")).collect()
     assert(dl.length == 1 && !dl(0).getAs[Boolean]("qa_missingBasisOfRecord"))
   }
+
+  test("containment catches a quote inside a longer doc; jaccard misses it") {
+    val quote = (1 to 10).map(i => s"q$i").mkString(" ") // 10 words
+    val filler = (1 to 90).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                   // the short source text
+      (2L, s"$filler $quote"),       // long doc quoting it wholesale
+      (3L, (1 to 50).map(i => s"z$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 4, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // all of doc 1's 4-grams appear in doc 2 → containment 1.0 one way...
+    assert(pairs.get((1L, 2L)).contains(1.0))
+    // ...but NOT the other way (doc 2 has 90 words of extra grams)
+    assert(!pairs.contains((2L, 1L)))
+    assert(pairs.keySet == Set((1L, 2L)))
+    // symmetric Jaccard on the same pair is far below any dedup threshold
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 4, threshold = 0.5)
+    assert(j.isEmpty)
+  }
 }

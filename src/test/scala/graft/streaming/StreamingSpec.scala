@@ -163,4 +163,35 @@ class StreamingSpec extends AnyFunSuite {
       .select("imp_id", "conv_id").as[(Long, Long)].collect().toSet
     assert(got == batch)
   }
+
+  test("dedupStreamWithinHorizon drops redeliveries inside the horizon " +
+      "but re-admits the key after it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp((100000L + sec) * 1000L)
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = IncrementalIngest.dedupStreamWithinHorizon(
+      in.toDF().toDF("event_id", "ts", "payload"),
+      Seq("event_id"), "ts", "60 seconds")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("horizon_out").start()
+    // original + in-batch redelivery
+    in.addData((7L, ts(0), "first"), (7L, ts(5), "retry-fast"))
+    q.processAllAvailable()
+    // cross-batch redelivery still inside the 60 s horizon
+    in.addData((7L, ts(30), "retry-slow"), (8L, ts(40), "other"))
+    q.processAllAvailable()
+    // advance event time far past the horizon: state for key 7 expires,
+    // a NEW legitimate event with the recycled id passes
+    in.addData((9L, ts(500), "mover"))
+    q.processAllAvailable()
+    in.addData((7L, ts(520), "recycled"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT event_id, payload FROM horizon_out")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((7L, "first"), (8L, "other"),
+      (9L, "mover"), (7L, "recycled")))
+  }
 }
