@@ -889,7 +889,8 @@ object SparkEntry {
     //    collocation table): top-50 adjacent word pairs ──
     "q73_bigram_stats" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(explode(TF.wordBigrams(col("text"))).as("bigram"))
+        .select(split(lower(trim(col("text"))), "\\s+").as("ws"))
+        .select(explode(TF.wordBigrams(col("ws"))).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(50)

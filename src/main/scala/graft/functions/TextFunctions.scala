@@ -212,11 +212,15 @@ object TextFunctions {
   /** Adjacent word pairs (the counting unit of one BPE-merge iteration and
     * of corpus collocation stats). Empty/one-word texts yield an empty
     * array. Positional — repeats are kept; counting is the caller's
-    * aggregation. */
-  def wordBigrams(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+    * aggregation.
+    *
+    * Takes the TOKEN ARRAY, not the text: the transform lambda references
+    * its input four times, and higher-order functions are interpreted with
+    * no CSE — an inline `split` would re-tokenise per reference. Stage the
+    * split in its own projection: `.select(split(...).as("ws"))` then
+    * `wordBigrams(col("ws"))` (~4× on the corpus bigram count). */
+  def wordBigrams(toks: Column): Column =
     when(size(toks) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-  }
 }

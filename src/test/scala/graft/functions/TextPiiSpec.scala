@@ -54,13 +54,13 @@ class TextPiiSpec extends AnyFunSuite {
   }
 
   test("wordBigrams yields adjacent lowercased pairs, empty below 2 tokens") {
-    val got = one("The quick Quick fox").select(TF.wordBigrams(col("text")))
-      .as[Seq[String]].head()
-    assert(got == Seq("the quick", "quick quick", "quick fox"))
-    assert(one("word").select(TF.wordBigrams(col("text")))
-      .as[Seq[String]].head().isEmpty)
-    assert(one("").select(TF.wordBigrams(col("text")))
-      .as[Seq[String]].head().isEmpty)
+    def bigrams(text: String): Seq[String] =
+      one(text).select(split(lower(trim(col("text"))), "\\s+").as("ws"))
+        .select(TF.wordBigrams(col("ws"))).as[Seq[String]].head()
+    assert(bigrams("The quick Quick fox") ==
+      Seq("the quick", "quick quick", "quick fox"))
+    assert(bigrams("word").isEmpty)
+    assert(bigrams("").isEmpty)
   }
 
   test("perplexityFilter keeps ~quantile fraction and all below threshold") {
