@@ -762,6 +762,28 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ── Per-label embedding centroids, long format (dimension-sized
+    //    shuffle via map-side combine) ──
+    "q81_label_centroids" -> ((s, dir) => {
+      Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "pos")
+    }),
+
+    // ── Cohort retention matrix over the event log (1-day periods) ──
+    "q82_retention" -> ((s, dir) => {
+      graft.operators.EventAnalytics.cohortRetention(
+          t(s, dir, "events"), "user_id", "ts", periodSeconds = 86400L)
+        .orderBy("cohort_period", "period_offset")
+    }),
+
+    // ── Ordered funnel click → view → purchase (first-touch ordering) ──
+    "q83_funnel" -> ((s, dir) => {
+      graft.operators.EventAnalytics.funnel(
+          t(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("click", "view", "purchase"))
+        .orderBy("step_idx")
+    }),
+
     // ── Asymmetric containment pairs (quote/partial-dup detection):
     //    |grams(A) ∩ grams(B)| / |grams(A)| ≥ 0.5 over word 8-grams ──
     "q80_containment" -> ((s, dir) => {
@@ -1274,6 +1296,50 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    "q81_label_centroids" ->
+      """WITH e AS (
+        | SELECT label,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |  unnest(embedding) AS x
+        | FROM embeddings)
+        |SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
+        | round(avg(x), 4) AS mean
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    // epoch-second division, not calendar weeks: week-start conventions
+    // differ across engines, integer day buckets don't
+    "q82_retention" ->
+      """WITH a AS (
+        | SELECT DISTINCT user_id AS u,
+        |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS p
+        | FROM events),
+        |c AS (SELECT u, min(p) AS cohort_p FROM a GROUP BY u)
+        |SELECT cohort_p AS cohort_period, p - cohort_p AS period_offset,
+        | CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (u)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q83_funnel" ->
+      """WITH m AS (
+        | SELECT user_id,
+        |  min(ts) FILTER (event_type = 'click') AS t0,
+        |  min(ts) FILTER (event_type = 'view') AS t1,
+        |  min(ts) FILTER (event_type = 'purchase') AS t2
+        | FROM events
+        | WHERE event_type IN ('click', 'view', 'purchase')
+        | GROUP BY user_id),
+        |s0 AS (SELECT user_id, t0 AS q0, t1, t2 FROM m),
+        |s1 AS (SELECT user_id, q0,
+        |  CASE WHEN q0 IS NOT NULL AND t1 >= q0 THEN t1 END AS q1, t2
+        | FROM s0),
+        |s2 AS (SELECT user_id, q0, q1,
+        |  CASE WHEN q1 IS NOT NULL AND t2 >= q1 THEN t2 END AS q2
+        | FROM s1)
+        |SELECT CAST(0 AS BIGINT) AS step_idx, 'click' AS step_name,
+        |  CAST(count(q0) AS BIGINT) AS n_users FROM s2
+        |UNION ALL
+        |SELECT 1, 'view', CAST(count(q1) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT 2, 'purchase', CAST(count(q2) AS BIGINT) FROM s2
+        |ORDER BY step_idx""".stripMargin,
     // brute-force containment over the same normalised word 8-grams; the
     // Spark side's prefix filter is lossless so results must be identical
     "q80_containment" ->

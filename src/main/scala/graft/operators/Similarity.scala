@@ -137,6 +137,18 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-label elementwise mean of an embedding column, in long format
+    * (label, pos, mean) — class centroids for classifier probes, cluster
+    * summaries, or SemDeDup cell seeds. posexplode → ONE partial-agg
+    * shuffle on (label, pos): the map-side combine reduces every partition
+    * to ≤ |labels|·dim rows before the exchange, so the shuffle is
+    * dimension-sized, not corpus-sized. */
+  def labelCentroids(emb: DataFrame, labelCol: String,
+      vecCol: String): DataFrame =
+    emb.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(labelCol, "pos")
+      .agg(count(lit(1)).as("n"), round(avg("x"), 4).as("mean"))
+
   // ── Product quantisation (PQ) ──────────────────────────────────────────
   // Each d-dim vector splits into m contiguous sub-vectors; a per-subspace
   // k-means codebook (k codes) replaces every sub-vector with its nearest
