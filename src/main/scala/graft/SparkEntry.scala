@@ -762,6 +762,47 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ── SCD2 history from the event log: each user's event_type change
+    //    log becomes versioned validity intervals ──
+    "q84_scd2" -> ((s, dir) => {
+      graft.operators.Scd.buildScd2(
+          t(s, dir, "events")
+            .select(col("user_id"), col("ts"), col("event_type")),
+          "user_id", "ts", Seq("event_type"))
+        .filter(col("user_id") <= 200)
+        .select(col("user_id"), col("version_seq"), col("event_type"),
+          unix_micros(col("valid_from")).as("from_us"),
+          unix_micros(col("valid_to")).as("to_us"),
+          col("is_current"))
+        .orderBy("user_id", "version_seq")
+    }),
+
+    // ── Markov transition counts over per-user event sequences ──
+    "q85_transitions" -> ((s, dir) => {
+      graft.operators.EventAnalytics.transitionCounts(
+          t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+        .orderBy("event_type", "next_type")
+    }),
+
+    // ── Event-time rolling aggregate: trailing 6 h RANGE frame per user ──
+    "q86_rolling_time" -> ((s, dir) => {
+      graft.operators.EventAnalytics.rollingByTime(
+          t(s, dir, "events"), "user_id", "ts", "value", 21600L)
+        .filter(col("user_id") <= 100)
+        .select(col("event_id"), col("user_id"), col("roll_n"),
+          col("roll_sum"))
+        .orderBy("event_id")
+    }),
+
+    // ── Grouped z-score outlier screen on the fact table ──
+    "q87_zscore_outliers" -> ((s, dir) => {
+      graft.operators.Outliers.zScoreOutliers(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", 1.7)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"), col("zscore"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ── Per-label embedding centroids, long format (dimension-sized
     //    shuffle via map-side combine) ──
     "q81_label_centroids" -> ((s, dir) => {
@@ -1296,6 +1337,55 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    // same run-collapse + interval derivation; epoch_us ≡ unix_micros
+    "q84_scd2" ->
+      """WITH c AS (
+        | SELECT user_id, ts, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        | FROM events),
+        |runs AS (
+        | SELECT user_id, ts, event_type FROM c
+        | WHERE prev IS NULL OR prev <> event_type),
+        |v AS (
+        | SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+        |    AS BIGINT) AS version_seq
+        | FROM runs)
+        |SELECT user_id, version_seq, event_type,
+        | epoch_us(valid_from) AS from_us, epoch_us(valid_to) AS to_us,
+        | (valid_to IS NULL) AS is_current
+        |FROM v WHERE user_id <= 200
+        |ORDER BY user_id, version_seq""".stripMargin,
+    "q85_transitions" ->
+      """WITH s AS (
+        | SELECT event_type, lead(event_type) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        | FROM events)
+        |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // RANGE frame over integer epoch seconds — engine-portable event-time
+    // windows (calendar INTERVAL frames are not guaranteed identical)
+    "q86_rolling_time" ->
+      """SELECT event_id, user_id,
+        | CAST(count(*) OVER w AS BIGINT) AS roll_n,
+        | round(sum(value) OVER w, 2) AS roll_sum
+        |FROM events WHERE user_id <= 100
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q87_zscore_outliers" ->
+      """WITH s AS (
+        | SELECT l_returnflag, avg(l_extendedprice) AS mu,
+        |  stddev_pop(l_extendedprice) AS sigma
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice,
+        | round(abs(l_extendedprice - mu) / sigma, 2) AS zscore
+        |FROM lineitem l JOIN s USING (l_returnflag)
+        |WHERE sigma > 0 AND abs(l_extendedprice - mu) > 1.7 * sigma
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q81_label_centroids" ->
       """WITH e AS (
         | SELECT label,

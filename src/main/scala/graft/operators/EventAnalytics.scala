@@ -46,6 +46,38 @@ object EventAnalytics {
     * every step in a single pass (min of each type filtered by the
     * previous step's min — a fold over struct columns), then one tiny
     * count per step. */
+  /** First-order transition counts of the per-user event sequence (the
+    * Markov-chain edge table behind "what do users do next"): events
+    * ordered by time within each user, paired with `lead`, counted per
+    * (type, next_type). One user-keyed window + one tiny aggregate.
+    * Same-timestamp ties break on `tieCol` for determinism. */
+  def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(typeCol).as("event_type"),
+        lead(col(typeCol), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Event-time rolling aggregate: mean/sum of `valueCol` over the
+    * trailing `windowSeconds` (inclusive) per user — a RANGE frame over
+    * epoch seconds, so rows with sparse/irregular timestamps weight
+    * correctly (a ROWS frame would not). Shuffles once on the user key. */
+  def rollingByTime(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, windowSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(userCol)
+      .orderBy(col("_epoch"))
+      .rangeBetween(-windowSeconds, Window.currentRow)
+    events
+      .withColumn("_epoch", unix_timestamp(col(tsCol)))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum", round(sum(valueCol).over(w), 2))
+      .drop("_epoch")
+  }
+
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "at least one step")

@@ -52,6 +52,25 @@ object Outliers {
     * `getRecordsOutsideDistribution:397` + `getOutlierRecordDistances:412`;
     * 50 km threshold `:53`). `distributions`: (taxonGuid, wkt) — small, so
     * the parsed polygons broadcast; points never shuffle. */
+  /** Grouped z-score outliers: rows whose value sits more than `z`
+    * population standard deviations from their group's mean. The group
+    * stats are ONE aggregate (small: |groups| rows) joined back — Spark
+    * broadcasts it when it fits, so the flagging pass is map-only over the
+    * fact table. The general-purpose numeric screen next to the
+    * domain-specific jackknife above. */
+  def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      z: Double): DataFrame = {
+    val stats = df.groupBy(groupCol)
+      .agg(avg(valueCol).as("_mu"),
+        stddev_pop(valueCol).as("_sigma"))
+    df.join(broadcast(stats), groupCol)
+      .filter(col("_sigma") > 0 &&
+        abs(col(valueCol) - col("_mu")) > lit(z) * col("_sigma"))
+      .withColumn("zscore",
+        round(abs(col(valueCol) - col("_mu")) / col("_sigma"), 2))
+      .drop("_mu", "_sigma")
+  }
+
   def expertDistributionOutliers(
       spark: SparkSession, records: DataFrame, distributions: DataFrame,
       thresholdMetres: Double = 50000): DataFrame = {
