@@ -762,6 +762,37 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ── Pivot / crosstab: event_type × weekday count matrix ──
+    "q88_pivot" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      t(s, dir, "events")
+        .withColumn("dow", dayofweek(col("ts")).cast("long"))
+        .groupBy("dow")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy("dow")
+    }),
+
+    // ── Key-skew report ahead of a big shuffle: per-key count quantiles
+    //    + hottest keys (the salt/no-salt decision input) ──
+    "q89_skew_report" -> ((s, dir) => {
+      graft.operators.Profiling.keySkewReport(
+          t(s, dir, "lineitem"), "l_partkey", topK = 20)
+        .orderBy(col("key_rows").desc, col("key"))
+    }),
+
+    // ── Approximate distinct (HLL++) per group, rows-only: sketch
+    //    estimates are engine-specific; ProfilingSpec bounds the error
+    //    against the exact count ──
+    "q90_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+          count_distinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")
+    }),
+
     // ── SCD2 history from the event log: each user's event_type change
     //    log becomes versioned validity intervals ──
     "q84_scd2" -> ((s, dir) => {
@@ -1337,6 +1368,32 @@ object SparkEntry {
         |           WHERE source<>'src0')
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    // conditional aggregation IS the pivot (engine-portable spelling);
+    // dayofweek: Spark is 1=Sunday, DuckDB dayofweek is 0=Sunday → +1
+    "q88_pivot" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        | CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        | CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        | CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |   AS purchase,
+        | CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        | CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY 1 ORDER BY dow""".stripMargin,
+    "q89_skew_report" ->
+      """WITH counts AS (
+        | SELECT CAST(l_partkey AS VARCHAR) AS key,
+        |  CAST(count(*) AS BIGINT) AS key_rows
+        | FROM lineitem GROUP BY 1),
+        |stats AS (
+        | SELECT CAST(floor(quantile_cont(key_rows, 0.5)) AS BIGINT) AS p50,
+        |  CAST(floor(quantile_cont(key_rows, 0.9)) AS BIGINT) AS p90,
+        |  CAST(floor(quantile_cont(key_rows, 0.99)) AS BIGINT) AS p99,
+        |  max(key_rows) AS max_rows, CAST(count(*) AS BIGINT) AS n_keys
+        | FROM counts)
+        |SELECT key, key_rows, p50, p90, p99, max_rows, n_keys
+        |FROM (SELECT * FROM counts ORDER BY key_rows DESC, key LIMIT 20),
+        |  stats
+        |ORDER BY key_rows DESC, key""".stripMargin,
     // same run-collapse + interval derivation; epoch_us ≡ unix_micros
     "q84_scd2" ->
       """WITH c AS (

@@ -36,4 +36,24 @@ object Profiling {
       .select("col_name", "n_rows", "n_null", "n_distinct",
         "min_str", "max_str")
   }
+
+  /** Join/groupBy key-skew report: the distribution of per-key row counts
+    * (exact p50/p90/p99/max quantiles) plus the `topK` hottest keys — the
+    * numbers that decide whether a key needs salting ([[ScaleJoins]]) or
+    * AQE skew handling before a 100 TB shuffle. Two aggregates: per-key
+    * counts (one shuffle), then a |keys|-row stats pass. Output is one
+    * row per hot key with the quantile columns repeated (long format,
+    * engine-comparable). */
+  def keySkewReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("key_rows"))
+    val stats = counts.agg(
+      floor(expr("percentile(key_rows, 0.5)")).cast("long").as("p50"),
+      floor(expr("percentile(key_rows, 0.9)")).cast("long").as("p90"),
+      floor(expr("percentile(key_rows, 0.99)")).cast("long").as("p99"),
+      max("key_rows").as("max_rows"),
+      count(lit(1)).as("n_keys"))
+    counts.orderBy(col("key_rows").desc, col("key")).limit(topK)
+      .crossJoin(broadcast(stats))
+  }
 }

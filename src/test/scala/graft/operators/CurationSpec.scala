@@ -204,6 +204,28 @@ class CurationSpec extends AnyFunSuite {
     assert(got("v") == ((4L, 1L, 2L, "a", "c")))
   }
 
+  test("keySkewReport surfaces the hot key and count quantiles") {
+    val rows = ((0 until 900).map(i => s"k${i % 90}") ++  // 90 keys × 10
+      Seq.fill(200)("hot"))                               // one huge key
+      .toDF("k")
+    val got = graft.operators.Profiling.keySkewReport(rows, "k", 3)
+      .select("key", "key_rows", "p50", "max_rows", "n_keys")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.head == (("hot", 200L, 10L, 200L, 91L)))
+    assert(got.length == 3 && got(1)._2 == 10L)
+  }
+
+  test("approx_count_distinct lands within 5% of exact on this shape") {
+    val df = (0 until 20000).map(i => (i % 7, i % 3000)).toDF("g", "v")
+    val got = df.groupBy("g")
+      .agg(approx_count_distinct("v").as("a"),
+        count_distinct(col("v")).as("e"))
+      .as[(Int, Long, Long)].collect()
+    got.foreach { case (_, a, e) =>
+      assert(math.abs(a - e).toDouble / e < 0.05, s"approx $a vs exact $e")
+    }
+  }
+
   test("importanceResample prefers corpus docs that look like the target") {
     val target = (0L until 20L)
       .map(i => (i, "medical patient diagnosis treatment hospital"))
