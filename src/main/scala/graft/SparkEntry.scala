@@ -762,6 +762,27 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ── Group-level MinHash signatures via a custom typed Aggregator
+    //    (union-homomorphic elementwise min), then source-vs-source
+    //    resemblance from signatures alone (rows-only: hash-based;
+    //    MinHashAggSpec bounds the estimate against exact Jaccard) ──
+    "q91_group_signature" -> ((s, dir) => {
+      val sigUdf = udf((text: String) => graft.functions.HashKernels
+        .minhash(graft.functions.HashKernels.charShingles(text, 8), 128))
+      val unionSig = udaf(graft.functions.MinHashUnionAgg)
+      val sigs = t(s, dir, "documents")
+        .select(col("source"), sigUdf(col("text")).as("sig"))
+        .groupBy("source").agg(unionSig(col("sig")).as("gsig"))
+      val simUdf = udf((x: Seq[Long], y: Seq[Long]) =>
+        graft.functions.HashKernels.signatureSimilarity(x, y))
+      val a = sigs.select(col("source").as("src_a"), col("gsig").as("sig_a"))
+      val b = sigs.select(col("source").as("src_b"), col("gsig").as("sig_b"))
+      a.crossJoin(b).filter(col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          round(simUdf(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // ── Pivot / crosstab: event_type × weekday count matrix ──
     "q88_pivot" -> ((s, dir) => {
       val types = Seq("click", "view", "purchase", "signup", "error")

@@ -177,5 +177,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("strip_accents"),
       new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
       es => StripAccents(es(0))))
+    e.injectOptimizerRule(ApproxDistinctRule)
   }
 }
