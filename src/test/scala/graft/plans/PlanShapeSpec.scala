@@ -109,4 +109,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"benchmark gram set should broadcast in:\n$plan")
   }
+
+  test("q84 SCD2: run-collapse + both windows reuse ONE user-key exchange") {
+    // lag (collapse), lead (valid_to) and row_number (version_seq) all
+    // partition by the key: one hash exchange total (plus the final
+    // presentation sort)
+    val plan = finalPlanOf(graft.SparkEntry.queries("q84_scd2")(spark, sf))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange, got $hashExchanges in:\n$plan")
+  }
+
+  test("q86 rolling time window: one user-key exchange, RANGE frame") {
+    val plan = finalPlanOf(graft.SparkEntry.queries("q86_rolling_time")(spark, sf))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange, got $hashExchanges in:\n$plan")
+    assert(plan.contains("RangeFrame"),
+      s"expected a RANGE frame (event-time window) in:\n$plan")
+  }
+
+  test("q81 label centroids: partial aggregation before the exchange") {
+    val plan = finalPlanOf(
+      graft.SparkEntry.queries("q81_label_centroids")(spark, sf))
+    // partial+final HashAggregate pair: the shuffle carries |labels|·dim
+    // combined rows, not one row per (row, dimension)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected map-side combine in:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange, got $hashExchanges in:\n$plan")
+  }
+
+  test("q87 z-score screen: group stats broadcast back, fact side map-only") {
+    val plan = planOf(
+      graft.SparkEntry.queries("q87_zscore_outliers")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tiny stats table should broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }
