@@ -1080,6 +1080,66 @@ object SparkEntry {
       s.table("q60_out").select(col("id")).orderBy("id")
     }),
 
+    // ── Inverted index build: term → df + sorted posting list, df-capped
+    //    (stopword cutoff doubles as the skew bound on the term shuffle) ──
+    "q92_inverted_index" -> ((s, dir) => {
+      graft.operators.TextSearch
+        .invertedIndex(t(s, dir, "documents"), "doc_id", "text", 400L)
+        .select(col("term"), col("df"),
+          array_join(transform(col("docs"), _.cast("string")), ",")
+            .as("postings"))
+        .orderBy("term")
+    }),
+
+    // ── Corpus drift: smoothed KL(source ‖ rest) over unigram LMs — the
+    //    mixture-rebalancing / contamination-triage signal ──
+    "q93_kl_drift" -> ((s, dir) => {
+      graft.operators.CorpusStats
+        .klDrift(t(s, dir, "documents"), "text", "source")
+        .orderBy("slice")
+    }),
+
+    // ── Vocabulary coverage / OOV rate per source for a top-k vocab ──
+    "q94_vocab_coverage" -> ((s, dir) => {
+      graft.operators.CorpusStats
+        .vocabCoverage(t(s, dir, "documents"), "text", "source", 20)
+        .orderBy("slice")
+    }),
+
+    // ── PageRank over the part↔supplier co-occurrence graph (symmetrised,
+    //    5 synchronous rounds) — link-quality weighting at corpus scale ──
+    "q95_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").select(
+        col("l_partkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst"))
+      graft.operators.Graphs
+        .pageRank(graft.operators.Graphs.symmetrize(edges), iters = 5)
+        .select(col("node"), round(col("rank"), 8).as("rank"))
+        .orderBy("node")
+    }),
+
+    // ── Degree-oriented triangle counting (per-node participation) ──
+    "q96_triangles" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey").as("u"),
+        (col("o_orderkey") % 1499 + 1).as("v"))
+      val canon = o.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .distinct()
+      graft.operators.Graphs.triangleCounts(canon).orderBy("node")
+    }),
+
+    // ── BPE tokenizer training: first 12 merges off the distributed
+    //    word-frequency table (corpus touched once; spec-checked against
+    //    the published toy example) ──
+    "q97_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val wc = graft.operators.Bpe
+        .wordCounts(t(s, dir, "documents"), "text")
+      graft.operators.Bpe.train(wc, 12).toDF()
+        .select(col("rank"), col("left"), col("right")).orderBy("rank")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -1108,6 +1168,119 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q92_inverted_index" ->
+      """WITH w AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct(regexp_split_to_array(lower(trim(text)),
+        |   '\s+'))) AS term
+        | FROM documents)
+        |SELECT term, count(*) AS df,
+        | array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |FROM w WHERE length(term) > 0
+        |GROUP BY term HAVING count(*) <= 400
+        |ORDER BY term""".stripMargin,
+    "q93_kl_drift" ->
+      """WITH words AS (
+        | SELECT source AS slice,
+        |  unnest(regexp_split_to_array(lower(trim(text)),'\s+')) AS w
+        | FROM documents),
+        |counts AS (
+        | SELECT slice, w, CAST(count(*) AS DOUBLE) AS c FROM words
+        | WHERE length(w) > 0 GROUP BY slice, w),
+        |totals AS (SELECT slice, sum(c) AS tot FROM counts GROUP BY slice),
+        |corpus AS (SELECT w, sum(c) AS call FROM counts GROUP BY w),
+        |vs AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM corpus),
+        |gt AS (SELECT sum(tot) AS g FROM totals),
+        |grid AS (
+        | SELECT t.slice, t.tot, co.call, coalesce(c.c, 0) AS c
+        | FROM totals t CROSS JOIN corpus co
+        | LEFT JOIN counts c ON c.slice = t.slice AND c.w = co.w),
+        |pq AS (
+        | SELECT slice, c,
+        |  (c + 0.5) / (tot + 0.5 * vs.v) AS p,
+        |  (call - c + 0.5) / ((gt.g - tot) + 0.5 * vs.v) AS q
+        | FROM grid, vs, gt)
+        |SELECT slice, round(sum(p * ln(p / q)), 6) AS kl,
+        | CAST(sum(c) AS BIGINT) AS n_tokens
+        |FROM pq GROUP BY slice ORDER BY slice""".stripMargin,
+    "q94_vocab_coverage" ->
+      """WITH words AS (
+        | SELECT source AS slice,
+        |  unnest(regexp_split_to_array(lower(trim(text)),'\s+')) AS w
+        | FROM documents),
+        |clean AS (SELECT slice, w FROM words WHERE length(w) > 0),
+        |vocab AS (
+        | SELECT w FROM clean GROUP BY w
+        | ORDER BY count(*) DESC, w LIMIT 20)
+        |SELECT slice, count(*) AS n_tokens,
+        | CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS covered,
+        | round(CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0
+        |  END) AS DOUBLE) / count(*), 6) AS coverage
+        |FROM clean GROUP BY slice ORDER BY slice""".stripMargin,
+    // PageRank unrolled to 5 synchronous rounds; the Spark side symmetrises
+    // the edge list, so every node has out-degree >= 1 and the dangling
+    // term is identically zero in both engines
+    "q95_pagerank" ->
+      """WITH base AS (
+        | SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+        | FROM lineitem),
+        |edges AS (
+        | SELECT src, dst FROM base
+        | UNION SELECT dst AS src, src AS dst FROM base),
+        |nodes AS (
+        | SELECT DISTINCT src AS node FROM edges
+        | UNION SELECT DISTINCT dst AS node FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |dg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges
+        |       GROUP BY src),
+        |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+        |c1 AS (SELECT e.dst AS node, sum(r.rank / dg.deg) AS inflow
+        |       FROM edges e JOIN r0 r ON r.node = e.src
+        |       JOIN dg ON dg.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |        0.15 / nn.n + 0.85 * coalesce(c.inflow, 0) AS rank
+        |       FROM nodes n LEFT JOIN c1 c ON c.node = n.node, nn),
+        |c2 AS (SELECT e.dst AS node, sum(r.rank / dg.deg) AS inflow
+        |       FROM edges e JOIN r1 r ON r.node = e.src
+        |       JOIN dg ON dg.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |        0.15 / nn.n + 0.85 * coalesce(c.inflow, 0) AS rank
+        |       FROM nodes n LEFT JOIN c2 c ON c.node = n.node, nn),
+        |c3 AS (SELECT e.dst AS node, sum(r.rank / dg.deg) AS inflow
+        |       FROM edges e JOIN r2 r ON r.node = e.src
+        |       JOIN dg ON dg.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |        0.15 / nn.n + 0.85 * coalesce(c.inflow, 0) AS rank
+        |       FROM nodes n LEFT JOIN c3 c ON c.node = n.node, nn),
+        |c4 AS (SELECT e.dst AS node, sum(r.rank / dg.deg) AS inflow
+        |       FROM edges e JOIN r3 r ON r.node = e.src
+        |       JOIN dg ON dg.src = e.src GROUP BY e.dst),
+        |r4 AS (SELECT n.node,
+        |        0.15 / nn.n + 0.85 * coalesce(c.inflow, 0) AS rank
+        |       FROM nodes n LEFT JOIN c4 c ON c.node = n.node, nn),
+        |c5 AS (SELECT e.dst AS node, sum(r.rank / dg.deg) AS inflow
+        |       FROM edges e JOIN r4 r ON r.node = e.src
+        |       JOIN dg ON dg.src = e.src GROUP BY e.dst),
+        |r5 AS (SELECT n.node,
+        |        0.15 / nn.n + 0.85 * coalesce(c.inflow, 0) AS rank
+        |       FROM nodes n LEFT JOIN c5 c ON c.node = n.node, nn)
+        |SELECT node, round(rank, 8) AS rank FROM r5
+        |ORDER BY node""".stripMargin,
+    // plain a<b<c three-way join — counts each triangle exactly once, same
+    // multiset as the Spark side's degree-oriented enumeration
+    "q96_triangles" ->
+      """WITH e AS (
+        | SELECT DISTINCT least(o_custkey, o_orderkey % 1499 + 1) AS a,
+        |  greatest(o_custkey, o_orderkey % 1499 + 1) AS b
+        | FROM orders WHERE o_custkey <> o_orderkey % 1499 + 1),
+        |t AS (
+        | SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        | FROM e e1 JOIN e e2 ON e2.a = e1.b
+        | JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, count(*) AS tri_cnt
+        |FROM (SELECT unnest([x, y, z]) AS node FROM t)
+        |GROUP BY node ORDER BY node""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level distributional statistics for training-data curation:
+  * per-slice drift against the rest of the corpus (the signal behind
+  * source-mixture rebalancing and contamination triage) and vocabulary
+  * coverage (the tokenizer-design input).
+  *
+  * Shape at 100 TB: everything is token-count algebra — one explode +
+  * count shuffle keyed by (slice, word), then joins between aggregates
+  * whose cardinality is the vocabulary (millions of rows, trivially
+  * distributed), never the corpus. No driver-side state beyond scalars.
+  */
+object CorpusStats {
+
+  /** Smoothed KL divergence KL(P_slice ‖ P_rest) per value of `sliceCol`,
+    * over whitespace-token unigram distributions with add-`alpha` smoothing
+    * on the union vocabulary. High KL = the slice's language is far from
+    * the rest of the corpus (over-sampled boilerplate, a different domain,
+    * or contamination). Returns `(slice, kl, n_tokens)` with `kl` rounded
+    * to 6 dp for cross-engine float stability.
+    */
+  def klDrift(docs: DataFrame, textCol: String, sliceCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val words = docs.select(col(sliceCol).as("slice"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = words.groupBy("slice", "w")
+      .agg(count(lit(1)).cast("double").as("c"))
+    val totals = counts.groupBy("slice").agg(sum("c").as("tot"))
+    val corpus = counts.groupBy("w").agg(sum("c").as("call"))
+    val vocabSize = corpus.count().toDouble
+    val grandTotal = totals.agg(sum("tot")).head().getDouble(0)
+    // (slice × vocab) grid: every slice scores every vocab word, so the
+    // smoothing mass is identical across slices
+    val grid = totals.crossJoin(corpus)
+      .join(counts, Seq("slice", "w"), "left")
+      .select(col("slice"), col("tot"), col("call"),
+        coalesce(col("c"), lit(0.0)).as("c"))
+    val p = (col("c") + lit(alpha)) / (col("tot") + lit(alpha) * vocabSize)
+    val q = (col("call") - col("c") + lit(alpha)) /
+      (lit(grandTotal) - col("tot") + lit(alpha) * vocabSize)
+    grid.groupBy("slice")
+      .agg(round(sum(p * log(p / q)), 6).as("kl"),
+        sum("c").cast("long").as("n_tokens"))
+  }
+
+  /** Vocabulary coverage: take the top-`k` corpus words by frequency (ties
+    * broken lexically), then per slice report what fraction of token
+    * occurrences the vocabulary covers — the OOV-rate table a tokenizer
+    * design iterates on. Returns `(slice, n_tokens, covered, coverage)`.
+    *
+    * The top-k is a full count shuffle followed by a k-row sort — partial
+    * aggregation reduces the sort input to the distinct vocabulary, and k
+    * rows broadcast back against the per-slice counts.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, sliceCol: String,
+      k: Int): DataFrame = {
+    val words = docs.select(col(sliceCol).as("slice"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(k)
+      .select(col("w"), lit(1).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0)).cast("long")).as("covered"))
+      .select(col("slice"), col("n_tokens"), col("covered"),
+        round(col("covered").cast("double") / col("n_tokens"), 6)
+          .as("coverage"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph analytics over edge tables — link-quality weighting for
+  * corpus curation (PageRank over a citation/link graph is the classic
+  * quality prior for web-scale training data) and local clustering structure
+  * (triangle counts). Complements [[Components]] (connected components).
+  *
+  * Shape at 100 TB: both operators keep the graph as a distributed edge
+  * table and never collect it. PageRank is the textbook synchronous power
+  * iteration — each round is one join of the rank vector against the edge
+  * table (both hash-partitioned on the source id, so the join co-locates
+  * after the first shuffle) and one aggregation by destination. Skewed
+  * in-degree (celebrity nodes) is absorbed by partial aggregation: the
+  * map-side combine sums contributions per destination before the shuffle.
+  * Triangle counting uses the degree-ordered orientation (count each
+  * triangle at its lowest-degree vertex), which bounds the wedge explosion
+  * to O(m^1.5) regardless of hub degree — the plain wedge join would
+  * generate deg² candidates on hubs.
+  */
+object Graphs {
+
+  /** Symmetrise + dedup an edge list: returns both directions of each
+    * distinct undirected {src, dst} pair, self-loops dropped. */
+  def symmetrize(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
+    e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** Synchronous PageRank over a directed edge table `(src, dst)` with
+    * damping `d`, run for a fixed `iters` rounds. Every node appearing as a
+    * source or destination is ranked; nodes with no out-edges (dangling)
+    * redistribute their mass uniformly each round, so total rank mass is
+    * conserved at 1.0. Returns `(node, rank)`.
+    *
+    * Each iteration: contributions = ranks ⋈ edges on src (ranks and edges
+    * are both partitioned by src; the edge table is persisted once and
+    * reused every round) → groupBy dst sum (map-side partial aggregation
+    * soaks hub skew) → add the teleport and dangling terms (two scalar
+    * broadcasts). Lineage is truncated by persisting each round's rank
+    * vector and unpersisting the previous one, so the plan stays O(1) deep.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5, d: Double = 0.85): DataFrame = {
+    val e = edges.toDF("src", "dst").distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count().toDouble
+    val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
+      // mass held by dangling nodes this round (scalar, broadcast back)
+      val danglingMass = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val contribs = withDeg.filter(col("deg").isNotNull)
+        .select(col("node").as("src"), (col("rank") / col("deg")).as("c"))
+        .join(e, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum("c").as("inflow"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - d) / n) + lit(d) *
+            (coalesce(col("inflow"), lit(0.0)) + lit(danglingMass / n)))
+            .as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialise before dropping the previous round
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks
+  }
+
+  /** Per-node triangle participation counts over an undirected graph given
+    * as distinct canonical edges `(a, b)` with `a < b`. Returns
+    * `(node, tri_cnt)` for nodes in at least one triangle.
+    *
+    * Orientation: each edge points from its lower-degree endpoint to the
+    * higher (ties by id). Wedges are enumerated at the lowest vertex of the
+    * orientation order and closed against the oriented edge set, so each
+    * triangle is found exactly once and hub vertices never enumerate their
+    * full neighbourhood square.
+    */
+  def triangleCounts(canonEdges: DataFrame): DataFrame = {
+    val e = canonEdges.toDF("a", "b")
+      .filter(col("a") < col("b")).distinct()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient: src = endpoint with (deg, id) smaller; total order → acyclic
+    val withDeg = e
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+    val oriented = withDeg.select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wedges at the orientation-least vertex; close with an oriented edge
+    val e1 = oriented.select(col("src"), col("dst").as("v1"))
+    val e2 = oriented.select(col("src"), col("dst").as("v2"))
+    val wedges = e1.join(e2, "src").filter(col("v1") < col("v2"))
+    val closer = oriented.select(
+      least(col("src"), col("dst")).as("v1"),
+      greatest(col("src"), col("dst")).as("v2"))
+    val tris = wedges.join(closer, Seq("v1", "v2"))
+      .select(col("src").as("x"), col("v1").as("y"), col("v2").as("z"))
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+  }
+}

@@ -50,4 +50,29 @@ object TextSearch {
       .groupBy(col(idCol))
       .agg(round(sum("term_score"), 4).as("bm25"))
   }
+
+  /** Inverted index build: term → sorted posting list of document ids, with
+    * document frequency. Terms with df > `maxDf` are dropped (stopword-class
+    * terms whose postings would be the whole corpus — the standard df cutoff
+    * that also removes the worst key skew before the posting-list shuffle).
+    *
+    * Shape at 100 TB: distinct (term, doc) pairs from the explode are
+    * partially aggregated map-side; one shuffle keyed by term builds the
+    * posting lists. The df cutoff bounds the largest reduce-side group to
+    * `maxDf` entries, so no single term key can dominate a task. Posting
+    * lists are emitted as sorted arrays — the natural layout for delta
+    * encoding in a real serving store.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Long): DataFrame = {
+    val postings = docs
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(split(lower(trim(col(textCol))), "\\s+")))
+          .as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sort_array(collect_list("doc")).as("docs"))
+    postings.filter(col("df") <= maxDf)
+      .select(col("term"), col("df"), col("docs"))
+  }
 }

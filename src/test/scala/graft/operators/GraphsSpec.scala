@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Brute-force synchronous PageRank on the driver, same semantics. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      val inflow = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => r(e._1) / out(e._1)).sum
+      }
+      r = nodes.map(v => v ->
+        ((1 - d) / n + d * (inflow.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the brute-force reference on a small digraph") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
+    val got = Graphs.pageRank(edges.toDF("src", "dst"), iters = 8)
+      .as[(Long, Double)].collect().toMap
+    val want = refPageRank(edges, 8, 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"$k") }
+  }
+
+  test("pageRank conserves total mass with dangling nodes") {
+    // node 5 has no out-edges: its mass must redistribute, not vanish
+    val edges = Seq((1L, 2L), (2L, 5L), (3L, 5L), (1L, 3L))
+    val got = Graphs.pageRank(edges.toDF("src", "dst"), iters = 6)
+      .as[(Long, Double)].collect()
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-9)
+  }
+
+  test("symmetric star graph ranks the hub highest, leaves equal") {
+    val star = Graphs.symmetrize(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst"))
+    val r = Graphs.pageRank(star, iters = 10).as[(Long, Double)]
+      .collect().toMap
+    assert(r(1L) > r(2L))
+    assert(Seq(3L, 4L, 5L).forall(v => math.abs(r(v) - r(2L)) < 1e-12))
+  }
+
+  test("triangleCounts finds each triangle once, per node") {
+    // K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val got = Graphs.triangleCounts(k4.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: triangle with a pendant edge") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val got = Graphs.triangleCounts(g.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts ignores duplicate and reversed input edges") {
+    val g = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (1L, 3L))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val got = Graphs.triangleCounts(g.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("bipartite graph has zero triangles") {
+    val g = for { a <- 1L to 3L; b <- 10L to 12L } yield (a, b)
+    assert(Graphs.triangleCounts(g.toDF("a", "b")).count() == 0)
+  }
+}
