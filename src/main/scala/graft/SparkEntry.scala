@@ -1140,6 +1140,48 @@ object SparkEntry {
         .select(col("rank"), col("left"), col("right")).orderBy("rank")
     }),
 
+    // ── Robust (median/MAD) outlier screen — the heavy-tail-proof
+    //    counterpart of q87's z-score ──
+    "q98_mad_outliers" -> ((s, dir) => {
+      graft.operators.Outliers.madOutliers(
+          t(s, dir, "events"), "event_type", "value", 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("robust_z"))
+        .orderBy("event_id")
+    }),
+
+    // ── Hybrid retrieval: reciprocal-rank fusion of a BM25 lexical
+    //    ranking and a dense cosine ranking over the aligned id space ──
+    "q99_rrf_fusion" -> ((s, dir) => {
+      val bm25 = graft.operators.TextSearch
+        .bm25Scores(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "query", "vector"))
+        .select(col("doc_id").as("id"), col("bm25").as("score"))
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      graft.plans.GraftFunctions.register(s)
+      val dense = emb.filter(col("vec_id") >= 1).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("id"),
+          round(graft.plans.GraftFunctions
+            .cosine_sim(col("embedding"), col("qv")), 4).as("score"))
+      graft.operators.TextSearch
+        .rrfFusion(Seq("bm25" -> bm25, "dense" -> dense), "id", "score")
+        .orderBy(col("rrf").desc, col("id")).limit(30)
+    }),
+
+    // ── End-to-end tokenizer: corpus token statistics under the q97
+    //    trained merges (train off the word table, encode map-only) ──
+    "q100_bpe_encode" -> ((s, dir) => {
+      val wc = graft.operators.Bpe
+        .wordCounts(t(s, dir, "documents"), "text")
+      val merges = graft.operators.Bpe.train(wc, 12)
+      graft.operators.Bpe.encodeVocab(wc, merges)
+        .select(explode(col("tokens")).as("token"), col("cnt"))
+        .groupBy("token").agg(sum("cnt").as("total"))
+        .orderBy(col("total").desc, col("token")).limit(40)
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -1168,6 +1210,60 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // exact interpolated medians: Spark `percentile` and DuckDB
+    // `quantile_cont` share the (n-1)·p convention, so the group stats are
+    // bit-identical and the unrounded filter agrees across engines
+    "q98_mad_outliers" ->
+      """WITH med AS (
+        | SELECT event_type, quantile_cont(value, 0.5) AS m
+        | FROM events GROUP BY 1),
+        |d AS (
+        | SELECT e.event_id, e.event_type, e.value, abs(e.value - m.m) AS ad
+        | FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        | SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        | FROM d GROUP BY 1)
+        |SELECT event_id, d.event_type, value,
+        | round(0.6745 * ad / mad.mad, 2) AS robust_z
+        |FROM d JOIN mad USING (event_type)
+        |WHERE mad.mad > 0 AND 0.6745 * ad / mad.mad > 3.0
+        |ORDER BY event_id""".stripMargin,
+    "q99_rrf_fusion" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CAST(length(regexp_split_to_array(lower(trim(text)),'\s+'))
+        |   AS DOUBLE) AS dl,
+        |  unnest(regexp_split_to_array(lower(trim(text)),'\s+')) AS w
+        | FROM documents),
+        |stats AS (
+        | SELECT CAST(count(*) AS DOUBLE) AS N, avg(dl) AS avgdl
+        | FROM (SELECT doc_id, any_value(dl) AS dl FROM base GROUP BY doc_id)),
+        |tf AS (
+        | SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf,
+        |  any_value(dl) AS dl
+        | FROM base WHERE w IN ('spark','query','vector')
+        | GROUP BY doc_id, w),
+        |dfx AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+        |bm AS (
+        | SELECT doc_id AS id, round(sum(
+        |  ln(1.0 + (stats.N - df + 0.5)/(df + 0.5)) * tf * (1.2 + 1.0) /
+        |  (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / stats.avgdl))), 4) AS score
+        | FROM tf JOIN dfx USING (w), stats GROUP BY doc_id),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |       WHERE vec_id = 0),
+        |cs AS (
+        | SELECT vec_id AS id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv.qv),
+        |   4) AS score
+        | FROM embeddings, qv WHERE vec_id >= 1),
+        |rb AS (SELECT id, row_number() OVER (ORDER BY score DESC, id)
+        |       AS rank FROM bm),
+        |rc AS (SELECT id, row_number() OVER (ORDER BY score DESC, id)
+        |       AS rank FROM cs),
+        |u AS (SELECT * FROM rb UNION ALL SELECT * FROM rc)
+        |SELECT id, round(sum(1.0 / (60.0 + rank)), 6) AS rrf,
+        | count(*) AS n_rankings
+        |FROM u GROUP BY id ORDER BY rrf DESC, id LIMIT 30""".stripMargin,
     "q92_inverted_index" ->
       """WITH w AS (
         | SELECT doc_id,

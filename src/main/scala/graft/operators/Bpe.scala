@@ -50,8 +50,63 @@ object Bpe {
   /** Train `numMerges` merges from a `(word, cnt)` frequency table. Pair
     * statistics are weighted by word count; ties break on (left, right)
     * lexically for full determinism. Stops early if no adjacent pair
-    * remains. */
-  def train(wordCounts: DataFrame, numMerges: Int): Seq[Merge] = {
+    * remains.
+    *
+    * When the word table fits the documented driver contract
+    * (`localThreshold` rows — the table is already the AGGREGATED
+    * vocabulary, orders of magnitude smaller than the corpus), the merge
+    * loop runs on the driver over the collected counts: identical results
+    * (same argmax, same tie-breaks — spec-asserted), none of the ~2
+    * scheduler round-trips per merge. Above the threshold it runs as the
+    * distributed loop. Pass `localThreshold = 0` to force the distributed
+    * path. */
+  def train(wordCounts: DataFrame, numMerges: Int,
+      localThreshold: Long = 200000L): Seq[Merge] = {
+    if (localThreshold > 0 &&
+        wordCounts.limit((localThreshold + 1).toInt).count() <= localThreshold)
+      trainLocal(
+        wordCounts.select(col("word"), col("cnt").cast("long"))
+          .collect().map(r => (r.getString(0), r.getLong(1))),
+        numMerges)
+    else trainDistributed(wordCounts, numMerges)
+  }
+
+  /** Driver-side merge loop — exact same semantics as the distributed
+    * path, for word tables under the size contract. */
+  private[operators] def trainLocal(words: Array[(String, Long)],
+      numMerges: Int): Seq[Merge] = {
+    var vocab: Array[(Seq[String], Long)] = words.map { case (w, c) =>
+      (w.map(_.toString) :+ EndOfWord, c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val ((l, r), _) = pairCounts.minBy { case ((pl, pr), c) =>
+          (-c, pl, pr)
+        }
+        merges += Merge(rank, l, r)
+        vocab = vocab.map { case (syms, c) => (mergeOnce(syms, l, r), c) }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  private def trainDistributed(wordCounts: DataFrame,
+      numMerges: Int): Seq[Merge] = {
     val mergeUdf = udf((syms: Seq[String], l: String, r: String) =>
       mergeOnce(syms, l, r))
     var vocab = wordCounts

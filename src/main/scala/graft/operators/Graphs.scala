@@ -54,13 +54,21 @@ object Graphs {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count().toDouble
     val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one up-front check: a graph with no dangling nodes (e.g. any
+    // symmetrised graph) needs no per-round mass scalar, so the whole
+    // power iteration stays ONE lazy plan — no driver action per round
+    val hasDangling = nodes
+      .join(outDeg, nodes("node") === outDeg("src"), "left_anti")
+      .limit(1).count() > 0
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
-      // mass held by dangling nodes this round (scalar, broadcast back)
-      val danglingMass = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      // mass held by dangling nodes this round (scalar, broadcast back);
+      // the action also materialises `ranks`, so lineage stays O(1) deep
+      val danglingMass = if (!hasDangling) 0.0
+        else withDeg.filter(col("deg").isNull)
+          .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
       val contribs = withDeg.filter(col("deg").isNotNull)
         .select(col("node").as("src"), (col("rank") / col("deg")).as("c"))
         .join(e, "src")
@@ -71,10 +79,12 @@ object Graphs {
           (lit((1.0 - d) / n) + lit(d) *
             (coalesce(col("inflow"), lit(0.0)) + lit(danglingMass / n)))
             .as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialise before dropping the previous round
-      ranks.unpersist()
-      ranks = next
+      if (hasDangling) {
+        val p = next.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count() // materialise before dropping the previous round
+        ranks.unpersist()
+        ranks = p
+      } else ranks = next
     }
     ranks
   }

@@ -75,4 +75,33 @@ object TextSearch {
     postings.filter(col("df") <= maxDf)
       .select(col("term"), col("df"), col("docs"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of several candidate
+    * rankings: each input is `(name, df)` where df carries `idCol` and
+    * `scoreCol`; item rank within each list is by (score desc, id), and the
+    * fused score is Σ 1/(k + rank). The standard way to combine lexical
+    * (BM25) and dense (embedding cosine) retrieval without score
+    * calibration.
+    *
+    * Contract: inputs are CANDIDATE LISTS (top-M per ranking), not whole
+    * corpora — ranking uses an unpartitioned window, which is a global sort
+    * of the candidate set. Fusing full-corpus rankings at 100 TB is
+    * meaningless anyway (rank 10⁹ contributes ~0); cut candidates first.
+    */
+  def rrfFusion(rankings: Seq[(String, DataFrame)], idCol: String,
+      scoreCol: String, k: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankings.nonEmpty, "at least one ranking")
+    val ranked = rankings.map { case (name, df) =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+      df.select(col(idCol), col(scoreCol))
+        .withColumn("rank", row_number().over(w))
+        .select(col(idCol), col("rank"), lit(name).as("ranking"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(round(sum(lit(1.0) / (lit(k.toDouble) + col("rank"))), 6)
+          .as("rrf"),
+        count(lit(1)).as("n_rankings"))
+  }
 }

@@ -22,6 +22,12 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.map(_.rank) == Seq(0, 1, 2, 3, 4))
   }
 
+  test("local and distributed training paths agree exactly") {
+    val local = Bpe.train(toyCounts, 8) // under threshold → driver loop
+    val dist = Bpe.train(toyCounts, 8, localThreshold = 0L)
+    assert(local == dist)
+  }
+
   test("train stops early when no pair remains") {
     val merges = Bpe.train(Seq(("ab", 3L)).toDF("word", "cnt"), 10)
     // a+b, ab+</w> — then the word is one symbol and training must stop

@@ -104,6 +104,58 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(Outliers.zScoreOutliers(flat, "grp", "v", 3.0).isEmpty)
   }
 
+  test("madOutliers flags on the median/MAD scale, robust to the tail") {
+    // 1..9 plus two extremes: the extremes cannot inflate the
+    // median/MAD scale (they would under stddev)
+    val vals = (1 to 9).map(_.toDouble) ++ Seq(500.0, -500.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "grp", "v")
+    val got = Outliers.madOutliers(df, "grp", "v", 3.0)
+      .select("id", "robust_z").as[(Long, Double)].collect().sortBy(_._1)
+    // median 5, MAD 3 (devs 0,1,1,2,2,3,3,4,4,495,505 → middle 3)
+    // 0.6745·495/3 = 111.29 and 0.6745·505/3 = 113.54
+    assert(got.toSeq == Seq((9L, 111.29), (10L, 113.54)))
+  }
+
+  test("madOutliers: zero MAD (constant majority) flags nothing") {
+    val df = (Seq.fill(10)(5.0) ++ Seq(100.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "grp", "v")
+    // median 5, MAD 0 → guarded, no rows (not a divide-by-zero flood)
+    assert(Outliers.madOutliers(df, "grp", "v", 3.0).isEmpty)
+  }
+
+  test("madOutliers uses interpolated medians on even counts") {
+    val df = Seq((0L, "g", 1.0), (1L, "g", 2.0), (2L, "g", 3.0),
+      (3L, "g", 100.0)).toDF("id", "grp", "v")
+    // median (2+3)/2=2.5; |dev| = 1.5,0.5,0.5,97.5 → MAD (0.5+1.5)/2=1.0
+    val got = Outliers.madOutliers(df, "grp", "v", 3.0)
+      .select("id", "robust_z").as[(Long, Double)].collect()
+    assert(got.toSeq == Seq((3L, round2(0.6745 * 97.5))))
+  }
+
+  private def round2(d: Double): Double = math.round(d * 100) / 100.0
+
+  test("rrfFusion combines ranks with the 1/(k+r) formula") {
+    val a = Seq((1L, 10.0), (2L, 5.0), (3L, 1.0)).toDF("id", "score")
+    val b = Seq((2L, 9.0), (1L, 2.0)).toDF("id", "score")
+    val got = TextSearch.rrfFusion(Seq("a" -> a, "b" -> b), "id", "score",
+        k = 60)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    def rrf(rs: Int*) = math.round(rs.map(r => 1.0 / (60 + r)).sum * 1e6) / 1e6
+    assert(got(1L) == ((rrf(1, 2), 2L)))
+    assert(got(2L) == ((rrf(2, 1), 2L)))
+    assert(got(3L) == ((rrf(3), 1L)))
+  }
+
+  test("rrfFusion breaks score ties by id (deterministic ranks)") {
+    val a = Seq((7L, 1.0), (3L, 1.0), (5L, 1.0)).toDF("id", "score")
+    val got = TextSearch.rrfFusion(Seq("a" -> a), "id", "score", k = 60)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    def rrf(r: Int) = math.round(1.0 / (60 + r) * 1e6) / 1e6
+    assert(got == Map(3L -> rrf(1), 5L -> rrf(2), 7L -> rrf(3)))
+  }
+
   test("same-timestamp progression counts (>= not >)") {
     val events = Seq(
       (1L, ts(0), "click"), (1L, ts(0), "view"), (1L, ts(0), "purchase"))

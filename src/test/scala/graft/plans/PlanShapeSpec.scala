@@ -148,4 +148,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"tiny stats table should broadcast in:\n$plan")
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("q98 MAD screen: median/MAD stats broadcast back to the fact scan") {
+    val plan = planOf(
+      graft.SparkEntry.queries("q98_mad_outliers")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"group-stat tables should broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q92 inverted index: one term-key exchange builds the postings") {
+    // distinct-terms explode is map-side (array_distinct before explode),
+    // so the only exchange below the presentation sort is the term groupBy
+    val plan = finalPlanOf(
+      graft.SparkEntry.queries("q92_inverted_index")(spark, sf))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange, got $hashExchanges in:\n$plan")
+  }
+
+  test("q94 vocab coverage: top-k vocabulary joins back as a broadcast") {
+    val plan = planOf(
+      graft.SparkEntry.queries("q94_vocab_coverage")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"k-row vocab should broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+    // the top-k itself must be a TakeOrdered, not a global Sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab cutoff should be TakeOrdered in:\n$plan")
+  }
 }
