@@ -1182,6 +1182,93 @@ object SparkEntry {
         .orderBy(col("total").desc, col("token")).limit(40)
     }),
 
+    // ── Exact heavy hitters: Misra–Gries candidate sketch (typed
+    //    Aggregator, partial-agg combinable) + exact verify pass ──
+    "q101_heavy_hitters" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      graft.operators.Frequency.heavyHitters(words, "w", 30)
+        .orderBy("item")
+    }),
+
+    // ── URL parsing battery over deterministically derived URLs (host /
+    //    path-id / query-param extraction, per-host rollup) ──
+    "q102_url_parse" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(concat(
+        lit("https://"), col("source"), lit(".example.org/d/"),
+        col("doc_id"), lit("?lang="), col("lang")).as("url"))
+      urls.select(
+          regexp_extract(col("url"), "https://([^/]+)/", 1).as("host"),
+          regexp_extract(col("url"), "[?&]lang=([a-z]+)", 1).as("lang"),
+          regexp_extract(col("url"), "/d/([0-9]+)", 1).cast("long")
+            .as("path_id"))
+        .groupBy("host", "lang")
+        .agg(count(lit(1)).as("n"), min("path_id").as("min_id"),
+          max("path_id").as("max_id"))
+        .orderBy("host", "lang")
+    }),
+
+    // ── §2.10 stream-static enrichment: streamed events broadcast-joined
+    //    to the static customer dim, windowed segment counts ──
+    "q103_stream_static_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = stream
+        .withColumn("c_custkey", col("user_id") % 1500 + 1)
+        .join(broadcast(cust), "c_custkey")
+        .groupBy(window(col("ts"), "6 hours").as("w"),
+          col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      val q = joined.writeStream.outputMode("complete")
+        .format("memory").queryName("q103_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q103_out")
+        .select(col("w.start").as("bucket"), col("c_mktsegment"), col("n"))
+        .orderBy("bucket", "c_mktsegment")
+    }),
+
+    // ── Equi-width histogram per group (fixed bounds → one aggregate,
+    //    no two-pass min/max dependency) ──
+    "q104_histogram" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          least(floor(col("o_totalprice") / 25000.0), lit(19))
+            .cast("long").as("bucket"))
+        .groupBy("o_orderstatus", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus", "bucket")
+    }),
+
+    // ── Equi-depth buckets the scale-safe way: exact quantile BOUNDARIES
+    //    from one aggregate, broadcast back for a map-only assignment —
+    //    never a global ntile sort ──
+    "q105_equidepth" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cuts = (1 to 7).map(_ / 8.0)
+      val b = o.agg(percentile(col("o_totalprice"),
+        array(cuts.map(lit): _*)).as("bs"))
+      val bucket = cuts.indices
+        .map(i => when(col("o_totalprice") > element_at(col("bs"), i + 1),
+          1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+      o.crossJoin(broadcast(b))
+        .select(col("o_totalprice"), bucket.cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .orderBy("bucket")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -1210,6 +1297,66 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the sketch pass only NOMINATES candidates; the verify pass and the
+    // integer threshold (cnt·k > N) make the result exact, so a plain
+    // exact-count oracle applies
+    "q101_heavy_hitters" ->
+      """WITH w AS (
+        | SELECT unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+        |  AS item
+        | FROM documents),
+        |c AS (
+        | SELECT item, count(*) AS cnt FROM w
+        | WHERE length(item) > 0 GROUP BY item),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+        |SELECT item, cnt FROM c, t WHERE cnt * 30 > t.n
+        |ORDER BY item""".stripMargin,
+    "q102_url_parse" ->
+      """WITH u AS (
+        | SELECT 'https://' || source || '.example.org/d/' || doc_id ||
+        |  '?lang=' || lang AS url
+        | FROM documents),
+        |p AS (
+        | SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+        |  regexp_extract(url, '[?&]lang=([a-z]+)', 1) AS lang,
+        |  CAST(regexp_extract(url, '/d/([0-9]+)', 1) AS BIGINT) AS path_id
+        | FROM u)
+        |SELECT host, lang, count(*) AS n, min(path_id) AS min_id,
+        | max(path_id) AS max_id
+        |FROM p GROUP BY host, lang ORDER BY host, lang""".stripMargin,
+    "q103_stream_static_join" ->
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket,
+        | c_mktsegment, count(*) AS n
+        |FROM events e JOIN customer c
+        | ON c.c_custkey = e.user_id % 1500 + 1
+        |GROUP BY bucket, c_mktsegment
+        |ORDER BY bucket, c_mktsegment""".stripMargin,
+    "q104_histogram" ->
+      """SELECT o_orderstatus,
+        | CAST(least(floor(o_totalprice / 25000.0), 19) AS BIGINT)
+        |  AS bucket,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderstatus, bucket
+        |ORDER BY o_orderstatus, bucket""".stripMargin,
+    // quantile_cont list boundaries == Spark `percentile(..., array)` —
+    // both interpolate at (n-1)·p, so the bucket assignment agrees exactly
+    "q105_equidepth" ->
+      """WITH b AS (
+        | SELECT quantile_cont(o_totalprice,
+        |  [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+        | FROM orders)
+        |SELECT CAST(1 +
+        |  (CASE WHEN o_totalprice > bs[1] THEN 1 ELSE 0 END) +
+        |  (CASE WHEN o_totalprice > bs[2] THEN 1 ELSE 0 END) +
+        |  (CASE WHEN o_totalprice > bs[3] THEN 1 ELSE 0 END) +
+        |  (CASE WHEN o_totalprice > bs[4] THEN 1 ELSE 0 END) +
+        |  (CASE WHEN o_totalprice > bs[5] THEN 1 ELSE 0 END) +
+        |  (CASE WHEN o_totalprice > bs[6] THEN 1 ELSE 0 END) +
+        |  (CASE WHEN o_totalprice > bs[7] THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS bucket,
+        | count(*) AS n, round(min(o_totalprice), 2) AS lo,
+        | round(max(o_totalprice), 2) AS hi
+        |FROM orders, b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // exact interpolated medians: Spark `percentile` and DuckDB
     // `quantile_cont` share the (n-1)·p convention, so the group stats are
     // bit-identical and the unrounded filter agrees across engines
