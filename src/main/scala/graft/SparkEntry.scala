@@ -368,8 +368,9 @@ object SparkEntry {
     //    with early row-min abort beats the codegen'd threshold DP, so the
     //    UDF stays despite the usual prefer-built-ins rule ──
     "q36_blocked_levenshtein" -> ((s, dir) => {
-      val levWithin = udf((x: String, y: String) =>
-        graft.functions.HashKernels.levenshteinWithin(x, y, 2))
+      // built-in 3-arg levenshtein (banded, returns -1 over threshold):
+      // codegen'd, so the whole blocked pair scan stays in one
+      // WholeStageCodegen span — no UDF row-conversion per pair
       val c = t(s, dir, "customer")
       val a = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("ck_a"),
         col("c_name").as("name_a"))
@@ -377,7 +378,7 @@ object SparkEntry {
         col("c_name").as("name_b"))
       a.join(b, Seq("nk"))
         .filter(col("ck_a") < col("ck_b") &&
-          levWithin(col("name_a"), col("name_b")))
+          levenshtein(col("name_a"), col("name_b"), 2) >= 0)
         .groupBy(col("nk").as("nationkey"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("nationkey")
@@ -1269,6 +1270,75 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ── Codegen'd Jaro–Winkler scored against DuckDB's built-in: blocked
+    //    per-nation name-pair counts ──
+    "q106_jaro_winkler" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val c = t(s, dir, "customer")
+      val a = c.select(col("c_nationkey").as("nk"),
+        col("c_custkey").as("ck_a"), col("c_name").as("name_a"))
+      val b = c.select(col("c_nationkey").as("nk"),
+        col("c_custkey").as("ck_b"), col("c_name").as("name_b"))
+      a.join(b, Seq("nk"))
+        .filter(col("ck_a") < col("ck_b") &&
+          round(graft.plans.GraftFunctions
+            .jaro_winkler(col("name_a"), col("name_b")), 6) >= 0.96)
+        .groupBy(col("nk").as("nationkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("nationkey")
+    }),
+
+    // ── Cumulative-distinct growth curve: first-seen per user → daily new
+    //    users → running total (day-indexed result, window over ~days) ──
+    "q107_cumulative_users" -> ((s, dir) => {
+      val firstSeen = t(s, dir, "events")
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 86400L).as("day"))
+        .groupBy("user_id").agg(min("day").as("day"))
+      val daily = firstSeen.groupBy("day")
+        .agg(count(lit(1)).as("new_users"))
+      daily.select(col("day"), col("new_users"),
+          sum("new_users").over(
+            Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cum_users"))
+        .orderBy("day")
+    }),
+
+    // ── Entity resolution end-to-end: block by nation → Jaro–Winkler
+    //    candidate scoring → connected-components clustering ──
+    "q108_entity_resolution" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val c = t(s, dir, "customer")
+      val a = c.select(col("c_nationkey").as("nk"),
+        col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+      val b = c.select(col("c_nationkey").as("nk"),
+        col("c_custkey").as("id_b"), col("c_name").as("name_b"))
+      val pairs = a.join(b, Seq("nk"))
+        .filter(col("id_a") < col("id_b") &&
+          round(graft.plans.GraftFunctions
+            .jaro_winkler(col("name_a"), col("name_b")), 6) >= 0.98)
+        .select("id_a", "id_b")
+      Components.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy(col("component").as("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster")
+    }),
+
+    // ── Custom physical operator (logical node + strategy + partial/final
+    //    SparkPlan pair): top-k per group with map-side heap pruning —
+    //    the shuffle carries ≤ k rows per (group, partition), vs the
+    //    window form shuffling and fully sorting every row ──
+    "q109_topk_operator" -> ((s, dir) => {
+      graft.plans.TopKOps.topKPerGroup(
+          t(s, dir, "orders")
+            .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          Seq(col("o_orderpriority")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 5)
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+          col("o_orderkey"))
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -1297,6 +1367,55 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q109_topk_operator" ->
+      """WITH r AS (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM r WHERE rn <= 5
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+    // the repo's codegen'd jaro_winkler reproduces DuckDB's built-in
+    // conventions exactly (empty → 0, window ⌊max/2⌋−1, boost ≥ 0.7,
+    // prefix cap 4); thresholds compare on round(·, 6) so a last-ulp
+    // transcendental difference cannot flip a boundary pair
+    "q106_jaro_winkler" ->
+      """SELECT a.c_nationkey AS nationkey, count(*) AS n_pairs
+        |FROM customer a JOIN customer b
+        | ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.96
+        |GROUP BY a.c_nationkey ORDER BY nationkey""".stripMargin,
+    "q107_cumulative_users" ->
+      """WITH fs AS (
+        | SELECT user_id,
+        |  min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS day
+        | FROM events GROUP BY user_id),
+        |daily AS (
+        | SELECT day, count(*) AS new_users FROM fs GROUP BY day)
+        |SELECT day, new_users,
+        | CAST(sum(new_users) OVER (ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS cum_users
+        |FROM daily ORDER BY day""".stripMargin,
+    // min-label transitive closure via recursive CTE — same clusters as
+    // the distributed min-propagation components
+    "q108_entity_resolution" ->
+      """WITH RECURSIVE e AS (
+        | SELECT a.c_custkey AS s, b.c_custkey AS d
+        | FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        | WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 6)
+        |  >= 0.98),
+        |u AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+        |n AS (SELECT DISTINCT s AS node FROM u),
+        |r(node, lab) AS (
+        | SELECT node, node FROM n
+        | UNION
+        | SELECT u.d, r.lab FROM r JOIN u ON u.s = r.node),
+        |lbl AS (SELECT node, min(lab) AS cluster FROM r GROUP BY node)
+        |SELECT cluster, count(*) AS n_members
+        |FROM lbl GROUP BY cluster ORDER BY cluster""".stripMargin,
     // the sketch pass only NOMINATES candidates; the verify pass and the
     // integer threshold (cnt·k > N) make the result exact, so a plain
     // exact-count oracle applies

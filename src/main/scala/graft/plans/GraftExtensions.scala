@@ -136,6 +136,76 @@ case class StripAccents(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+object JaroWinkler {
+  /** Standard Jaro–Winkler similarity, matched to DuckDB's
+    * `jaro_winkler_similarity` conventions: either-empty → 0.0, match
+    * window ⌊max(|a|,|b|)/2⌋−1, half-transposition count, Winkler boost
+    * (scale 0.1, prefix capped at 4) applied only when jaro ≥ 0.7. */
+  def compute(u1: org.apache.spark.unsafe.types.UTF8String,
+      u2: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val a = u1.toString; val b = u2.toString
+    val la = a.length; val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aMatch = new Array[Boolean](la)
+    val bMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+          aMatch(i) = true; bMatch(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < la) {
+      if (aMatch(i)) {
+        while (!bMatch(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (m - t / 2).toDouble / md) / 3.0
+    if (jaro < 0.7) return jaro
+    var p = 0
+    val pMax = math.min(4, math.min(la, lb))
+    while (p < pMax && a.charAt(p) == b.charAt(p)) p += 1
+    jaro + p * 0.1 * (1.0 - jaro)
+  }
+}
+
+/** jaro_winkler(string, string) → double — the name-matching similarity
+  * behind fuzzy entity resolution (blocked candidate scoring). Codegen'd
+  * so blocked pair scans stay inside whole-stage codegen. */
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "jaro_winkler expects two string arguments")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.compute(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.JaroWinkler.compute($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerSim =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   /** Column-API forms (require `register(spark)` first — the public
     * `call_function` route is the supported Column↔Expression bridge). */
@@ -147,12 +217,15 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("nfc_normalize", s)
   def strip_accents(s: Column): Column =
     org.apache.spark.sql.functions.call_function("strip_accents", s)
+  def jaro_winkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("jaro_winkler", a, b)
 
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "hamming64" -> (es => Hamming64(es(0), es(1))),
     "nfc_normalize" -> (es => NfcNormalize(es(0))),
-    "strip_accents" -> (es => StripAccents(es(0))))
+    "strip_accents" -> (es => StripAccents(es(0))),
+    "jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1))))
 
   /** Post-hoc registration on a live session (SQL surface). */
   def register(spark: SparkSession): Unit =
@@ -177,6 +250,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("strip_accents"),
       new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
       es => StripAccents(es(0))))
+    e.injectFunction((FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      es => JaroWinklerSim(es(0), es(1))))
     e.injectOptimizerRule(ApproxDistinctRule)
   }
 }

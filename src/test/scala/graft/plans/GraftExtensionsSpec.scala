@@ -56,6 +56,44 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(out == "Łodz creme brulee AEIOU n")
   }
 
+  test("jaro_winkler matches DuckDB's reference values") {
+    GraftFunctions.register(spark)
+    // expected values produced by DuckDB's jaro_winkler_similarity — the
+    // oracle for q106/q108; exact conventions asserted pairwise
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111), // transposition + boost
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964), // no common prefix
+      ("dwayne", "duane", 0.8400000000000001),
+      ("crate", "trace", 0.7333333333333334), // jaro ≥ .7, prefix 0
+      ("abcdefgh", "abzzzzzz", 0.5), // jaro < .7 → NO winkler boost
+      ("aaaaab", "aaaaac", 0.9333333333333333), // prefix capped at 4
+      ("abc", "abc", 1.0),
+      ("abc", "xyz", 0.0),
+      ("a", "", 0.0),
+      ("", "", 0.0)) // DuckDB convention: either empty → 0
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val got = df.select(GraftFunctions.jaro_winkler($"a", $"b"))
+      .as[Double].collect()
+    cases.zip(got).foreach { case ((a, b, want), v) =>
+      assert(math.abs(v - want) < 1e-12, s"jw($a, $b): got $v want $want")
+    }
+  }
+
+  test("jaro_winkler runs inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // non-foldable input (range), so the projection cannot constant-fold
+    // into a LocalTableScan and must actually generate code
+    val df = spark.range(2)
+      .select(GraftFunctions.jaro_winkler(
+        concat(lit("marth"), $"id".cast("string")),
+        lit("marhta")).as("jw"))
+    assert(df.collect().length == 2)
+    // '*(' prefix on the Project = it sits inside a WholeStageCodegen span
+    assert(df.queryExecution.executedPlan.toString
+      .contains("*(1) Project [jarowinklersim"))
+  }
+
   test("type mismatch is an analysis error") {
     GraftFunctions.register(spark)
     Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("ints")
