@@ -458,25 +458,31 @@ object SparkEntry {
     // ── Multimodal: binary payload → stub decode → features (rows-only) ──
     "q42_multimodal_features" -> ((s, dir) => {
       import graft.multimodal.Multimodal
-      val withImg = Multimodal.withFakeImageColumn(
+      // REAL path: PNG payloads encoded per id, ImageIO-decoded, channel
+      // means + luma histogram measured from actual pixels
+      val withImg = Multimodal.withGeneratedImageColumn(
         t(s, dir, "documents").select("doc_id"), "doc_id")
       withImg
-        .withColumn("features", Multimodal.imageFeatures(col("image"), 8))
+        .withColumn("features", Multimodal.decodedImageFeatures(col("image")))
         .select(col("doc_id"), col("imageMeta.width").as("width"),
           col("imageMeta.height").as("height"),
-          round(element_at(col("features"), 1), 4).as("f0"),
+          round(element_at(col("features"), 1), 4).as("mean_r"),
           size(col("features")).as("dim"))
         .orderBy("doc_id")
     }),
 
-    // ── Multimodal: frame-sampling plumbing (rows-only) ──
+    // ── Multimodal: REAL frame sampling — PNG-stream payloads split on
+    //    signature boundaries, every 2nd frame decoded and measured ──
     "q43_frame_sample" -> ((s, dir) => {
       import graft.multimodal.Multimodal
-      val withImg = Multimodal.withFakeImageColumn(
-        t(s, dir, "documents").select("doc_id").limit(100), "doc_id")
-      Multimodal.sampleFrames(withImg, "image", 4)
+      val gen = udf((id: Long) =>
+        Multimodal.syntheticPngStream(id, (id % 5).toInt + 2, 8, 6))
+      val withVideo = t(s, dir, "documents").select("doc_id").limit(100)
+        .withColumn("video", gen(col("doc_id").cast("long")))
+      Multimodal.samplePngFrames(withVideo, "video", stride = 2)
         .groupBy("doc_id").agg(count(lit(1)).as("n_frames"),
-          max("frameIndex").as("max_idx"))
+          max("frameIndex").as("max_idx"),
+          round(avg(element_at(col("frameFeatures"), 1)), 4).as("mean_r"))
         .orderBy("doc_id")
     }),
 

@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   *
   * Design: media payloads are opaque `binary` columns carried next to a typed
   * metadata struct; decode / feature-extraction / resize / frame-sampling run
-  * as partition-parallel kernels over the binary bytes. The decode step is a
-  * DETERMINISTIC STUB (this environment ships no image/audio codecs): it
-  * derives pseudo-features from the bytes. Everything around it — schema,
-  * batching, partitioning, UDF signatures, output shapes — is the real
-  * plumbing a production decode (JNI codec, ONNX encoder) would drop into.
+  * as partition-parallel kernels over the binary bytes. IMAGE decode,
+  * resize, grayscale, and features are REAL — [[ImageCodec]] rides the
+  * JDK's built-in `javax.imageio` PNG/JPEG/BMP codecs, headless, no
+  * external libraries. Only the VIDEO frame-split remains a deterministic
+  * stub (the JDK ships no video codec); its row-explosion shape, frame
+  * index column, and per-frame feature hook are the real pipeline a
+  * keyframe-seeking codec would drop into.
   */
 object Multimodal {
 
@@ -72,9 +74,44 @@ object Multimodal {
   def isValidImageUrl(url: String): Boolean =
     url != null && imageUrlPattern.findFirstIn(url.trim).isDefined
 
+  /** Attach a REAL PNG payload + metadata to a DataFrame: a deterministic
+    * synthetic raster per id, encoded with the JDK's ImageIO — stands in
+    * for reading real media files alongside records (the reference stores
+    * media paths per record, `load/MediaStore.scala`). Payload dimensions
+    * derive from the id, so decode paths see varied shapes. */
+  def withGeneratedImageColumn(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val w = (id % 13).toInt + 8
+      val h = (id % 7).toInt + 6
+      ImageCodec.encodePng(ImageCodec.syntheticImage(id, w, h))
+    }
+    df.withColumn("image", gen(col(idCol).cast("long")))
+      .withColumn("imageMeta", struct(
+        lit("image/png").as("format"),
+        ((col(idCol).cast("long") % 13) + 8).cast("int").as("width"),
+        ((col(idCol).cast("long") % 7) + 6).cast("int").as("height"),
+        lit(3).as("channels")))
+  }
+
+  /** REAL image feature extraction: ImageIO decode → channel means +
+    * luminance histogram ([[ImageCodec.features]]). Undecodable payloads
+    * yield null (filter or assert upstream). Map-only, no shuffle. */
+  def decodedImageFeatures(bytesCol: Column): Column =
+    udf { (b: Array[Byte]) =>
+      ImageCodec.decode(b).map(ImageCodec.features)
+    }.apply(bytesCol)
+
+  /** REAL resize: decode → integer nearest-neighbour → PNG re-encode.
+    * Returns null bytes for undecodable payloads. */
+  def decodedResize(bytesCol: Column, w: Int, h: Int): Column =
+    udf { (b: Array[Byte]) =>
+      ImageCodec.decode(b)
+        .map(r => ImageCodec.encodePng(ImageCodec.resizeNearest(r, w, h)))
+    }.apply(bytesCol)
+
   /** Attach a deterministic fake binary payload + metadata to a DataFrame —
-    * stands in for reading real media files alongside records (the reference
-    * stores media paths per record, `load/MediaStore.scala`). */
+    * kept for payload-agnostic plumbing tests (e.g. frame sampling, where
+    * a real video codec is genuinely absent from the JDK). */
   def withFakeImageColumn(df: DataFrame, idCol: String): DataFrame =
     df.withColumn("image",
         sha2(col(idCol).cast("string"), 256).cast("binary"))
@@ -117,6 +154,65 @@ object Multimodal {
       struct(metaCol.getField("format").as("format"),
         lit(w).as("width"), lit(h).as("height"),
         metaCol.getField("channels").as("channels")).as("meta"))
+  }
+
+  /** PNG-stream container: frames stored back-to-back as whole PNG files —
+    * the synthetic stand-in for a video bitstream (the JDK ships no video
+    * codec). Frame boundaries are found by scanning for the 8-byte PNG
+    * signature, and each frame decodes REALLY via [[ImageCodec]]. */
+  val PngSignature: Array[Byte] =
+    Array(0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A.toByte, '\n')
+
+  def splitPngStream(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes == null || bytes.length < PngSignature.length) return Seq.empty
+    def isSigAt(i: Int): Boolean = {
+      var j = 0
+      while (j < PngSignature.length) {
+        if (bytes(i + j) != PngSignature(j)) return false
+        j += 1
+      }
+      true
+    }
+    val starts = (0 to bytes.length - PngSignature.length)
+      .filter(isSigAt).toIndexedSeq
+    starts.zipAll(starts.drop(1), -1, bytes.length).collect {
+      case (s, e) if s >= 0 => java.util.Arrays.copyOfRange(bytes, s, e)
+    }
+  }
+
+  /** Build a PNG-stream payload of `n` deterministic frames for a seed. */
+  def syntheticPngStream(seed: Long, n: Int, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < n) {
+      bos.write(ImageCodec.encodePng(
+        ImageCodec.syntheticImage(seed * 1000L + i, w, h)))
+      i += 1
+    }
+    bos.toByteArray
+  }
+
+  /** REAL frame sampling over PNG-stream payloads: container split → every
+    * `stride`-th frame kept → one row per frame with genuinely decoded
+    * per-frame features. Map-only explode; a keyframe-seeking video codec
+    * drops into `splitPngStream`'s place. */
+  def samplePngFrames(df: DataFrame, bytesCol: String,
+      stride: Int): DataFrame = {
+    val sampler = udf { (b: Array[Byte]) =>
+      splitPngStream(b).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .flatMap { case (frame, idx) =>
+          ImageCodec.decode(frame).map(r =>
+            (idx, r.width, r.height, ImageCodec.features(r)))
+        }
+    }
+    df.withColumn("_frames", sampler(col(bytesCol)))
+      .select(col("*"), explode(col("_frames")).as("frame"))
+      .withColumn("frameIndex", col("frame._1"))
+      .withColumn("frameWidth", col("frame._2"))
+      .withColumn("frameHeight", col("frame._3"))
+      .withColumn("frameFeatures", col("frame._4"))
+      .drop("_frames", "frame")
   }
 
   /** Frame sampling plumbing for video-like payloads: split the payload into
