@@ -12,6 +12,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route forked `run` output straight to stdout, un-prefixed: the driver
+// parses Bench's one-line JSON from process output, and sbt's default
+// logger wraps every line in "[info] " which breaks json parsing
+// (BENCH_r01-r04 all show "parsed": null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1345,6 +1345,95 @@ object SparkEntry {
           col("o_orderkey"))
     }),
 
+    // ── paragraph-level exact dedup with document reassembly (the
+    //    MassiveText boilerplate cut): pages of 5 docs, every 7th doc's
+    //    text replaced by a shared boilerplate paragraph so real
+    //    cross-page duplication exists; keep the globally-first occurrence
+    //    of each paragraph, stitch pages back, compare md5 of the result ──
+    "q110_paragraph_dedup" -> ((s, dir) => {
+      val para = when(col("doc_id") % 7 === 0,
+        lit("standard legal disclaimer boilerplate")).otherwise(col("text"))
+      val pages = t(s, dir, "documents")
+        .select(floor(col("doc_id") / 5).cast("long").as("page_id"),
+          col("doc_id"), para.as("para"))
+        .groupBy("page_id")
+        .agg(array_join(transform(array_sort(collect_list(
+            struct(col("doc_id"), col("para")))), x => x.getField("para")),
+          "\n\n").as("text"))
+      Curation.dedupParagraphs(pages, "page_id", "text")
+        .select(col("page_id"), col("n_paras_in"), col("n_paras_kept"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("page_id")
+    }),
+
+    // ── Bloom-prefiltered decontamination: mergeable bitset Aggregator
+    //    over benchmark gram hashes, map-only probe pass, exact semi-join
+    //    verify over survivors — row-identical to plain decontaminate ──
+    "q111_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("source") === "src1")
+      Curation.decontaminateBloom(docs.filter(col("source") =!= "src1"),
+          bench, "doc_id", "text", n = 6)
+        .filter(col("contaminated"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ── temperature-based mixture sampling (p ∝ count^α): deterministic
+    //    content-addressed down-sample to α = 0.5 shares over languages ──
+    "q112_temperature_mix" -> ((s, dir) => {
+      Curation.temperatureSample(t(s, dir, "documents"), "doc_id", "lang",
+          "tmix", alpha = 0.5)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
+    // ── Aho–Corasick blocklist scan: one automaton pass per document,
+    //    O(len + matches) regardless of pattern count; matched-pattern
+    //    set must equal the per-pattern contains() battery ──
+    "q113_blocklist" -> ((s, dir) => {
+      val pats = Seq("slow fast", "hash join", "merge batch", "scan scan",
+        "value part hash", "key agg row")
+      val ac = graft.functions.AhoCorasick(pats)
+      val matched = udf((text: String) => ac.matchedPatterns(text))
+      t(s, dir, "documents")
+        .select(col("doc_id"), matched(col("text")).as("hits"))
+        .filter(size(col("hits")) > 0)
+        .select(col("doc_id"), size(col("hits")).cast("long").as("n_pats"),
+          array_join(col("hits"), "|").as("hits"))
+        .orderBy("doc_id")
+    }),
+
+    // ── KMV (bottom-k distinct) sketch per source over word-3-gram md5s:
+    //    exact bottom-64 is itself SQL-expressible, so the sketch AND the
+    //    estimators derived from it (distinct count, Jaccard vs src0 from
+    //    the merged sketch) hash-check against DuckDB ──
+    "q114_kmv_sketch" -> ((s, dir) => {
+      val bk = udaf(new graft.functions.BottomKAgg(64))
+      val sk = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TF.wordShingles(col("text"), 3)).as("gram"))
+        .groupBy("source").agg(bk(md5(col("gram"))).as("sk"))
+      val base = sk.filter(col("source") === "src0")
+        .select(col("sk").as("sk0"))
+      // stage `u` in its own projection: HOFs are interpreted with no CSE,
+      // and an alias referenced twice below must stay materialised
+      sk.crossJoin(broadcast(base))
+        .select(col("source"), col("sk"), col("sk0"),
+          slice(array_sort(array_union(col("sk"), col("sk0"))), 1, 64)
+            .as("u"))
+        .select(col("source"),
+          size(col("sk")).cast("long").as("k_used"),
+          round(lit(4294967296.0) * (size(col("sk")) - 1).cast("double") /
+            conv(substring(element_at(col("sk"), -1), 1, 8), 16, 10)
+              .cast("double"), 4).as("est_distinct"),
+          round(size(filter(col("u"), h =>
+              array_contains(col("sk"), h) && array_contains(col("sk0"), h)))
+              .cast("double") / size(col("u")).cast("double"), 4)
+            .as("jac_vs_src0"))
+        .orderBy("source")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -1373,6 +1462,96 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q110_paragraph_dedup" ->
+      """WITH pages AS (
+        | SELECT CAST(floor(doc_id / 5) AS BIGINT) AS page_id,
+        |  string_agg(CASE WHEN doc_id % 7 = 0
+        |    THEN 'standard legal disclaimer boilerplate' ELSE text END,
+        |   chr(10)||chr(10) ORDER BY doc_id) AS text
+        | FROM documents GROUP BY 1),
+        |paras AS (
+        | SELECT page_id,
+        |  unnest(string_split(text, chr(10)||chr(10))) AS para,
+        |  unnest(range(1, len(string_split(text, chr(10)||chr(10))) + 1))
+        |    AS pos
+        | FROM pages),
+        |ranked AS (
+        | SELECT page_id, pos, para,
+        |  row_number() OVER (PARTITION BY para ORDER BY page_id, pos) AS rk
+        | FROM paras)
+        |SELECT page_id, count(*) AS n_paras_in,
+        | CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_paras_kept,
+        | md5(coalesce(string_agg(CASE WHEN rk = 1 THEN para END,
+        |   chr(10)||chr(10) ORDER BY pos), '')) AS text_md5
+        |FROM ranked GROUP BY page_id ORDER BY page_id""".stripMargin,
+    "q111_bloom_decontaminate" ->
+      """WITH w AS (
+        | SELECT doc_id, source,
+        |  regexp_split_to_array(lower(trim(text)),'\s+') AS ws
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, source,
+        |  CASE WHEN length(ws) < 6 THEN [array_to_string(ws,' ')]
+        |   ELSE list_distinct(list_transform(range(1, length(ws)-4),
+        |    i -> array_to_string(list_slice(ws,i,i+5),' '))) END AS grams
+        | FROM w),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+        |          WHERE source='src1'),
+        |corpus AS (SELECT doc_id, unnest(grams) AS gram FROM g
+        |           WHERE source<>'src1')
+        |SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (gram)
+        |ORDER BY doc_id""".stripMargin,
+    "q112_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |z AS (SELECT sum(sqrt(n)) AS z FROM c),
+        |r AS (SELECT lang, n,
+        |  round(least(1.0, (sqrt(n)/z.z) *
+        |    (SELECT min(c2.n / (sqrt(c2.n)/z2.z)) FROM c c2, z z2) / n),
+        |   6) AS rate
+        | FROM c, z),
+        |t AS (SELECT lang, printf('%08x',
+        |   CAST(least(floor(rate*4294967296.0), 4294967295) AS BIGINT))
+        |  AS thr FROM r)
+        |SELECT d.lang, count(*) AS n
+        |FROM documents d JOIN t USING (lang)
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':tmix'), 1, 8)
+        |  < thr
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q113_blocklist" ->
+      """SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_pats,
+        | array_to_string(hits, '|') AS hits
+        |FROM (SELECT doc_id,
+        |  list_filter(['slow fast','hash join','merge batch','scan scan',
+        |    'value part hash','key agg row'],
+        |   p -> contains(text, p)) AS hits
+        | FROM documents)
+        |WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+    "q114_kmv_sketch" ->
+      """WITH w AS (
+        | SELECT source, regexp_split_to_array(lower(trim(text)),'\s+') AS ws
+        | FROM documents),
+        |g AS (
+        | SELECT DISTINCT source,
+        |  unnest(CASE WHEN length(ws) < 3 THEN [array_to_string(ws,' ')]
+        |   ELSE list_distinct(list_transform(range(1, length(ws)-1),
+        |    i -> array_to_string(list_slice(ws,i,i+2),' '))) END) AS gram
+        | FROM w),
+        |sk AS (SELECT source,
+        |  list_slice(list_sort(list(DISTINCT md5(gram))), 1, 64) AS sk
+        | FROM g GROUP BY source),
+        |b AS (SELECT sk AS sk0 FROM sk WHERE source = 'src0'),
+        |j AS (SELECT source, sk, sk0,
+        |  list_slice(list_sort(list_distinct(sk || sk0)), 1, 64) AS u
+        | FROM sk, b)
+        |SELECT source, CAST(len(sk) AS BIGINT) AS k_used,
+        | round(4294967296.0 * (len(sk) - 1) /
+        |   CAST('0x' || substring(sk[len(sk)], 1, 8) AS BIGINT), 4)
+        |  AS est_distinct,
+        | round(CAST(len(list_filter(u, h -> list_contains(sk, h)
+        |     AND list_contains(sk0, h))) AS DOUBLE) / len(u), 4)
+        |  AS jac_vs_src0
+        |FROM j ORDER BY source""".stripMargin,
     "q109_topk_operator" ->
       """WITH r AS (
         | SELECT o_orderpriority, o_orderkey, o_totalprice,

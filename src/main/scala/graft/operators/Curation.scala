@@ -84,6 +84,13 @@ object Curation {
     val keepRates = present.map { case (c, s) =>
       c -> math.min(1.0, s * total / counts(c))
     }
+    sampleByClassRates(df, idCol, classCol, salt, keepRates)
+  }
+
+  /** Map-only deterministic per-class Bernoulli filter at the given rates. */
+  private def sampleByClassRates(df: DataFrame, idCol: String,
+      classCol: String, salt: String,
+      keepRates: Iterable[(String, Double)]): DataFrame = {
     val key = hashKey(col(idCol), salt)
     val keep = keepRates.foldLeft(lit(false)) { case (acc, (c, rate)) =>
       acc || (col(classCol) === lit(c) && key < lit(hexThreshold(rate)))
@@ -263,6 +270,129 @@ object Curation {
     nll.crossJoin(broadcast(thr))
       .filter(col("nll") <= col("nll_thr"))
       .select(col(idCol), col("nll"), col("nll_thr"))
+  }
+
+  /** Paragraph-level exact deduplication with document reassembly (the
+    * MassiveText/Gopher intra-corpus boilerplate cut): split every document
+    * on `sep`, keep only the globally FIRST occurrence of each distinct
+    * paragraph — ordered by (document id, position) — and stitch each
+    * document back together from its surviving paragraphs in original
+    * order. Documents whose paragraphs were all seen earlier come back as
+    * the empty string (callers drop or keep them; the row set is stable).
+    *
+    * Output: (idCol, textCol replaced by the deduped text, n_paras_in,
+    * n_paras_kept).
+    *
+    * Shape at 100 TB: one posexplode (map-only), one shuffle keyed on the
+    * paragraph for the first-occurrence window — hot boilerplate paragraphs
+    * hash across partitions, and each window group only carries that
+    * paragraph's occurrences — then one shuffle back on the id to
+    * reassemble. Paragraphs could travel as 64-bit hashes with a join-back
+    * for the survivors; the string form here is what the DuckDB oracle
+    * reproduces verbatim. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+    val firstW = Window.partitionBy("para").orderBy(col(idCol), col("pos"))
+    val kept = paras
+      .withColumn("rk", row_number().over(firstW))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_paras_in"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_paras_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("rk") === 1, struct(col("pos"), col("para"))))),
+            s => s.getField("para")),
+          sep).as(textCol))
+    df.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol),
+        coalesce(col("n_paras_in"), lit(0L)).as("n_paras_in"),
+        coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"))
+  }
+
+  /** Temperature-based mixture sampling (the multilingual-pretraining
+    * p ∝ countᵅ rule): compute per-class target shares proportional to
+    * count^alpha — alpha = 1 keeps natural proportions, alpha = 0 moves to
+    * uniform, 0 < alpha < 1 up-weights the tail — then down-sample to those
+    * shares with the same deterministic content-addressed machinery as
+    * [[rebalanceClasses]] (no up-sampling: the largest achievable total
+    * respecting the shares is kept). Map-only after one tiny per-class
+    * count aggregate. */
+  def temperatureSample(df: DataFrame, idCol: String, classCol: String,
+      salt: String, alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "0 <= alpha <= 1")
+    val counts = df.groupBy(classCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty input")
+    // shares p_c ∝ n_c^alpha; the largest total respecting them without
+    // up-sampling is T = min_c(n_c / p_c); class c then keeps p_c·T/n_c.
+    // Summation order of Z varies across engines, so the final rate is
+    // rounded to 6 dp before thresholding — a 1-ulp wobble in Z can no
+    // longer flip a sampling decision (the DuckDB oracle rounds the same).
+    val powed = counts.map { case (c, n) =>
+      c -> math.pow(n.toDouble, alpha)
+    }.toSeq.sortBy(_._1)
+    val z = powed.map(_._2).sum
+    val total = powed.map { case (c, p) => counts(c) / (p / z) }.min
+    val keepRates = powed.map { case (c, p) =>
+      val share = p / z
+      c -> BigDecimal(math.min(1.0, share * total / counts(c)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    }
+    sampleByClassRates(df, idCol, classCol, salt, keepRates)
+  }
+
+  /** Benchmark decontamination with a Bloom pre-filter: identical result
+    * rows to [[decontaminate]], but the expensive corpus-side explode+join
+    * only runs over documents the (broadcast) Bloom filter could not rule
+    * out.
+    *
+    * Build: benchmark n-gram hashes aggregate into a
+    * [[graft.functions.BloomFilterAgg]] bitset — partial aggregation ships
+    * one bitset per partition, OR-merged — sized at ~10 bits/gram (< 1%
+    * false positives). Probe: a map-only scan keeps documents with ≥ 1
+    * maybe-contained gram. Verify: the exact hashed-gram semi-join of
+    * [[decontaminate]] runs over the survivors only, so false positives
+    * cannot reach the output — the result is exact and oracle-checkable.
+    *
+    * At 100 TB this inverts the cost: the full corpus explode (the
+    * dominant shuffle in plain decontamination — every gram of every
+    * document) shrinks to the contaminated-ish fraction, while the added
+    * cost is one broadcast bitset and one codegen-unfriendly but map-only
+    * probe pass. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      bitsPerGram: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions.{udaf, udf}
+    val gramsUdf = udf((text: String) =>
+      graft.functions.HashKernels.wordShinglesHashed(text, n))
+    val benchGrams = benchmark
+      .select(explode(gramsUdf(col(textCol))).as("gram"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // benchmark gram count: one scalar action over a small (eval-set) side;
+    // fixes the filter size before the aggregate builds the bitset
+    val nGrams = benchGrams.count()
+    val bloomAgg = udaf(new graft.functions.BloomFilterAgg(
+      graft.functions.BloomFilterAgg.sizeFor(nGrams, bitsPerGram)))
+    val bits = benchGrams.agg(bloomAgg(col("gram")).as("bits"))
+      .head().getAs[scala.collection.Seq[Long]]("bits").toArray
+    val mightHit = udf((grams: Array[Long]) =>
+      grams.exists(g => graft.functions.BloomFilterAgg.mightContain(bits, g)))
+    val candidates = corpus
+      .withColumn("_grams", gramsUdf(col(textCol)))
+      .filter(mightHit(col("_grams")))
+    val contaminatedIds = candidates
+      .select(col(idCol), explode(col("_grams")).as("gram"))
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select(idCol).distinct()
+      .withColumn("contaminated", lit(true))
+    corpus.join(contaminatedIds, Seq(idCol), "left")
+      .withColumn("contaminated",
+        coalesce(col("contaminated"), lit(false)))
   }
 
   /** Benchmark decontamination: flag corpus documents sharing any word
