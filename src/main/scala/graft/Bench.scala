@@ -19,7 +19,12 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local iteration aid: SPARK_GRAFT_ONLY=q75_stream_join,q41_stream_agg
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       // warm-up run: JIT + codegen + parquet footer caches; then take the
       // min of two measured runs so a stray JIT/GC pause on either doesn't
       // get attributed to the query (round-2 bench showed 9x swings on

@@ -17,6 +17,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Run a drained (AvailableNow) streaming query with the state
+    * partitioning sized to the drained volume instead of the session
+    * default: every stateful operator keeps state-store instances (with
+    * per-micro-batch commit IO) PER shuffle partition — a stream-stream
+    * join keeps four. On a real cluster this is sized to throughput; the
+    * session default is restored afterwards, and result ROWS are
+    * partition-count independent. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Flagship: star join revenue-by-region on sf0.001 (driver smoke check). */
   def entry(spark: SparkSession): DataFrame =
     queries("q4_star_join")(spark, "/root/testdata/sf0.001")
@@ -368,17 +381,15 @@ object SparkEntry {
     //    with early row-min abort beats the codegen'd threshold DP, so the
     //    UDF stays despite the usual prefer-built-ins rule ──
     "q36_blocked_levenshtein" -> ((s, dir) => {
-      // built-in 3-arg levenshtein (banded, returns -1 over threshold):
-      // codegen'd, so the whole blocked pair scan stays in one
-      // WholeStageCodegen span — no UDF row-conversion per pair
+      val within = udf((a: String, b: String) =>
+        graft.functions.HashKernels.levenshteinWithin(a, b, 2))
       val c = t(s, dir, "customer")
       val a = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("ck_a"),
         col("c_name").as("name_a"))
       val b = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("ck_b"),
         col("c_name").as("name_b"))
       a.join(b, Seq("nk"))
-        .filter(col("ck_a") < col("ck_b") &&
-          levenshtein(col("name_a"), col("name_b"), 2) >= 0)
+        .filter(col("ck_a") < col("ck_b") && within(col("name_a"), col("name_b")))
         .groupBy(col("nk").as("nationkey"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("nationkey")
@@ -445,10 +456,12 @@ object SparkEntry {
       val agg = stream
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName("q41_out")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName("q41_out")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table("q41_out")
         .select(col("w.start").as("bucket"), col("event_type"),
           col("n"), col("total_value"))
@@ -954,10 +967,12 @@ object SparkEntry {
       val joined = graft.streaming.IncrementalIngest.intervalJoinStreams(
         clicks, purchases, "user_id", "conv_user", "ts", "conv_ts",
         "1 hour", 21600L)
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName("q75_out")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName("q75_out")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table("q75_out")
         .select(col("imp_id"), col("conv_id"), col("user_id"),
           round(col("conv_value"), 2).as("conv_value"))
@@ -1080,10 +1095,12 @@ object SparkEntry {
         .parquet(dir)
       val deduped = graft.streaming.IncrementalIngest
         .dedupStreamByContent(stream, "doc_id", "text")
-      val q = deduped.writeStream.outputMode("append")
-        .format("memory").queryName("q60_out")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = deduped.writeStream.outputMode("append")
+          .format("memory").queryName("q60_out")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table("q60_out").select(col("id")).orderBy("id")
     }),
 
@@ -1234,10 +1251,12 @@ object SparkEntry {
         .groupBy(window(col("ts"), "6 hours").as("w"),
           col("c_mktsegment"))
         .agg(count(lit(1)).as("n"))
-      val q = joined.writeStream.outputMode("complete")
-        .format("memory").queryName("q103_out")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = joined.writeStream.outputMode("complete")
+          .format("memory").queryName("q103_out")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table("q103_out")
         .select(col("w.start").as("bucket"), col("c_mktsegment"), col("n"))
         .orderBy("bucket", "c_mktsegment")
@@ -1410,10 +1429,14 @@ object SparkEntry {
     //    the merged sketch) hash-check against DuckDB ──
     "q114_kmv_sketch" -> ((s, dir) => {
       val bk = udaf(new graft.functions.BottomKAgg(64))
+      // persist: the sketch table (one k-string row per source) feeds both
+      // the src0 baseline and the main scan — without it the whole gram
+      // explode + aggregate pipeline runs twice
       val sk = t(s, dir, "documents")
         .select(col("source"),
           explode(TF.wordShingles(col("text"), 3)).as("gram"))
         .groupBy("source").agg(bk(md5(col("gram"))).as("sk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val base = sk.filter(col("source") === "src0")
         .select(col("sk").as("sk0"))
       // stage `u` in its own projection: HOFs are interpreted with no CSE,

@@ -177,4 +177,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"vocab cutoff should be TakeOrdered in:\n$plan")
   }
+
+  test("q113 blocklist scan is map-only below the presentation sort") {
+    // the Aho-Corasick automaton travels in the UDF closure: the scan
+    // itself must not shuffle (the orderBy adds one range exchange)
+    val plan = finalPlanOf(
+      graft.SparkEntry.queries("q113_blocklist")(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"blocklist matching must be map-only:\n$plan")
+  }
+
+  test("paragraph dedup shuffles on the paragraph, then once on the id") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, if (i % 5 == 0) "X\n\nY" else s"a$i\n\nb$i"))
+      .toDF("id", "text")
+    val plan = finalPlanOf(
+      graft.operators.Curation.dedupParagraphs(docs, "id", "text"))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // one exchange keyed on the paragraph (first-occurrence window), one
+    // keyed on the id (reassembly groupBy + join-back reuse it)
+    assert(hashExchanges <= 3,
+      s"expected <=3 hash exchanges, got $hashExchanges in:\n$plan")
+  }
+
+  test("q114 KMV sketch: partial aggregation bounds the shuffle to k rows") {
+    val plan = finalPlanOf(
+      graft.SparkEntry.queries("q114_kmv_sketch")(spark, sf))
+    // typed Aggregator must run as partial_bottomkagg + final pair — the
+    // distinct gram set itself never shuffles
+    assert("partial_bottomkagg".r.findAllIn(plan.toLowerCase).size >= 1,
+      s"expected partial aggregation of the sketch in:\n$plan")
+  }
 }
