@@ -1457,6 +1457,35 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ── exact-substring span dedup (Lee et al. window form): every
+    //    8-token window seen earlier in the corpus is cut from later
+    //    documents; overlapping cuts merge as a position-set union ──
+    "q115_substring_dedup" -> ((s, dir) => {
+      Curation.dedupExactSubstrings(t(s, dir, "documents"),
+          "doc_id", "text", windowTokens = 8)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_tokens_in"), col("n_tokens_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // ── streaming heavy hitters: Misra-Gries summaries maintained
+    //    incrementally per micro-batch (foreachBatch merge, driver state
+    //    = one ≤k-entry summary), exact verify over the static table ──
+    "q116_stream_heavy_hitters" -> ((s, dir) => {
+      val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      val static = t(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      withStatePartitions(s, 8) {
+        graft.streaming.StreamingSketches
+          .heavyHittersStream(stream, static, "w", 60, "q116_mg")
+          .orderBy("item")
+      }
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -1485,6 +1514,50 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q115_substring_dedup" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        | FROM documents),
+        |tok AS (
+        | SELECT doc_id, unnest(ts) AS tok,
+        |  unnest(range(0, len(ts))) AS pos FROM toks),
+        |win AS (
+        | SELECT doc_id, unnest(range(0, len(ts) - 7)) AS wpos,
+        |  unnest(list_transform(range(1, len(ts) - 6),
+        |   i -> array_to_string(list_slice(ts, i, i + 7), ' '))) AS gram
+        | FROM toks WHERE len(ts) >= 8),
+        |flagged AS (
+        | SELECT doc_id, wpos FROM (
+        |  SELECT doc_id, wpos, row_number() OVER (PARTITION BY gram
+        |    ORDER BY doc_id, wpos) AS rk FROM win) WHERE rk > 1),
+        |rm AS (
+        | SELECT DISTINCT doc_id, wpos + d AS pos
+        | FROM flagged CROSS JOIN (SELECT unnest(range(0, 8)) AS d) dd),
+        |kept AS (
+        | SELECT t.doc_id, t.pos, t.tok FROM tok t
+        | LEFT JOIN rm ON t.doc_id = rm.doc_id AND t.pos = rm.pos
+        | WHERE rm.pos IS NULL)
+        |SELECT ti.doc_id,
+        | md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), ''))
+        |   AS text_md5,
+        | ti.n_tokens_in,
+        | CAST(count(k.pos) AS BIGINT) AS n_tokens_kept
+        |FROM (SELECT doc_id, count(*) AS n_tokens_in FROM tok
+        |      GROUP BY doc_id) ti
+        |LEFT JOIN kept k ON ti.doc_id = k.doc_id
+        |GROUP BY ti.doc_id, ti.n_tokens_in
+        |ORDER BY ti.doc_id""".stripMargin,
+    "q116_stream_heavy_hitters" ->
+      """WITH w AS (
+        | SELECT unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+        |  AS item
+        | FROM documents),
+        |c AS (
+        | SELECT item, count(*) AS cnt FROM w
+        | WHERE length(item) > 0 GROUP BY item),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+        |SELECT item, cnt FROM c, t WHERE cnt * 60 > t.n
+        |ORDER BY item""".stripMargin,
     "q110_paragraph_dedup" ->
       """WITH pages AS (
         | SELECT CAST(floor(doc_id / 5) AS BIGINT) AS page_id,

@@ -313,6 +313,62 @@ object Curation {
         coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"))
   }
 
+  /** Exact-substring span deduplication (the Lee et al. 2021
+    * "Deduplicating Training Data" cut, window form): every length-`w`
+    * token window that already occurred earlier in the corpus — ordered by
+    * (document id, position); the FIRST occurrence survives — marks its w
+    * token positions for removal; marked positions are cut and each
+    * document is re-joined from its surviving tokens in order. Overlapping
+    * duplicate windows merge for free (position-set union), so whole
+    * repeated passages collapse without any interval bookkeeping.
+    *
+    * Output: (idCol, textCol cleaned, n_tokens_in, n_tokens_kept).
+    *
+    * Shape at 100 TB: the window table shuffles keyed on the gram (hot
+    * boilerplate grams spread by hash; each group carries (id, pos) pairs
+    * only), flagged windows explode to ≤ w positions each — bounded by the
+    * duplicated fraction, not the corpus — and removal is an anti-join on
+    * (id, pos). Grams should travel as 64-bit hashes at scale (the string
+    * form is what the oracle reproduces); suffix-array approaches find
+    * variable-length repeats but need a global sort — the fixed-window
+    * form is one gram-keyed shuffle. */
+  def dedupExactSubstrings(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens >= 2)
+    // stage the token array once: HOFs are interpreted with no CSE, and
+    // both the token table and the window table derive from it
+    val staged = df.select(col(idCol),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokens = staged.select(col(idCol),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val windows = staged
+      .filter(size(col("toks")) >= windowTokens)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - windowTokens),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(windowTokens)))))
+        .as(Seq("wpos", "gram")))
+    val firstW = Window.partitionBy("gram").orderBy(col(idCol), col("wpos"))
+    val removed = windows
+      .withColumn("rk", row_number().over(firstW))
+      .filter(col("rk") > 1)
+      .select(col(idCol),
+        explode(sequence(col("wpos"),
+          col("wpos") + lit(windowTokens - 1))).as("pos"))
+      .distinct()
+    val kept = tokens.join(removed, Seq(idCol, "pos"), "left_anti")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as(textCol))
+    tokens.groupBy(idCol).agg(count(lit(1)).as("n_tokens_in"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol),
+        col("n_tokens_in"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+  }
+
   /** Temperature-based mixture sampling (the multilingual-pretraining
     * p ∝ countᵅ rule): compute per-class target shares proportional to
     * count^alpha — alpha = 1 keeps natural proportions, alpha = 0 moves to

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Frequency.{MGSummary, MisraGriesAgg}
+
+/** Incremental sketch maintenance over streams: the pattern a live
+  * counters/alerting surface needs at 100 TB/day — per micro-batch the
+  * DISTRIBUTED part reduces the batch to a constant-size mergeable
+  * summary (partial aggregation inside the batch, one summary out), and
+  * the driver folds summaries together. Driver state is the summary
+  * alone (≤ k counters), bounded for any stream length — never a
+  * word→count table.
+  */
+object StreamingSketches {
+
+  /** Drain an AvailableNow stream of string values, maintaining one
+    * Misra–Gries summary across all micro-batches. Each batch runs the
+    * typed aggregate (partial-aggregated across partitions); the per-batch
+    * summaries OR rather MERGE into the running one with the standard
+    * mergeable-summaries reduction, preserving the N/k bound over the
+    * whole stream. */
+  def misraGriesAvailableNow(stream: DataFrame, valueCol: String,
+      k: Int, queryName: String): MGSummary = {
+    val agg = new MisraGriesAgg(k)
+    var summary = agg.zero
+    val q = stream
+      .select(col(valueCol).cast("string").as("item"))
+      .filter(col("item").isNotNull && length(col("item")) > 0)
+      .writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import batch.sparkSession.implicits._
+        val batchSummary = batch.select(col("item")).as[String]
+          .select(agg.toColumn).head()
+        // foreachBatch runs serially per query: plain var is safe
+        summary = agg.merge(summary, batchSummary)
+      }
+      .start()
+    q.awaitTermination()
+    summary
+  }
+
+  /** Exact heavy hitters (count·k > N) where candidate nomination ran
+    * INCREMENTALLY over the drained stream and only the exact verify pass
+    * touches the static data — identical output to the all-batch
+    * `Frequency.heavyHitters` by the MG survival guarantee, demonstrated
+    * by the stream ≡ batch spec. */
+  def heavyHittersStream(stream: DataFrame, static: DataFrame,
+      valueCol: String, k: Int, queryName: String): DataFrame = {
+    val summary = misraGriesAvailableNow(stream, valueCol, k, queryName)
+    val items = static.select(col(valueCol).cast("string").as("item"))
+      .filter(col("item").isNotNull && length(col("item")) > 0)
+    val candidates = summary.counts.keys.toSeq
+    if (candidates.isEmpty) {
+      items.filter(lit(false)).groupBy("item").agg(count(lit(1)).as("cnt"))
+    } else {
+      items.filter(col("item").isin(candidates: _*))
+        .groupBy("item").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * lit(k.toLong) > lit(summary.total))
+    }
+  }
+}
