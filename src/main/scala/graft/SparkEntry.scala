@@ -1486,6 +1486,26 @@ object SparkEntry {
       }
     }),
 
+    // ── Multimodal audio: REAL RIFF/WAV payloads per record, parsed and
+    //    feature-extracted (duration/RMS/ZCR/peak) map-only; decimated
+    //    clips re-encode at the reduced rate (rows-only: byte-level codec
+    //    work is not SQL-expressible) ──
+    "q117_audio_features" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val withAudio = Multimodal.withGeneratedAudioColumn(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      withAudio
+        .withColumn("features", Multimodal.decodedAudioFeatures(col("audio")))
+        .withColumn("half", Multimodal.decodedDecimate(col("audio"), 2))
+        .select(col("doc_id"),
+          col("audioMeta.sampleRate").as("rate"),
+          round(element_at(col("features"), 1), 4).as("duration_s"),
+          round(element_at(col("features"), 2), 4).as("rms"),
+          round(element_at(col("features"), 3), 4).as("zcr"),
+          length(col("half")).as("half_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {

@@ -109,6 +109,41 @@ object Multimodal {
         .map(r => ImageCodec.encodePng(ImageCodec.resizeNearest(r, w, h)))
     }.apply(bytesCol)
 
+  /** Attach a REAL RIFF/WAVE payload + metadata per id: deterministic
+    * synthetic PCM (triangle tone + hashed noise), byte-accurate WAV
+    * encoding ([[AudioCodec.encodeWav]]). Clip length varies with the id. */
+  def withGeneratedAudioColumn(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val n = ((id % 11) + 4).toInt * 400 // 1600..5600 samples
+      AudioCodec.encodeWav(AudioCodec.syntheticAudio(id, n), 8000)
+    }
+    df.withColumn("audio", gen(col(idCol).cast("long")))
+      .withColumn("audioMeta", struct(
+        lit("audio/wav").as("format"),
+        lit(8000).as("sampleRate"),
+        (((col(idCol).cast("long") % 11) + 4) * 400).cast("int")
+          .as("nSamples")))
+  }
+
+  /** REAL audio feature extraction: WAV parse → duration / RMS /
+    * zero-crossing rate / peak. Unparseable payloads yield null. Map-only. */
+  def decodedAudioFeatures(bytesCol: Column): Column =
+    udf { (b: Array[Byte]) =>
+      AudioCodec.decodeWav(b).map { case (rate, samples) =>
+        AudioCodec.features(rate, samples)
+      }
+    }.apply(bytesCol)
+
+  /** REAL decimating resample: WAV parse → keep every k-th sample →
+    * re-encode at the reduced rate. Null for unparseable payloads. */
+  def decodedDecimate(bytesCol: Column, factor: Int): Column =
+    udf { (b: Array[Byte]) =>
+      AudioCodec.decodeWav(b).map { case (rate, samples) =>
+        val (r2, s2) = AudioCodec.decimate(rate, samples, factor)
+        AudioCodec.encodeWav(s2, r2)
+      }
+    }.apply(bytesCol)
+
   /** Attach a deterministic fake binary payload + metadata to a DataFrame —
     * kept for payload-agnostic plumbing tests (e.g. frame sampling, where
     * a real video codec is genuinely absent from the JDK). */

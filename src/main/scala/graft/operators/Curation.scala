@@ -237,9 +237,13 @@ object Curation {
     * here is what the DuckDB oracle can reproduce. */
   def crossDocRepetitionRatio(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
+    // persist: the exploded gram table feeds BOTH the document-frequency
+    // aggregate and the join-back — without it the interpreted-HOF explode
+    // pipeline runs twice
     val grams = docs.select(col(idCol),
       explode(graft.functions.TextFunctions
         .wordNgramsAll(col(textCol), n)).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df2 = grams.distinct()
       .groupBy("gram").agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") >= 2)
