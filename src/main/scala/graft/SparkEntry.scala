@@ -1506,6 +1506,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── per-group weighted sampling (A-ES keys) THROUGH the custom
+    //    TopKPerGroup physical operator: map-side heaps bound the shuffle
+    //    to k rows per (group, partition) — composition of the sampling
+    //    math with the whole-operator tier ──
+    "q118_group_weighted_sample" -> ((s, dir) => {
+      val u = (conv(substring(md5(concat(col("c_custkey").cast("string"),
+        lit(":gws"))), 1, 8), 16, 10).cast("double") + lit(1.0)) /
+        lit(4294967296.0)
+      val keyed = t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          pow(u, lit(1.0) / (col("c_acctbal") + lit(1000.0))).as("es_key"))
+      graft.plans.TopKOps.topKPerGroup(keyed, Seq(col("c_nationkey")),
+          Seq(col("es_key").desc, col("c_custkey").asc), 4)
+        .select(col("c_nationkey").as("nation"),
+          col("c_custkey").as("cust"),
+          round(col("es_key"), 6).as("es_key"))
+        .orderBy("nation", "cust")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -1534,6 +1553,19 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q118_group_weighted_sample" ->
+      """WITH k AS (
+        | SELECT c_nationkey, c_custkey,
+        |  pow((CAST('0x' || substring(
+        |     md5(CAST(c_custkey AS VARCHAR) || ':gws'), 1, 8) AS UBIGINT)
+        |    + 1.0) / 4294967296.0,
+        |   1.0 / (c_acctbal + 1000.0)) AS es_key
+        | FROM customer),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+        |  ORDER BY es_key DESC, c_custkey) AS rn FROM k)
+        |SELECT c_nationkey AS nation, c_custkey AS cust,
+        | round(es_key, 6) AS es_key
+        |FROM r WHERE rn <= 4 ORDER BY nation, cust""".stripMargin,
     "q115_substring_dedup" ->
       """WITH toks AS (
         | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
