@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.util.zip.ZipFile
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Darwin Core Archive as a REAL DataSource V2 connector:
+  * `spark.read.format("dwca").load("/path/to/archive.zip")`.
+  *
+  * The reference's loader opens archives imperatively and pages rows into
+  * storage (`load/DwCALoader.scala` in /root/reference); here the archive
+  * IS a table: schema inferred from `meta.xml` (core row type, field
+  * index→term map, delimiter, header count), Catalyst column pruning
+  * pushed INTO the reader (a projected scan parses only the required
+  * columns out of each line — `SupportsPushDownRequiredColumns`), and
+  * partition planning at the archive granularity.
+  *
+  * Scale model: a zip's deflated entries have no sync points, so a single
+  * archive is not byte-range splittable — parallelism is per archive (load
+  * many at once: comma-separated paths / a directory of archives), which
+  * matches the unit of work of real aggregator pipelines (one archive per
+  * data resource). After ingest the data lives in parquet and all further
+  * scans split normally; this connector is the ingest edge only.
+  */
+class DwcaDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "dwca"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DwcaMeta.read(DwcaDataSource.paths(options).head).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new DwcaTable(schema,
+      DwcaDataSource.paths(new CaseInsensitiveStringMap(properties)))
+}
+
+object DwcaDataSource {
+  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val all = (single ++ multi).distinct
+    require(all.nonEmpty, "dwca source requires a path")
+    all
+  }
+}
+
+/** meta.xml contract: core entry name, delimiter, header lines, and the
+  * ordered column list (index 0 carries the record id). */
+private[sources] final case class DwcaMeta(coreEntry: String, sep: Char,
+    headerLines: Int, columns: IndexedSeq[String]) {
+  def schema: StructType =
+    StructType(columns.map(c => StructField(c, StringType, nullable = true)))
+}
+
+private[sources] object DwcaMeta {
+  /** Short Darwin Core term name from a term URI. */
+  private def shortTerm(uri: String): String = {
+    val cut = math.max(uri.lastIndexOf('/'), uri.lastIndexOf('#'))
+    val s = if (cut >= 0) uri.substring(cut + 1) else uri
+    if (s == "class") "classs" else s // Scala/SQL keyword, as in DwcSource
+  }
+
+  def read(archivePath: String): DwcaMeta = {
+    val zip = new ZipFile(archivePath)
+    try {
+      val metaEntry = Option(zip.getEntry("meta.xml")).getOrElse(
+        throw new IllegalArgumentException(s"no meta.xml in $archivePath"))
+      val xml = scala.xml.XML.load(zip.getInputStream(metaEntry))
+      val core = (xml \ "core").headOption.getOrElse(
+        throw new IllegalArgumentException("meta.xml has no <core>"))
+      val coreEntry = (core \ "files" \ "location").text.trim
+      val sepAttr = (core \@ "fieldsTerminatedBy")
+      val sep = sepAttr match {
+        case "" | "\\t" => '\t'
+        case s => s.head
+      }
+      val headerLines = (core \@ "ignoreHeaderLines") match {
+        case "" => 0
+        case s => s.trim.toInt
+      }
+      val idIndex = (core \ "id").headOption
+        .map(n => (n \@ "index").trim.toInt).getOrElse(0)
+      val fields = (core \ "field").map { f =>
+        ((f \@ "index").trim.toInt, shortTerm((f \@ "term").trim))
+      }
+      val maxIdx = (idIndex +: fields.map(_._1)).max
+      val names = Array.tabulate(maxIdx + 1)(i => s"_c$i")
+      names(idIndex) = "id"
+      fields.foreach { case (i, t) => if (i != idIndex) names(i) = t }
+      DwcaMeta(coreEntry, sep, headerLines, names.toIndexedSeq)
+    } finally zip.close()
+  }
+}
+
+private final class DwcaTable(fullSchema: StructType, paths: Seq[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"dwca(${paths.mkString(",")})"
+  override def schema(): StructType = fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DwcaScanBuilder(fullSchema, paths)
+}
+
+private final class DwcaScanBuilder(fullSchema: StructType, paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+
+  /** Catalyst hands the pruned schema here; the reader parses only these. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new DwcaScan(required, paths)
+}
+
+private final class DwcaScan(required: StructType, paths: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"DwcaScan ReadColumns: ${required.fieldNames.mkString(",")}"
+
+  /** One partition per archive — the zip format's split unit (see class
+    * doc); a directory of N archives scans with N-way parallelism. */
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(p => DwcaPartition(p): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DwcaReaderFactory(required.fieldNames)
+}
+
+private final case class DwcaPartition(path: String) extends InputPartition
+
+private final class DwcaReaderFactory(requiredCols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new DwcaPartitionReader(p.asInstanceOf[DwcaPartition].path, requiredCols)
+}
+
+/** Streams the core entry line by line, materialising ONLY the required
+  * columns (projection pushed below the parse: untouched columns are never
+  * copied out of the line buffer). */
+private final class DwcaPartitionReader(path: String,
+    requiredCols: Array[String]) extends PartitionReader[InternalRow] {
+  private val meta = DwcaMeta.read(path)
+  // required column name → source field index (missing → constant null)
+  private val srcIdx: Array[Int] =
+    requiredCols.map(c => meta.columns.indexOf(c))
+  private val zip = new ZipFile(path)
+  private val lines = {
+    val entry = Option(zip.getEntry(meta.coreEntry)).getOrElse(
+      throw new IllegalArgumentException(
+        s"core entry ${meta.coreEntry} missing in $path"))
+    val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+      zip.getInputStream(entry), "UTF-8"))
+    (1 to meta.headerLines).foreach(_ => br.readLine())
+    br
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    val line = lines.readLine()
+    if (line == null) { current = null; false }
+    else if (line.isEmpty) next() // skip blank lines (trailing newline)
+    else {
+      val parts = splitLine(line)
+      val vals = new Array[Any](srcIdx.length)
+      var i = 0
+      while (i < srcIdx.length) {
+        val s = srcIdx(i)
+        vals(i) =
+          if (s < 0 || s >= parts.length || parts(s).isEmpty) null
+          else UTF8String.fromString(parts(s))
+        i += 1
+      }
+      current = new GenericInternalRow(vals)
+      true
+    }
+  }
+
+  /** DwC-A text is delimiter-separated WITHOUT quoting (fieldsEnclosedBy
+    * is empty in practice); -1 keeps trailing empty columns. */
+  private def splitLine(line: String): Array[String] =
+    line.split(java.util.regex.Pattern.quote(meta.sep.toString), -1)
+
+  override def get(): InternalRow = current
+  override def close(): Unit = { lines.close(); zip.close() }
+}

@@ -43,7 +43,7 @@ object DwcaExport {
 
   /** Export one resource's records as a DwC-A zip. `df` must include
     * `rowKey` (the core id) first, then DwC-term columns. */
-  def export(df: DataFrame, dataResourceUid: String, resourceName: String,
+  def `export`(df: DataFrame, dataResourceUid: String, resourceName: String,
       outZip: String): Unit = {
     val tmpDir = java.nio.file.Files.createTempDirectory("dwca").toString
     val fields = df.columns.toSeq

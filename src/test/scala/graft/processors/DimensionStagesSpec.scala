@@ -156,7 +156,7 @@ class DimensionStagesSpec extends AnyFunSuite {
       .toDF("rowKey", "scientificName", "eventDate")
     val out = java.nio.file.Files.createTempDirectory("dwca-out")
       .resolve("dr1.zip").toString
-    DwcaExport.export(df, "dr1", "Test resource", out)
+    DwcaExport.`export`(df, "dr1", "Test resource", out)
     val zf = new java.util.zip.ZipFile(out)
     val names = zf.entries().asIterator().asScala.map(_.getName).toSet
     assert(names == Set("meta.xml", "eml.xml", "occurrence.csv"))

@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DwcaConnectorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val metaXml =
+    """<archive xmlns="http://rs.tdwg.org/dwc/text/">
+      | <core encoding="UTF-8" fieldsTerminatedBy="\t" linesTerminatedBy="\n"
+      |   ignoreHeaderLines="1" rowType="http://rs.tdwg.org/dwc/terms/Occurrence">
+      |  <files><location>occurrence.txt</location></files>
+      |  <id index="0"/>
+      |  <field index="1" term="http://rs.tdwg.org/dwc/terms/scientificName"/>
+      |  <field index="2" term="http://rs.tdwg.org/dwc/terms/decimalLatitude"/>
+      |  <field index="3" term="http://rs.tdwg.org/dwc/terms/class"/>
+      | </core>
+      |</archive>""".stripMargin
+
+  private def writeArchive(rows: Seq[String]): String = {
+    val f = Files.createTempFile("dwca", ".zip").toFile
+    val zos = new ZipOutputStream(
+      new BufferedOutputStream(new FileOutputStream(f)))
+    zos.putNextEntry(new ZipEntry("meta.xml"))
+    zos.write(metaXml.getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("occurrence.txt"))
+    val body = ("id\tscientificName\tdecimalLatitude\tclass" +: rows)
+      .mkString("", "\n", "\n")
+    zos.write(body.getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    f.getAbsolutePath
+  }
+
+  test("schema comes from meta.xml; rows parse; keyword column renamed") {
+    val path = writeArchive(Seq(
+      "r1\tAus bus\t-35.2\tAves",
+      "r2\tCus dus\t\tMammalia",
+      "r3\tEus fus\t-27.1\t"))
+    val df = spark.read.format("dwca").load(path)
+    assert(df.columns.toSeq ==
+      Seq("id", "scientificName", "decimalLatitude", "classs"))
+    val got = df.orderBy("id")
+      .as[(String, String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("r1", "Aus bus", "-35.2", "Aves"),
+      ("r2", "Cus dus", null, "Mammalia"),
+      ("r3", "Eus fus", "-27.1", null)))
+  }
+
+  test("column pruning reaches the reader (scan lists only required columns)") {
+    val path = writeArchive(Seq("r1\tAus bus\t-35.2\tAves"))
+    val pruned = spark.read.format("dwca").load(path)
+      .select("scientificName")
+    assert(pruned.as[String].collect().toSeq == Seq("Aus bus"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadColumns: scientificName"),
+      s"pruned columns not pushed to the dwca scan:\n$plan")
+    assert(!plan.contains("ReadColumns: id,"),
+      "scan still reads unrequired columns")
+  }
+
+  test("multiple archives scan as one table with per-archive partitions") {
+    val p1 = writeArchive(Seq("a1\tAus bus\t1.0\tAves"))
+    val p2 = writeArchive(Seq("b1\tCus dus\t2.0\tAves",
+      "b2\tEus fus\t3.0\tAves"))
+    val df = spark.read.format("dwca")
+      .option("paths", s"$p1,$p2").load()
+    assert(df.count() == 3)
+    assert(df.rdd.getNumPartitions == 2)
+    // feeds the normal curation surface: a facet over the union
+    val facet = df.groupBy("scientificName").count()
+      .as[(String, Long)].collect().toMap
+    assert(facet == Map("Aus bus" -> 1L, "Cus dus" -> 1L, "Eus fus" -> 1L))
+  }
+}
