@@ -1525,6 +1525,24 @@ object SparkEntry {
         .orderBy("nation", "cust")
     }),
 
+    // ── DwC-A round trip: export sink (S19: quoted CSV + meta.xml + zip)
+    //    → DataSource V2 connector read → facet; the oracle computes the
+    //    same facet straight from the source table, so the whole
+    //    export/parse/prune path is hash-gated ──
+    "q119_dwca_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "nation").select(
+        col("n_nationkey").cast("string").as("rowKey"),
+        col("n_name").as("scientificName"),
+        col("n_regionkey").cast("string").as("locality"))
+      val zip = java.nio.file.Files.createTempDirectory("q119")
+        .resolve("dr119.zip").toString
+      graft.sources.DwcaExport.`export`(src, "dr119", "roundtrip", zip)
+      s.read.format("dwca").load(zip)
+        .groupBy(col("locality"))
+        .agg(count(lit(1)).as("n"), min(col("scientificName")).as("first_name"))
+        .orderBy("locality")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -1553,6 +1571,10 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q119_dwca_roundtrip" ->
+      """SELECT CAST(n_regionkey AS VARCHAR) AS locality,
+        | count(*) AS n, min(n_name) AS first_name
+        |FROM nation GROUP BY locality ORDER BY locality""".stripMargin,
     "q118_group_weighted_sample" ->
       """WITH k AS (
         | SELECT c_nationkey, c_custkey,

@@ -55,10 +55,11 @@ object DwcaDataSource {
   }
 }
 
-/** meta.xml contract: core entry name, delimiter, header lines, and the
-  * ordered column list (index 0 carries the record id). */
+/** meta.xml contract: core entry name, delimiter, optional field quote,
+  * header lines, and the ordered column list (index 0 carries the record
+  * id). */
 private[sources] final case class DwcaMeta(coreEntry: String, sep: Char,
-    headerLines: Int, columns: IndexedSeq[String]) {
+    quote: Option[Char], headerLines: Int, columns: IndexedSeq[String]) {
   def schema: StructType =
     StructType(columns.map(c => StructField(c, StringType, nullable = true)))
 }
@@ -89,6 +90,11 @@ private[sources] object DwcaMeta {
         case "" => 0
         case s => s.trim.toInt
       }
+      // XML attribute entities (&quot;) arrive decoded from the parser
+      val quote = (core \@ "fieldsEnclosedBy") match {
+        case "" => None
+        case s => Some(s.head)
+      }
       val idIndex = (core \ "id").headOption
         .map(n => (n \@ "index").trim.toInt).getOrElse(0)
       val fields = (core \ "field").map { f =>
@@ -98,7 +104,7 @@ private[sources] object DwcaMeta {
       val names = Array.tabulate(maxIdx + 1)(i => s"_c$i")
       names(idIndex) = "id"
       fields.foreach { case (i, t) => if (i != idIndex) names(i) = t }
-      DwcaMeta(coreEntry, sep, headerLines, names.toIndexedSeq)
+      DwcaMeta(coreEntry, sep, quote, headerLines, names.toIndexedSeq)
     } finally zip.close()
   }
 }
@@ -189,10 +195,39 @@ private final class DwcaPartitionReader(path: String,
     }
   }
 
-  /** DwC-A text is delimiter-separated WITHOUT quoting (fieldsEnclosedBy
-    * is empty in practice); -1 keeps trailing empty columns. */
-  private def splitLine(line: String): Array[String] =
-    line.split(java.util.regex.Pattern.quote(meta.sep.toString), -1)
+  /** Plain split when meta.xml declares no field quote (the common
+    * tab-separated form); a quote-aware scan otherwise — handles enclosed
+    * separators, doubled quotes, and backslash-escaped quotes (what
+    * `DwcaExport`'s quoteAll CSV emits). Quoted fields spanning lines are
+    * out of contract. -1 keeps trailing empty columns. */
+  private def splitLine(line: String): Array[String] = meta.quote match {
+    case None =>
+      line.split(java.util.regex.Pattern.quote(meta.sep.toString), -1)
+    case Some(q) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new java.lang.StringBuilder
+      var inQ = false
+      var i = 0
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (inQ) {
+          if (c == '\\' && i + 1 < line.length && line.charAt(i + 1) == q) {
+            sb.append(q); i += 1
+          } else if (c == q) {
+            if (i + 1 < line.length && line.charAt(i + 1) == q) {
+              sb.append(q); i += 1
+            } else inQ = false
+          } else sb.append(c)
+        } else {
+          if (c == q && sb.length == 0) inQ = true
+          else if (c == meta.sep) { out += sb.toString; sb.setLength(0) }
+          else sb.append(c)
+        }
+        i += 1
+      }
+      out += sb.toString
+      out.toArray
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit = { lines.close(); zip.close() }

@@ -68,6 +68,43 @@ class DwcaConnectorSpec extends AnyFunSuite {
       "scan still reads unrequired columns")
   }
 
+  test("quoted CSV archives parse: enclosed separators and escaped quotes") {
+    val quotedMeta = metaXml
+      .replace("fieldsTerminatedBy=\"\\t\"",
+        "fieldsTerminatedBy=\",\" fieldsEnclosedBy=\"&quot;\"")
+    val f = Files.createTempFile("dwcaq", ".zip").toFile
+    val zos = new ZipOutputStream(
+      new BufferedOutputStream(new FileOutputStream(f)))
+    zos.putNextEntry(new ZipEntry("meta.xml"))
+    zos.write(quotedMeta.getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("occurrence.txt"))
+    zos.write(("\"id\",\"scientificName\",\"decimalLatitude\",\"class\"\n" +
+      "\"r1\",\"Aus, comma bus\",\"-35.2\",\"Aves\"\n" +
+      "\"r2\",\"Cus \\\"quoted\\\" dus\",\"1.0\",\"Aves\"\n" +
+      "\"r3\",\"Eus \"\"doubled\"\" fus\",\"2.0\",\"Aves\"\n")
+      .getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val got = spark.read.format("dwca").load(f.getAbsolutePath)
+      .orderBy("id").select("scientificName").as[String].collect().toSeq
+    assert(got == Seq("Aus, comma bus", "Cus \"quoted\" dus",
+      "Eus \"doubled\" fus"))
+  }
+
+  test("export sink → connector read round-trips rows exactly") {
+    val src = Seq(("k1", "Aus bus", "loc,with comma"),
+      ("k2", "Cus dus", "plain")).toDF("rowKey", "scientificName", "locality")
+    val zip = Files.createTempDirectory("rt").resolve("dr.zip").toString
+    DwcaExport.`export`(src, "drX", "round trip", zip)
+    val back = spark.read.format("dwca").load(zip)
+    assert(back.columns.toSeq == Seq("id", "scientificName", "locality"))
+    val got = back.orderBy("id")
+      .as[(String, String, String)].collect().toSeq
+    assert(got == Seq(("k1", "Aus bus", "loc,with comma"),
+      ("k2", "Cus dus", "plain")))
+  }
+
   test("multiple archives scan as one table with per-archive partitions") {
     val p1 = writeArchive(Seq("a1\tAus bus\t1.0\tAves"))
     val p2 = writeArchive(Seq("b1\tCus dus\t2.0\tAves",
