@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull, IsNull, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -120,22 +120,42 @@ private final class DwcaTable(fullSchema: StructType, paths: Seq[String])
 }
 
 private final class DwcaScanBuilder(fullSchema: StructType, paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
 
   /** Catalyst hands the pruned schema here; the reader parses only these. */
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new DwcaScan(required, paths)
+  /** Accept the string predicates the line parser can evaluate before a
+    * row is materialised; everything else stays a Spark-side residual.
+    * Accepted filters are evaluated against the split line buffer, so a
+    * selective filter skips both row materialisation and downstream
+    * processing — the DSv2 analogue of parquet row-group filtering for a
+    * format with no statistics. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition {
+      case _: EqualTo | _: IsNotNull | _: IsNull | _: StringStartsWith => true
+      case _ => false
+    }
+    pushed = supported
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new DwcaScan(required, paths, pushed)
 }
 
-private final class DwcaScan(required: StructType, paths: Seq[String])
-    extends Scan with Batch {
+private final class DwcaScan(required: StructType, paths: Seq[String],
+    pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"DwcaScan ReadColumns: ${required.fieldNames.mkString(",")}"
+    s"DwcaScan ReadColumns: ${required.fieldNames.mkString(",")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
 
   /** One partition per archive — the zip format's split unit (see class
     * doc); a directory of N archives scans with N-way parallelism. */
@@ -143,26 +163,39 @@ private final class DwcaScan(required: StructType, paths: Seq[String])
     paths.map(p => DwcaPartition(p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DwcaReaderFactory(required.fieldNames)
+    new DwcaReaderFactory(required.fieldNames, pushed)
 }
 
 private final case class DwcaPartition(path: String) extends InputPartition
 
-private final class DwcaReaderFactory(requiredCols: Array[String])
-    extends PartitionReaderFactory {
+private final class DwcaReaderFactory(requiredCols: Array[String],
+    pushed: Array[Filter]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new DwcaPartitionReader(p.asInstanceOf[DwcaPartition].path, requiredCols)
+    new DwcaPartitionReader(p.asInstanceOf[DwcaPartition].path, requiredCols,
+      pushed)
 }
 
 /** Streams the core entry line by line, materialising ONLY the required
   * columns (projection pushed below the parse: untouched columns are never
   * copied out of the line buffer). */
 private final class DwcaPartitionReader(path: String,
-    requiredCols: Array[String]) extends PartitionReader[InternalRow] {
+    requiredCols: Array[String], pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
   private val meta = DwcaMeta.read(path)
   // required column name → source field index (missing → constant null)
   private val srcIdx: Array[Int] =
     requiredCols.map(c => meta.columns.indexOf(c))
+  // pushed filters compiled to (source index, predicate on the cell value,
+  // where a missing/empty cell arrives as null)
+  private val tests: Array[(Int, String => Boolean)] = pushed.map {
+    case EqualTo(a, v) =>
+      (meta.columns.indexOf(a), (s: String) => s != null && s == String.valueOf(v))
+    case IsNotNull(a) => (meta.columns.indexOf(a), (s: String) => s != null)
+    case IsNull(a) => (meta.columns.indexOf(a), (s: String) => s == null)
+    case StringStartsWith(a, p) =>
+      (meta.columns.indexOf(a), (s: String) => s != null && s.startsWith(p))
+    case f => throw new IllegalStateException(s"unpushable filter $f")
+  }
   private val zip = new ZipFile(path)
   private val lines = {
     val entry = Option(zip.getEntry(meta.coreEntry)).getOrElse(
@@ -176,23 +209,35 @@ private final class DwcaPartitionReader(path: String,
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    val line = lines.readLine()
-    if (line == null) { current = null; false }
-    else if (line.isEmpty) next() // skip blank lines (trailing newline)
-    else {
-      val parts = splitLine(line)
-      val vals = new Array[Any](srcIdx.length)
-      var i = 0
-      while (i < srcIdx.length) {
-        val s = srcIdx(i)
-        vals(i) =
-          if (s < 0 || s >= parts.length || parts(s).isEmpty) null
-          else UTF8String.fromString(parts(s))
-        i += 1
+    // iterative: blank lines and filter-rejected rows must not recurse —
+    // a selective pushed filter can reject unboundedly long runs
+    while (true) {
+      val line = lines.readLine()
+      if (line == null) { current = null; return false }
+      if (!line.isEmpty) {
+        val parts = splitLine(line)
+        def cell(idx: Int): String =
+          if (idx < 0 || idx >= parts.length || parts(idx).isEmpty) null
+          else parts(idx)
+        var t = 0
+        var pass = true
+        while (pass && t < tests.length) {
+          pass = tests(t)._2(cell(tests(t)._1)); t += 1
+        }
+        if (pass) { // row survives every pushed filter → materialise
+          val vals = new Array[Any](srcIdx.length)
+          var i = 0
+          while (i < srcIdx.length) {
+            val s = cell(srcIdx(i))
+            vals(i) = if (s == null) null else UTF8String.fromString(s)
+            i += 1
+          }
+          current = new GenericInternalRow(vals)
+          return true
+        }
       }
-      current = new GenericInternalRow(vals)
-      true
     }
+    false
   }
 
   /** Plain split when meta.xml declares no field quote (the common

@@ -105,6 +105,25 @@ class DwcaConnectorSpec extends AnyFunSuite {
       ("k2", "Cus dus", "plain")))
   }
 
+  test("string predicates push into the reader and are not re-filtered away") {
+    val path = writeArchive(Seq(
+      "r1\tAus bus\t-35.2\tAves",
+      "r2\tCus dus\t\tMammalia",
+      "r3\tAus bus\t-27.1\tAves"))
+    val df = spark.read.format("dwca").load(path)
+      .filter(col("scientificName") === "Aus bus" &&
+        col("decimalLatitude").isNotNull)
+      .select("id")
+    assert(df.as[String].collect().sorted.toSeq == Seq("r1", "r3"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches(
+      "(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(scientificName,Aus bus\\)[^\\]]*\\].*"),
+      s"equality not pushed to the dwca scan:\n$plan")
+    assert(plan.matches(
+      "(?s).*PushedFilters: \\[[^\\]]*IsNotNull\\(decimalLatitude\\)[^\\]]*\\].*"),
+      s"null test not pushed to the dwca scan:\n$plan")
+  }
+
   test("multiple archives scan as one table with per-archive partitions") {
     val p1 = writeArchive(Seq("a1\tAus bus\t1.0\tAves"))
     val p2 = writeArchive(Seq("b1\tCus dus\t2.0\tAves",
