@@ -1534,8 +1534,12 @@ object SparkEntry {
         col("n_nationkey").cast("string").as("rowKey"),
         col("n_name").as("scientificName"),
         col("n_regionkey").cast("string").as("locality"))
-      val zip = java.nio.file.Files.createTempDirectory("q119")
-        .resolve("dr119.zip").toString
+      // fixed per-JVM path, overwritten each invocation — bench runs every
+      // query three times and must not litter a temp tree per run
+      val zipDir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q119")
+      zipDir.mkdirs()
+      val zip = new java.io.File(zipDir, "dr119.zip").getAbsolutePath
       graft.sources.DwcaExport.`export`(src, "dr119", "roundtrip", zip)
       s.read.format("dwca").load(zip)
         .groupBy(col("locality"))

@@ -38,35 +38,44 @@ object AudioCodec {
     def ascii(n: Int): String = {
       val a = new Array[Byte](n); buf.get(a); new String(a, "US-ASCII")
     }
-    if (ascii(4) != "RIFF") return None
-    buf.getInt // declared riff length
-    if (ascii(4) != "WAVE") return None
-    var rate = -1
-    var ok = false
-    var samples: Array[Short] = null
-    while (buf.remaining() >= 8 && samples == null) {
-      val id = ascii(4)
-      val len = buf.getInt
-      if (len < 0 || len > buf.remaining()) return None
-      id match {
-        case "fmt " =>
-          val fmt = buf.getShort; val ch = buf.getShort
-          rate = buf.getInt
-          buf.getInt; buf.getShort
-          val bits = buf.getShort
-          ok = fmt == 1 && ch == 1 && bits == 16
-          buf.position(buf.position() + (len - 16))
-        case "data" =>
-          if (!ok || rate <= 0) return None
-          val out = new Array[Short](len / 2)
-          var i = 0
-          while (i < out.length) { out(i) = buf.getShort; i += 1 }
-          samples = out
-        case _ =>
-          buf.position(buf.position() + len + (len & 1))
+    try {
+      if (ascii(4) != "RIFF") return None
+      buf.getInt // declared riff length
+      if (ascii(4) != "WAVE") return None
+      var rate = -1
+      var ok = false
+      var samples: Array[Short] = null
+      while (buf.remaining() >= 8 && samples == null) {
+        val id = ascii(4)
+        val len = buf.getInt
+        if (len < 0 || len > buf.remaining()) return None
+        id match {
+          case "fmt " =>
+            if (len < 16) return None // malformed: fixed part is 16 bytes
+            val fmt = buf.getShort; val ch = buf.getShort
+            rate = buf.getInt
+            buf.getInt; buf.getShort
+            val bits = buf.getShort
+            ok = fmt == 1 && ch == 1 && bits == 16
+            buf.position(buf.position() + (len - 16))
+          case "data" =>
+            if (!ok || rate <= 0) return None
+            val out = new Array[Short](len / 2)
+            var i = 0
+            while (i < out.length) { out(i) = buf.getShort; i += 1 }
+            samples = out
+          case _ =>
+            // odd-length chunks carry a pad byte, but a truncated file may
+            // end exactly at the declared length — don't step past the end
+            val skip = math.min(len + (len & 1), buf.remaining())
+            buf.position(buf.position() + skip)
+        }
       }
+      Option(samples).map(s => (rate, s))
+    } catch {
+      // any residual malformed-header arithmetic → unparseable, not a crash
+      case _: RuntimeException => None
     }
-    Option(samples).map(s => (rate, s))
   }
 
   /** Deterministic synthetic clip per id: an integer triangle tone whose

@@ -234,7 +234,11 @@ object Curation {
     * grams ("click here to") spread over partitions by Spark's hash; no
     * per-doc state. At 100 TB grams should travel as 64-bit hashes (see
     * [[decontaminate]]'s `wordShinglesHashed` pattern); the string form
-    * here is what the DuckDB oracle can reproduce. */
+    * here is what the DuckDB oracle can reproduce.
+    * NOTE: the persisted blocks live until `spark.catalog.clearCache()`
+    * or session end — long-lived sessions invoking this repeatedly should
+    * clear the cache between calls (Bench does).
+    */
   def crossDocRepetitionRatio(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     // persist: the exploded gram table feeds BOTH the document-frequency
@@ -335,7 +339,11 @@ object Curation {
     * (id, pos). Grams should travel as 64-bit hashes at scale (the string
     * form is what the oracle reproduces); suffix-array approaches find
     * variable-length repeats but need a global sort — the fixed-window
-    * form is one gram-keyed shuffle. */
+    * form is one gram-keyed shuffle.
+    * NOTE: the persisted blocks live until `spark.catalog.clearCache()`
+    * or session end — long-lived sessions invoking this repeatedly should
+    * clear the cache between calls (Bench does).
+    */
   def dedupExactSubstrings(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int): DataFrame = {
     require(windowTokens >= 2)
@@ -422,7 +430,11 @@ object Curation {
     * dominant shuffle in plain decontamination — every gram of every
     * document) shrinks to the contaminated-ish fraction, while the added
     * cost is one broadcast bitset and one codegen-unfriendly but map-only
-    * probe pass. */
+    * probe pass.
+    * NOTE: the persisted blocks live until `spark.catalog.clearCache()`
+    * or session end — long-lived sessions invoking this repeatedly should
+    * clear the cache between calls (Bench does).
+    */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int,
       bitsPerGram: Int = 10): DataFrame = {
@@ -442,8 +454,14 @@ object Curation {
       .head().getAs[scala.collection.Seq[Long]]("bits").toArray
     val mightHit = udf((grams: Array[Long]) =>
       grams.exists(g => graft.functions.BloomFilterAgg.mightContain(bits, g)))
+    // asNondeterministic stops Catalyst pushing the probe filter below the
+    // projection (which would substitute the alias and evaluate the
+    // expensive gram-hashing UDF twice per row — once in the filter, once
+    // in the explode). The function IS deterministic; the flag is only an
+    // optimizer barrier.
+    val gramsOnce = gramsUdf.asNondeterministic()
     val candidates = corpus
-      .withColumn("_grams", gramsUdf(col(textCol)))
+      .withColumn("_grams", gramsOnce(col(textCol)))
       .filter(mightHit(col("_grams")))
     val contaminatedIds = candidates
       .select(col(idCol), explode(col("_grams")).as("gram"))

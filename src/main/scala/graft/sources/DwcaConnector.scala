@@ -45,13 +45,48 @@ class DwcaDataSource extends TableProvider with DataSourceRegister {
 }
 
 object DwcaDataSource {
+  /** `load(p1, p2, …)` arrives as a JSON-encoded array in the `paths`
+    * option (that is how DataFrameReader serialises varargs); a bespoke
+    * `.option("paths", "a,b")` is comma-separated; `load(dir)` on a
+    * directory expands to every `*.zip` inside it. */
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val single = Option(options.get("path")).toSeq
-    val multi = Option(options.get("paths")).toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    val all = (single ++ multi).distinct
+    val multi = Option(options.get("paths")).toSeq.flatMap { raw =>
+      val t = raw.trim
+      if (t.startsWith("[")) parseJsonStringArray(t)
+      else t.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    val all = (single ++ multi).distinct.flatMap(expandDir)
     require(all.nonEmpty, "dwca source requires a path")
     all
+  }
+
+  private def expandDir(p: String): Seq[String] = {
+    val f = new java.io.File(p)
+    if (f.isDirectory)
+      Option(f.listFiles()).toSeq.flatten
+        .filter(_.getName.toLowerCase.endsWith(".zip"))
+        .map(_.getAbsolutePath).sorted.toSeq
+    else Seq(p)
+  }
+
+  /** Minimal parser for the JSON string array Spark hands over —
+    * ["a","b"] with \" and \\ escapes inside elements. */
+  private def parseJsonStringArray(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 1 }
+        else if (c == '"') { out += sb.toString; sb.setLength(0); inStr = false }
+        else sb.append(c)
+      } else if (c == '"') inStr = true
+      i += 1
+    }
+    out.toSeq
   }
 }
 
@@ -74,7 +109,13 @@ private[sources] object DwcaMeta {
 
   def read(archivePath: String): DwcaMeta = {
     val zip = new ZipFile(archivePath)
-    try {
+    try readFrom(zip, archivePath) finally zip.close()
+  }
+
+  /** Parse meta.xml from an already-open archive (the partition reader
+    * reuses its data handle instead of opening the zip twice). */
+  def readFrom(zip: ZipFile, archivePath: String): DwcaMeta = {
+    {
       val metaEntry = Option(zip.getEntry("meta.xml")).getOrElse(
         throw new IllegalArgumentException(s"no meta.xml in $archivePath"))
       val xml = scala.xml.XML.load(zip.getInputStream(metaEntry))
@@ -105,7 +146,7 @@ private[sources] object DwcaMeta {
       names(idIndex) = "id"
       fields.foreach { case (i, t) => if (i != idIndex) names(i) = t }
       DwcaMeta(coreEntry, sep, quote, headerLines, names.toIndexedSeq)
-    } finally zip.close()
+    }
   }
 }
 
@@ -181,7 +222,21 @@ private final class DwcaReaderFactory(requiredCols: Array[String],
 private final class DwcaPartitionReader(path: String,
     requiredCols: Array[String], pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
-  private val meta = DwcaMeta.read(path)
+  // ONE zip handle for meta + data; if any of the setup below throws
+  // (missing meta.xml / core entry), close it before propagating — Spark
+  // never sees a half-built reader, so close() would never run
+  private val zip = new ZipFile(path)
+  private val (meta, lines) =
+    try {
+      val m = DwcaMeta.readFrom(zip, path)
+      val entry = Option(zip.getEntry(m.coreEntry)).getOrElse(
+        throw new IllegalArgumentException(
+          s"core entry ${m.coreEntry} missing in $path"))
+      val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+        zip.getInputStream(entry), "UTF-8"))
+      (1 to m.headerLines).foreach(_ => br.readLine())
+      (m, br)
+    } catch { case e: Throwable => zip.close(); throw e }
   // required column name → source field index (missing → constant null)
   private val srcIdx: Array[Int] =
     requiredCols.map(c => meta.columns.indexOf(c))
@@ -195,16 +250,6 @@ private final class DwcaPartitionReader(path: String,
     case StringStartsWith(a, p) =>
       (meta.columns.indexOf(a), (s: String) => s != null && s.startsWith(p))
     case f => throw new IllegalStateException(s"unpushable filter $f")
-  }
-  private val zip = new ZipFile(path)
-  private val lines = {
-    val entry = Option(zip.getEntry(meta.coreEntry)).getOrElse(
-      throw new IllegalArgumentException(
-        s"core entry ${meta.coreEntry} missing in $path"))
-    val br = new java.io.BufferedReader(new java.io.InputStreamReader(
-      zip.getInputStream(entry), "UTF-8"))
-    (1 to meta.headerLines).foreach(_ => br.readLine())
-    br
   }
   private var current: InternalRow = _
 
@@ -258,6 +303,10 @@ private final class DwcaPartitionReader(path: String,
         if (inQ) {
           if (c == '\\' && i + 1 < line.length && line.charAt(i + 1) == q) {
             sb.append(q); i += 1
+          } else if (c == '\\' && i + 1 < line.length &&
+              line.charAt(i + 1) == '\\') {
+            // the CSV writer escapes the escape char itself: \\ → \
+            sb.append('\\'); i += 1
           } else if (c == q) {
             if (i + 1 < line.length && line.charAt(i + 1) == q) {
               sb.append(q); i += 1

@@ -66,6 +66,13 @@ object DwcaExport {
       zos.putNextEntry(new ZipEntry("occurrence.csv"))
       java.nio.file.Files.copy(csvPart.toPath, zos)
       zos.closeEntry()
-    } finally zos.close()
+    } finally {
+      zos.close()
+      // the staging CSV is inside the zip now — remove the temp tree
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new File(tmpDir))
+    }
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, FileOutputStream}
+import java.io.{BufferedOutputStream, File, FileOutputStream}
 import java.nio.file.Files
 import java.util.zip.{ZipEntry, ZipOutputStream}
 
@@ -122,6 +122,23 @@ class DwcaConnectorSpec extends AnyFunSuite {
     assert(plan.matches(
       "(?s).*PushedFilters: \\[[^\\]]*IsNotNull\\(decimalLatitude\\)[^\\]]*\\].*"),
       s"null test not pushed to the dwca scan:\n$plan")
+  }
+
+  test("varargs load(p1, p2) resolves Spark's JSON-encoded paths option") {
+    val p1 = writeArchive(Seq("a1\tAus bus\t1.0\tAves"))
+    val p2 = writeArchive(Seq("b1\tCus dus\t2.0\tAves"))
+    val df = spark.read.format("dwca").load(p1, p2)
+    assert(df.count() == 2 && df.rdd.getNumPartitions == 2)
+  }
+
+  test("load(dir) expands to every zip archive in the directory") {
+    val dir = Files.createTempDirectory("dwcadir")
+    def copyIn(src: String, name: String): Unit =
+      Files.copy(new File(src).toPath, dir.resolve(name))
+    copyIn(writeArchive(Seq("a1\tAus bus\t1.0\tAves")), "one.zip")
+    copyIn(writeArchive(Seq("b1\tCus dus\t2.0\tAves")), "two.zip")
+    val df = spark.read.format("dwca").load(dir.toString)
+    assert(df.count() == 2 && df.rdd.getNumPartitions == 2)
   }
 
   test("multiple archives scan as one table with per-archive partitions") {
