@@ -191,12 +191,26 @@ private final class DwcaScanBuilder(fullSchema: StructType, paths: Seq[String])
 }
 
 private final class DwcaScan(required: StructType, paths: Seq[String],
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter]) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"DwcaScan ReadColumns: ${required.fieldNames.mkString(",")} " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** Real on-disk size instead of the engine's pessimistic default
+    * (spark.sql.defaultSizeInBytes ≈ Long.Max): a small archive joined
+    * against a big fact table can now be planned as the BROADCAST side.
+    * Compressed zip size understates row width, so this stays
+    * conservative only by the compression ratio. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes: java.util.OptionalLong =
+      java.util.OptionalLong.of(
+        paths.map(p => new java.io.File(p).length()).sum)
+    override def numRows: java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 
   /** One partition per archive — the zip format's split unit (see class
     * doc); a directory of N archives scans with N-way parallelism. */

@@ -141,6 +141,21 @@ class DwcaConnectorSpec extends AnyFunSuite {
     assert(df.count() == 2 && df.rdd.getNumPartitions == 2)
   }
 
+  test("reported statistics let a small archive broadcast in a join") {
+    val path = writeArchive(Seq(
+      "r1\tAus bus\t1.0\tAves", "r2\tCus dus\t2.0\tMammalia"))
+    val dim = spark.read.format("dwca").load(path)
+      .select(col("scientificName"), col("classs"))
+    val fact = (1 to 2000).map(i =>
+      (i.toLong, if (i % 2 == 0) "Aus bus" else "Cus dus"))
+      .toDF("k", "scientificName")
+    val joined = fact.join(dim, "scientificName")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"kilobyte-sized dwca dim should broadcast:\n$plan")
+  }
+
   test("multiple archives scan as one table with per-archive partitions") {
     val p1 = writeArchive(Seq("a1\tAus bus\t1.0\tAves"))
     val p2 = writeArchive(Seq("b1\tCus dus\t2.0\tAves",
