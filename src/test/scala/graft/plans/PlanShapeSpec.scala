@@ -202,6 +202,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected <=3 hash exchanges, got $hashExchanges in:\n$plan")
   }
 
+  test("q115 substring dedup: all joins stay hash-keyed, no nested-loop pairs") {
+    val plan = finalPlanOf(
+      graft.SparkEntry.queries("q115_substring_dedup")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup must never form unkeyed pairs:\n$plan")
+  }
+
   test("q114 KMV sketch: partial aggregation bounds the shuffle to k rows") {
     val plan = finalPlanOf(
       graft.SparkEntry.queries("q114_kmv_sketch")(spark, sf))
