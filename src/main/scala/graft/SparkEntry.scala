@@ -1434,7 +1434,10 @@ object SparkEntry {
       // explode + aggregate pipeline runs twice
       val sk = t(s, dir, "documents")
         .select(col("source"),
-          explode(TF.wordShingles(col("text"), 3)).as("gram"))
+          split(lower(trim(col("text"))), "\\s+").as("_toks"))
+        .select(col("source"),
+          explode(TF.wordNgramsOfTokens(col("_toks"), 3,
+            distinctGrams = true)).as("gram"))
         .groupBy("source").agg(bk(md5(col("gram"))).as("sk"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val base = sk.filter(col("source") === "src0")

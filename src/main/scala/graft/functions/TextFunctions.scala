@@ -112,6 +112,22 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
+  /** Word n-grams over an ALREADY-SPLIT token array column. Callers stage
+    * the `split` in its own projection first — HOFs are interpreted with
+    * no CSE, so the inline `wordShingles`/`wordNgramsAll` forms re-run
+    * split() once per PRODUCED GRAM (the `slice(toks, …)` lambda body
+    * re-evaluates its child); over a staged attribute the array
+    * materialises once per row. Same output, ~O(tokens) instead of
+    * O(tokens · grams) splitting. */
+  def wordNgramsOfTokens(toks: Column, n: Int,
+      distinctGrams: Boolean): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - lit(n)),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(if (distinctGrams) array_distinct(grams) else grams)
+  }
+
   /** Word n-grams WITHOUT de-duplication (positional) — the multiset the
     * repetition filters need; `wordShingles` collapses repeats. */
   def wordNgramsAll(text: Column, n: Int): Column = {

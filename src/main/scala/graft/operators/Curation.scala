@@ -243,10 +243,15 @@ object Curation {
       textCol: String, n: Int): DataFrame = {
     // persist: the exploded gram table feeds BOTH the document-frequency
     // aggregate and the join-back — without it the interpreted-HOF explode
-    // pipeline runs twice
-    val grams = docs.select(col(idCol),
-      explode(graft.functions.TextFunctions
-        .wordNgramsAll(col(textCol), n)).as("gram"))
+    // pipeline runs twice. Tokens are staged in their own projection so
+    // the split runs once per row, not once per gram (no CSE in HOFs).
+    val grams = docs
+      .select(col(idCol),
+        split(lower(trim(col(textCol))), "\\s+").as("_toks"))
+      .select(col(idCol),
+        explode(graft.functions.TextFunctions
+          .wordNgramsOfTokens(col("_toks"), n, distinctGrams = false))
+          .as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df2 = grams.distinct()
       .groupBy("gram").agg(count(lit(1)).as("gdf"))
