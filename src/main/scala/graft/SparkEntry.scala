@@ -1550,6 +1550,24 @@ object SparkEntry {
         .orderBy("locality")
     }),
 
+    // ── blocked sorted-neighborhood ER: rank-window candidate pairs
+    //    (O(block·w), not O(block²)) scored with the codegen'd
+    //    jaro_winkler — complements q108's exact-key blocking ──
+    "q120_sorted_neighborhood" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val pairs = graft.operators.ScaleJoins.sortedNeighborhoodPairs(
+        t(s, dir, "customer").select(col("c_nationkey").as("nk"),
+          col("c_name").as("name"), col("c_custkey").as("id")),
+        "nk", "name", "id", windowSize = 3)
+      pairs
+        .groupBy(col("nk").as("nation"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(round(graft.plans.GraftFunctions
+              .jaro_winkler(col("name_a"), col("name_b")), 6) >= 0.9, 1L)
+            .otherwise(0L)).as("n_strong"))
+        .orderBy("nation")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -1578,6 +1596,20 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q120_sorted_neighborhood" ->
+      """WITH r AS (
+        | SELECT c_nationkey AS nk, c_custkey AS id, c_name AS name,
+        |  row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_name, c_custkey) AS rk
+        | FROM customer),
+        |p AS (
+        | SELECT a.nk, a.name AS name_a, b.name AS name_b
+        | FROM r a JOIN r b ON a.nk = b.nk
+        |  AND b.rk BETWEEN a.rk + 1 AND a.rk + 3)
+        |SELECT nk AS nation, count(*) AS n_pairs,
+        | CAST(sum(CASE WHEN round(jaro_winkler_similarity(name_a, name_b),
+        |   6) >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong
+        |FROM p GROUP BY nk ORDER BY nation""".stripMargin,
     "q119_dwca_roundtrip" ->
       """SELECT CAST(n_regionkey AS VARCHAR) AS locality,
         | count(*) AS n, min(n_name) AS first_name

@@ -85,4 +85,41 @@ object ScaleJoins {
       .drop("_tag")
       .select((leftCols.map(col) :+ col(asofName)).toIndexedSeq: _*)
   }
+
+  /** Blocked sorted-neighborhood candidate pairs — the classic entity-
+    * resolution alternative to pure key blocking (q108): within each
+    * block, rows sort by `sortCol` and every row pairs with its next
+    * `windowSize` neighbours in that order. Catches near-matches that
+    * share a block but no exact blocking key value, at cost
+    * O(block · windowSize) instead of O(block²).
+    *
+    * Output: (block, id_a, id_b, rank_dist) with id_a the earlier row in
+    * sort order; score/verify downstream (e.g. a codegen'd jaro_winkler
+    * filter, as q120 does).
+    *
+    * Shape at 100 TB: the rank window partitions by the block (per-key
+    * sort, parallel across blocks — never a global order-by), and the
+    * neighbour join EXPLODES each row to its `windowSize` forward ranks
+    * and equi-joins on (block, rank) — no range-join nested loop anywhere.
+    * A pure (unblocked) sorted neighborhood needs a global rank; use a
+    * coarse range-bucket column as the block to approximate it without a
+    * single-reducer sort. */
+  def sortedNeighborhoodPairs(df: DataFrame, blockCol: String,
+      sortCol: String, idCol: String, windowSize: Int): DataFrame = {
+    require(windowSize >= 1)
+    val w = Window.partitionBy(blockCol).orderBy(col(sortCol), col(idCol))
+    val ranked = df.select(col(blockCol), col(sortCol), col(idCol))
+      .withColumn("_rank", row_number().over(w))
+    val left = ranked.select(col(blockCol),
+      col(idCol).as("id_a"), col(sortCol).as(s"${sortCol}_a"),
+      col("_rank").as("_rank_a"),
+      explode(sequence(col("_rank") + 1,
+        col("_rank") + windowSize)).as("_rank_b"))
+    val right = ranked.select(col(blockCol), col(idCol).as("id_b"),
+      col(sortCol).as(s"${sortCol}_b"), col("_rank").as("_rank_b"))
+    left.join(right, Seq(blockCol, "_rank_b"))
+      .select(col(blockCol), col("id_a"), col("id_b"),
+        col(s"${sortCol}_a"), col(s"${sortCol}_b"),
+        (col("_rank_b") - col("_rank_a")).as("rank_dist"))
+  }
 }

@@ -54,4 +54,29 @@ class ScaleJoinsSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("k", "t", "s", "flag", "asof_value"))
     assert(out.count() == 1)
   }
+
+  test("sortedNeighborhoodPairs equals the brute-force rank-window join") {
+    val rows = Seq(
+      ("b1", "smith", 1L), ("b1", "smyth", 2L), ("b1", "smithe", 3L),
+      ("b1", "adams", 4L), ("b1", "adam", 5L),
+      ("b2", "jones", 6L), ("b2", "johns", 7L))
+    val df = rows.toDF("blk", "name", "id")
+    val got = ScaleJoins.sortedNeighborhoodPairs(df, "blk", "name", "id", 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force: rank within block by (name, id), pair ranks within 2
+    val expected = rows.groupBy(_._1).values.flatMap { blk =>
+      val ranked = blk.sortBy(r => (r._2, r._3)).map(_._3).zipWithIndex
+      for {
+        (a, ra) <- ranked
+        (b, rb) <- ranked
+        if rb > ra && rb - ra <= 2
+      } yield (a, b)
+    }.toSet
+    assert(got == expected && expected.nonEmpty)
+    // every pair's rank distance is within the window
+    val dists = ScaleJoins
+      .sortedNeighborhoodPairs(df, "blk", "name", "id", 2)
+      .select("rank_dist").as[Long].collect()
+    assert(dists.forall(d => d >= 1 && d <= 2))
+  }
 }
