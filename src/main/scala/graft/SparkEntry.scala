@@ -1568,6 +1568,37 @@ object SparkEntry {
         .orderBy("nation")
     }),
 
+    // ── the reference's WHOLE core loop as one incremental flow:
+    //    readStream → enrichment pipeline (narrow + broadcast only, so it
+    //    runs unchanged under Structured Streaming) → index projection →
+    //    facet; batch-SQL oracle proves stream ≡ batch end to end ──
+    "q121_stream_enrich_index" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batchSchema = s.read.parquet(s"$dir/orders.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      val pseudo = stream.select(
+        col("o_orderkey").cast("string").as("rowKey"),
+        col("o_orderkey").cast("string").as("occurrenceID"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("eventDate"),
+        (col("o_orderkey") % 170 - 85).cast("string").as("decimalLatitude"),
+        (col("o_orderkey") % 356 - 178).cast("string").as("decimalLongitude"),
+        lit("specimen").as("basisOfRecord"))
+      val projected = graft.index.IndexSupport.project(
+        graft.processors.Processors.enrich(pseudo))
+      val agg = projected
+        .groupBy(col("year").cast("long").as("yr"),
+          col("basis_of_record").as("bor"))
+        .agg(count(lit(1)).as("n"))
+      withStatePartitions(s, 8) {
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName("q121_out")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table("q121_out").orderBy("yr", "bor")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -1596,6 +1627,10 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q121_stream_enrich_index" ->
+      """SELECT year(o_orderdate) AS yr, 'PreservedSpecimen' AS bor,
+        | count(*) AS n
+        |FROM orders GROUP BY yr ORDER BY yr, bor""".stripMargin,
     "q120_sorted_neighborhood" ->
       """WITH r AS (
         | SELECT c_nationkey AS nk, c_custkey AS id, c_name AS name,
