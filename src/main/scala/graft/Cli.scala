@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{functions => F, SparkSession}
+
+/** Thin command-line surface over the [[Store]] facade — the verbs of the
+  * reference's `biocache` CLI (`cmd/CMD2.scala` in /root/reference) mapped
+  * onto parquet datasets, so an operator of the reference can drive the
+  * same lifecycle here: load → process → index → query/export/delete.
+  *
+  * Every verb is one facade call plus parquet IO; all heavy lifting stays
+  * in the library (and therefore on the cluster — the CLI itself never
+  * touches rows).
+  */
+object Cli {
+
+  val usage: String =
+    """usage:
+      |  load-dwca   <archive.zip> <dataResourceUid> <outParquet>
+      |  load-csv    <csvPath> <dataResourceUid> <outParquet>
+      |  process     <recordsParquet> <outParquet>
+      |  sample      <recordsParquet> <layersParquet> <outParquet>
+      |  index       <processedParquet> <outParquet>
+      |  facet       <indexParquet> <field>
+      |  export-dwca <recordsParquet> <dataResourceUid> <name> <out.zip>
+      |  delete-keys <recordsParquet> <keysCsv> <outParquet>
+      |""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try run(spark, args.toSeq)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: Seq[String]): Unit = args.toList match {
+    case "load-dwca" :: zip :: dr :: out :: Nil =>
+      val raw = spark.read.format("dwca").load(zip)
+      sources.DwcSource.withIdentity(raw, dr,
+          uniqueTerms = Seq("id"))
+        .write.mode("overwrite").parquet(out)
+    case "load-csv" :: path :: dr :: out :: Nil =>
+      Store.loadCsv(spark, path, dr, uniqueTerms = Seq("occurrenceID"))
+        .write.mode("overwrite").parquet(out)
+    case "process" :: in :: out :: Nil =>
+      Store.process(spark.read.parquet(in))
+        .write.mode("overwrite").parquet(out)
+    case "sample" :: in :: layers :: out :: Nil =>
+      Store.sample(spark, spark.read.parquet(in),
+          spark.read.parquet(layers))
+        .write.mode("overwrite").parquet(out)
+    case "index" :: in :: out :: Nil =>
+      Store.writeIndex(Store.buildIndex(spark.read.parquet(in)), out)
+    case "facet" :: in :: field :: Nil =>
+      Store.facet(spark.read.parquet(in), field)
+        .collect().foreach(r => println(s"${r.get(0)}\t${r.get(1)}"))
+    case "export-dwca" :: in :: dr :: name :: outZip :: Nil =>
+      sources.DwcaExport.`export`(
+        spark.read.parquet(in), dr, name, outZip)
+    case "delete-keys" :: in :: keysCsv :: out :: Nil =>
+      val doomed = spark.read.option("header", "true").csv(keysCsv)
+        .select(F.col("rowKey"))
+      Store.deleteByKeys(spark.read.parquet(in), doomed)
+        .write.mode("overwrite").parquet(out)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown command: ${other.mkString(" ")}\n$usage")
+  }
+}
