@@ -63,8 +63,14 @@ object Cli {
         .select(F.col("rowKey"))
       Store.deleteByKeys(spark.read.parquet(in), doomed)
         .write.mode("overwrite").parquet(out)
+    case verb :: rest if verbs(verb) =>
+      throw new IllegalArgumentException(
+        s"wrong arguments for '$verb' (got ${rest.length})\n$usage")
     case other =>
       throw new IllegalArgumentException(
         s"unknown command: ${other.mkString(" ")}\n$usage")
   }
+
+  private val verbs = Set("load-dwca", "load-csv", "process", "sample",
+    "index", "facet", "export-dwca", "delete-keys")
 }

@@ -103,14 +103,12 @@ object TextFunctions {
         i => norm.substr(i, lit(n)))))
   }
 
-  /** Word n-gram shingles over whitespace tokens. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(toks) - lit(n)),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** Word n-gram shingles over whitespace tokens. Inline convenience form
+    * — hot paths should stage the split and call [[wordNgramsOfTokens]]
+    * (see its scaladoc for the no-CSE cost of this inline shape). */
+  def wordShingles(text: Column, n: Int): Column =
+    wordNgramsOfTokens(split(lower(trim(text)), "\\s+"), n,
+      distinctGrams = true)
 
   /** Word n-grams over an ALREADY-SPLIT token array column. Callers stage
     * the `split` in its own projection first — HOFs are interpreted with
@@ -129,14 +127,12 @@ object TextFunctions {
   }
 
   /** Word n-grams WITHOUT de-duplication (positional) — the multiset the
-    * repetition filters need; `wordShingles` collapses repeats. */
-  def wordNgramsAll(text: Column, n: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - lit(n)),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+    * repetition filters need; `wordShingles` collapses repeats. Inline
+    * convenience form — hot paths stage the split (see
+    * [[wordNgramsOfTokens]]). */
+  def wordNgramsAll(text: Column, n: Int): Column =
+    wordNgramsOfTokens(split(lower(trim(text)), "\\s+"), n,
+      distinctGrams = false)
 
   /** Fraction of duplicate word n-grams in [0,1]: 1 − distinct/total over
     * the positional n-gram multiset. The Gopher-style repetition signal

@@ -108,8 +108,12 @@ object ScaleJoins {
       sortCol: String, idCol: String, windowSize: Int): DataFrame = {
     require(windowSize >= 1)
     val w = Window.partitionBy(blockCol).orderBy(col(sortCol), col(idCol))
+    // persist: both join sides derive from the ranked table — without it
+    // the per-block sort + window run twice (ReuseExchange only dedups the
+    // shuffle). Cached blocks live until clearCache()/session end.
     val ranked = df.select(col(blockCol), col(sortCol), col(idCol))
       .withColumn("_rank", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val left = ranked.select(col(blockCol),
       col(idCol).as("id_a"), col(sortCol).as(s"${sortCol}_a"),
       col("_rank").as("_rank_a"),

@@ -199,15 +199,30 @@ private final class DwcaScan(required: StructType, paths: Seq[String],
     s"DwcaScan ReadColumns: ${required.fieldNames.mkString(",")} " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
-  /** Real on-disk size instead of the engine's pessimistic default
+  /** Real data size instead of the engine's pessimistic default
     * (spark.sql.defaultSizeInBytes ≈ Long.Max): a small archive joined
     * against a big fact table can now be planned as the BROADCAST side.
-    * Compressed zip size understates row width, so this stays
-    * conservative only by the compression ratio. */
+    * The size reported is the UNCOMPRESSED core-entry length from the zip
+    * central directory — compressed size would understate materialised row
+    * width by the compression ratio (10-20× for repetitive CSV text) and
+    * bias the planner TOWARD broadcasting oversized data. Falls back to
+    * 8× the compressed archive when an entry does not declare its length.
+    * One driver-side central-directory read per archive, archive counts
+    * are config-scale. */
+  private lazy val coreBytes: Long = paths.map { p =>
+    try {
+      val zip = new ZipFile(p)
+      try {
+        val m = DwcaMeta.readFrom(zip, p)
+        val len = Option(zip.getEntry(m.coreEntry)).map(_.getSize).getOrElse(-1L)
+        if (len >= 0) len else new java.io.File(p).length() * 8
+      } finally zip.close()
+    } catch { case _: Exception => new java.io.File(p).length() * 8 }
+  }.sum
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes: java.util.OptionalLong =
-      java.util.OptionalLong.of(
-        paths.map(p => new java.io.File(p).length()).sum)
+      java.util.OptionalLong.of(coreBytes)
     override def numRows: java.util.OptionalLong =
       java.util.OptionalLong.empty()
   }

@@ -146,14 +146,23 @@ class DwcaConnectorSpec extends AnyFunSuite {
       "r1\tAus bus\t1.0\tAves", "r2\tCus dus\t2.0\tMammalia"))
     val dim = spark.read.format("dwca").load(path)
       .select(col("scientificName"), col("classs"))
-    val fact = (1 to 2000).map(i =>
-      (i.toLong, if (i % 2 == 0) "Aus bus" else "Cus dus"))
-      .toDF("k", "scientificName")
-    val joined = fact.join(dim, "scientificName")
-    joined.collect()
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"kilobyte-sized dwca dim should broadcast:\n$plan")
+    // drop the threshold so the 10k-row fact side is NOT broadcastable:
+    // the only way a BroadcastHashJoin can appear is the dwca scan's own
+    // reported statistics (without estimateStatistics it reports
+    // defaultSizeInBytes ≈ Long.Max and this degrades to sort-merge)
+    val fact = (1 to 10000).map(i =>
+      (s"row-$i-${"x" * 30}", if (i % 2 == 0) "Aus bus" else "Cus dus"))
+      .toDF("payload", "scientificName")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+      val joined = fact.join(dim, "scientificName")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"kilobyte-sized dwca dim should be the broadcast side:\n$plan")
+      assert(!plan.contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("multiple archives scan as one table with per-archive partitions") {
