@@ -1599,6 +1599,16 @@ object SparkEntry {
       s.table("q121_out").orderBy("yr", "bor")
     }),
 
+    // ── deterministic Poisson bootstrap: per-replicate Poisson(1) weights
+    //    from content-addressed uniforms — distributed CI estimation with
+    //    no RNG state; every replicate statistic hash-checks in DuckDB ──
+    "q122_poisson_bootstrap" -> ((s, dir) => {
+      graft.operators.Profiling.poissonBootstrap(
+          t(s, dir, "documents"), "doc_id", "n_chars",
+          replicates = 32, salt = "bs1")
+        .orderBy("replicate")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -1627,6 +1637,27 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q122_poisson_bootstrap" ->
+      """WITH draws AS (
+        | SELECT b, CAST(n_chars AS DOUBLE) AS x,
+        |  (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':bs1:'
+        |     || CAST(b AS VARCHAR)), 1, 8) AS UBIGINT) + 0.5)
+        |   / 4294967296.0 AS u
+        | FROM documents
+        | CROSS JOIN (SELECT unnest(range(0, 32)) AS b) reps),
+        |weighted AS (
+        | SELECT b, x,
+        |  CASE WHEN u < 0.36787944117144233 THEN 0
+        |   WHEN u < 0.7357588823428846 THEN 1
+        |   WHEN u < 0.9196986029286058 THEN 2
+        |   WHEN u < 0.9810118431238462 THEN 3
+        |   WHEN u < 0.9963401531726563 THEN 4
+        |   ELSE 5 END AS w
+        | FROM draws)
+        |SELECT CAST(b AS INT) AS replicate,
+        | round(sum(w * x) / sum(w), 4) AS wmean,
+        | CAST(sum(w) AS BIGINT) AS n_drawn
+        |FROM weighted GROUP BY b ORDER BY replicate""".stripMargin,
     "q121_stream_enrich_index" ->
       """SELECT year(o_orderdate) AS yr, 'PreservedSpecimen' AS bor,
         | count(*) AS n

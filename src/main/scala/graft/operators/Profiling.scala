@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling: per-column null counts, exact distinct counts,
@@ -35,6 +35,47 @@ object Profiling {
           "(col_name, n_null, n_distinct, min_str, max_str)"))
       .select("col_name", "n_rows", "n_null", "n_distinct",
         "min_str", "max_str")
+  }
+
+  /** Deterministic Poisson bootstrap — confidence intervals for corpus
+    * metrics without sampling n-of-n with replacement (impossible to
+    * coordinate across a cluster): each (row, replicate) draws a
+    * Poisson(1) weight from the inverse CDF of a content-addressed uniform
+    * (md5(id:salt:b)), and replicate b's statistic is the weighted mean.
+    * Weights are i.i.d. Poisson(1), which is the standard streaming/
+    * distributed approximation of the multinomial bootstrap.
+    *
+    * Deterministic end to end (no RNG state, engine-portable — the DuckDB
+    * oracle re-draws identical weights), and one pass: the replicate
+    * explode multiplies rows by B but every downstream aggregate is
+    * map-side partial, so the shuffle carries B rows per partition.
+    * Output: (replicate, wmean, n_drawn) per replicate, wmean rounded to
+    * 4 dp for cross-engine float stability. */
+  def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
+      replicates: Int, salt: String): DataFrame = {
+    require(replicates >= 1)
+    // P(X<=k) for Poisson(1): cumulative thresholds on the uniform draw
+    val cdf = Seq(0.36787944117144233, 0.7357588823428846,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563)
+    val u = (conv(substring(md5(concat_ws(":", col(idCol).cast("string"),
+      lit(salt), col("b").cast("string"))), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val weight = cdf.zipWithIndex.foldRight(lit(5): Column) {
+      case ((thr, k), acc) => when(u < thr, k).otherwise(acc)
+    }
+    df.select(col(idCol), col(valueCol).cast("double").as("_x"))
+      .crossJoin(spark_range_df(df, replicates))
+      .select(col("b"), col("_x"), weight.cast("long").as("_w"))
+      .groupBy(col("b").as("replicate"))
+      .agg(round(sum(col("_w") * col("_x")) / sum(col("_w")), 4).as("wmean"),
+        sum("_w").as("n_drawn"))
+  }
+
+  /** 0..n-1 as a one-column broadcastable frame (`b`). */
+  private def spark_range_df(df: DataFrame, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    broadcast((0 until n).toDF("b"))
   }
 
   /** Join/groupBy key-skew report: the distribution of per-key row counts

@@ -215,6 +215,27 @@ class CurationSpec extends AnyFunSuite {
     assert(got.length == 3 && got(1)._2 == 10L)
   }
 
+  test("poissonBootstrap: weights are Poisson(1)-shaped, means bracket truth") {
+    val df = (0L until 2000L).map(i => (i, (i % 100).toDouble))
+      .toDF("id", "x")
+    val reps = graft.operators.Profiling
+      .poissonBootstrap(df, "id", "x", replicates = 24, salt = "t")
+      .as[(Int, Double, Long)].collect()
+    assert(reps.length == 24)
+    // total draws per replicate ≈ n (Poisson(1) weights sum to ~n ± 3√n)
+    assert(reps.forall(r => math.abs(r._3 - 2000L) < 3 * 45))
+    // every replicate mean near the true mean 49.5; resample spread is
+    // σ/√n ≈ 0.65, so ±4σ is a generous deterministic bound
+    assert(reps.forall(r => math.abs(r._2 - 49.5) < 2.6))
+    // and the means genuinely vary across replicates (it IS resampling)
+    assert(reps.map(_._2).distinct.length > 12)
+    // deterministic: identical on re-run
+    val again = graft.operators.Profiling
+      .poissonBootstrap(df, "id", "x", replicates = 24, salt = "t")
+      .as[(Int, Double, Long)].collect()
+    assert(reps.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("approx_count_distinct lands within 5% of exact on this shape") {
     val df = (0 until 20000).map(i => (i % 7, i % 3000)).toDF("g", "v")
     val got = df.groupBy("g")
