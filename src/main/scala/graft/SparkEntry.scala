@@ -1609,6 +1609,15 @@ object SparkEntry {
         .orderBy("replicate")
     }),
 
+    // ── deterministic permutation test: |mean_A − mean_B| vs 40
+    //    content-addressed random relabelings — "did the metric actually
+    //    move between two sources?" with a hash-checkable p-value ──
+    "q123_permutation_test" -> ((s, dir) => {
+      graft.operators.Profiling.permutationTest(
+        t(s, dir, "documents"), "doc_id", "n_chars",
+        "source", "src2", "src3", permutations = 40, salt = "pt1")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -1637,6 +1646,38 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q123_permutation_test" ->
+      """WITH r AS (
+        | SELECT doc_id, source = 'src2' AS isA,
+        |  CAST(n_chars AS DOUBLE) AS x
+        | FROM documents WHERE source IN ('src2', 'src3')),
+        |nn AS (SELECT CAST(sum(CASE WHEN isA THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS nA,
+        |  CAST(sum(CASE WHEN isA THEN 0 ELSE 1 END) AS BIGINT) AS nB
+        | FROM r),
+        |obs AS (SELECT abs(
+        |  sum(CASE WHEN isA THEN x END) / (SELECT nA FROM nn) -
+        |  sum(CASE WHEN NOT isA THEN x END) / (SELECT nB FROM nn)) AS d
+        | FROM r),
+        |perms AS (
+        | SELECT b, abs(
+        |   sum(CASE WHEN toA THEN x END) /
+        |     sum(CASE WHEN toA THEN 1 ELSE 0 END) -
+        |   sum(CASE WHEN NOT toA THEN x END) /
+        |     sum(CASE WHEN NOT toA THEN 1 ELSE 0 END)) AS absdiff
+        | FROM (
+        |  SELECT b, x,
+        |   ((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':pt1:'
+        |      || CAST(b AS VARCHAR)), 1, 8) AS UBIGINT) + 0.5)
+        |     / 4294967296.0)
+        |    < (SELECT CAST(nA AS DOUBLE) / (nA + nB) FROM nn) AS toA
+        |  FROM r CROSS JOIN (SELECT unnest(range(0, 40)) AS b) reps)
+        | GROUP BY b)
+        |SELECT round((SELECT d FROM obs), 4) + 0.0 AS observed_diff,
+        | round((1 + sum(CASE WHEN absdiff >= (SELECT d FROM obs)
+        |    THEN 1 ELSE 0 END)) / 41.0, 4) AS p_value,
+        | CAST(40 AS BIGINT) AS n_perms
+        |FROM perms""".stripMargin,
     "q122_poisson_bootstrap" ->
       """WITH draws AS (
         | SELECT b, CAST(n_chars AS DOUBLE) AS x,

@@ -78,6 +78,59 @@ object Profiling {
     broadcast((0 until n).toDF("b"))
   }
 
+  /** Deterministic permutation test for a difference in group means (the
+    * "did pipeline B actually change quality?" check): the observed
+    * |mean_A − mean_B| is compared against `permutations` random
+    * relabelings, each drawn Bernoulli(n_A/(n_A+n_B)) from a
+    * content-addressed uniform md5(id:salt:b) — the standard random-
+    * relabeling approximation of the exact size-preserving permutation
+    * test (documented; exact sizes would need a global sort per
+    * replicate). p = (1 + #{b : |diff_b| ≥ |observed|}) / (B + 1), the
+    * add-one form that keeps p > 0.
+    *
+    * One pass over rows × B relabelings, all aggregates map-side partial;
+    * deterministic end to end — the DuckDB oracle re-draws identical
+    * relabelings. Output: one row (observed_diff, p_value, n_perms). */
+  def permutationTest(df: DataFrame, idCol: String, valueCol: String,
+      groupCol: String, groupA: String, groupB: String,
+      permutations: Int, salt: String): DataFrame = {
+    require(permutations >= 1)
+    val rows = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .select(col(idCol), (col(groupCol) === groupA).as("_isA"),
+        col(valueCol).cast("double").as("_x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val Array(nA, nB) = rows.agg(
+      sum(when(col("_isA"), 1L).otherwise(0L)),
+      sum(when(!col("_isA"), 1L).otherwise(0L)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nA > 0 && nB > 0, "both groups must be present")
+    val observed = rows.agg(
+      (sum(when(col("_isA"), col("_x"))) / nA -
+        sum(when(!col("_isA"), col("_x"))) / nB).as("d"))
+      .head().getDouble(0).abs
+    val pA = nA.toDouble / (nA + nB)
+    val u = (conv(substring(md5(concat_ws(":", col(idCol).cast("string"),
+      lit(salt), col("b").cast("string"))), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perms = rows
+      .crossJoin(broadcast((0 until permutations).toDF("b")))
+      .select(col("b"), col("_x"), (u < pA).as("_toA"))
+      .groupBy("b")
+      .agg(abs(sum(when(col("_toA"), col("_x"))) /
+          sum(when(col("_toA"), 1L).otherwise(0L)) -
+        sum(when(!col("_toA"), col("_x"))) /
+          sum(when(!col("_toA"), 1L).otherwise(0L))).as("absdiff"))
+    perms.agg(
+        (round(lit(observed), 4) + lit(0.0)).as("observed_diff"),
+        round((lit(1L) + sum(when(col("absdiff") >= lit(observed), 1L)
+          .otherwise(0L))).cast("double") / lit(permutations + 1.0), 4)
+          .as("p_value"),
+        lit(permutations.toLong).as("n_perms"))
+  }
+
   /** Join/groupBy key-skew report: the distribution of per-key row counts
     * (exact p50/p90/p99/max quantiles) plus the `topK` hottest keys — the
     * numbers that decide whether a key needs salting ([[ScaleJoins]]) or

@@ -236,6 +236,30 @@ class CurationSpec extends AnyFunSuite {
     assert(reps.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("permutationTest: planted shift → tiny p; same distribution → big p") {
+    val shifted = (0L until 400L).map(i =>
+      (i, if (i < 200) "a" else "b",
+        (i % 50).toDouble + (if (i < 200) 0.0 else 40.0)))
+      .toDF("id", "g", "x")
+    val pShift = graft.operators.Profiling
+      .permutationTest(shifted, "id", "x", "g", "a", "b", 39, "s")
+      .as[(Double, Double, Long)].head()
+    assert(pShift._1 > 35.0) // observed diff ≈ 40
+    assert(pShift._2 == 1.0 / 40.0) // no relabeling reaches the real shift
+    val same = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", (i % 50).toDouble))
+      .toDF("id", "g", "x")
+    val pSame = graft.operators.Profiling
+      .permutationTest(same, "id", "x", "g", "a", "b", 39, "s")
+      .as[(Double, Double, Long)].head()
+    assert(pSame._2 > 0.2, s"alternating labels should look null: $pSame")
+    // deterministic
+    val again = graft.operators.Profiling
+      .permutationTest(shifted, "id", "x", "g", "a", "b", 39, "s")
+      .as[(Double, Double, Long)].head()
+    assert(again == pShift)
+  }
+
   test("approx_count_distinct lands within 5% of exact on this shape") {
     val df = (0 until 20000).map(i => (i % 7, i % 3000)).toDF("g", "v")
     val got = df.groupBy("g")
