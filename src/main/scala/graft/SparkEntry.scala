@@ -600,8 +600,10 @@ object SparkEntry {
           sum(when(col("processed_day").isNull, 1L).otherwise(0L)).as("day_nulls"),
           sum(when(col("processed_month").isNull, 1L).otherwise(0L)).as("month_nulls"),
           sum(when(col("processed_year").isNull, 1L).otherwise(0L)).as("year_nulls"),
-          min(col("processed_eventDate")).as("min_start"),
-          max(col("processed_eventDateEnd")).as("max_end"))
+          date_format(min(col("processed_eventDate")), "yyyy-MM-dd")
+            .as("min_start"),
+          date_format(max(col("processed_eventDateEnd")), "yyyy-MM-dd")
+            .as("max_end"))
         .orderBy("precision")
     }),
 
@@ -3082,7 +3084,8 @@ object SparkEntry {
         |  CAST(sum(day_null) AS BIGINT) AS day_nulls,
         |  CAST(sum(month_null) AS BIGINT) AS month_nulls,
         |  CAST(sum(year_null) AS BIGINT) AS year_nulls,
-        |  min(start_d) AS min_start, max(end_d) AS max_end
+        |  strftime(min(start_d), '%Y-%m-%d') AS min_start,
+        |  strftime(max(end_d), '%Y-%m-%d') AS max_end
         |FROM rowed GROUP BY precision ORDER BY precision""".stripMargin,
     "q50_loc_uncertainty" ->
       """WITH base AS (
