@@ -1620,6 +1620,29 @@ object SparkEntry {
         "source", "src2", "src3", permutations = 40, salt = "pt1")
     }),
 
+    // ── S22 Avro export sink → container read-back, hash-gated end to
+    //    end like the q119 DwC-A loop: the facet over the round-tripped
+    //    rows must equal the facet straight off the source table ──
+    "q124_avro_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "customer").select(
+        col("c_custkey").cast("string").as("rowKey"),
+        col("c_mktsegment").as("segment"),
+        col("c_acctbal"),
+        array(col("c_name"), col("c_nationkey").cast("string"))
+          .as("multivalue"))
+      val outDir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q124").getAbsolutePath
+      graft.sources.AvroExport.write(src, outDir)
+      graft.sources.AvroExport.read(s, outDir)
+        .select(col("segment"), col("c_acctbal"),
+          element_at(col("multivalue"), 1).as("name"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("bal_sum"),
+          min(col("name")).as("first_name"))
+        .orderBy("segment")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -1680,6 +1703,10 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END)) / 41.0, 4) AS p_value,
         | CAST(40 AS BIGINT) AS n_perms
         |FROM perms""".stripMargin,
+    "q124_avro_roundtrip" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+        | round(sum(c_acctbal), 2) AS bal_sum, min(c_name) AS first_name
+        |FROM customer GROUP BY segment ORDER BY segment""".stripMargin,
     "q122_poisson_bootstrap" ->
       """WITH draws AS (
         | SELECT b, CAST(n_chars AS DOUBLE) AS x,
