@@ -1643,6 +1643,26 @@ object SparkEntry {
         .orderBy("segment")
     }),
 
+    // ── PMI collocations: adjacent-pair association scoring over the
+    //    corpus (Church & Hanks) — the phrase-mining complement of q73's
+    //    raw bigram counts ──
+    "q125_pmi_collocations" -> ((s, dir) =>
+      graft.operators.CorpusStats.pmiCollocations(
+        t(s, dir, "documents"), "text", minCount = 5, topK = 20)),
+
+    // ── frequent co-occurring item pairs (A-priori L2 pass): distinct
+    //    items per basket, unordered pair counts, support cut ──
+    "q126_itemset_pairs" -> ((s, dir) =>
+      graft.operators.Associations.coOccurrencePairs(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 2, topK = 30)),
+
+    // ── mutual information between two categorical columns from exact
+    //    counts — the feature-dependence / label-leak screen ──
+    "q127_mutual_info" -> ((s, dir) =>
+      graft.operators.Associations.mutualInformation(
+        t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -1707,6 +1727,52 @@ object SparkEntry {
       """SELECT c_mktsegment AS segment, count(*) AS n,
         | round(sum(c_acctbal), 2) AS bal_sum, min(c_name) AS first_name
         |FROM customer GROUP BY segment ORDER BY segment""".stripMargin,
+    "q125_pmi_collocations" ->
+      """WITH t AS (
+        | SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |   w -> length(w) > 0) AS ws
+        | FROM documents),
+        |uni AS (
+        | SELECT w, count(*) AS cw
+        | FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+        |n AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM uni),
+        |nb AS (
+        | SELECT CAST(sum(greatest(len(ws) - 1, 0)) AS DOUBLE) AS nb FROM t),
+        |big AS (
+        | SELECT w1, w2, w1 || ' ' || w2 AS bigram, count(*) AS c_ab
+        | FROM (SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |       FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM t))
+        | GROUP BY w1, w2 HAVING count(*) >= 5)
+        |SELECT b.bigram, b.c_ab, ua.cw AS c_a, ub.cw AS c_b,
+        | round(log2((b.c_ab / nb.nb) / ((ua.cw / n.n) * (ub.cw / n.n))), 4)
+        |   AS pmi
+        |FROM big b, uni ua, uni ub, n, nb
+        |WHERE ua.w = b.w1 AND ub.w = b.w2
+        |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
+    "q126_itemset_pairs" ->
+      """WITH items AS (
+        | SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        | FROM lineitem)
+        |SELECT a.item AS item_a, b.item AS item_b, count(*) AS support
+        |FROM items a JOIN items b ON a.basket = b.basket
+        | AND a.item < b.item
+        |GROUP BY item_a, item_b HAVING count(*) >= 2
+        |ORDER BY support DESC, item_a, item_b LIMIT 30""".stripMargin,
+    "q127_mutual_info" ->
+      """WITH cells AS (
+        | SELECT o_orderpriority AS x, o_orderstatus AS y,
+        |  CAST(count(*) AS DOUBLE) AS c
+        | FROM orders GROUP BY x, y),
+        |tot AS (SELECT sum(c) AS n FROM cells),
+        |mx AS (SELECT x, sum(c) AS c FROM cells GROUP BY x),
+        |my AS (SELECT y, sum(c) AS c FROM cells GROUP BY y),
+        |hx AS (SELECT -sum((c / n) * log2(c / n)) AS h_x FROM mx, tot),
+        |hy AS (SELECT -sum((c / n) * log2(c / n)) AS h_y FROM my, tot),
+        |hxy AS (SELECT -sum((c / n) * log2(c / n)) AS h_xy FROM cells, tot)
+        |SELECT CAST(n AS BIGINT) AS n, round(h_x, 6) AS h_x,
+        | round(h_y, 6) AS h_y, round(h_xy, 6) AS h_xy,
+        | round(h_x + h_y - h_xy, 6) AS mi
+        |FROM hx, hy, hxy, tot""".stripMargin,
     "q122_poisson_bootstrap" ->
       """WITH draws AS (
         | SELECT b, CAST(n_chars AS DOUBLE) AS x,

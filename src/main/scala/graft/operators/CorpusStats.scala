@@ -72,4 +72,47 @@ object CorpusStats {
         round(col("covered").cast("double") / col("n_tokens"), 6)
           .as("coverage"))
   }
+
+  /** PMI collocations (Church & Hanks 1990): adjacent word pairs scored
+    * by pointwise mutual information
+    * `log2( (c_ab/NB) / ((c_a/N)·(c_b/N)) )` — high-PMI pairs are
+    * multiword units ("new york") a tokenizer or phrase-miner should keep
+    * together; raw bigram counts alone just surface stopword pairs.
+    * Pairs below `minCount` are cut first (PMI is noise at tiny counts).
+    * Returns the `topK` rows as `(bigram, c_ab, c_a, c_b, pmi)` ordered
+    * by the ROUNDED pmi (4 dp, cross-engine float-stable) desc, bigram.
+    *
+    * Shape at 100 TB: one token-count shuffle each for unigrams and
+    * bigrams (both partial-aggregated to vocabulary cardinality), then
+    * two joins keyed on the component words of the surviving (≥ minCount)
+    * bigram table — vocabulary-sized tables only, never the corpus. N and
+    * NB are two scalar actions over those aggregates.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5, topK: Int = 20): DataFrame = {
+    val toks = docs
+      .select(split(lower(trim(col(textCol))), "\\s+").as("ws"))
+      .select(filter(col("ws"), w => length(w) > 0).as("ws"))
+    val unigrams = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bigrams = toks
+      .select(explode(graft.functions.TextFunctions
+        .wordBigrams(col("ws"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val n = unigrams.agg(sum("cw")).head().getLong(0).toDouble
+    val nBigrams = toks
+      .select(greatest(size(col("ws")) - 1, lit(0)).cast("long").as("nb"))
+      .agg(sum("nb")).head().getLong(0).toDouble
+    val joined = bigrams
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(unigrams.select(col("w").as("w1"), col("cw").as("c_a")), Seq("w1"))
+      .join(unigrams.select(col("w").as("w2"), col("cw").as("c_b")), Seq("w2"))
+    joined.select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        round(log2((col("c_ab") / lit(nBigrams)) /
+          ((col("c_a") / lit(n)) * (col("c_b") / lit(n)))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topK)
+  }
 }
