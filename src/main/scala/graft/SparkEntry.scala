@@ -1663,6 +1663,14 @@ object SparkEntry {
       graft.operators.Associations.mutualInformation(
         t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")),
 
+    // ── stratified sampling: largest-remainder allocation (pure integer
+    //    arithmetic — Σ allocations = k exactly) + content-addressed
+    //    within-stratum draw ──
+    "q128_stratified_sample" -> ((s, dir) =>
+      graft.operators.Curation.stratifiedSample(
+        t(s, dir, "customer"), "c_mktsegment", "c_custkey",
+        k = 100, salt = "ss1")),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {
@@ -1758,6 +1766,33 @@ object SparkEntry {
         | AND a.item < b.item
         |GROUP BY item_a, item_b HAVING count(*) >= 2
         |ORDER BY support DESC, item_a, item_b LIMIT 30""".stripMargin,
+    "q128_stratified_sample" ->
+      """WITH pop AS (
+        | SELECT c_mktsegment AS stratum, count(*) AS n_pop
+        | FROM customer GROUP BY 1),
+        |tot AS (SELECT sum(n_pop) AS n FROM pop),
+        |quota AS (
+        | SELECT stratum, n_pop, (100 * n_pop) // n AS base,
+        |  (100 * n_pop) % n AS frac
+        | FROM pop, tot),
+        |seats AS (SELECT 100 - sum(base) AS seats FROM quota),
+        |alloc AS (
+        | SELECT stratum, n_pop,
+        |  base + CASE WHEN row_number()
+        |      OVER (ORDER BY frac DESC, stratum) <= seats
+        |    THEN 1 ELSE 0 END AS n_alloc
+        | FROM quota, seats),
+        |ranked AS (
+        | SELECT c_mktsegment AS stratum, c_custkey AS id,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |   ORDER BY md5(CAST(c_custkey AS VARCHAR) || ':ss1'), c_custkey)
+        |   AS rk
+        | FROM customer)
+        |SELECT r.stratum, a.n_pop, CAST(a.n_alloc AS BIGINT) AS n_alloc,
+        | r.id, CAST(r.rk AS BIGINT) AS rk
+        |FROM ranked r JOIN alloc a ON r.stratum = a.stratum
+        |WHERE r.rk <= a.n_alloc
+        |ORDER BY r.stratum, r.rk""".stripMargin,
     "q127_mutual_info" ->
       """WITH cells AS (
         | SELECT o_orderpriority AS x, o_orderstatus AS y,

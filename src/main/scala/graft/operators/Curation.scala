@@ -180,6 +180,55 @@ object Curation {
       .limit(k)
   }
 
+  /** Stratified sampling with largest-remainder (Hamilton) allocation:
+    * each stratum gets `⌊k·N_h/N⌋` rows plus one of the `k − Σ⌊·⌋`
+    * leftovers, awarded by descending integer remainder `(k·N_h) mod N`
+    * (stratum name breaks ties) — so Σ allocations = k exactly, with NO
+    * floating point anywhere in the allocation (pure integer arithmetic,
+    * bit-identical on any engine). Within a stratum the sample is the
+    * bottom-`n_h` rows by `md5(id:salt)` — content-addressed like
+    * [[assignSplit]], so the same row is drawn regardless of partitioning
+    * or engine. Output: `(stratum, n_pop, n_alloc, id, rk)`, the k
+    * sampled rows ordered by (stratum, rk).
+    *
+    * Shape at 100 TB: the population count and allocation tables are
+    * strata-sized (broadcast back); selection is one rank window per
+    * stratum — per-stratum k-row heaps (TopKPerGroup) replace the window
+    * when k·strata is small, but the window form keeps the EXACT
+    * varying-k-per-group semantics the allocation requires. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int, salt: String): DataFrame = {
+    val pop = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_pop"))
+    val tot = pop.agg(sum("n_pop").as("n"))
+    val quota = pop.crossJoin(tot).select(col("stratum"), col("n_pop"),
+      // `div` is INTEGER division on longs — the floor stays exact where
+      // floor(a/b) on doubles could misround for large populations
+      expr(s"(${k.toLong} * n_pop) div n").as("base"),
+      expr(s"(${k.toLong} * n_pop) % n").as("frac"))
+    // leftover seats = k − Σ base, awarded by remainder rank
+    val leftover = quota.agg((lit(k.toLong) - sum("base")).as("seats"))
+    val remW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("frac").desc, col("stratum"))
+    val alloc = quota
+      .withColumn("fr", row_number().over(remW))
+      .crossJoin(leftover)
+      .select(col("stratum"), col("n_pop"),
+        (col("base") + when(col("fr") <= col("seats"), 1L).otherwise(0L))
+          .as("n_alloc"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(":"), lit(salt))),
+        col(idCol))
+    df.select(col(stratumCol).as("stratum"), col(idCol).as("id"),
+        row_number().over(rankW).as("rk"))
+      .join(broadcast(alloc), Seq("stratum"))
+      .filter(col("rk") <= col("n_alloc"))
+      .select(col("stratum"), col("n_pop"), col("n_alloc"), col("id"),
+        col("rk"))
+      .orderBy("stratum", "rk")
+  }
+
   /** DSIR-style importance resampling: score each corpus document by the
     * mean log-likelihood ratio of a target-domain unigram LM over the
     * corpus unigram LM (add-half smoothing over the union vocabulary), and

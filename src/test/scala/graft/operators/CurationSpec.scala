@@ -286,4 +286,29 @@ class CurationSpec extends AnyFunSuite {
     // exactly the medical-ish half survives
     assert(kept == (100L until 110L).toSet)
   }
+
+  test("stratifiedSample: largest-remainder allocation sums to k exactly") {
+    // strata sizes 3/3/4, k=5: quotas 1.5/1.5/2 -> base 1/1/2, remainders
+    // 5/5/0 (×10 scale) — the single leftover seat goes to the remainder
+    // tie broken by stratum name, so sA gets it: allocations 2/1/2
+    val df = (Seq.fill(3)("sA") ++ Seq.fill(3)("sB") ++ Seq.fill(4)("sC"))
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }
+      .toDF("stratum", "id")
+    val got = Curation.stratifiedSample(df, "stratum", "id", 5, "t1")
+    val alloc = got.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(alloc == Map("sA" -> 2L, "sB" -> 1L, "sC" -> 2L))
+    assert(got.count() == 5)
+    // content-addressed: identical draw regardless of partitioning
+    val re = Curation.stratifiedSample(df.repartition(7), "stratum", "id",
+      5, "t1")
+    assert(re.collect().toSeq == got.collect().toSeq)
+    // allocation never exceeds population even for tiny strata
+    val skew = (Seq.fill(99)("big") ++ Seq("tiny")).zipWithIndex
+      .map { case (s, i) => (s, i.toLong) }.toDF("stratum", "id")
+    val a2 = Curation.stratifiedSample(skew, "stratum", "id", 10, "t1")
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a2.values.sum == 10 && a2.getOrElse("tiny", 0L) <= 1)
+  }
 }

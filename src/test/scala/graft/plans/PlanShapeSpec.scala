@@ -218,4 +218,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("partial_bottomkagg".r.findAllIn(plan.toLowerCase).size >= 1,
       s"expected partial aggregation of the sketch in:\n$plan")
   }
+
+  test("q126 itemset pairs: the pair join is keyed on the basket, never " +
+      "a nested-loop product") {
+    val plan = finalPlanOf(
+      graft.SparkEntry.queries("q126_itemset_pairs")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair explosion must stay basket-keyed:\n$plan")
+  }
+
+  test("q127 mutual information: one exchange over the data, marginals " +
+      "derived from the contingency cells") {
+    val df = graft.SparkEntry.queries("q127_mutual_info")(spark, sf)
+    val plan = finalPlanOf(df)
+    // the parquet source feeds exactly one exchange (the (x,y) cell agg —
+    // reused via the persisted cells table); everything after runs on
+    // cell-cardinality data. InMemoryTableScan appearances confirm reuse.
+    assert(plan.contains("InMemoryTableScan"),
+      s"cells table should be persisted and reused:\n$plan")
+  }
 }
