@@ -3054,6 +3054,70 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, rank, vec_id, round(cos,4) AS cos_sim
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q34_lang_id" ->
+      """WITH t AS (
+        | SELECT doc_id, lang AS declared_lang,
+        |  string_split_regex(lower(trim(text)), '[^a-zà-ÿ]+') AS toks
+        | FROM documents),
+        |m AS (
+        | SELECT * FROM (VALUES
+        |  ('en', ['the','and','of','is','that','with','for','this']),
+        |  ('de', ['der','die','und','das','ist','nicht','mit','ein']),
+        |  ('fr', ['le','la','les','est','une','des','dans','pour']),
+        |  ('es', ['el','los','las','es','una','para','por','como']),
+        |  ('it', ['il','di','che','per','con','una','sono','della']))
+        |  AS v(lang, words)),
+        |s AS (
+        | SELECT doc_id, declared_lang, m.lang,
+        |  len(list_filter(t.toks, x -> list_contains(m.words, x))) AS hits
+        | FROM t, m),
+        |best AS (
+        | SELECT doc_id, declared_lang, lang, hits, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+        | FROM s)
+        |SELECT doc_id,
+        | CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang,
+        | declared_lang
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q44_quality_score" ->
+      """WITH base AS (SELECT doc_id, text, trim(text) AS tt FROM documents),
+        |prim AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(tt) = 0 THEN 0
+        |   ELSE len(string_split_regex(tt, '\s+')) END AS ntok,
+        |  -- java's boundary split (?<=\W)|(?=\W) has no RE2 equivalent;
+        |  -- count = word runs + non-word chars + 1 if a leading non-word
+        |  -- char opens an empty first token
+        |  CASE WHEN length(tt) = 0 THEN 0
+        |   ELSE length(regexp_replace(tt, '\w', '', 'g')) +
+        |    len(list_filter(string_split_regex(tt, '\W+'), x -> x <> '')) +
+        |    CASE WHEN regexp_matches(tt, '^\W') THEN 1 ELSE 0 END
+        |  END AS nsub,
+        |  length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))
+        |    AS npunct,
+        |  length(text) AS nchar,
+        |  len(list_filter(string_split_regex(lower(tt), '\s+'),
+        |   x -> list_contains(['the','a','an','and','or','of','to','in',
+        |     'is','it','that','for','on','with','as','was','at','by','be'],
+        |    regexp_replace(x, '[^a-z]', '', 'g')))) AS nstop
+        | FROM base),
+        |sc AS (
+        | SELECT doc_id, least(ntok / 20.0, 1.0) AS len_score,
+        |  CASE WHEN (CASE WHEN nchar = 0 THEN 0.0
+        |    ELSE npunct * 1.0 / nchar END) < 0.2 THEN 1.0 ELSE 0.5 END
+        |   AS punct_ok,
+        |  CASE WHEN (CASE WHEN ntok = 0 THEN 0.0
+        |    ELSE nstop * 1.0 / ntok END) > 0.05 THEN 1.0 ELSE 0.5 END
+        |   AS stop_ok,
+        |  CASE WHEN ntok = 0 THEN 0.0 ELSE nstop * 1.0 / ntok END AS sr,
+        |  nsub
+        | FROM prim)
+        |SELECT doc_id,
+        | round(len_score * 0.5 + punct_ok * 0.25 + stop_ok * 0.25, 4)
+        |   AS quality,
+        | round(sr, 4) AS stopword_ratio,
+        | CAST(nsub AS BIGINT) AS n_subword_tokens
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "q35_null_bucket" ->
       """SELECT coalesce(nullif(event_type,'error'),'UNKNOWN') AS etype,
         | count(*) AS n
