@@ -1671,6 +1671,36 @@ object SparkEntry {
         t(s, dir, "customer"), "c_mktsegment", "c_custkey",
         k = 100, salt = "ss1")),
 
+    // ── incremental duplication detection: yesterday's results spliced
+    //    with a fresh recompute of only the taxa touched by today's
+    //    arrivals (spec proves ≡ full recompute; rows-only here — the
+    //    greedy cluster kernel has no SQL restatement) ──
+    "q129_incremental_dedup" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      def recsOf(df: DataFrame) = df.select(
+        k.cast("string").as("rowKey"),
+        concat(lit("t"), (k % 40).cast("string")).as("taxonGuid"),
+        lit("2000").as("year"), lit("06").as("month"),
+        ((k % 28) + 1).cast("string").as("day"),
+        concat(lit("-35."), (k % 10).cast("string")).as("lat"),
+        concat(lit("149."), (k % 10).cast("string")).as("lon"),
+        lit(null).cast("string").as("collector"),
+        lit(null).cast("string").as("recordNumber"),
+        lit(null).cast("string").as("catalogueNumber"),
+        concat(lit("dr"), (k % 3).cast("string")).as("druid"))
+      val orders = t(s, dir, "orders")
+      val prev = graft.operators.DuplicationDetection.findDuplicates(
+        s, recsOf(orders.filter(k % 97 =!= 0)))
+      val changed = orders.filter(k % 97 === 0)
+        .select(k.cast("string").as("rowKey"))
+      graft.operators.DuplicationDetection
+        .findDuplicatesIncremental(s, recsOf(orders), changed, prev)
+        .toDF()
+        .select(col("rowKey"), col("taxonGuid"), col("clusterId"),
+          col("status"), col("precision"))
+        .orderBy("taxonGuid", "rowKey")
+    }),
+
     // ── §2.8 assertion emission checked code-by-code against first
     //    principles (same controlled input as q46) ──
     "q47_enrich_assertions" -> ((s, dir) => {

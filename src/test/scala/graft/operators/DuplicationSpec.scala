@@ -135,4 +135,50 @@ class DuplicationSpec extends AnyFunSuite {
     assert(out.find(_.status == "R").get.rowKey == "b")
     assert(out.find(_.rowKey == "a").get.status == "D2") // different druid
   }
+
+  test("incremental detection ≡ full recompute under edits, moves, adds, deletes") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    def mk(rows: Seq[(String, String, String, String)]) =
+      rows.map { case (rk, taxon, lat, lon) =>
+        (rk, taxon, "2000", "01", "02", lat, lon,
+          null: String, null: String, null: String, "dr1")
+      }.toDF("rowKey", "taxonGuid", "year", "month", "day", "lat", "lon",
+        "collector", "recordNumber", "catalogueNumber", "druid")
+    // v0: taxa t1..t20, 5 records each, clusters inside several taxa
+    val v0rows = (1 to 20).flatMap { t =>
+      (1 to 5).map { i =>
+        val dup = i <= 2 // two records share coordinates -> cluster
+        (s"r$t-$i", s"t$t",
+          if (dup) s"-35.$t" else s"-3$i.$t",
+          if (dup) s"149.$t" else s"14$i.$t")
+      }
+    }
+    val v0 = mk(v0rows)
+    val prev = DuplicationDetection.findDuplicates(spark, v0)
+    // v1: edit coords in t3 (breaks its cluster), move r5-1 from t5 to t6
+    // (old AND new taxon affected), add a new duplicate into t7, delete
+    // r9-2 (was in t9's cluster)
+    val v1rows = v0rows.flatMap {
+      case ("r3-2", t, _, _) => Seq(("r3-2", t, "-10.0", "10.0"))
+      case ("r5-1", _, la, lo) => Seq(("r5-1", "t6", la, lo))
+      case ("r9-2", _, _, _) => Seq.empty
+      case r => Seq(r)
+    } :+ (("r7-9", "t7", "-35.7", "149.7"))
+    val v1 = mk(v1rows)
+    val changed = Seq("r3-2", "r5-1", "r7-9", "r9-2").toDF("rowKey")
+    val inc = DuplicationDetection
+      .findDuplicatesIncremental(spark, v1, changed, prev).collect()
+    val full = DuplicationDetection.findDuplicates(spark, v1).collect()
+    assert(inc.map(r => (r.rowKey, r.clusterId, r.status)).sortBy(_._1).toSeq ==
+      full.map(r => (r.rowKey, r.clusterId, r.status)).sortBy(_._1).toSeq)
+    // and the splice really did keep untouched taxa from prev: the fresh
+    // recompute only covered touched taxa
+    val touchedTaxa = Set("t3", "t5", "t6", "t7", "t9")
+    val keptPart = inc.filterNot(r => touchedTaxa(r.taxonGuid))
+      .map(r => (r.rowKey, r.clusterId)).toSet
+    val prevPart = prev.collect().filterNot(r => touchedTaxa(r.taxonGuid))
+      .map(r => (r.rowKey, r.clusterId)).toSet
+    assert(keptPart == prevPart)
+  }
 }
