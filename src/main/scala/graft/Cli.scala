@@ -22,7 +22,11 @@ object Cli {
       |  index       <processedParquet> <outParquet>
       |  facet       <indexParquet> <field>
       |  export-dwca <recordsParquet> <dataResourceUid> <name> <out.zip>
+      |  export-avro <recordsParquet> <outAvroDir>
       |  delete-keys <recordsParquet> <keysCsv> <outParquet>
+      |  duplicates  <candidatesParquet> <outParquet>
+      |  duplicates-incr <candidatesParquet> <changedKeysCsv>
+      |              <previousParquet> <outParquet>
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -63,6 +67,20 @@ object Cli {
         .select(F.col("rowKey"))
       Store.deleteByKeys(spark.read.parquet(in), doomed)
         .write.mode("overwrite").parquet(out)
+    case "export-avro" :: in :: out :: Nil =>
+      sources.AvroExport.write(spark.read.parquet(in), out)
+    case "duplicates" :: in :: out :: Nil =>
+      Store.detectDuplicates(spark, spark.read.parquet(in))
+        .write.mode("overwrite").parquet(out)
+    case "duplicates-incr" :: in :: keysCsv :: prev :: out :: Nil =>
+      import spark.implicits._
+      val changed = spark.read.option("header", "true").csv(keysCsv)
+        .select(F.col("rowKey"))
+      val previous = spark.read.parquet(prev)
+        .as[operators.DuplicationDetection.DupResult]
+      Store.detectDuplicatesIncremental(spark,
+          spark.read.parquet(in), changed, previous)
+        .write.mode("overwrite").parquet(out)
     case verb :: rest if verbs(verb) =>
       throw new IllegalArgumentException(
         s"wrong arguments for '$verb' (got ${rest.length})\n$usage")
@@ -72,5 +90,6 @@ object Cli {
   }
 
   private val verbs = Set("load-dwca", "load-csv", "process", "sample",
-    "index", "facet", "export-dwca", "delete-keys")
+    "index", "facet", "export-dwca", "export-avro", "delete-keys",
+    "duplicates", "duplicates-incr")
 }

@@ -93,6 +93,15 @@ object Store {
   def detectDuplicates(spark: SparkSession, candidates: DataFrame) =
     DuplicationDetection.findDuplicates(spark, candidates)
 
+  /** Incremental pass over `detectDuplicates`: splice `previous` results,
+    * recomputing only taxa touched by `changedKeys` (one `rowKey` col). */
+  def detectDuplicatesIncremental(spark: SparkSession, candidates: DataFrame,
+      changedKeys: DataFrame,
+      previous: org.apache.spark.sql.Dataset[
+        DuplicationDetection.DupResult]) =
+    DuplicationDetection.findDuplicatesIncremental(
+      spark, candidates, changedKeys, previous)
+
   def jackknifeOutliers(samples: DataFrame): DataFrame =
     Outliers.jackknifeByTaxonLayer(samples)
 

@@ -41,4 +41,36 @@ class CliSpec extends AnyFunSuite {
       Cli.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))
   }
+
+  test("avro export and the duplicates verbs through the CLI") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cli2").toString
+    // avro round trip of a processed-record-ish table
+    Seq(("r1", "Aus bus", Seq("x")), ("r2", "Cus dus", Seq.empty[String]))
+      .toDF("rowKey", "scientificName", "tags")
+      .write.parquet(s"$dir/recs")
+    Cli.run(spark, Seq("export-avro", s"$dir/recs", s"$dir/avro"))
+    assert(sources.AvroExport.read(spark, s"$dir/avro").count() == 2)
+
+    // duplicates: two co-located records cluster; then one arrives later
+    // and the incremental verb splices it in
+    def cand(rows: Seq[(String, String)]) = rows.map { case (rk, taxon) =>
+      (rk, taxon, "2000", "01", "02", "-35.2", "149.1",
+        null: String, null: String, null: String, "dr1")
+    }.toDF("rowKey", "taxonGuid", "year", "month", "day", "lat", "lon",
+      "collector", "recordNumber", "catalogueNumber", "druid")
+    cand(Seq("a" -> "t1", "b" -> "t1", "c" -> "t2"))
+      .write.parquet(s"$dir/cand0")
+    Cli.run(spark, Seq("duplicates", s"$dir/cand0", s"$dir/dup0"))
+    assert(spark.read.parquet(s"$dir/dup0").count() == 2) // a+b cluster
+    cand(Seq("a" -> "t1", "b" -> "t1", "c" -> "t2", "d" -> "t2"))
+      .write.parquet(s"$dir/cand1")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/changed.csv"),
+      "rowKey\nd\n")
+    Cli.run(spark, Seq("duplicates-incr", s"$dir/cand1",
+      s"$dir/changed.csv", s"$dir/dup0", s"$dir/dup1"))
+    val dup1 = spark.read.parquet(s"$dir/dup1")
+    assert(dup1.count() == 4) // t1 kept from prev, t2 freshly clustered
+    assert(dup1.filter($"taxonGuid" === "t2").count() == 2)
+  }
 }
