@@ -1601,6 +1601,32 @@ object SparkEntry {
       s.table("q121_out").orderBy("yr", "bor")
     }),
 
+    // ── always-on duplication detection: drain the candidate stream,
+    //    incremental splice per micro-batch (stream ≡ batch spec-proved;
+    //    rows-only — the greedy cluster kernel has no SQL restatement) ──
+    "q130_stream_incr_dedup" -> ((s, dir) => {
+      val batchSchema = s.read.parquet(s"$dir/orders.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      val k = col("o_orderkey")
+      val cands = stream.filter(k % 5 === 0).select(
+        k.cast("string").as("rowKey"),
+        concat(lit("t"), (k % 25).cast("string")).as("taxonGuid"),
+        lit("2001").as("year"), lit("07").as("month"),
+        ((k % 28) + 1).cast("string").as("day"),
+        concat(lit("-35."), (k % 10).cast("string")).as("lat"),
+        concat(lit("149."), (k % 10).cast("string")).as("lon"),
+        lit(null).cast("string").as("collector"),
+        lit(null).cast("string").as("recordNumber"),
+        lit(null).cast("string").as("catalogueNumber"),
+        concat(lit("dr"), (k % 3).cast("string")).as("druid"))
+      val (_, dups) = graft.streaming.IncrementalIngest
+        .duplicatesStream(s, cands)
+      dups.groupBy("taxonGuid", "status")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("taxonGuid", "status")
+    }),
+
     // ── deterministic Poisson bootstrap: per-replicate Poisson(1) weights
     //    from content-addressed uniforms — distributed CI estimation with
     //    no RNG state; every replicate statistic hash-checks in DuckDB ──

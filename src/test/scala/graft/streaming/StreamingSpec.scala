@@ -5,6 +5,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
+case class CandRow(rowKey: String, taxonGuid: String, year: String,
+  month: String, day: String, lat: String, lon: String, collector: String,
+  recordNumber: String, catalogueNumber: String, druid: String)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -193,5 +197,50 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet
     assert(got == Set((7L, "first"), (8L, "other"),
       (9L, "mover"), (7L, "recycled")))
+  }
+
+  test("streaming incremental duplication detection equals one batch pass") {
+    def cand(rk: String, taxon: String, lat: String, lon: String) =
+      CandRow(rk, taxon, "2000", "01", "02", lat, lon, null, null, null,
+        "dr1")
+    // two landing files processed as TWO micro-batches (maxFilesPerTrigger)
+    val landing = Files.createTempDirectory("graft-dupstream").toString
+    // batch 1: t1 cluster (a,b); lone c in t2
+    Seq(cand("a", "t1", "-35.2", "149.1"),
+      cand("b", "t1", "-35.2", "149.1"), cand("c", "t2", "-30.1", "140.2"))
+      .toDF().coalesce(1).write.parquet(s"$landing/b1")
+    // batch 2: d joins t2 (new cluster); a re-arrives MOVED to t3 —
+    // breaking the t1 cluster — and pairs with e there
+    Seq(cand("d", "t2", "-30.1", "140.2"),
+      cand("a", "t3", "-20.5", "130.5"), cand("e", "t3", "-20.5", "130.5"))
+      .toDF().coalesce(1).write.parquet(s"$landing/b2")
+    val f1 = new java.io.File(s"$landing/b1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val f2 = new java.io.File(s"$landing/b2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dir = Files.createTempDirectory("graft-dupland").toString
+    java.nio.file.Files.copy(f1.toPath,
+      java.nio.file.Paths.get(s"$dir/batch1.parquet"))
+    java.nio.file.Files.copy(f2.toPath,
+      java.nio.file.Paths.get(s"$dir/batch2.parquet"))
+    // file source orders by modification time: stamp batch2 later
+    new java.io.File(s"$dir/batch1.parquet").setLastModified(1000000L)
+    new java.io.File(s"$dir/batch2.parquet").setLastModified(2000000L)
+    val stream = spark.readStream
+      .schema(Seq(cand("x", "t", "0", "0")).toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val (all, dups) = IncrementalIngest.duplicatesStream(spark, stream)
+    val batchDups = graft.operators.DuplicationDetection
+      .findDuplicates(spark, all)
+    def key(r: graft.operators.DuplicationDetection.DupResult) =
+      (r.rowKey, r.taxonGuid, r.clusterId, r.status)
+    assert(dups.collect().map(key).sorted.toSeq ==
+      batchDups.collect().map(key).sorted.toSeq)
+    // the moved record really did break t1 and cluster in t3
+    val byTaxon = dups.collect().groupBy(_.taxonGuid)
+    assert(!byTaxon.contains("t1"))
+    assert(byTaxon("t3").map(_.rowKey).toSet == Set("a", "e"))
+    assert(byTaxon("t2").map(_.rowKey).toSet == Set("c", "d"))
   }
 }
