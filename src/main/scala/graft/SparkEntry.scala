@@ -1627,6 +1627,20 @@ object SparkEntry {
         .orderBy("taxonGuid", "status")
     }),
 
+    // ── geohash spatial facet via the codegen'd expression; the oracle
+    //    restates quantise → bit-spread interleave → base32 as integer
+    //    algebra, so the hash gate covers the bit layout exactly ──
+    "q131_geohash_facet" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val k = col("o_orderkey")
+      t(s, dir, "orders")
+        .select(graft.plans.GraftFunctions.geohash(
+          (k % 120 - 60).cast("double") + lit(0.5),
+          (k % 240 - 120).cast("double") + lit(0.25), lit(6)).as("gh"))
+        .groupBy("gh").agg(count(lit(1)).as("n"))
+        .orderBy("gh")
+    }),
+
     // ── deterministic Poisson bootstrap: per-replicate Poisson(1) weights
     //    from content-addressed uniforms — distributed CI estimation with
     //    no RNG state; every replicate statistic hash-checks in DuckDB ──
@@ -1889,6 +1903,31 @@ object SparkEntry {
       """SELECT year(o_orderdate) AS yr, 'PreservedSpecimen' AS bor,
         | count(*) AS n
         |FROM orders GROUP BY yr ORDER BY yr, bor""".stripMargin,
+    "q131_geohash_facet" ->
+      """WITH pts AS (
+        | SELECT (o_orderkey % 120 - 60) + 0.5 AS lat,
+        |        (o_orderkey % 240 - 120) + 0.25 AS lon
+        | FROM orders),
+        |q AS (
+        | SELECT least(CAST(floor((lon + 180.0) / 360.0 * 32768) AS BIGINT),
+        |    32767) AS ilon,
+        |  least(CAST(floor((lat + 90.0) / 180.0 * 32768) AS BIGINT),
+        |    32767) AS ilat
+        | FROM pts),
+        |s1 AS (SELECT (ilon | (ilon << 8)) & 16711935 AS a,
+        |  (ilat | (ilat << 8)) & 16711935 AS b FROM q),
+        |s2 AS (SELECT (a | (a << 4)) & 252645135 AS a,
+        |  (b | (b << 4)) & 252645135 AS b FROM s1),
+        |s3 AS (SELECT (a | (a << 2)) & 858993459 AS a,
+        |  (b | (b << 2)) & 858993459 AS b FROM s2),
+        |s4 AS (SELECT (a | (a << 1)) & 1431655765 AS a,
+        |  (b | (b << 1)) & 1431655765 AS b FROM s3),
+        |m AS (SELECT (a << 1) | b AS morton FROM s4),
+        |g AS (SELECT list_aggregate(list_transform(range(0, 6),
+        |   i -> substring('0123456789bcdefghjkmnpqrstuvwxyz',
+        |    CAST(((morton >> (25 - 5 * i)) & 31) + 1 AS INT), 1)),
+        |  'string_agg', '') AS gh FROM m)
+        |SELECT gh, count(*) AS n FROM g GROUP BY gh ORDER BY gh""".stripMargin,
     "q120_sorted_neighborhood" ->
       """WITH r AS (
         | SELECT c_nationkey AS nk, c_custkey AS id, c_name AS name,

@@ -206,6 +206,65 @@ case class JaroWinklerSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object Geohash {
+  private val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Standard geohash (Niemeyer): quantise each axis to its bit budget
+    * with one floor-multiply (mathematically the bisection loop, minus
+    * per-step float drift — and restatable as integer algebra in SQL,
+    * which the bisection form is not), then interleave lon-first and
+    * base32-encode. */
+  def compute(lat: Double, lon: Double, precision: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val p = math.max(1, math.min(12, precision))
+    val bits = p * 5
+    val lonBits = (bits + 1) / 2 // lon owns the first (even) bit positions
+    val latBits = bits / 2
+    def quant(v: Double, lo: Double, hi: Double, nb: Int): Long = {
+      val cells = 1L << nb
+      val i = ((v - lo) / (hi - lo) * cells).toLong
+      math.max(0L, math.min(cells - 1, i))
+    }
+    val ilon = quant(lon, -180.0, 180.0, lonBits)
+    val ilat = quant(lat, -90.0, 90.0, latBits)
+    val sb = new java.lang.StringBuilder(p)
+    var acc = 0; var nAcc = 0
+    var b = 0
+    while (b < bits) {
+      val bit =
+        if ((b & 1) == 0) ((ilon >> (lonBits - 1 - b / 2)) & 1L).toInt
+        else ((ilat >> (latBits - 1 - b / 2)) & 1L).toInt
+      acc = (acc << 1) | bit; nAcc += 1
+      if (nAcc == 5) { sb.append(alphabet.charAt(acc)); acc = 0; nAcc = 0 }
+      b += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+}
+
+/** geohash(double, double, int) → string — base32 spatial cell key, the
+  * industry form of the reference's point_0_1/point_0_01 grid facets
+  * (`index/IndexDAO.scala` lat_long rounding columns). Codegen'd so index
+  * projections stay inside whole-stage codegen. */
+case class GeohashExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (first.dataType == DoubleType && second.dataType == DoubleType &&
+        third.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "geohash expects (double, double, int)")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(lat: Any, lon: Any, p: Any): Any =
+    Geohash.compute(lat.asInstanceOf[Double], lon.asInstanceOf[Double],
+      p.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.plans.Geohash.compute($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): GeohashExpr =
+    copy(first = f, second = s, third = t)
+}
+
 object GraftFunctions {
   /** Column-API forms (require `register(spark)` first — the public
     * `call_function` route is the supported Column↔Expression bridge). */
@@ -219,13 +278,17 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("strip_accents", s)
   def jaro_winkler(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("jaro_winkler", a, b)
+  def geohash(lat: Column, lon: Column, precision: Column): Column =
+    org.apache.spark.sql.functions.call_function("geohash", lat, lon,
+      precision)
 
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "hamming64" -> (es => Hamming64(es(0), es(1))),
     "nfc_normalize" -> (es => NfcNormalize(es(0))),
     "strip_accents" -> (es => StripAccents(es(0))),
-    "jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1))))
+    "jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1))),
+    "geohash" -> (es => GeohashExpr(es(0), es(1), es(2))))
 
   /** Post-hoc registration on a live session (SQL surface). */
   def register(spark: SparkSession): Unit =
@@ -253,6 +316,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
       es => JaroWinklerSim(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("geohash"),
+      new ExpressionInfo(classOf[GeohashExpr].getName, "geohash"),
+      es => GeohashExpr(es(0), es(1), es(2))))
     e.injectOptimizerRule(ApproxDistinctRule)
   }
 }

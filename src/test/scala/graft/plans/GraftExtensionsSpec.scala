@@ -101,4 +101,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT cosine_sim(a, b) FROM ints").collect()
     }
   }
+
+  test("geohash matches published vectors, from SQL too") {
+    GraftFunctions.register(spark)
+    // classic test vectors (Niemeyer / Wikipedia)
+    val got = Seq(
+      (57.64911, 10.40744, 11),
+      (42.605, -5.603, 5),
+      (-25.382708, -49.265506, 8),
+      (0.0, 0.0, 9))
+      .toDF("lat", "lon", "p")
+      .select(GraftFunctions.geohash($"lat", $"lon", $"p"))
+      .as[String].collect().toSeq
+    assert(got == Seq("u4pruydqqvj", "ezs42", "6gkzwgjz", "s00000000"))
+    // poles/antimeridian clamp into range instead of overflowing
+    val edge = spark.sql(
+      "SELECT geohash(90.0D, 180.0D, 4), geohash(-90.0D, -180.0D, 4)")
+      .collect()(0)
+    assert(edge.getString(0) == "zzzz" && edge.getString(1) == "0000")
+  }
 }
