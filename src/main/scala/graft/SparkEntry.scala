@@ -1641,6 +1641,27 @@ object SparkEntry {
         .orderBy("gh")
     }),
 
+    // ── raster (el*) layer sampling: floor-quantised cell key + one
+    //    equi-join picks up every layer's value at the point's cell ──
+    "q132_raster_sample" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val pts = t(s, dir, "orders").select(
+        ((k % 120 - 60).cast("double") + lit(0.5)).as("lat"),
+        ((k % 240 - 120).cast("double") + lit(0.25)).as("lon"))
+      val p = col("p_partkey")
+      val ras = t(s, dir, "part").select(
+          concat(lit("el"), (p % 2 + 1).cast("string")).as("layer"),
+          (p % 48 - 24).cast("long").as("ix"),
+          (p % 24 - 12).cast("long").as("iy")).distinct()
+        .withColumn("value", (col("ix") * 7 + col("iy") * 3).cast("double"))
+      graft.operators.Sampling.sampleRasters(pts, ras, 0.0, 0.0, 5.0)
+        .groupBy("layer")
+        .agg(count(lit(1)).as("n_samples"),
+          round(sum("value"), 2).as("value_sum"),
+          round(sum("lat"), 2).as("lat_sum"))
+        .orderBy("layer")
+    }),
+
     // ── deterministic Poisson bootstrap: per-replicate Poisson(1) weights
     //    from content-addressed uniforms — distributed CI estimation with
     //    no RNG state; every replicate statistic hash-checks in DuckDB ──
@@ -1903,6 +1924,27 @@ object SparkEntry {
       """SELECT year(o_orderdate) AS yr, 'PreservedSpecimen' AS bor,
         | count(*) AS n
         |FROM orders GROUP BY yr ORDER BY yr, bor""".stripMargin,
+    "q132_raster_sample" ->
+      """WITH pts AS (
+        | SELECT (o_orderkey % 120 - 60) + 0.5 AS lat,
+        |        (o_orderkey % 240 - 120) + 0.25 AS lon
+        | FROM orders),
+        |ras AS (
+        | SELECT DISTINCT 'el' || CAST(p_partkey % 2 + 1 AS VARCHAR)
+        |    AS layer,
+        |  p_partkey % 48 - 24 AS ix, p_partkey % 24 - 12 AS iy
+        | FROM part),
+        |rv AS (SELECT layer, ix, iy, CAST(ix * 7 + iy * 3 AS DOUBLE)
+        |   AS value FROM ras),
+        |keyed AS (
+        | SELECT lat, lon,
+        |  CAST(floor(lon / 5.0) AS BIGINT) AS ix,
+        |  CAST(floor(lat / 5.0) AS BIGINT) AS iy
+        | FROM pts)
+        |SELECT layer, count(*) AS n_samples,
+        | round(sum(value), 2) AS value_sum, round(sum(lat), 2) AS lat_sum
+        |FROM keyed k JOIN rv USING (ix, iy)
+        |GROUP BY layer ORDER BY layer""".stripMargin,
     "q131_geohash_facet" ->
       """WITH pts AS (
         | SELECT (o_orderkey % 120 - 60) + 0.5 AS lat,

@@ -65,4 +65,30 @@ object Sampling {
         latLonKey(col("decimalLatitude"), col("decimalLongitude")))
       .join(broadcast(samples.select("latLonKey", "cl")), Seq("latLonKey"), "left")
       .drop("latLonKey")
+
+  /** Raster (environmental, "el*") layer sampling — the grid half of the
+    * reference's layer cache (`caches/SpatialLayerDAO.scala`, el layers):
+    * a regular grid anchored at (originLat, originLon) with square cells
+    * of `cellSize` degrees, carried as rows `(layer, ix, iy, value)`.
+    * Points map to cell indices with one floor per axis (map-only), then
+    * ONE equi-join on (ix, iy) picks up every layer's value at that cell.
+    *
+    * Shape at 100 TB: unlike the vector path (driver-built broadcast
+    * spatial index under a size contract), rasters can be arbitrarily
+    * fine — the equi-join is keyed on the cell, so a continent-scale 1-km
+    * raster (~10⁸ cells) just shuffles like any dimension join and never
+    * touches the driver; Catalyst broadcasts it when it is small.
+    * Returns `(lat, lon, layer, value)`, one row per point × covering
+    * layer. */
+  def sampleRasters(points: DataFrame, rasters: DataFrame,
+      originLat: Double, originLon: Double, cellSize: Double): DataFrame = {
+    val ix = floor((col("lon") - lit(originLon)) / lit(cellSize))
+      .cast("long")
+    val iy = floor((col("lat") - lit(originLat)) / lit(cellSize))
+      .cast("long")
+    points.select(col("lat"), col("lon"), ix.as("ix"), iy.as("iy"))
+      .join(rasters.select(col("layer"), col("ix"), col("iy"),
+        col("value")), Seq("ix", "iy"))
+      .select("lat", "lon", "layer", "value")
+  }
 }

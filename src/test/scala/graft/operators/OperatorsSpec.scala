@@ -135,6 +135,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3cl.isEmpty)
   }
 
+  test("raster sampling looks up every layer's value at the point's cell") {
+    // 10-degree cells anchored at (0,0); two layers over adjacent cells
+    val rasters = Seq(
+      ("el1", 14L, -4L, 700.0), // cell containing (149.1, -35.2)
+      ("el2", 14L, -4L, 0.25),
+      ("el1", 15L, -4L, 800.0)) // adjacent cell — must not match
+      .toDF("layer", "ix", "iy", "value")
+    val pts = Seq((-35.2, 149.1), (-35.2, 151.0), (80.0, 10.0))
+      .toDF("lat", "lon")
+    val got = Sampling.sampleRasters(pts, rasters, 0.0, 0.0, 10.0)
+      .collect().map(r => (r.getDouble(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(
+      (149.1, "el1", 700.0), (149.1, "el2", 0.25), // both layers, one cell
+      (151.0, "el1", 800.0)))                      // next cell, el1 only
+    // the (80, 10) point hits no raster cell -> inner join drops it
+  }
+
   test("expert distribution outliers flag far-outside records only") {
     val records = Seq(("a", "t1", -35.0, 149.0), ("b", "t1", 20.0, 100.0))
       .toDF("rowKey", "taxonGuid", "decimalLatitude", "decimalLongitude")
