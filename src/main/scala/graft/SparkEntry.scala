@@ -1662,6 +1662,22 @@ object SparkEntry {
         .orderBy("layer")
     }),
 
+    // ── small-file compaction planning: distributed cumsum binning at a
+    //    byte target — one window over the file LISTING, never the data ──
+    "q133_compaction_plan" -> ((s, dir) => {
+      val files = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("pt"),
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")).as("path"),
+        (col("l_quantity").cast("long") * 1048576L).as("bytes"))
+      graft.operators.Maintenance
+        .compactionPlan(files, "pt", "path", "bytes",
+          targetBytes = 512L * 1048576L)
+        .groupBy("partition", "bin")
+        .agg(count(lit(1)).as("n_files"), sum("size_bytes").as("bytes"))
+        .orderBy("partition", "bin")
+    }),
+
     // ── deterministic Poisson bootstrap: per-replicate Poisson(1) weights
     //    from content-addressed uniforms — distributed CI estimation with
     //    no RNG state; every replicate statistic hash-checks in DuckDB ──
@@ -1924,6 +1940,23 @@ object SparkEntry {
       """SELECT year(o_orderdate) AS yr, 'PreservedSpecimen' AS bor,
         | count(*) AS n
         |FROM orders GROUP BY yr ORDER BY yr, bor""".stripMargin,
+    "q133_compaction_plan" ->
+      """WITH files AS (
+        | SELECT l_returnflag AS pt,
+        |  CAST(l_orderkey AS VARCHAR) || '-' ||
+        |    CAST(l_linenumber AS VARCHAR) AS path,
+        |  CAST(l_quantity AS BIGINT) * 1048576 AS bytes
+        | FROM lineitem),
+        |binned AS (
+        | SELECT pt AS partition, path, bytes AS size_bytes,
+        |  CAST((sum(bytes) OVER (PARTITION BY pt ORDER BY path, bytes
+        |     ROWS UNBOUNDED PRECEDING) - bytes) // 536870912 AS BIGINT)
+        |   AS bin
+        | FROM files)
+        |SELECT partition, bin, count(*) AS n_files,
+        | CAST(sum(size_bytes) AS BIGINT) AS bytes
+        |FROM binned GROUP BY partition, bin
+        |ORDER BY partition, bin""".stripMargin,
     "q132_raster_sample" ->
       """WITH pts AS (
         | SELECT (o_orderkey % 120 - 60) + 0.5 AS lat,

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance planning — the operational layer a 100 TB store
+  * needs around the query engine: the reference's per-data-resource
+  * housekeeping tools (resource cleanup, column renames, compaction of
+  * its many small per-load SSTables) generalise here to planning over
+  * file listings.
+  */
+object Maintenance {
+
+  /** Small-file compaction plan: within each table partition, files (in
+    * path order) are assigned to merge groups by cumulative-sum binning —
+    * file i joins bin `⌊(cumsum_before_i) / targetBytes⌋`. True greedy
+    * first-fit is inherently sequential; the cumsum rule is one window
+    * per partition, fully distributed, and bounds every bin into
+    * `[targetBytes − maxFile, targetBytes + maxFile)` — the property
+    * compaction actually needs (no bin far from target) without a
+    * sequential pass. Integer arithmetic throughout (`div`), so the plan
+    * is bit-identical on any engine. Returns
+    * `(partition, path, size_bytes, bin)`.
+    *
+    * Shape at 100 TB: one hash exchange on the partition key; the window
+    * sorts file listings (≪ data), never data. Oversized files land in
+    * their own bin and are left alone by the executor reading the plan.
+    */
+  def compactionPlan(files: DataFrame, partitionCol: String,
+      pathCol: String, sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    // explicit ROWS frame (default is RANGE, which lumps tied keys into
+    // one cumulative step) ordered by (path, size) — with duplicate
+    // path+size rows the per-row bins remain deterministic as a MULTISET,
+    // which is what the plan's consumers read
+    val w = Window.partitionBy(col("partition"))
+      .orderBy(col("path"), col("size_bytes"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files.select(col(partitionCol).as("partition"),
+        col(pathCol).as("path"),
+        col(sizeCol).cast("long").as("size_bytes"))
+      .withColumn("_cum", sum("size_bytes").over(w))
+      .withColumn("bin",
+        expr(s"(_cum - size_bytes) div ${targetBytes}L"))
+      .drop("_cum")
+  }
+}
