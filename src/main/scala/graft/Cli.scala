@@ -25,6 +25,8 @@ object Cli {
       |  export-avro <recordsParquet> <outAvroDir>
       |  delete-keys <recordsParquet> <keysCsv> <outParquet>
       |  duplicates  <candidatesParquet> <outParquet>
+      |  rename-column <inParquet> <from> <to> <outParquet>
+      |  delete-column <inParquet> <column> <outParquet>
       |  duplicates-incr <candidatesParquet> <changedKeysCsv>
       |              <previousParquet> <outParquet>
       |""".stripMargin
@@ -69,6 +71,12 @@ object Cli {
         .write.mode("overwrite").parquet(out)
     case "export-avro" :: in :: out :: Nil =>
       sources.AvroExport.write(spark.read.parquet(in), out)
+    case "rename-column" :: in :: from :: to :: out :: Nil =>
+      spark.read.parquet(in).withColumnRenamed(from, to)
+        .write.mode("overwrite").parquet(out)
+    case "delete-column" :: in :: column :: out :: Nil =>
+      spark.read.parquet(in).drop(column)
+        .write.mode("overwrite").parquet(out)
     case "duplicates" :: in :: out :: Nil =>
       Store.detectDuplicates(spark, spark.read.parquet(in))
         .write.mode("overwrite").parquet(out)
@@ -91,5 +99,5 @@ object Cli {
 
   private val verbs = Set("load-dwca", "load-csv", "process", "sample",
     "index", "facet", "export-dwca", "export-avro", "delete-keys",
-    "duplicates", "duplicates-incr")
+    "duplicates", "duplicates-incr", "rename-column", "delete-column")
 }

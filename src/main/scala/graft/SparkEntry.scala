@@ -1678,6 +1678,20 @@ object SparkEntry {
         .orderBy("partition", "bin")
     }),
 
+    // ── markup-structure profile per source: the boilerplate signals a
+    //    web-corpus quality filter reads, map-only then one facet ──
+    "q134_markup_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), TF.markupStats(col("text")).as("m"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("m.md_headings")).as("md_headings"),
+          sum(col("m.md_links")).as("md_links"),
+          sum(col("m.code_fence_marks")).as("code_fence_marks"),
+          sum(col("m.html_tags")).as("html_tags"),
+          sum(col("m.urls")).as("urls"))
+        .orderBy("source")),
+
     // ── deterministic Poisson bootstrap: per-replicate Poisson(1) weights
     //    from content-addressed uniforms — distributed CI estimation with
     //    no RNG state; every replicate statistic hash-checks in DuckDB ──
@@ -1940,6 +1954,19 @@ object SparkEntry {
       """SELECT year(o_orderdate) AS yr, 'PreservedSpecimen' AS bor,
         | count(*) AS n
         |FROM orders GROUP BY yr ORDER BY yr, bor""".stripMargin,
+    "q134_markup_stats" ->
+      """SELECT source, count(*) AS docs,
+        | CAST(sum(len(regexp_extract_all(text, '(?m)^#{1,6} ')))
+        |   AS BIGINT) AS md_headings,
+        | CAST(sum(len(regexp_extract_all(text, '\[[^\]]*\]\([^)]*\)')))
+        |   AS BIGINT) AS md_links,
+        | CAST(sum(len(regexp_extract_all(text, '```')))
+        |   AS BIGINT) AS code_fence_marks,
+        | CAST(sum(len(regexp_extract_all(text, '<[a-zA-Z][^>]*>')))
+        |   AS BIGINT) AS html_tags,
+        | CAST(sum(len(regexp_extract_all(text, 'https?://[^\s]+')))
+        |   AS BIGINT) AS urls
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q133_compaction_plan" ->
       """WITH files AS (
         | SELECT l_returnflag AS pt,

@@ -235,4 +235,16 @@ object TextFunctions {
     when(size(toks) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+
+  /** Markup-structure profile of a document — the boilerplate/structure
+    * signals web-corpus quality filters read (markdown headings/links,
+    * code fences, residual HTML tags, bare URLs). All `regexp_count`
+    * (codegen'd, RE2-compatible patterns so the DuckDB oracle restates
+    * them verbatim). */
+  def markupStats(text: Column): Column = struct(
+    regexp_count(text, lit("(?m)^#{1,6} ")).as("md_headings"),
+    regexp_count(text, lit("\\[[^\\]]*\\]\\([^)]*\\)")).as("md_links"),
+    regexp_count(text, lit("```")).as("code_fence_marks"),
+    regexp_count(text, lit("<[a-zA-Z][^>]*>")).as("html_tags"),
+    regexp_count(text, lit("https?://[^\\s]+")).as("urls"))
 }
