@@ -1678,6 +1678,19 @@ object SparkEntry {
         .orderBy("partition", "bin")
     }),
 
+    // ── leakage-safe splitting: near-dup clusters assigned to ONE split
+    //    side (cluster-keyed content-addressed hash), so eval never holds
+    //    a near-copy of a training doc ──
+    "q135_leakage_safe_split" -> ((s, dir) =>
+      graft.operators.Curation.leakageSafeSplit(
+          t(s, dir, "documents"), "doc_id", "text", n = 16,
+          threshold = 0.5, salt = "ls1",
+          fractions = Seq("test" -> 0.1, "val" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("cluster")).as("n_clusters"))
+        .orderBy("split")),
+
     // ── markup-structure profile per source: the boilerplate signals a
     //    web-corpus quality filter reads, map-only then one facet ──
     "q134_markup_stats" -> ((s, dir) =>
@@ -1956,6 +1969,42 @@ object SparkEntry {
       """SELECT year(o_orderdate) AS yr, 'PreservedSpecimen' AS bor,
         | count(*) AS n
         |FROM orders GROUP BY yr ORDER BY yr, bor""".stripMargin,
+    "q135_leakage_safe_split" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(norm) < 16 THEN [norm]
+        |   ELSE list_distinct(list_transform(
+        |    range(1, length(norm)-14), i -> norm[i:i+15])) END AS shingles
+        | FROM (SELECT doc_id,
+        |   regexp_replace(lower(trim(text)),'\s+',' ','g') AS norm
+        |   FROM documents)),
+        |p AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |  (length(a.shingles)+length(b.shingles)
+        |    -length(list_intersect(a.shingles,b.shingles))) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |walk(node, reach) AS (
+        | SELECT s, s FROM edges
+        | UNION
+        | SELECT w.node, e.t FROM walk w JOIN edges e ON w.reach = e.s),
+        |comp AS (SELECT node, min(reach) AS component FROM walk GROUP BY node),
+        |cl AS (
+        | SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS cluster
+        | FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        |sp AS (
+        | SELECT id, cluster, CASE
+        |  WHEN substr(md5(CAST(cluster AS VARCHAR) || ':ls1'),1,8)
+        |    < '19999999' THEN 'test'
+        |  WHEN substr(md5(CAST(cluster AS VARCHAR) || ':ls1'),1,8)
+        |    < '33333333' THEN 'val'
+        |  ELSE 'train' END AS split
+        | FROM cl)
+        |SELECT split, count(*) AS n_docs,
+        | count(DISTINCT cluster) AS n_clusters
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
     "q134_markup_stats" ->
       """SELECT source, count(*) AS docs,
         | CAST(sum(len(regexp_extract_all(text, '(?m)^#{1,6} ')))

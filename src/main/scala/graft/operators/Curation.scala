@@ -180,6 +180,34 @@ object Curation {
       .limit(k)
   }
 
+  /** Leakage-safe split assignment: near-duplicate documents MUST land on
+    * the same side of a train/eval split, or the held-out set silently
+    * contains training content (the contamination mode document-level
+    * hashing cannot see). Pipeline: prefix-filtered exact n-gram Jaccard
+    * pairs → connected components → [[assignSplit]] keyed by the CLUSTER
+    * label instead of the document id (clusterless docs key by their own
+    * id, which equals their singleton cluster label). Returns
+    * `(id, cluster, split)`.
+    *
+    * Shape at 100 TB: the pair/component stages are the q30/q51 machinery
+    * (vocabulary-bounded shuffles, O(diameter) label rounds); the split
+    * itself stays map-only content-addressed hashing — so the leakage
+    * guarantee costs exactly one dedup pass, amortised if the pair table
+    * already exists. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, salt: String,
+      fractions: Seq[(String, Double)],
+      defaultSplit: String = "train"): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+    val comps = Components.connectedComponents(pairs, "id_a", "id_b")
+    val withCluster = docs.select(col(idCol).as("id"))
+      .join(comps.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("id")))
+      .drop("component")
+    assignSplit(withCluster, "cluster", salt, fractions, defaultSplit)
+      .select(col("id"), col("cluster"), col("split"))
+  }
+
   /** Stratified sampling with largest-remainder (Hamilton) allocation:
     * each stratum gets `⌊k·N_h/N⌋` rows plus one of the `k − Σ⌊·⌋`
     * leftovers, awarded by descending integer remainder `(k·N_h) mod N`

@@ -287,6 +287,36 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == (100L until 110L).toSet)
   }
 
+  test("leakageSafeSplit keeps near-duplicates on the same split side") {
+    // 60 clusters of 3 near-identical docs + 80 singletons. Digit-dense
+    // bodies: every 12-char shingle of a doc contains its cluster digits,
+    // so cross-cluster Jaccard ~ 0 while the one-char-suffix variants
+    // inside a cluster stay near 1.
+    def body(c: Int) =
+      s"tok${c}a tok${c}b tok${c}c tok${c}d tok${c}e tok${c}f tok${c}g"
+    val rows = (0 until 60).flatMap { c =>
+      Seq((c * 10L, body(c)), (c * 10L + 1, body(c) + "!"),
+        (c * 10L + 2, body(c) + "!!"))
+    } ++ (0 until 80).map { i =>
+      val u = 9000 + i
+      (u.toLong, s"unq${u}a unq${u}b unq${u}c unq${u}d unq${u}e")
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val split = Curation.leakageSafeSplit(docs, "doc_id", "text",
+      n = 12, threshold = 0.5, salt = "t1",
+      fractions = Seq("test" -> 0.2, "val" -> 0.2))
+    val byId = split.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(byId.size == 60 * 3 + 80)
+    // every member of a cluster shares the cluster label AND the split
+    (0 until 60).foreach { c =>
+      val trio = Seq(c * 10L, c * 10L + 1, c * 10L + 2).map(byId)
+      assert(trio.toSet.size == 1, s"cluster $c split across sides: $trio")
+    }
+    // all three splits actually populated (hash spread over 140 clusters)
+    assert(byId.values.map(_._2).toSet == Set("train", "val", "test"))
+  }
+
   test("stratifiedSample: largest-remainder allocation sums to k exactly") {
     // strata sizes 3/3/4, k=5: quotas 1.5/1.5/2 -> base 1/1/2, remainders
     // 5/5/0 (×10 scale) — the single leftover seat goes to the remainder
