@@ -219,6 +219,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected partial aggregation of the sketch in:\n$plan")
   }
 
+  test("q128 stratified sample: the allocation table joins back as a " +
+      "broadcast, never a shuffled join") {
+    val plan = finalPlanOf(
+      graft.SparkEntry.queries("q128_stratified_sample")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"strata-sized allocation should broadcast:\n$plan")
+  }
+
+  test("q132 raster sampling joins on the quantised cell key — no " +
+      "nested-loop spatial pairing") {
+    val plan = finalPlanOf(
+      graft.SparkEntry.queries("q132_raster_sample")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"raster lookup must stay an equi-join on (ix, iy):\n$plan")
+  }
+
   test("q126 itemset pairs: the pair join is keyed on the basket, never " +
       "a nested-loop product") {
     val plan = finalPlanOf(
