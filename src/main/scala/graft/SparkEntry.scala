@@ -3252,8 +3252,9 @@ object SparkEntry {
         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (
         | SELECT user_id, value, epoch_us(ts) AS t_us,
-        |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS session_seq
         | FROM g)
         |SELECT user_id, session_seq, min(t_us) AS start_us,
         | max(t_us) AS end_us, count(*) AS n_events,
