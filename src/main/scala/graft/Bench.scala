@@ -34,10 +34,30 @@ object Bench {
       spark.catalog.clearCache()
       name -> math.min(timed(fn), timed(fn))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a file: the driver's log capture keeps
+    // only the last ~2000 chars of stdout, and 135 queries don't fit.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    catch { case _: Throwable => () }
+    // The final stdout line must survive the 2000-char tail (plus sbt's
+    // trailing "[success] ..." line), so cap it and keep the slowest
+    // queries — the informative ones. `nq` = queries actually timed.
+    val budget = 1500
+    val sb = new StringBuilder
+    for ((k, v) <- results.toSeq.sortBy(-_._2)) {
+      val frag = "\"" + k + "\":" + f3(v)
+      if (sb.length + frag.length + 1 < budget) {
+        if (sb.nonEmpty) sb.append(',')
+        sb.append(frag)
+      }
+    }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{$sb},"nq":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

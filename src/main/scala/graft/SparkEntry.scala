@@ -452,7 +452,7 @@ object SparkEntry {
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeTs)
       val agg = stream
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
@@ -960,7 +960,7 @@ object SparkEntry {
       def stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeTs)
       val clicks = stream.filter(col("event_type") === "click")
         .select(col("event_id").as("imp_id"), col("user_id"), col("ts"))
       val purchases = stream.filter(col("event_type") === "purchase")
@@ -1244,7 +1244,7 @@ object SparkEntry {
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeTs)
       val cust = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       val joined = stream

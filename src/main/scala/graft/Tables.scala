@@ -16,19 +16,33 @@ object Tables {
 
   /** Scan one table (reference S6: full scan; S7 projected scan is `.select`).
     *
-    * `events.ts` is physically TIMESTAMP(NANOS), which Spark's vectorized
-    * Parquet reader rejects; read it as long nanos and convert to a µs
-    * timestamp (floor division — matches DuckDB's ns→µs cast).
+    * `events.ts` has been written as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    * across testdata generations. Spark's vectorized Parquet reader rejects
+    * nanos, so enable `nanosAsLong` and convert long nanos → µs timestamp
+    * (floor division — matches DuckDB's ns→µs cast) only when the column
+    * actually surfaces as a long; a µs file already reads as TimestampType.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
+
+  /** Bring `ts` to session-zone TimestampType whatever the file wrote:
+    * long nanos (via `nanosAsLong`) → µs timestamp; TIMESTAMP_NTZ → cast
+    * (session zone is pinned UTC, so wall-clock values are preserved and
+    * match DuckDB's naive read). Works on batch and streaming frames.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
     }
   }
 
