@@ -1705,6 +1705,19 @@ object SparkEntry {
           sum(col("m.urls")).as("urls"))
         .orderBy("source")),
 
+    // ── per-document character entropy (bits/char): the C4/Gopher-family
+    //    quality signal for repeated-char boilerplate (low H) and encoded
+    //    blobs (high H). Codegen'd map-only Expression — the explode→
+    //    groupBy restatement would shuffle one row per character ──
+    "q136_char_entropy" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(graft.plans.GraftFunctions.char_entropy(col("text")), 6)
+            .as("h_bits"))
+        .orderBy("doc_id")
+    }),
+
     // ── deterministic Poisson bootstrap: per-replicate Poisson(1) weights
     //    from content-addressed uniforms — distributed CI estimation with
     //    no RNG state; every replicate statistic hash-checks in DuckDB ──
@@ -1969,6 +1982,17 @@ object SparkEntry {
       """SELECT year(o_orderdate) AS yr, 'PreservedSpecimen' AS bor,
         | count(*) AS n
         |FROM orders GROUP BY yr ORDER BY yr, bor""".stripMargin,
+    "q136_char_entropy" ->
+      """WITH chars AS (
+        | SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+        | FROM documents),
+        |f AS (
+        | SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+        | FROM chars WHERE ch <> '' GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, sum(c) AS n FROM f GROUP BY doc_id)
+        |SELECT f.doc_id, round(-sum((c/n)*log2(c/n)), 6) AS h_bits
+        |FROM f JOIN tot USING (doc_id)
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
     "q135_leakage_safe_split" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id,

@@ -265,6 +265,55 @@ case class GeohashExpr(first: Expression, second: Expression,
     copy(first = f, second = s, third = t)
 }
 
+object CharEntropy {
+  /** Shannon entropy (bits/char) over Unicode code points. A document
+    * quality signal from the C4/Gopher filter family: near-zero entropy
+    * flags repeated-character boilerplate, unusually high entropy flags
+    * encoded blobs / random noise — both are pre-training removal
+    * candidates. One pass for counts, one over the (≤ alphabet-size)
+    * frequency table; empty/null-free by nullSafeEval, empty string → 0. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Integer, Integer]()
+    var i = 0
+    var n = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1, (a, b) => a + b)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    val ln2 = math.log(2.0)
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      h -= p * (math.log(p) / ln2)
+    }
+    h
+  }
+}
+
+/** char_entropy(string) → double — per-document Shannon entropy in
+  * bits/character. Codegen'd so corpus-wide quality scans stay inside
+  * whole-stage codegen (map-only; no shuffle, unlike the explode→groupBy
+  * restatement, which ships one row per character). */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "char_entropy expects a string argument")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(s: Any): Any =
+    CharEntropy.compute(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.CharEntropy.compute($s)")
+  override protected def withNewChildInternal(c: Expression): CharEntropyExpr =
+    copy(child = c)
+}
+
 object GraftFunctions {
   /** Column-API forms (require `register(spark)` first — the public
     * `call_function` route is the supported Column↔Expression bridge). */
@@ -281,6 +330,8 @@ object GraftFunctions {
   def geohash(lat: Column, lon: Column, precision: Column): Column =
     org.apache.spark.sql.functions.call_function("geohash", lat, lon,
       precision)
+  def char_entropy(s: Column): Column =
+    org.apache.spark.sql.functions.call_function("char_entropy", s)
 
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
@@ -288,7 +339,8 @@ object GraftFunctions {
     "nfc_normalize" -> (es => NfcNormalize(es(0))),
     "strip_accents" -> (es => StripAccents(es(0))),
     "jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1))),
-    "geohash" -> (es => GeohashExpr(es(0), es(1), es(2))))
+    "geohash" -> (es => GeohashExpr(es(0), es(1), es(2))),
+    "char_entropy" -> (es => CharEntropyExpr(es(0))))
 
   /** Post-hoc registration on a live session (SQL surface). */
   def register(spark: SparkSession): Unit =

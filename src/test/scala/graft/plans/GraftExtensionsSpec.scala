@@ -120,4 +120,43 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect()(0)
     assert(edge.getString(0) == "zzzz" && edge.getString(1) == "0000")
   }
+
+  test("char_entropy: uniform, single-char, and hand-computed values") {
+    GraftFunctions.register(spark)
+    // "abcd": 4 equiprobable symbols -> exactly 2 bits/char
+    // "aaaa": one symbol -> 0
+    // "hello": {h:1,e:1,l:2,o:1}/5 -> 1.921928...
+    val out = spark.sql(
+      """SELECT round(char_entropy(s), 6) FROM VALUES
+        | ('abcd'), ('aaaa'), ('hello'), ('') AS t(s)""".stripMargin)
+      .as[Double].collect()
+    assert(out(0) == 2.0)
+    assert(out(1) == 0.0)
+    assert(out(2) == 1.921928)
+    assert(out(3) == 0.0)
+  }
+
+  test("char_entropy counts code points, not UTF-16 units; null-safe") {
+    GraftFunctions.register(spark)
+    // U+1D11E (musical G clef) is a surrogate pair in UTF-16: two distinct
+    // astral code points must read as 2 symbols -> 1 bit/char
+    val clefs = new String(Character.toChars(0x1D11E)) +
+      new String(Character.toChars(0x1D122))
+    val df = Seq(Some(clefs), None).toDF("s")
+    val got = df.select(GraftFunctions.char_entropy(col("s")).as("h"))
+      .collect()
+    assert(got(0).getDouble(0) == 1.0)
+    assert(got(1).isNullAt(0))
+  }
+
+  test("char_entropy stays inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = spark.range(2)
+      .select(GraftFunctions.char_entropy(
+        concat(lit("some text "), col("id").cast("string"))).as("h"))
+    assert(df.collect().length == 2)
+    // '*(' prefix on the Project = it sits inside a WholeStageCodegen span
+    assert(df.queryExecution.executedPlan.toString
+      .contains("*(1) Project [charentropyexpr"))
+  }
 }
