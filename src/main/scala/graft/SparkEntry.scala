@@ -316,6 +316,18 @@ object SparkEntry {
         jaccardThreshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // ── Dedup: cross-corpus MinHash LSH — which "new" docs (odd ids)
+    //    near-duplicate the standing corpus (even ids); rows-only like
+    //    q28 (banded recall is hash-dependent, not SQL-restatable) ──
+    "q139_cross_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashLshPairsAgainst(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", jaccardThreshold = 0.5)
+        .orderBy("corpus_id", "probe_id")
+    }),
+
     // ── Dedup: SimHash near-dup pairs (rows-only) ──
     "q29_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -1760,12 +1772,56 @@ object SparkEntry {
         .orderBy("segment")
     }),
 
+    // ── JSONL roundtrip (S-corpus sink/source): the LLM-corpus
+    //    interchange format — one JSON object per document, written
+    //    sharded, read back schema-explicit (no inference pre-scan),
+    //    content-hash-checked against the source table ──
+    "q138_jsonl_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"))
+      val outDir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q138").getAbsolutePath
+      graft.sources.CorpusIO.writeJsonl(src, outDir)
+      graft.sources.CorpusIO.readJsonl(s, outDir, src.schema)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast("long")).as("chars"),
+          min(md5(col("text"))).as("first_text_md5"))
+        .orderBy("lang", "source")
+    }),
+
+    // ── ORC roundtrip (S22 sibling): columnar interchange toward
+    //    Hive/Trino consumers, native vectorized reader ──
+    "q137_orc_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+      val outDir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q137").getAbsolutePath
+      graft.sources.CorpusIO.writeOrc(src, outDir)
+      graft.sources.CorpusIO.readOrc(s, outDir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("qty"),
+          round(sum("l_extendedprice"), 2).as("price"))
+        .orderBy("l_returnflag")
+    }),
+
     // ── PMI collocations: adjacent-pair association scoring over the
     //    corpus (Church & Hanks) — the phrase-mining complement of q73's
     //    raw bigram counts ──
     "q125_pmi_collocations" -> ((s, dir) =>
       graft.operators.CorpusStats.pmiCollocations(
         t(s, dir, "documents"), "text", minCount = 5, topK = 20)),
+
+    // ── Kneser–Ney bigram NLL (bits/bigram): sequence-level LM quality
+    //    signal, self-trained on the corpus; counts algebra restated
+    //    exactly in the DuckDB oracle ──
+    "q140_kn_bigram_nll" -> ((s, dir) =>
+      graft.operators.Curation.knBigramNll(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // ── frequent co-occurring item pairs (A-priori L2 pass): distinct
     //    items per basket, unordered pair counts, support cut ──
@@ -1884,6 +1940,16 @@ object SparkEntry {
       """SELECT c_mktsegment AS segment, count(*) AS n,
         | round(sum(c_acctbal), 2) AS bal_sum, min(c_name) AS first_name
         |FROM customer GROUP BY segment ORDER BY segment""".stripMargin,
+    "q138_jsonl_roundtrip" ->
+      """SELECT lang, source, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS chars,
+        | min(md5(text)) AS first_text_md5
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q137_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS qty,
+        | round(sum(l_extendedprice), 2) AS price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q125_pmi_collocations" ->
       """WITH t AS (
         | SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -1906,6 +1972,28 @@ object SparkEntry {
         |FROM big b, uni ua, uni ub, n, nb
         |WHERE ua.w = b.w1 AND ub.w = b.w2
         |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
+    "q140_kn_bigram_nll" ->
+      """WITH t AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+        |   '\s+'), w -> length(w) > 0) AS ws
+        | FROM documents),
+        |occ AS (
+        | SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        | FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t)),
+        |cbg AS (SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS DOUBLE) AS c1, count(*) AS n1f
+        |        FROM cbg GROUP BY w1),
+        |prec AS (SELECT w2, count(*) AS n1p FROM cbg GROUP BY w2),
+        |b AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM cbg),
+        |p AS (
+        | SELECT c.w1, c.w2,
+        |  (c.c12 - 0.75) / x.c1 + 0.75 * x.n1f / x.c1 * (pr.n1p / b.bt) AS p
+        | FROM cbg c, ctx x, prec pr, b
+        | WHERE x.w1 = c.w1 AND pr.w2 = c.w2)
+        |SELECT o.doc_id, count(*) AS n_bigrams,
+        | round(avg(-log2(p.p)), 4) AS nll_bits
+        |FROM occ o JOIN p ON o.w1 = p.w1 AND o.w2 = p.w2
+        |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin,
     "q126_itemset_pairs" ->
       """WITH items AS (
         | SELECT DISTINCT l_orderkey AS basket, l_partkey AS item

@@ -158,6 +158,55 @@ object Curation {
         count(lit(1)).as("n_words"))
   }
 
+  /** Kneser–Ney smoothed bigram NLL per document (bits/bigram) — the
+    * CCNet-style LM-perplexity quality signal one order up from
+    * [[unigramNll]]: a document whose word SEQUENCES are improbable under
+    * the corpus's own bigram distribution (not just its word choices)
+    * scores high and is a removal/down-weight candidate.
+    *
+    * Absolute-discount KN, self-trained on the scored corpus so every
+    * scored bigram has c ≥ 1 (no zero path; the continuation backoff
+    * still redistributes the discounted mass):
+    *   P(w2|w1) = (c(w1w2) − d)/c(w1·) + d·N1+(w1·)/c(w1·) · N1+(·w2)/B
+    * with c(w1·) the context total, N1+ the distinct-continuation /
+    * distinct-left-context counts, B the distinct bigram types.
+    *
+    * Scale shape: one corpus-sized bigram-occurrence table (persisted —
+    * feeds the count tables and the scoring join); every count table is
+    * vocab-bounded; all joins are equi-shuffles on word keys; the
+    * type-count B attaches as a broadcast one-row aggregate. Documents
+    * with < 2 tokens have no bigrams and drop out (score undefined).
+    */
+  def knBigramNll(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val toks = docs
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("ws0"))
+      .select(col(idCol), filter(col("ws0"), w => length(w) > 0).as("ws"))
+    val occ = toks
+      .select(col(idCol), explode(graft.functions.TextFunctions
+        .wordBigrams(col("ws"))).as("bigram"))
+      .select(col(idCol),
+        substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cBg = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = cBg.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
+    val prec = cBg.groupBy("w2").agg(count(lit(1)).as("n1p"))
+    val types = cBg.agg(count(lit(1)).cast("double").as("bTypes"))
+    val p = cBg.join(ctx, "w1").join(prec, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"),
+        ((col("c12") - lit(discount)) / col("c1") +
+          lit(discount) * col("n1f") / col("c1") *
+            (col("n1p") / col("bTypes"))).as("p"))
+    occ.join(p, Seq("w1", "w2"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log2(col("p"))), 4).as("nll_bits"))
+  }
+
   /** Deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis A-ES): each row draws u ∈ (0,1) content-addressed
     * from md5(id ∥ salt) and gets key u^(1/w); the global top-k keys ARE a

@@ -83,6 +83,51 @@ object Dedup {
       .filter(col("est_jaccard") >= jaccardThreshold)
   }
 
+  /** Cross-corpus MinHash+LSH near-duplicate pairs: which `probe` docs
+    * near-duplicate something already in `corpus` — the "dedup the new
+    * crawl against the existing training set" operation, which a
+    * self-join dedup cannot express without unioning the corpora and
+    * re-pairing the (already-deduped) corpus against itself.
+    *
+    * Same banded equi-join scale shape as [[minhashLshPairs]]: each side
+    * is banded independently, the join shuffles by (band, bandHash)
+    * bucket — never all-pairs — and at 100 TB the (typically much
+    * smaller) probe side's banded rows broadcast when they fit. Output:
+    * (corpus_id, probe_id, est_jaccard), distinct pairs.
+    */
+  def minhashLshPairsAgainst(
+      corpus: DataFrame, probe: DataFrame,
+      idCol: String, textCol: String,
+      shingleLen: Int = 5, numHashes: Int = 32, numBands: Int = 8,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val mhb = udf { (text: String) =>
+      val sig = graft.functions.HashKernels.minhash(
+        graft.functions.HashKernels.charShingles(text, shingleLen), numHashes)
+      (sig, graft.functions.HashKernels.bandHashes(sig, numBands))
+    }
+    def sigTable(docs: DataFrame) = docs
+      .select(col(idCol).as("id"), mhb(col(textCol)).as("s"))
+      .select(col("id"), col("s._1").as("sig"), col("s._2").as("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigC = sigTable(corpus)
+    val sigP = sigTable(probe)
+    def banded(sig: DataFrame, as: String) = sig.select(col("id").as(as),
+      posexplode(col("bands")).as(Seq("band", "bandHash")))
+    val candidates = banded(sigC, "corpus_id")
+      .join(banded(sigP, "probe_id"), Seq("band", "bandHash"))
+      .select("corpus_id", "probe_id").distinct()
+    val simUdf = udf((x: Seq[Long], y: Seq[Long]) =>
+      graft.functions.HashKernels.signatureSimilarity(x, y))
+    candidates
+      .join(sigC.select(col("id").as("corpus_id"), col("sig").as("sig_c")),
+        Seq("corpus_id"))
+      .join(sigP.select(col("id").as("probe_id"), col("sig").as("sig_p")),
+        Seq("probe_id"))
+      .select(col("corpus_id"), col("probe_id"),
+        simUdf(col("sig_c"), col("sig_p")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= jaccardThreshold)
+  }
+
   /** 64-bit SimHash from word shingles: weighted bit-vote over shingle
     * hashes, expressed with higher-order functions. */
   /** (id, simhash) for each document: text → word shingles → one-pass

@@ -144,6 +144,49 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L) > got(1L))
   }
 
+  test("knBigramNll matches an independent brute-force KN recompute") {
+    val d = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b c d"),
+      (3L, "x"), // single token: no bigrams, must drop out
+      (4L, "d d d a b"))
+      .toDF("id", "text")
+    val disc = 0.75
+    // brute-force reference: build all counts with plain Scala maps
+    val docs = Map(1L -> "a b a b c", 2L -> "a b c d", 4L -> "d d d a b")
+    val occs = docs.view.mapValues(
+      _.split("\\s+").toSeq.sliding(2).map(p => (p(0), p(1))).toSeq).toMap
+    val all = occs.values.flatten.toSeq
+    val c12 = all.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val c1 = all.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val n1f = c12.keys.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val n1p = c12.keys.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val bt = c12.size.toDouble
+    def pkn(bg: (String, String)): Double =
+      (c12(bg) - disc) / c1(bg._1) +
+        disc * n1f(bg._1) / c1(bg._1) * (n1p(bg._2) / bt)
+    val want = occs.view.mapValues { bgs =>
+      bgs.map(bg => -math.log(pkn(bg)) / math.log(2.0)).sum / bgs.size
+    }.toMap
+    val got = Curation.knBigramNll(d, "id", "text", disc)
+      .select("id", "n_bigrams", "nll_bits")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, h) => id -> (n, h) }.toMap
+    assert(got.keySet == Set(1L, 2L, 4L)) // doc 3 has no bigrams
+    for ((id, bgs) <- occs) {
+      assert(got(id)._1 == bgs.size.toLong)
+      assert(math.abs(got(id)._2 - want(id)) < 1e-3,
+        s"doc $id: got ${got(id)._2}, want ${want(id)}")
+    }
+    // the discounted probabilities over each context must still sum < 1
+    // (the rest is the backoff mass) — sanity that the formula is a
+    // proper distribution over SEEN continuations
+    for (w1 <- c1.keys) {
+      val mass = c12.keys.filter(_._1 == w1).map(pkn).sum
+      assert(mass <= 1.0 + 1e-9, s"context $w1 mass $mass > 1")
+    }
+  }
+
   test("alphaWordRatio and symbolToWordRatio") {
     val d = Seq((1L, "abc 123 d4f ###"), (2L, "")).toDF("id", "text")
     val got = d.select(col("id"),

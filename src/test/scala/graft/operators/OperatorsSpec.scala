@@ -59,6 +59,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getAs[Long]("id_b") == 3L))
   }
 
+  test("cross-corpus minhash LSH finds probe docs already in the corpus") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val corpus = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, base + " extra"),                 // near-dup of corpus doc 1
+      (11L, "entirely unrelated content here") // novel
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairsAgainst(corpus, probe,
+      "doc_id", "text", jaccardThreshold = 0.5).collect()
+    assert(pairs.exists(r => r.getAs[Long]("corpus_id") == 1L &&
+      r.getAs[Long]("probe_id") == 10L))
+    assert(!pairs.exists(r => r.getAs[Long]("probe_id") == 11L))
+    // exact copy scores estimated Jaccard 1.0
+    val exact = Dedup.minhashLshPairsAgainst(corpus,
+      Seq((20L, base)).toDF("doc_id", "text"), "doc_id", "text").collect()
+    assert(exact.length == 1 && exact(0).getAs[Double]("est_jaccard") == 1.0)
+  }
+
   test("simhash hamming ~0 for near-identical docs") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val docs = Seq((1L, base), (2L, base + " tail"), (3L, (100 to 160).map(i => s"q$i").mkString(" ")))
