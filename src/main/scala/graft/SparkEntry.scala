@@ -1823,6 +1823,40 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ── hashed-linear classifier inference (fasttext-shape): md5-prefix
+    //    feature hashing → literal weight array → sigmoid, map-only;
+    //    weights derive from a fixed integer formula so the oracle
+    //    reproduces the exact scores ──
+    "q142_classifier_score" -> ((s, dir) => {
+      val weights = Array.tabulate(64)(b => ((b * 37) % 101 - 50) / 100.0)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(lower(trim(col("text"))), "\\s+"),
+            w => length(w) > 0).as("ws"))
+        .select(col("doc_id"),
+          round(graft.functions.TextFunctions.hashedLinearScore(
+            col("ws"), weights, -0.1), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // ── CCNet-style boilerplate removal: the gate injects a per-source
+    //    header/footer (df = 100% of the source) and a promo line on
+    //    every 4th doc (df ≈ 25%, below the 50% threshold — must stay);
+    //    reassembly is md5-checked line-exact ──
+    "q141_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        concat(lit("HEADER "), col("source"), lit("\n"), col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("\nPROMO "), col("source"))).otherwise(lit("")),
+          lit("\nCopyright "), col("source")).as("text"))
+      graft.operators.Curation.removeBoilerplate(
+          docs, "doc_id", "text", "source", minDocFrac = 0.5)
+        .select(col("doc_id"), col("n_lines_kept"), col("n_lines_removed"),
+          md5(col("text_clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ── frequent co-occurring item pairs (A-priori L2 pass): distinct
     //    items per basket, unordered pair counts, support cut ──
     "q126_itemset_pairs" -> ((s, dir) =>
@@ -1972,6 +2006,50 @@ object SparkEntry {
         |FROM big b, uni ua, uni ub, n, nb
         |WHERE ua.w = b.w1 AND ub.w = b.w2
         |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
+    "q142_classifier_score" ->
+      """WITH t AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+        |   '\s+'), w -> length(w) > 0) AS ws
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN len(ws) = 0 THEN NULL ELSE
+        |  round(1.0 / (1.0 + exp(-(
+        |   list_aggregate(list_transform(ws, w ->
+        |    ((((strpos('0123456789abcdef', md5(w)[1:1]) - 1) * 16 +
+        |       (strpos('0123456789abcdef', md5(w)[2:2]) - 1)) % 64)
+        |      * 37 % 101 - 50) / 100.0), 'sum')
+        |   / len(ws) - 0.1))), 6) END AS score
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q141_boilerplate" ->
+      """WITH d AS (
+        | SELECT doc_id, source,
+        |  'HEADER ' || source || chr(10) || text ||
+        |  CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'PROMO ' || source
+        |       ELSE '' END ||
+        |  chr(10) || 'Copyright ' || source AS text
+        | FROM documents),
+        |l AS (
+        | SELECT doc_id, source, i - 1 AS pos, ls[i] AS line
+        | FROM (SELECT doc_id, source, ls,
+        |        unnest(range(1, len(ls) + 1)) AS i
+        |       FROM (SELECT doc_id, source,
+        |              string_split(text, chr(10)) AS ls FROM d))),
+        |nd AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),
+        |f AS (SELECT source, line, count(DISTINCT doc_id) AS df
+        |      FROM l WHERE length(trim(line)) > 0 GROUP BY source, line),
+        |boiler AS (
+        | SELECT f.source, f.line FROM f JOIN nd ON nd.source = f.source
+        | WHERE f.df >= 2 AND f.df >= ceil(nd.n_docs * 0.5)),
+        |kept AS (
+        | SELECT l.* FROM l LEFT JOIN boiler b
+        |  ON l.source = b.source AND l.line = b.line
+        | WHERE b.line IS NULL),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+        |SELECT k.doc_id, count(*) AS n_lines_kept,
+        | CAST(t.n_lines - count(*) AS BIGINT) AS n_lines_removed,
+        | md5(string_agg(k.line, chr(10) ORDER BY k.pos)) AS clean_md5
+        |FROM kept k JOIN tot t USING (doc_id)
+        |GROUP BY k.doc_id, t.n_lines ORDER BY k.doc_id""".stripMargin,
     "q140_kn_bigram_nll" ->
       """WITH t AS (
         | SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),

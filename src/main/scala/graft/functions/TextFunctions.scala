@@ -67,6 +67,37 @@ object TextFunctions {
     round(lenScore * lit(0.5) + punctOk * lit(0.25) + stopOk * lit(0.25), 4)
   }
 
+  /** Fasttext-style linear classifier INFERENCE over hashed bag-of-words
+    * features: each token hashes to one of `weights.length` buckets via its
+    * md5 hex prefix, the document's score is
+    * `sigmoid(mean(weights(bucket(w))) + intercept)`.
+    *
+    * This is the runtime shape of a learned quality filter at corpus
+    * scale: the model is a small weight-vector artifact folded into the
+    * expression as a literal array, scoring is map-only inside the row
+    * (no shuffle, no per-row model lookup join), and the md5-prefix
+    * bucketing is engine-portable so any SQL engine reproduces the exact
+    * scores. `weights.length` must divide 256 (buckets come from the
+    * first two hex chars: 16·h₁ + h₂ mod dim).
+    *
+    * HOF caveat (see [[wordBigrams]]): callers must stage the token
+    * array once — pass a pre-split array column, not an inline split. */
+  def hashedLinearScore(toks: Column, weights: Array[Double],
+      intercept: Double): Column = {
+    require(weights.nonEmpty && 256 % weights.length == 0,
+      "weights.length must divide 256")
+    val hex = "0123456789abcdef"
+    val warr = array(weights.map(lit): _*)
+    def bucket(w: Column): Column =
+      ((instr(lit(hex), substring(md5(w), 1, 1)) - 1) * 16 +
+        (instr(lit(hex), substring(md5(w), 2, 1)) - 1)) % weights.length
+    when(size(toks) === 0, lit(null).cast("double")).otherwise(
+      lit(1.0) / (lit(1.0) + exp(-(
+        aggregate(toks, lit(0.0),
+          (acc, w) => acc + element_at(warr, bucket(w) + 1)) /
+          size(toks).cast("double") + lit(intercept)))))
+  }
+
   /** N-gram-frequency language ID heuristic. Scores text against per-language
     * marker word sets; returns the language code with the most marker hits,
     * "und" when nothing matches. Pure column expressions → codegen'd. */

@@ -158,6 +158,52 @@ object Curation {
         count(lit(1)).as("n_words"))
   }
 
+  /** CCNet-style boilerplate-line removal: a line that recurs across a
+    * large fraction of ONE SOURCE's documents (header, footer, nav text,
+    * cookie banner) is boilerplate — every occurrence is dropped and each
+    * document reassembled from its surviving lines in original order.
+    * Distinct from [[dedupParagraphs]], which keeps the globally-FIRST
+    * occurrence and cuts only re-occurrences: boilerplate is removed from
+    * every document, including the first.
+    *
+    * A line is boilerplate in source S iff it is non-blank, appears in
+    * ≥ 2 documents of S, and in ≥ ⌈n_docs(S)·minDocFrac⌉ of them. Blank
+    * lines are structure, never boilerplate. Documents whose every line
+    * is boilerplate drop out of the result.
+    *
+    * Scale shape: the line table is corpus-sized (persisted — feeds the
+    * doc-frequency count, the anti-join, and the per-doc totals); the
+    * doc-frequency table is bounded by distinct (source, line); the
+    * anti-join and reassembly are equi-shuffles on (source, line) and id.
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, minDocFrac: Double = 0.5): DataFrame = {
+    require(minDocFrac > 0 && minDocFrac <= 1, "minDocFrac must be in (0,1]")
+    val lines = docs.select(col(idCol), col(sourceCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val docFreq = lines
+      .filter(length(trim(col("line"))) > 0)
+      .select(col(sourceCol), col("line"), col(idCol)).distinct()
+      .groupBy(col(sourceCol), col("line")).agg(count(lit(1)).as("df"))
+    val boiler = docFreq.join(nDocs, sourceCol)
+      .filter(col("df") >= 2 &&
+        col("df") >= ceil(col("n_docs") * lit(minDocFrac)))
+      .select(col(sourceCol), col("line"))
+    val kept = lines.join(boiler, Seq(sourceCol, "line"), "left_anti")
+    val totals = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("text_clean"))
+      .join(totals, idCol)
+      .select(col(idCol), col("n_lines_kept"),
+        (col("n_lines") - col("n_lines_kept")).as("n_lines_removed"),
+        col("text_clean"))
+  }
+
   /** Kneser–Ney smoothed bigram NLL per document (bits/bigram) — the
     * CCNet-style LM-perplexity quality signal one order up from
     * [[unigramNll]]: a document whose word SEQUENCES are improbable under

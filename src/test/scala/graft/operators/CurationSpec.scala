@@ -144,6 +144,74 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L) > got(1L))
   }
 
+  test("hashedLinearScore matches an independent md5-bucket recompute") {
+    val weights = Array.tabulate(64)(b => ((b * 37) % 101 - 50) / 100.0)
+    val d = Seq((1L, "the quick brown fox"), (2L, "zzz"), (3L, ""))
+      .toDF("id", "text")
+    val got = d
+      .select(col("id"), filter(split(lower(trim(col("text"))), "\\s+"),
+        w => length(w) > 0).as("ws"))
+      .select(col("id"),
+        TF.hashedLinearScore(col("ws"), weights, -0.1).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    def bucket(w: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ("0123456789abcdef".indexOf(hex(0)) * 16 +
+        "0123456789abcdef".indexOf(hex(1))) % 64
+    }
+    def score(words: Seq[String]): Double = {
+      val m = words.map(w => weights(bucket(w))).sum / words.size
+      1.0 / (1.0 + math.exp(-(m - 0.1)))
+    }
+    assert(math.abs(got(1L).get -
+      score(Seq("the", "quick", "brown", "fox"))) < 1e-12)
+    assert(math.abs(got(2L).get - score(Seq("zzz"))) < 1e-12)
+    assert(got(3L).isEmpty) // empty doc → null score, not a crash
+  }
+
+  test("removeBoilerplate drops recurring lines per source, keeps order") {
+    val d = Seq(
+      (1L, "s1", "HEAD\nbody one\nFOOT"),
+      (2L, "s1", "HEAD\nbody two\nFOOT"),
+      (3L, "s1", "HEAD\nbody three\nFOOT"),
+      (4L, "s1", "HEAD\nrare line\nFOOT"),
+      // s2: HEAD appears there too but only in 1 of 2 docs (50% but df<2
+      // is the real guard here: df=1 → never boilerplate)
+      (5L, "s2", "HEAD\nonly here"),
+      (6L, "s2", "other\ncontent"))
+      .toDF("id", "source", "text")
+    val got = Curation.removeBoilerplate(d, "id", "text", "source",
+        minDocFrac = 0.5)
+      .select("id", "n_lines_kept", "n_lines_removed", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // s1: HEAD and FOOT in 4/4 docs → removed everywhere; bodies unique
+    assert(got(1L) == ((1L, 1L, 2L, "body one")))
+    assert(got(4L) == ((4L, 1L, 2L, "rare line")))
+    // s2: HEAD df=1 in s2 → kept (boilerplate is per-source)
+    assert(got(5L) == ((5L, 2L, 0L, "HEAD\nonly here")))
+    assert(got(6L) == ((6L, 2L, 0L, "other\ncontent")))
+  }
+
+  test("removeBoilerplate never drops blank lines; all-boiler docs drop out") {
+    val d = Seq(
+      (1L, "s", "AD\n\nAD"),
+      (2L, "s", "AD\n\nAD"),
+      (3L, "s", "AD"))
+      .toDF("id", "source", "text")
+    val got = Curation.removeBoilerplate(d, "id", "text", "source",
+        minDocFrac = 0.5)
+      .select("id", "n_lines_kept", "text_clean")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // AD is boilerplate (3/3 docs); the blank line survives
+    assert(got(1L) == ((1L, 1L, "")))
+    assert(got(2L) == ((2L, 1L, "")))
+    // doc 3 was only the boilerplate line → no surviving lines → dropped
+    assert(!got.contains(3L))
+  }
+
   test("knBigramNll matches an independent brute-force KN recompute") {
     val d = Seq(
       (1L, "a b a b c"),
