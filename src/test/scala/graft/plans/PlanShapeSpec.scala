@@ -69,6 +69,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"map-only projection must not shuffle:\n$plan")
   }
 
+  test("q142 classifier inference is shuffle-free up to the output sort") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => TF}
+    val weights = Array.tabulate(64)(b => ((b * 37) % 101 - 50) / 100.0)
+    val df = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"),
+          w => length(w) > 0).as("ws"))
+      .select(col("doc_id"),
+        TF.hashedLinearScore(col("ws"), weights, -0.1).as("score"))
+    // model inference must stay in-row: no Exchange of any kind
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"),
+      s"hashed-linear scoring must not shuffle:\n$plan")
+  }
+
+  test("q136 char entropy scoring is map-only") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val df = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        GraftFunctions.char_entropy(col("text")).as("h"))
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"),
+      s"char-entropy projection must not shuffle:\n$plan")
+  }
+
   test("q64 sessionize: windows + session aggregate reuse ONE hash exchange") {
     // lag-window, running-sum window, and the (user_id, session_seq)
     // aggregate all cluster by user_id — the plan must shuffle the events
