@@ -1823,6 +1823,21 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ── quality-aware dedup resolution: near-dup clusters from the exact
+    //    Jaccard pairs, survivor = longest doc per cluster (tie → min id),
+    //    singletons kept — the production "keep the best page" policy ──
+    "q143_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 16, threshold = 0.5)
+      graft.operators.Curation.keepBestPerCluster(
+          docs, "doc_id", "n_chars", pairs, "id_a", "id_b")
+        .filter(col("n_members") >= 2) // report resolved clusters only
+        .select(col("id"), col("cluster"),
+          col("quality").cast("long").as("quality"), col("n_members"))
+        .orderBy("cluster")
+    }),
+
     // ── hashed-linear classifier inference (fasttext-shape): md5-prefix
     //    feature hashing → literal weight array → sigmoid, map-only;
     //    weights derive from a fixed integer formula so the oracle
@@ -2006,6 +2021,41 @@ object SparkEntry {
         |FROM big b, uni ua, uni ub, n, nb
         |WHERE ua.w = b.w1 AND ub.w = b.w2
         |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
+    "q143_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(norm) < 16 THEN [norm]
+        |   ELSE list_distinct(list_transform(
+        |    range(1, length(norm)-14), i -> norm[i:i+15])) END AS shingles
+        | FROM (SELECT doc_id,
+        |   regexp_replace(lower(trim(text)),'\s+',' ','g') AS norm
+        |   FROM documents)),
+        |p AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |  (length(a.shingles)+length(b.shingles)
+        |    -length(list_intersect(a.shingles,b.shingles))) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |walk(node, reach) AS (
+        | SELECT s, s FROM edges
+        | UNION
+        | SELECT w.node, e.t FROM walk w JOIN edges e ON w.reach = e.s),
+        |comp AS (SELECT node, min(reach) AS component FROM walk GROUP BY node),
+        |cl AS (
+        | SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS cluster,
+        |   d.n_chars
+        | FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        |rk AS (
+        | SELECT id, cluster, n_chars,
+        |  row_number() OVER (PARTITION BY cluster
+        |    ORDER BY n_chars DESC, id) AS rk,
+        |  count(*) OVER (PARTITION BY cluster) AS n_members
+        | FROM cl)
+        |SELECT id, cluster, CAST(n_chars AS BIGINT) AS quality, n_members
+        |FROM rk WHERE rk = 1 AND n_members >= 2
+        |ORDER BY cluster""".stripMargin,
     "q142_classifier_score" ->
       """WITH t AS (
         | SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),

@@ -158,6 +158,41 @@ object Curation {
         count(lit(1)).as("n_words"))
   }
 
+  /** Quality-aware near-duplicate resolution: given the corpus, a
+    * near-duplicate PAIR table, and a per-document quality column, keep
+    * the HIGHEST-QUALITY member of every duplicate cluster (ties break
+    * to the lowest id) — what production dedup actually ships, vs the
+    * keep-min-id convention of [[operators.Components.clusterSummary]]:
+    * the survivor should be the best page, not the first-crawled one.
+    *
+    * Output: one row per KEPT document — (id, cluster, quality,
+    * n_members); singletons (docs in no pair) survive as their own
+    * 1-member cluster. Scale shape: components over the pair table
+    * (O(diameter) label-propagation rounds), one left join back to the
+    * corpus, one per-cluster top-1 window — all equi-shuffles on
+    * id/cluster keys.
+    */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, qualityCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comps = graft.operators.Components
+      .connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("node", "_cid")
+    val withCluster = docs
+      .select(col(idCol).as("id"), col(qualityCol).cast("double").as("quality"))
+      .join(comps, col("id") === col("_cid"), "left")
+      .select(col("id"), col("quality"),
+        coalesce(col("component"), col("id")).as("cluster"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+      .orderBy(col("quality").desc, col("id"))
+    withCluster
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster")))
+      .filter(col("_rk") === 1)
+      .select(col("id"), col("cluster"), col("quality"), col("n_members"))
+  }
+
   /** CCNet-style boilerplate-line removal: a line that recurs across a
     * large fraction of ONE SOURCE's documents (header, footer, nav text,
     * cookie banner) is boilerplate — every occurrence is dropped and each

@@ -144,6 +144,19 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L) > got(1L))
   }
 
+  test("keepBestPerCluster keeps highest quality, ties to min id, singletons survive") {
+    val docs = Seq(
+      (1L, 10.0), (2L, 30.0), (3L, 30.0), // cluster {1,2,3}: 2 wins tie vs 3
+      (4L, 5.0),                          // singleton
+      (5L, 7.0), (6L, 2.0))               // cluster {5,6}: 5 wins
+      .toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Curation.keepBestPerCluster(docs, "id", "q", pairs, "a", "b")
+      .select("id", "cluster", "n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((2L, 1L, 3L), (4L, 4L, 1L), (5L, 5L, 2L)))
+  }
+
   test("hashedLinearScore matches an independent md5-bucket recompute") {
     val weights = Array.tabulate(64)(b => ((b * 37) % 101 - 50) / 100.0)
     val d = Seq((1L, "the quick brown fox"), (2L, "zzz"), (3L, ""))
