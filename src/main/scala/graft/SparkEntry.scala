@@ -1949,7 +1949,36 @@ object SparkEntry {
           array(codes.map(c => col(s"c_$c")): _*))).as(Seq("code", "n")))
         .filter(col("n") > 0)
         .orderBy("code")
-    })
+    }),
+
+    // ── top-3 TF-IDF terms per document: the keyword-signature /
+    //    lexical-topic operator; per-doc window over a (doc, term)
+    //    aggregate, df table broadcast ──
+    "q144_tfidf_terms" -> ((s, dir) =>
+      graft.operators.TextSearch.tfIdfTopTerms(
+          t(s, dir, "documents").filter(col("doc_id") < 200),
+          "doc_id", "text", topK = 3)
+        .orderBy("doc", "rk")),
+
+    // ── Zipf rank-frequency fit over the top-500 terms: corpus-health
+    //    slope/intercept/R² from one vocabulary-sized aggregate ──
+    "q145_zipf_fit" -> ((s, dir) =>
+      graft.operators.CorpusStats.zipfFit(
+        t(s, dir, "documents"), "text", topN = 500)),
+
+    // ── sentence segmentation stats: count / mean words / max words per
+    //    doc — readability + run-on-text signals, map-only ──
+    "q146_sentence_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.sentences(col("text")).as("sents"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions
+            .sentenceStatsOfSentences(col("sents")).as("st"))
+        .select(col("doc_id"), col("st.n_sentences").as("n_sentences"),
+          col("st.mean_words").as("mean_words"),
+          col("st.max_words").as("max_words"))
+        .orderBy("doc_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3809,6 +3838,66 @@ object SparkEntry {
         |   o_orderkey % 356 - 178 AS lon FROM orders))
         |SELECT CAST(code AS BIGINT) AS code, count(*) AS n
         |FROM (SELECT unnest(codes) AS code FROM per_row)
-        |GROUP BY code ORDER BY code""".stripMargin
+        |GROUP BY code ORDER BY code""".stripMargin,
+    "q144_tfidf_terms" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 200),
+        |tf AS (
+        | SELECT doc_id AS doc, term, CAST(count(*) AS DOUBLE) AS tf
+        | FROM (SELECT doc_id, unnest(string_split_regex(
+        |   lower(trim(text)), '\s+')) AS term FROM d)
+        | WHERE length(term) >= 1
+        | GROUP BY doc, term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM d),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |       FROM tf GROUP BY term),
+        |scored AS (
+        | SELECT tf.doc, tf.term,
+        |  round(tf.tf * (ln((1.0 + n.N) / (1.0 + df.df)) + 1.0), 6)
+        |   AS tfidf
+        | FROM tf JOIN df USING (term), n),
+        |ranked AS (
+        | SELECT doc, term, tfidf, CAST(row_number() OVER (
+        |   PARTITION BY doc ORDER BY tfidf DESC, term) AS INTEGER) AS rk
+        | FROM scored)
+        |SELECT doc, term, tfidf, rk FROM ranked
+        |WHERE rk <= 3 ORDER BY doc, rk""".stripMargin,
+    "q145_zipf_fit" ->
+      """WITH counts AS (
+        | SELECT w, CAST(count(*) AS DOUBLE) AS c
+        | FROM (SELECT unnest(string_split_regex(lower(trim(text)),
+        |   '\s+')) AS w FROM documents)
+        | WHERE length(w) > 0 GROUP BY w),
+        |ranked AS (
+        | SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE))
+        |   AS x, ln(c) AS y,
+        |  row_number() OVER (ORDER BY c DESC, w) AS rk
+        | FROM counts QUALIFY rk <= 500),
+        |m AS (
+        | SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        | FROM ranked)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        | round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n,
+        |   6) AS intercept,
+        | round(pow(n * sxy - sx * sy, 2) /
+        |   ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m""".stripMargin,
+    "q146_sentence_stats" ->
+      """WITH sents AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(text),
+        |   '[.!?]+(\s+|$)'), s -> length(trim(s)) > 0) AS ss
+        | FROM documents),
+        |wc AS (
+        | SELECT doc_id, list_transform(ss, s -> len(list_filter(
+        |   string_split_regex(trim(s), '\s+'), w -> length(w) > 0))) AS ws
+        | FROM sents)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_sentences,
+        | CASE WHEN len(ws) = 0 THEN 0.0
+        |  ELSE round(CAST(list_sum(ws) AS DOUBLE) / len(ws), 4)
+        |  END AS mean_words,
+        | CASE WHEN len(ws) = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(list_max(ws) AS BIGINT) END AS max_words
+        |FROM wc ORDER BY doc_id""".stripMargin
   )
 }

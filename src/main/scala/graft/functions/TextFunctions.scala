@@ -252,6 +252,34 @@ object TextFunctions {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  /** Sentence segments of a document: split on runs of terminal
+    * punctuation followed by whitespace (or end-of-text after trimming),
+    * empty fragments dropped. The pattern avoids lookaround so the RE2
+    * engine in the DuckDB oracle splits byte-identically. Abbreviation
+    * handling ("Dr.", "e.g.") is out of scope — this is the corpus-stats
+    * segmenter, not a linguistic one. */
+  def sentences(text: Column): Column =
+    filter(split(trim(text), "[.!?]+(\\s+|$)"),
+      s => length(trim(s)) > 0)
+
+  /** Per-document sentence statistics: sentence count, mean words per
+    * sentence, and max words in any sentence — the readability /
+    * run-on-text quality signals. Map-only column algebra; the sentence
+    * array appears once (HOF, no CSE — see [[wordBigrams]]), so callers
+    * should stage [[sentences]] in its own projection and pass the array. */
+  def sentenceStatsOfSentences(sents: Column): Column = {
+    val wordCounts = transform(sents,
+      s => size(filter(split(trim(s), "\\s+"), w => length(w) > 0)))
+    struct(
+      size(sents).cast("long").as("n_sentences"),
+      when(size(sents) === 0, lit(0.0))
+        .otherwise(round(
+          aggregate(wordCounts, lit(0L), (acc, c) => acc + c).cast("double") /
+            size(sents).cast("double"), 4)).as("mean_words"),
+      when(size(sents) === 0, lit(0L))
+        .otherwise(array_max(wordCounts).cast("long")).as("max_words"))
+  }
+
   /** Adjacent word pairs (the counting unit of one BPE-merge iteration and
     * of corpus collocation stats). Empty/one-word texts yield an empty
     * array. Positional — repeats are kept; counting is the caller's

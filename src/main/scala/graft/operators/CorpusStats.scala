@@ -115,4 +115,44 @@ object CorpusStats {
       .orderBy(col("pmi").desc, col("bigram"))
       .limit(topK)
   }
+
+  /** Zipf rank-frequency fit over the top-`topN` terms: OLS slope and
+    * intercept of ln(count) against ln(rank), plus R². Natural-language
+    * corpora sit near slope ≈ −1; a corpus drifting away from that (after
+    * aggressive filtering, or when machine-generated text floods in) is a
+    * health signal worth alerting on. Rank ties break by term, so the fit
+    * is deterministic on any engine.
+    *
+    * Shape at 100 TB: the term-count table partial-aggregates to
+    * vocabulary cardinality; ranking the top N is a vocabulary-sized sort
+    * (never the corpus) and the OLS moments are one scalar aggregate over
+    * N rows.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).cast("double").as("c"))
+    val ranked = counts
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("c").desc, col("w"))))
+      .filter(col("rk") <= topN)
+      .select(log(col("rk").cast("double")).as("x"), log(col("c")).as("y"))
+    ranked.agg(count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").cast("long").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - col("sx") *
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"), 6)
+          .as("intercept"),
+        round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
 }

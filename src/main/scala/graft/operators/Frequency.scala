@@ -93,4 +93,26 @@ object Frequency {
         .filter(col("cnt") * lit(k.toLong) > lit(summary.total))
     }
   }
+
+  /** Count-min sketch of `valueCol` as (row, bucket, cnt) cells — the
+    * fixed-size frequency summary for streams whose item table is itself
+    * too large to aggregate ([[graft.functions.CountMinAgg]]; the buffer
+    * is depth·width longs per partition regardless of input size). Zero
+    * cells are included so the output schema/size is (depth·width) always;
+    * the matrix contents are content-addressed and deterministic, so every
+    * cell hash-checks against a DuckDB groupby restatement. */
+  def countMinSketch(df: DataFrame, valueCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sketch = df.select(col(valueCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .as[String]
+      .select(new graft.functions.CountMinAgg(depth, width).toColumn)
+      .head()
+    val cells = for (r <- 0 until depth; b <- 0 until width)
+      yield (r, b, sketch(r * width + b))
+    spark.createDataFrame(cells).toDF("r", "b", "cnt")
+      .select(col("r").cast("int"), col("b").cast("int"), col("cnt"))
+  }
 }

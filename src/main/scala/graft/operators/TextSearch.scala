@@ -76,6 +76,41 @@ object TextSearch {
       .select(col("term"), col("df"), col("docs"))
   }
 
+  /** Top-k TF-IDF terms per document — the classic keyword/topic signature
+    * (and the dense-retrieval fallback when no embedding exists). Term
+    * frequency is raw count over whitespace tokens; idf is the smooth
+    * `ln((1 + N) / (1 + df)) + 1` form (never negative, defined for
+    * df = N). Ranking is deterministic: (score desc, term asc) per doc.
+    *
+    * Shape at 100 TB: one explode → (doc, term) partial-aggregated count,
+    * document frequencies partial-aggregate from the same table, attached
+    * by broadcast when the vocabulary is broadcast-able (it is: vocab ≪
+    * corpus); the per-doc top-k window partitions by doc — group size is
+    * the doc's distinct-term count, never corpus-scale.
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int, minTermLen: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+      .groupBy("doc", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val n = docs.agg(count(lit(1)).cast("double").as("N"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val w = Window.partitionBy("doc")
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc"), col("term"),
+        round(col("tf") *
+          (log((lit(1.0) + col("N")) / (lit(1.0) + col("df"))) + lit(1.0)),
+          6).as("tfidf"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of several candidate
     * rankings: each input is `(name, df)` where df carries `idCol` and
     * `scoreCol`; item rank within each list is by (score desc, id), and the

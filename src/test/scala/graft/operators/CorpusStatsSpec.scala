@@ -69,4 +69,29 @@ class CorpusStatsSpec extends AnyFunSuite {
       .as[(String, Long, Seq[Long])].collect()
     assert(idx.toSeq == Seq(("dup", 1L, Seq(7L))))
   }
+
+  test("zipfFit recovers an exact power law") {
+    // counts c(r) = 1000 / r for ranks 1..8 → slope −1, R² = 1 exactly
+    val docs = (1 to 8).flatMap { r =>
+      Seq.fill(1000 / r)(s"w$r")
+    }.map(w => Tuple1(w)).toDF("text") // one word per row = one token each
+    val got = CorpusStats.zipfFit(docs, "text", topN = 8)
+      .as[(Long, Double, Double, Double)].head()
+    val (n, slope, intercept, r2) = got
+    assert(n == 8L)
+    // counts are floor(1000/r) so the fit is near −1, not exact
+    assert(math.abs(slope + 1.0) < 0.01, s"slope $slope")
+    assert(math.abs(intercept - math.log(1000.0)) < 0.02)
+    assert(r2 > 0.9999)
+  }
+
+  test("zipfFit rank ties break lexically (deterministic)") {
+    val docs = Seq("b b a a c").map(Tuple1(_)).toDF("text")
+    // a and b tie at 2; ranks must be a=1, b=2, c=3 on any engine
+    val got = CorpusStats.zipfFit(docs, "text", topN = 3)
+      .as[(Long, Double, Double, Double)].head()
+    assert(got._1 == 3L)
+    // slope of ln(2,2,1) vs ln(1,2,3) — just assert it computed finitely
+    assert(!got._2.isNaN && got._2 < 0)
+  }
 }
