@@ -1979,7 +1979,98 @@ object SparkEntry {
           col("st.mean_words").as("mean_words"),
           col("st.max_words").as("max_words"))
         .orderBy("doc_id"))
+,
+    // ── count-min sketch: fixed-size frequency matrix via a mergeable
+    //    Aggregator (buffer = depth·width longs per partition — the item
+    //    table never materialises); content-addressed buckets make every
+    //    cell hash-checkable, unusual for a sketch ──
+    "q147_count_min" -> ((s, dir) =>
+      graft.operators.Frequency.countMinSketch(
+          t(s, dir, "lineitem"), "l_suppkey", depth = 4, width = 64)
+        .orderBy("r", "b")),
+
+    // ── Fellegi–Sunter probabilistic linkage: nation-blocked customer
+    //    pairs, per-field log2 likelihood-ratio weights, decision counts
+    //    — the statistical ER complement of q108's distance pipeline ──
+    "q148_fellegi_sunter" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").as("id"), col("c_nationkey").as("blk"),
+        col("c_mktsegment").as("segment"),
+        // pseudo-field standing in for a phone area code: the integer
+        // cents-free balance mod 100 (u ≈ 1/100 within a block)
+        (abs(floor(col("c_acctbal"))).cast("long") % 100)
+          .cast("string").as("area"),
+        (col("c_acctbal") > 0).cast("string").as("bal_pos"))
+      graft.operators.RecordLinkage.fellegiSunter(cust, "id", "blk",
+          Seq(FsSegment, FsArea, FsBalPos), tUpper = 6.0, tLower = 0.0)
+        .groupBy("decision")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("weight")).as("min_w"), max(col("weight")).as("max_w"))
+        .orderBy("decision")
+    }),
+
+    // ── image near-dup pairs by perceptual hash: REAL PNG decode →
+    //    dHash → banded Hamming join (rows-only: no SQL image codec);
+    //    consecutive ids share a raster, odd ids perturbed ──
+    "q149_image_phash_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "orders").filter(col("o_orderkey") <= 400)
+        .select(col("o_orderkey").cast("long").as("img_id"))
+      val imgs = graft.multimodal.Multimodal
+        .withNearDupImageColumn(base, "img_id")
+      graft.multimodal.Multimodal
+        .imageNearDupPairs(imgs, "img_id", "image", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ── snapshot diff between corpus versions: added / removed /
+    //    changed / unchanged by content hash — only ids + hashes
+    //    shuffle, never payloads ──
+    "q150_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prev = docs.filter(col("doc_id") % 11 =!= 0)
+      val cur = docs.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.Maintenance.snapshotDiff(prev, cur, "doc_id", "text")
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
+    // ── functional-dependency screens: violation rows = minimal repair
+    //    size; distinct-pair-bounded aggregates only ──
+    "q151_fd_check" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.Profiling.fdCheck(li, "l_orderkey", "l_returnflag")
+        .withColumn("fd", lit("orderkey->returnflag"))
+        .unionByName(graft.operators.Profiling
+          .fdCheck(li, "l_partkey", "l_suppkey")
+          .withColumn("fd", lit("partkey->suppkey")))
+        .select("fd", "n_groups", "n_violating_groups", "violation_rows",
+          "fd_holds")
+        .orderBy("fd")
+    }),
+
+    // ── Benford first-digit profile of a measurement column: the
+    //    fabricated-data / unit-mix screen; digit extraction is exact
+    //    string algebra, one digit-count aggregate ──
+    "q152_benford" -> ((s, dir) =>
+      graft.operators.Profiling.benfordProfile(
+        t(s, dir, "lineitem"), "l_extendedprice"))
   )
+
+  // q148 field parameters — shared with the oracle so the log2 weight
+  // literals are bit-identical on both sides
+  private val FsSegment =
+    graft.operators.RecordLinkage.FieldParams("segment", 0.9, 0.2)
+  private val FsArea =
+    graft.operators.RecordLinkage.FieldParams("area", 0.95, 0.01)
+  private val FsBalPos =
+    graft.operators.RecordLinkage.FieldParams("bal_pos", 0.95, 0.9)
+  // scientific notation: DuckDB types exponent literals DOUBLE (a plain
+  // decimal literal becomes DECIMAL and the weight algebra drifts);
+  // 17 significant digits round-trip any IEEE double exactly
+  private def fsLit(x: Double): String =
+    "%.16e".formatLocal(java.util.Locale.ROOT, x)
 
   def oracleSql: Map[String, String] = Map(
     "q123_permutation_test" ->
@@ -3898,6 +3989,104 @@ object SparkEntry {
         |  END AS mean_words,
         | CASE WHEN len(ws) = 0 THEN CAST(0 AS BIGINT)
         |  ELSE CAST(list_max(ws) AS BIGINT) END AS max_words
-        |FROM wc ORDER BY doc_id""".stripMargin
+        |FROM wc ORDER BY doc_id""".stripMargin,
+    "q147_count_min" ->
+      """WITH items AS (
+        | SELECT CAST(l_suppkey AS VARCHAR) AS item FROM lineitem
+        | WHERE l_suppkey IS NOT NULL),
+        |rows_ AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS r),
+        |cols_ AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS b),
+        |cells AS (
+        | SELECT r, CAST(CAST('0x' || substring(md5(item || ':' ||
+        |    CAST(r AS VARCHAR)), 1, 8) AS UBIGINT) % 64 AS INTEGER) AS b,
+        |  count(*) AS cnt
+        | FROM items, rows_ GROUP BY 1, 2)
+        |SELECT g.r, g.b, COALESCE(c.cnt, 0) AS cnt
+        |FROM (SELECT r, b FROM rows_, cols_) g
+        |LEFT JOIN cells c ON c.r = g.r AND c.b = g.b
+        |ORDER BY g.r, g.b""".stripMargin,
+    "q148_fellegi_sunter" ->
+      s"""WITH c AS (
+        | SELECT c_custkey AS id, c_nationkey AS blk,
+        |  lower(trim(c_mktsegment)) AS segment,
+        |  lower(trim(CAST(CAST(abs(floor(c_acctbal)) AS BIGINT) % 100
+        |    AS VARCHAR))) AS area,
+        |  lower(trim(CAST(c_acctbal > 0 AS VARCHAR))) AS bal_pos
+        | FROM customer),
+        |p AS (
+        | SELECT a.id AS id_a, b.id AS id_b, round(
+        |  CASE WHEN a.segment = b.segment
+        |   THEN ${fsLit(FsSegment.agreeWeight)}
+        |   ELSE ${fsLit(FsSegment.disagreeWeight)} END +
+        |  CASE WHEN a.area = b.area
+        |   THEN ${fsLit(FsArea.agreeWeight)}
+        |   ELSE ${fsLit(FsArea.disagreeWeight)} END +
+        |  CASE WHEN a.bal_pos = b.bal_pos
+        |   THEN ${fsLit(FsBalPos.agreeWeight)}
+        |   ELSE ${fsLit(FsBalPos.disagreeWeight)} END, 4) AS weight
+        | FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT CASE WHEN weight > 6.0 THEN 'match'
+        |  WHEN weight > 0.0 THEN 'possible' ELSE 'nonmatch' END AS decision,
+        | count(*) AS n_pairs, min(weight) AS min_w, max(weight) AS max_w
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q150_snapshot_diff" ->
+      """WITH prev AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+        |cur AS (
+        | SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+        |   ELSE text END AS text
+        | FROM documents WHERE doc_id % 17 <> 0),
+        |j AS (
+        | SELECT CASE WHEN p.doc_id IS NULL THEN 'added'
+        |   WHEN c.doc_id IS NULL THEN 'removed'
+        |   WHEN md5(p.text) <> md5(c.text) THEN 'changed'
+        |   ELSE 'unchanged' END AS status
+        | FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
+        |SELECT status, count(*) AS n FROM j
+        |GROUP BY status ORDER BY status""".stripMargin,
+    "q151_fd_check" ->
+      """WITH g1 AS (
+        | SELECT a, sum(n) AS rows_, max(n) AS modal, count(*) AS n_b
+        | FROM (SELECT l_orderkey AS a, l_returnflag AS b, count(*) AS n
+        |       FROM lineitem GROUP BY 1, 2) GROUP BY a),
+        |r1 AS (
+        | SELECT 'orderkey->returnflag' AS fd,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_groups,
+        |  CAST(sum(rows_ - modal) AS BIGINT) AS violation_rows
+        | FROM g1),
+        |g2 AS (
+        | SELECT a, sum(n) AS rows_, max(n) AS modal, count(*) AS n_b
+        | FROM (SELECT l_partkey AS a, l_suppkey AS b, count(*) AS n
+        |       FROM lineitem GROUP BY 1, 2) GROUP BY a),
+        |r2 AS (
+        | SELECT 'partkey->suppkey' AS fd,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_groups,
+        |  CAST(sum(rows_ - modal) AS BIGINT) AS violation_rows
+        | FROM g2)
+        |SELECT fd, n_groups, n_violating_groups, violation_rows,
+        | violation_rows = 0 AS fd_holds
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |ORDER BY fd""".stripMargin,
+    "q152_benford" ->
+      """WITH vals AS (
+        | SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        | WHERE l_extendedprice IS NOT NULL
+        |  AND CAST(l_extendedprice AS DOUBLE) > 0),
+        |digits AS (
+        | SELECT regexp_extract(CAST(v AS VARCHAR), '[1-9]') AS d
+        | FROM vals),
+        |counts AS (
+        | SELECT d, count(*) AS n FROM digits WHERE d <> '' GROUP BY d),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM counts)
+        |SELECT CAST(d AS INTEGER) AS digit, n,
+        | round(n / total, 6) AS observed,
+        | round(log10(1.0 + 1.0 / CAST(d AS DOUBLE)), 6) AS expected,
+        | round(pow(n / total - log10(1.0 + 1.0 / CAST(d AS DOUBLE)), 2)
+        |   / log10(1.0 + 1.0 / CAST(d AS DOUBLE)) * total, 4) AS chi2_term
+        |FROM counts, tot ORDER BY digit""".stripMargin
   )
 }

@@ -104,6 +104,46 @@ object ImageCodec {
     out
   }
 
+  private def lumaOf(p: Int): Int =
+    (299 * ((p >>> 16) & 0xFF) + 587 * ((p >>> 8) & 0xFF) +
+      114 * (p & 0xFF)) / 1000
+
+  /** Average hash (aHash): resize to 8×8, integer luma, bit i set iff
+    * luma(i) > mean luma. Bit-deterministic (integer resize + integer
+    * mean), 64-bit — near-duplicate images land within a small Hamming
+    * distance, so the SimHash banding machinery applies unchanged. */
+  def aHash(r: Raster): Long = {
+    val s = resizeNearest(r, 8, 8)
+    val lum = s.argb.map(lumaOf)
+    val mean = lum.map(_.toLong).sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (lum(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Difference hash (dHash): resize to 9×8, bit (y·8 + x) set iff
+    * luma(x+1, y) > luma(x, y) — captures gradient structure, more robust
+    * to global brightness shifts than aHash. */
+  def dHash(r: Raster): Long = {
+    val s = resizeNearest(r, 9, 8)
+    val lum = s.argb.map(lumaOf)
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(y * 9 + x + 1) > lum(y * 9 + x)) bits |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
   /** Real grayscale conversion (integer Rec.601 luma per pixel). */
   def grayscale(r: Raster): Raster = {
     val out = new Array[Int](r.argb.length)

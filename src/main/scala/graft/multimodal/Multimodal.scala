@@ -109,6 +109,49 @@ object Multimodal {
         .map(r => ImageCodec.encodePng(ImageCodec.resizeNearest(r, w, h)))
     }.apply(bytesCol)
 
+  /** REAL perceptual hash (dHash: 9×8 integer resize → luma gradient
+    * bits): near-duplicate images differ in few bits, so the SimHash
+    * Hamming-banding machinery applies unchanged. Null for undecodable
+    * payloads. Map-only. */
+  def decodedPHash(bytesCol: Column): Column =
+    udf { (b: Array[Byte]) =>
+      ImageCodec.decode(b).map(ImageCodec.dHash)
+    }.apply(bytesCol)
+
+  /** Attach a REAL PNG payload where consecutive ids share a source
+    * raster: seed = id/2, odd ids get a small deterministic perturbation
+    * (two pixels blacked out) — a near-duplicate image corpus for
+    * perceptual-hash dedup, the visual analogue of the text near-dup
+    * fixtures. */
+  def withNearDupImageColumn(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val seed = id / 2
+      val w = (seed % 13).toInt + 16
+      val h = (seed % 7).toInt + 16
+      val r = ImageCodec.syntheticImage(seed, w, h)
+      if (id % 2 == 1) {
+        val px = r.argb.clone()
+        px(0) = 0xFF000000
+        px(1) = 0xFF000000
+        ImageCodec.encodePng(ImageCodec.Raster(w, h, px))
+      } else ImageCodec.encodePng(r)
+    }
+    df.withColumn("image", gen(col(idCol).cast("long")))
+  }
+
+  /** Image near-duplicate pairs: perceptual hash per payload, banded
+    * Hamming join (pigeonhole-lossless at `maxHamming`), exact Hamming
+    * verify — [[graft.operators.Dedup.hammingPairsOfSignatures]] over
+    * [[decodedPHash]]. Shape at 100 TB: the hash pass is map-only over
+    * the binary column; only (id, 64-bit signature) rows shuffle. */
+  def imageNearDupPairs(df: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+        decodedPHash(col(bytesCol)).as("sh"))
+      .filter(col("sh").isNotNull)
+    graft.operators.Dedup.hammingPairsOfSignatures(sig, maxHamming)
+  }
+
   /** Attach a REAL RIFF/WAVE payload + metadata per id: deterministic
     * synthetic PCM (triangle tone + hashed noise), byte-accurate WAV
     * encoding ([[AudioCodec.encodeWav]]). Clip length varies with the id. */

@@ -152,6 +152,20 @@ object Dedup {
     * (bucket size grows as n / 2^(64/numBands)). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, numBandsOverride: Option[Int] = None): DataFrame = {
+    hammingPairsOfSignatures(simhashes(docs, idCol, textCol),
+      maxHamming, numBandsOverride)
+  }
+
+  /** Banded Hamming-distance pair join over ANY 64-bit signature table
+    * (`id`, `sh`) — the engine behind [[simhashPairs]], reused for image
+    * perceptual hashes and any other bit-signature near-dup. Same
+    * pigeonhole recall guarantee: numBands > maxHamming is lossless. */
+  def hammingPairsOfSignatures(sigIn: DataFrame, maxHamming: Int,
+      numBandsOverride: Option[Int] = None): DataFrame = {
+    // persisted for the same reason as the minhash signature table: the
+    // signature computation (simhash / image-decode UDF) feeds the band
+    // explode and both verify-join sides
+    val sh = sigIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val numBands = numBandsOverride.getOrElse(maxHamming + 1)
     require(numBands >= 1 && numBands <= 64, "numBands must be in [1, 64]")
     // Pigeonhole recall guarantee needs more bands than differing bits: with
@@ -166,10 +180,6 @@ object Dedup {
       val lens = (0 until numBands).map(i => baseLen + (if (i < rem) 1 else 0))
       lens.scanLeft(0)(_ + _).zip(lens)
     }
-    // persisted for the same reason as the minhash signature table: the
-    // simhash UDF feeds the band explode and both verify-join sides
-    val sh = simhashes(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("id"),
       posexplode(array(bandSpecs.map { case (offset, len) =>
         val mask = if (len == 64) -1L else (1L << len) - 1L

@@ -45,4 +45,25 @@ object Maintenance {
         expr(s"(_cum - size_bytes) div ${targetBytes}L"))
       .drop("_cum")
   }
+
+  /** Snapshot diff between two corpus versions keyed by `idCol`: each id
+    * is classified `added` / `removed` / `changed` / `unchanged` by
+    * content hash of `contentCol`. The audit step between ingests —
+    * "what did this crawl refresh actually change?" — and the input to
+    * incremental reprocessing (only `added` + `changed` ids need work,
+    * the same splice discipline as the incremental duplicates tool).
+    *
+    * Shape at 100 TB: ids + 32-byte hashes shuffle for the full outer
+    * join — never the payloads; both sides hash map-only first. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    def hashed(df: DataFrame, tag: String) = df.select(
+      col(idCol).as("id"), md5(col(contentCol).cast("string")).as(s"h_$tag"))
+    hashed(prev, "prev").join(hashed(cur, "cur"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("h_prev").isNull, lit("added"))
+          .when(col("h_cur").isNull, lit("removed"))
+          .when(col("h_prev") =!= col("h_cur"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }

@@ -150,4 +150,62 @@ object Profiling {
     counts.orderBy(col("key_rows").desc, col("key")).limit(topK)
       .crossJoin(broadcast(stats))
   }
+
+  /** Functional-dependency check A → B: for each value of `detCol`, the
+    * dependent should be single-valued; the violation count is
+    * Σ_groups (rows − rows of the modal B), i.e. the minimum number of
+    * rows to fix for the FD to hold exactly. Returns one row:
+    * (n_groups, n_violating_groups, violation_rows, fd_holds). The
+    * schema-discovery / data-quality screen (does occurrenceID determine
+    * catalogNumber? does order determine customer?).
+    *
+    * Shape at 100 TB: one (A, B) count aggregate (partial map-side),
+    * one per-A max — both bounded by distinct-pair cardinality, never
+    * raw rows. Modal ties don't matter: only the max count enters. */
+  def fdCheck(df: DataFrame, detCol: String, depCol: String): DataFrame = {
+    val pairs = df.groupBy(col(detCol).as("a"), col(depCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+    pairs.groupBy("a")
+      .agg(sum("n").as("rows"), max("n").as("modal"),
+        count(lit(1)).as("n_b"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n_b") > 1, 1L).otherwise(0L))
+          .as("n_violating_groups"),
+        sum(col("rows") - col("modal")).as("violation_rows"))
+      .select(col("n_groups"), col("n_violating_groups"),
+        col("violation_rows"),
+        (col("violation_rows") === 0L).as("fd_holds"))
+  }
+
+  /** Benford first-significant-digit profile of a positive numeric
+    * column: observed fraction per digit 1..9 vs the Benford expectation
+    * log10(1 + 1/d), with the chi-square statistic. The classic
+    * fabricated-data / unit-mix screen for measurement columns. Rows
+    * with null, zero, or negative values are excluded.
+    *
+    * First digit via string algebra (regexp over the plain-decimal cast)
+    * rather than log10-floor powers: float pow drifts across engines,
+    * string extraction is exact. One digit-count aggregate, map-side
+    * partial — scan-bound, no data-sized shuffle. */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    // first nonzero digit of the absolute decimal representation
+    val firstDigit = regexp_extract(
+      col(valueCol).cast("double").cast("string"), "[1-9]", 0)
+    val counts = df.filter(col(valueCol).isNotNull &&
+        col(valueCol).cast("double") > 0)
+      .select(firstDigit.as("d"))
+      .filter(col("d") =!= "")
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("d").cast("int").as("digit"), col("n"),
+        round(col("n") / col("total"), 6).as("observed"),
+        round(log10(lit(1.0) + lit(1.0) / col("d").cast("double")), 6)
+          .as("expected"),
+        round(pow(col("n") / col("total") -
+            log10(lit(1.0) + lit(1.0) / col("d").cast("double")), 2) /
+            log10(lit(1.0) + lit(1.0) / col("d").cast("double")) *
+            col("total"), 4).as("chi2_term"))
+      .orderBy("digit")
+  }
 }

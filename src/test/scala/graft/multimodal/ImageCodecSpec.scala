@@ -124,4 +124,33 @@ class ImageCodecSpec extends AnyFunSuite {
       assert(r.isDefined && r.get.width == 4 && r.get.height == 3, s"id $id")
     }
   }
+
+  test("perceptual hashes are stable and survive PNG round-trip") {
+    val r = ImageCodec.syntheticImage(42L, 20, 18)
+    val rt = ImageCodec.decode(ImageCodec.encodePng(r)).get
+    assert(ImageCodec.aHash(r) == ImageCodec.aHash(rt))
+    assert(ImageCodec.dHash(r) == ImageCodec.dHash(rt))
+  }
+
+  test("dHash: small perturbation stays near, different images are far") {
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = ImageCodec.syntheticImage(7L, 20, 18)
+    val perturbed = {
+      val px = base.argb.clone()
+      px(0) = 0xFF000000; px(1) = 0xFF000000
+      ImageCodec.Raster(base.width, base.height, px)
+    }
+    assert(hamming(ImageCodec.dHash(base), ImageCodec.dHash(perturbed)) <= 2)
+    val other = ImageCodec.syntheticImage(8L, 20, 18)
+    assert(hamming(ImageCodec.dHash(base), ImageCodec.dHash(other)) > 10)
+  }
+
+  test("imageNearDupPairs finds exactly the shared-raster pairs") {
+    val ids = spark.range(0, 20).select(col("id").as("img_id"))
+    val imgs = Multimodal.withNearDupImageColumn(ids, "img_id")
+    val pairs = Multimodal
+      .imageNearDupPairs(imgs, "img_id", "image", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == (0 until 10).map(k => (2L * k, 2L * k + 1)).toSet)
+  }
 }

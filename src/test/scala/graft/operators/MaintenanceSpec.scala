@@ -40,4 +40,14 @@ class MaintenanceSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(1), r.getLong(3))).sorted.toSeq
     assert(a == b)
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val cur = Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("id", "text")
+    val got = Maintenance.snapshotDiff(prev, cur, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
 }
