@@ -2055,7 +2055,59 @@ object SparkEntry {
     //    string algebra, one digit-count aggregate ──
     "q152_benford" -> ((s, dir) =>
       graft.operators.Profiling.benfordProfile(
-        t(s, dir, "lineitem"), "l_extendedprice"))
+        t(s, dir, "lineitem"), "l_extendedprice")),
+
+    // ── pairwise Pearson correlations from ONE moment-aggregate pass:
+    //    the feature-redundancy screen; d(d+3)/2 sums in a single scan ──
+    "q153_corr_matrix" -> ((s, dir) =>
+      graft.operators.Profiling.correlationMatrix(
+          t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")),
+
+    // ── two-sample Kolmogorov–Smirnov: distribution-shift screen
+    //    between corpus slices (catches shape changes at equal means) ──
+    "q154_ks_test" -> ((s, dir) =>
+      graft.operators.Profiling.ksTest(
+        t(s, dir, "documents"), "n_chars", "source", "src2", "src3")),
+
+    // ── mojibake repair (codegen'd fix_mojibake expression): corrupt
+    //    every doc through a latin-1 mis-decode, repair, and prove the
+    //    round trip — the oracle predicts the outcome from ascii-ness
+    //    alone (only non-ASCII text is damaged, and repair is exact) ──
+    "q155_fix_mojibake" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      t(s, dir, "documents")
+        // every 3rd doc gets non-ASCII content (the synthetic corpus is
+        // pure ASCII, which a legacy mis-decode cannot damage)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" — café, naïve ✓")))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"), col("text"),
+          decode(encode(col("text"), "UTF-8"), "ISO-8859-1").as("garbled"))
+        .select(
+          (col("garbled") =!= col("text")).as("was_corrupted"),
+          (graft.plans.GraftFunctions.fix_mojibake(col("garbled")) ===
+            col("text")).as("repaired"))
+        .groupBy("was_corrupted", "repaired")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("was_corrupted", "repaired")
+    }),
+
+    // ── Unicode-script profile per source: the multilingual routing /
+    //    mixed-script spam signal, map-only then one facet ──
+    "q156_script_profile" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          graft.functions.TextFunctions.scriptProfile(col("text")).as("p"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum("p.latin").as("latin"), sum("p.digits").as("digits"),
+          sum("p.cyrillic").as("cyrillic"), sum("p.arabic").as("arabic"),
+          sum("p.han").as("han"), sum("p.hangul").as("hangul"),
+          sum("p.kana").as("kana"))
+        .orderBy("source"))
   )
 
   // q148 field parameters — shared with the oracle so the log2 weight
@@ -4087,6 +4139,89 @@ object SparkEntry {
         | round(log10(1.0 + 1.0 / CAST(d AS DOUBLE)), 6) AS expected,
         | round(pow(n / total - log10(1.0 + 1.0 / CAST(d AS DOUBLE)), 2)
         |   / log10(1.0 + 1.0 / CAST(d AS DOUBLE)) * total, 4) AS chi2_term
-        |FROM counts, tot ORDER BY digit""".stripMargin
+        |FROM counts, tot ORDER BY digit""".stripMargin,
+    "q153_corr_matrix" ->
+      """WITH c AS (
+        | SELECT CAST(l_quantity AS DOUBLE) AS q,
+        |  CAST(l_extendedprice AS DOUBLE) AS p,
+        |  CAST(l_discount AS DOUBLE) AS d, CAST(l_tax AS DOUBLE) AS t
+        | FROM lineitem
+        | WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+        |m AS (
+        | SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  sum(q) AS sq, sum(p) AS sp, sum(d) AS sd, sum(t) AS st,
+        |  sum(q*q) AS sqq, sum(p*p) AS spp, sum(d*d) AS sdd,
+        |  sum(t*t) AS stt, sum(q*p) AS sqp, sum(q*d) AS sqd,
+        |  sum(q*t) AS sqt, sum(p*d) AS spd, sum(p*t) AS spt,
+        |  sum(d*t) AS sdt
+        | FROM c)
+        |SELECT col_a, col_b, corr FROM (
+        | SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |  round((n*sqp - sq*sp)/sqrt((n*sqq - sq*sq)*(n*spp - sp*sp)), 6)
+        |   AS corr FROM m
+        | UNION ALL SELECT 'l_quantity', 'l_discount',
+        |  round((n*sqd - sq*sd)/sqrt((n*sqq - sq*sq)*(n*sdd - sd*sd)), 6)
+        |  FROM m
+        | UNION ALL SELECT 'l_quantity', 'l_tax',
+        |  round((n*sqt - sq*st)/sqrt((n*sqq - sq*sq)*(n*stt - st*st)), 6)
+        |  FROM m
+        | UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |  round((n*spd - sp*sd)/sqrt((n*spp - sp*sp)*(n*sdd - sd*sd)), 6)
+        |  FROM m
+        | UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |  round((n*spt - sp*st)/sqrt((n*spp - sp*sp)*(n*stt - st*st)), 6)
+        |  FROM m
+        | UNION ALL SELECT 'l_discount', 'l_tax',
+        |  round((n*sdt - sd*st)/sqrt((n*sdd - sd*sd)*(n*stt - st*st)), 6)
+        |  FROM m)
+        |ORDER BY col_a, col_b""".stripMargin,
+    "q154_ks_test" ->
+      """WITH pv AS (
+        | SELECT CAST(n_chars AS DOUBLE) AS x,
+        |  sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS ca,
+        |  sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS cb
+        | FROM documents
+        | WHERE source IN ('src2', 'src3') AND n_chars IS NOT NULL
+        | GROUP BY 1),
+        |cums AS (
+        | SELECT x,
+        |  sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cuma,
+        |  sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cumb
+        | FROM pv),
+        |tot AS (SELECT max(cuma) AS n1, max(cumb) AS n2 FROM cums)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        | round(max(abs(CAST(cuma AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |   CAST(cumb AS DOUBLE) / CAST(n2 AS DOUBLE))), 6) AS d_stat
+        |FROM cums, tot GROUP BY n1, n2""".stripMargin,
+    "q155_fix_mojibake" ->
+      """WITH aug AS (
+        | SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |   THEN text || ' — café, naïve ✓' ELSE text END AS text
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id,
+        |  regexp_matches(text, '[^\x00-\x7f]') AS was_corrupted
+        | FROM aug)
+        |SELECT was_corrupted, true AS repaired, count(*) AS n
+        |FROM c GROUP BY was_corrupted
+        |ORDER BY was_corrupted, repaired""".stripMargin,
+    "q156_script_profile" ->
+      """SELECT source, count(*) AS docs,
+        | CAST(sum(len(regexp_extract_all(text, '[A-Za-z]')))
+        |   AS BIGINT) AS latin,
+        | CAST(sum(len(regexp_extract_all(text, '[0-9]')))
+        |   AS BIGINT) AS digits,
+        | CAST(sum(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')))
+        |   AS BIGINT) AS cyrillic,
+        | CAST(sum(len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')))
+        |   AS BIGINT) AS arabic,
+        | CAST(sum(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')))
+        |   AS BIGINT) AS han,
+        | CAST(sum(len(regexp_extract_all(text, '[\x{AC00}-\x{D7AF}]')))
+        |   AS BIGINT) AS hangul,
+        | CAST(sum(len(regexp_extract_all(text, '[\x{3040}-\x{30FF}]')))
+        |   AS BIGINT) AS kana
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -295,6 +295,20 @@ object TextFunctions {
       .otherwise(transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
 
+  /** Unicode-script profile — counts of characters in the major script
+    * ranges (plus ASCII letters/digits): the routing signal multilingual
+    * corpus pipelines split on, and the mixed-script spam flag. Explicit
+    * codepoint ranges (not \\p{script=} classes) so the DuckDB RE2 oracle
+    * states the same sets. */
+  def scriptProfile(text: Column): Column = struct(
+    regexp_count(text, lit("[A-Za-z]")).as("latin"),
+    regexp_count(text, lit("[0-9]")).as("digits"),
+    regexp_count(text, lit("[Ѐ-ӿ]")).as("cyrillic"),
+    regexp_count(text, lit("[؀-ۿ]")).as("arabic"),
+    regexp_count(text, lit("[一-鿿]")).as("han"),
+    regexp_count(text, lit("[가-힯]")).as("hangul"),
+    regexp_count(text, lit("[぀-ヿ]")).as("kana"))
+
   /** Markup-structure profile of a document — the boilerplate/structure
     * signals web-corpus quality filters read (markdown headings/links,
     * code fences, residual HTML tags, bare URLs). All `regexp_count`

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling: per-column null counts, exact distinct counts,
@@ -175,6 +176,73 @@ object Profiling {
       .select(col("n_groups"), col("n_violating_groups"),
         col("violation_rows"),
         (col("violation_rows") === 0L).as("fd_holds"))
+  }
+
+  /** Pairwise Pearson correlations of `cols` from ONE aggregate pass:
+    * all first/second-order moments (d sums, d sums-of-squares,
+    * d(d−1)/2 cross-products) accumulate in a single map-side-partial
+    * scan; the d×d matrix assembles driver-side from that one row. The
+    * feature-redundancy screen before training-data feature selection.
+    *
+    * Null handling: rows with a null in ANY of `cols` are dropped
+    * (listwise deletion), so every pair sees the same n and the matrix
+    * stays positive semi-definite. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val clean = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .na.drop(cols)
+    val aggs =
+      Seq(count(lit(1)).cast("double").as("n")) ++
+        cols.map(c => sum(col(c)).as(s"s_$c")) ++
+        cols.map(c => sum(col(c) * col(c)).as(s"ss_$c")) ++
+        (for (i <- cols.indices; j <- cols.indices if i < j)
+          yield sum(col(cols(i)) * col(cols(j)))
+            .as(s"sp_${cols(i)}_${cols(j)}"))
+    val row = clean.agg(aggs.head, aggs.tail: _*).head()
+    def d(name: String) = row.getDouble(row.fieldIndex(name))
+    val n = d("n")
+    val pairs = for (i <- cols.indices; j <- cols.indices if i < j) yield {
+      val (a, b) = (cols(i), cols(j))
+      val cov = n * d(s"sp_${a}_$b") - d(s"s_$a") * d(s"s_$b")
+      val va = n * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")
+      val vb = n * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b")
+      (a, b, BigDecimal(cov / math.sqrt(va * vb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    pairs.toDF("col_a", "col_b", "corr")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the `valueCol`
+    * distributions of two slices: D = max_x |F₁(x) − F₂(x)| over the
+    * empirical CDFs. The distribution-shift screen that, unlike the mean
+    * tests (q123), catches shape changes at equal means.
+    *
+    * Shape at 100 TB: per-distinct-value counts partial-aggregate first;
+    * the CDF cumsum window runs over DISTINCT values of the measure
+    * (value-bounded, same contract as the Zipf ranking — for continuous
+    * measures, bucket first). */
+  def ksTest(df: DataFrame, valueCol: String, sliceCol: String,
+      sliceA: String, sliceB: String): DataFrame = {
+    val perValue = df
+      .filter(col(sliceCol).isin(sliceA, sliceB) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("x"))
+      .agg(sum(when(col(sliceCol) === sliceA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(sliceCol) === sliceB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = perValue
+      .select(col("x"), sum("ca").over(w).as("cuma"),
+        sum("cb").over(w).as("cumb"))
+    // totals = the final cumulative counts (cumsums of non-negatives)
+    val tot = cums.agg(max("cuma").as("n1"), max("cumb").as("n2"))
+    cums.crossJoin(broadcast(tot))
+      .agg(max("n1").as("n1"), max("n2").as("n2"),
+        round(max(abs(
+          col("cuma").cast("double") / col("n1").cast("double") -
+            col("cumb").cast("double") / col("n2").cast("double"))), 6)
+          .as("d_stat"))
   }
 
   /** Benford first-significant-digit profile of a positive numeric

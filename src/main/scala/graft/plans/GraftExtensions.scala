@@ -314,6 +314,63 @@ case class CharEntropyExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+object FixMojibake {
+  import java.nio.charset.{CharacterCodingException, CodingErrorAction,
+    StandardCharsets}
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  private def tryRepair(s: String,
+      cs: java.nio.charset.Charset): Option[String] = {
+    val enc = cs.newEncoder()
+    if (!enc.canEncode(s)) return None
+    val bytes = s.getBytes(cs)
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      // genuine mojibake SHRINKS on repair (multi-byte sequences collapse
+      // to one char); equal length means the text was never corrupted
+      if (out.length < s.length) Some(out) else None
+    } catch { case _: CharacterCodingException => None }
+  }
+
+  /** One round of UTF-8-as-legacy repair: re-encode through cp1252 (the
+    * usual web culprit — covers €/™-style sequences), falling back to
+    * Latin-1 (covers the control-range bytes cp1252 leaves undefined);
+    * keep the original unless the bytes decode as STRICT UTF-8 and the
+    * repair shrinks the text. ASCII passes through untouched at the cost
+    * of one encodability scan. */
+  def compute(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val s = u.toString
+    if (s.isEmpty) return u
+    tryRepair(s, Cp1252).orElse(tryRepair(s, StandardCharsets.ISO_8859_1))
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+      .getOrElse(u)
+  }
+}
+
+/** fix_mojibake(string) → string: repair UTF-8 text that was mis-decoded
+  * through a legacy single-byte charset ("cafÃ©" → "café", "â€™" → "’") —
+  * the ftfy-style scrub a web corpus runs before fingerprinting (mojibake
+  * splits exact-dup clusters and poisons language ID). Strict-decode
+  * guarded: anything that isn't a clean reversal passes through
+  * unchanged, so the op is idempotent on clean text. Codegen'd map-only. */
+case class FixMojibakeExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "fix_mojibake expects a string argument")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    FixMojibake.compute(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.FixMojibake.compute($s)")
+  override protected def withNewChildInternal(c: Expression): FixMojibakeExpr =
+    copy(child = c)
+}
+
 object GraftFunctions {
   /** Column-API forms (require `register(spark)` first — the public
     * `call_function` route is the supported Column↔Expression bridge). */
@@ -332,6 +389,8 @@ object GraftFunctions {
       precision)
   def char_entropy(s: Column): Column =
     org.apache.spark.sql.functions.call_function("char_entropy", s)
+  def fix_mojibake(s: Column): Column =
+    org.apache.spark.sql.functions.call_function("fix_mojibake", s)
 
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
@@ -340,7 +399,8 @@ object GraftFunctions {
     "strip_accents" -> (es => StripAccents(es(0))),
     "jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1))),
     "geohash" -> (es => GeohashExpr(es(0), es(1), es(2))),
-    "char_entropy" -> (es => CharEntropyExpr(es(0))))
+    "char_entropy" -> (es => CharEntropyExpr(es(0))),
+    "fix_mojibake" -> (es => FixMojibakeExpr(es(0))))
 
   /** Post-hoc registration on a live session (SQL surface). */
   def register(spark: SparkSession): Unit =
@@ -371,6 +431,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("geohash"),
       new ExpressionInfo(classOf[GeohashExpr].getName, "geohash"),
       es => GeohashExpr(es(0), es(1), es(2))))
+    e.injectFunction((FunctionIdentifier("fix_mojibake"),
+      new ExpressionInfo(classOf[FixMojibakeExpr].getName, "fix_mojibake"),
+      es => FixMojibakeExpr(es(0))))
     e.injectOptimizerRule(ApproxDistinctRule)
   }
 }

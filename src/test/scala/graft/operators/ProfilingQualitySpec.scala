@@ -44,4 +44,53 @@ class ProfilingQualitySpec extends AnyFunSuite {
       .select("observed").as[Double].collect()
     assert(math.abs(fracs.sum - 1.0) < 1e-4)
   }
+
+  test("correlationMatrix: perfect linear and independent pairs") {
+    val df = (1 to 50).map { i =>
+      (i.toDouble, 2.0 * i + 3.0, if (i % 2 == 0) 1.0 else -1.0)
+    }.toDF("x", "y", "z")
+    val got = Profiling.correlationMatrix(df, Seq("x", "y", "z"))
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(got(("x", "y")) - 1.0) < 1e-6)     // exact linear
+    assert(math.abs(got(("x", "z"))) < 0.05)           // near-independent
+    assert(got.size == 3)
+  }
+
+  test("correlationMatrix drops rows with any null (listwise)") {
+    val df = Seq(
+      (Some(1.0), Some(2.0), Some(1.0)),
+      (Some(2.0), Some(4.0), None),       // dropped for all pairs
+      (Some(3.0), Some(6.0), Some(3.0)),
+      (Some(4.0), Some(8.0), Some(4.0))
+    ).toDF("x", "y", "z")
+    val got = Profiling.correlationMatrix(df, Seq("x", "y", "z"))
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(got(("x", "y")) - 1.0) < 1e-6)
+    assert(math.abs(got(("x", "z")) - 1.0) < 1e-6)
+  }
+
+  test("ksTest: identical slices give D = 0, disjoint ranges give D = 1") {
+    val same = (1 to 40).flatMap(i =>
+      Seq(("a", (i % 10).toDouble), ("b", (i % 10).toDouble)))
+      .toDF("slice", "v")
+    val d0 = Profiling.ksTest(same, "v", "slice", "a", "b")
+      .select("d_stat").as[Double].head()
+    assert(d0 == 0.0)
+    val disjoint = ((1 to 20).map(i => ("a", i.toDouble)) ++
+      (1 to 20).map(i => ("b", 100.0 + i))).toDF("slice", "v")
+    val d1 = Profiling.ksTest(disjoint, "v", "slice", "a", "b")
+      .select("d_stat").as[Double].head()
+    assert(d1 == 1.0)
+  }
+
+  test("ksTest: hand-computed D on a small example") {
+    // a: {1,2,3,4}; b: {3,4,5,6} → max CDF gap at x=2: |2/4 − 0/4| = 0.5
+    val df = (Seq(1, 2, 3, 4).map(v => ("a", v.toDouble)) ++
+      Seq(3, 4, 5, 6).map(v => ("b", v.toDouble))).toDF("slice", "v")
+    val got = Profiling.ksTest(df, "v", "slice", "a", "b")
+      .as[(Long, Long, Double)].head()
+    assert(got == ((4L, 4L, 0.5)))
+  }
 }

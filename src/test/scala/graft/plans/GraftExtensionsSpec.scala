@@ -159,4 +159,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString
       .contains("*(1) Project [charentropyexpr"))
   }
+
+  test("fix_mojibake repairs latin-1 and cp1252 mis-decodes, idempotent") {
+    GraftFunctions.register(spark)
+    def fix(s: String): String =
+      Seq(Tuple1(s)).toDF("s")
+        .select(GraftFunctions.fix_mojibake($"s")).as[String].head()
+    // latin-1 damage: "café" read as latin-1 → "cafÃ©"
+    assert(fix("cafÃ©") == "café")
+    // cp1252 damage: ’ (E2 80 99) read as cp1252 → "â€™"
+    assert(fix("donâ€™t") == "don’t")
+    // clean text passes through (ascii, real accents, CJK)
+    assert(fix("plain ascii") == "plain ascii")
+    assert(fix("café déjà vu") == "café déjà vu")
+    assert(fix("中文 текст") == "中文 текст")
+    // idempotent: repairing a repaired string is a no-op
+    assert(fix(fix("cafÃ©")) == "café")
+  }
+
+  test("fix_mojibake inverts a full encode/decode round trip in the plan") {
+    GraftFunctions.register(spark)
+    val df = Seq("naïve — déjà vu ✓", "ascii only", "中文文本")
+      .toDF("text")
+      .select(col("text"),
+        GraftFunctions.fix_mojibake(
+          decode(encode(col("text"), "UTF-8"), "ISO-8859-1")).as("fixed"))
+    assert(df.collect().forall(r => r.getString(0) == r.getString(1)))
+  }
 }

