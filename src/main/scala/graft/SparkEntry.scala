@@ -2107,7 +2107,22 @@ object SparkEntry {
           sum("p.cyrillic").as("cyrillic"), sum("p.arabic").as("arabic"),
           sum("p.han").as("han"), sum("p.hangul").as("hangul"),
           sum("p.kana").as("kana"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // ── spatial distance self-join: all point pairs within 250 m via
+    //    grid-cell bucketing (3×3 neighbourhood explode, never a cross
+    //    join) + exact haversine verify on the rounded distance ──
+    "q157_distance_join" -> ((s, dir) => {
+      val m = (col("o_orderkey") / 16).cast("long")
+      val pts = t(s, dir, "orders").filter(col("o_orderkey") % 16 === 0)
+        .select(col("o_orderkey").cast("long").as("pid"),
+          (lit(-35.0) + (m % 50).cast("double") * 0.001).as("lat"),
+          (lit(149.0) + ((m / 50).cast("long") % 50).cast("double") * 0.001)
+            .as("lon"))
+      graft.operators.ScaleJoins
+        .distanceSelfJoin(pts, "pid", "lat", "lon", maxMetres = 250.0)
+        .orderBy("id_a", "id_b")
+    })
   )
 
   // q148 field parameters — shared with the oracle so the log2 weight
@@ -4222,6 +4237,22 @@ object SparkEntry {
         |   AS BIGINT) AS hangul,
         | CAST(sum(len(regexp_extract_all(text, '[\x{3040}-\x{30FF}]')))
         |   AS BIGINT) AS kana
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q157_distance_join" ->
+      """WITH pts AS (
+        | SELECT CAST(o_orderkey AS BIGINT) AS pid,
+        |  -35.0 + CAST((o_orderkey // 16) % 50 AS DOUBLE) * 0.001 AS lat,
+        |  149.0 + CAST(((o_orderkey // 16) // 50) % 50 AS DOUBLE) * 0.001
+        |   AS lon
+        | FROM orders WHERE o_orderkey % 16 = 0),
+        |pairs AS (
+        | SELECT a.pid AS id_a, b.pid AS id_b,
+        |  round(2 * 6371000.0 * asin(sqrt(
+        |    pow(sin(radians(b.lat - a.lat) / 2), 2) +
+        |    cos(radians(a.lat)) * cos(radians(b.lat)) *
+        |    pow(sin(radians(b.lon - a.lon) / 2), 2))), 1) AS dist_m
+        | FROM pts a JOIN pts b ON a.pid < b.pid)
+        |SELECT id_a, id_b, dist_m FROM pairs WHERE dist_m <= 250.0
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -126,4 +126,57 @@ object ScaleJoins {
         col(s"${sortCol}_a"), col(s"${sortCol}_b"),
         (col("_rank_b") - col("_rank_a")).as("rank_dist"))
   }
+
+  /** Haversine distance in metres as pure column algebra (codegen'd; the
+    * exact formula the DuckDB oracle restates). */
+  def haversineMetres(latA: Column, lonA: Column,
+      latB: Column, lonB: Column): Column =
+    lit(2.0 * 6371000.0) * asin(sqrt(
+      pow(sin(radians(latB - latA) / 2), 2) +
+        cos(radians(latA)) * cos(radians(latB)) *
+          pow(sin(radians(lonB - lonA) / 2), 2)))
+
+  /** All point pairs within `maxMetres` (great-circle): grid-cell
+    * bucketing with one side exploded to its 3×3 cell neighbourhood, then
+    * an exact haversine verify — the distance self-join behind "records
+    * at the same locality" duplicate predicates (reference
+    * `tool/DuplicationDetection.scala` spatial rules work on rounded
+    * coordinates; this is the metric form).
+    *
+    * Recall contract: cell size is `2·maxMetres/111000` degrees, which
+    * covers the lat-span of any qualifying pair everywhere and the
+    * lon-span up to |lat| ≤ 60° (lon degrees shrink by cos(lat); at 60°
+    * the factor-2 margin is exactly spent). Callers above 60° must widen
+    * the cell.
+    *
+    * Shape at 100 TB: candidates come from the (cx, cy) equi-join only —
+    * 9× explode on one side, never a cross join; each qualifying pair is
+    * produced exactly once (the un-exploded side's cell is unique, so no
+    * distinct pass). The threshold compares the ROUNDED distance, making
+    * the boundary decision reproducible on any engine. */
+  def distanceSelfJoin(points: DataFrame, idCol: String, latCol: String,
+      lonCol: String, maxMetres: Double): DataFrame = {
+    require(maxMetres > 0, "maxMetres must be positive")
+    val s = 2.0 * maxMetres / 111000.0
+    val base = points.select(col(idCol).as("id"),
+        col(latCol).cast("double").as("lat"),
+        col(lonCol).cast("double").as("lon"))
+      .withColumn("cx", floor(col("lat") / s).cast("long"))
+      .withColumn("cy", floor(col("lon") / s).cast("long"))
+    val offsets = for (dx <- -1L to 1L; dy <- -1L to 1L)
+      yield struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
+    val aSide = base
+      .select(col("id").as("id_a"), col("lat").as("lat_a"),
+        col("lon").as("lon_a"), explode(array(offsets: _*)).as("c"))
+      .select(col("id_a"), col("lat_a"), col("lon_a"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+    val bSide = base.select(col("id").as("id_b"), col("lat").as("lat_b"),
+      col("lon").as("lon_b"), col("cx"), col("cy"))
+    aSide.join(bSide, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(haversineMetres(col("lat_a"), col("lon_a"),
+          col("lat_b"), col("lon_b")), 1).as("dist_m"))
+      .filter(col("dist_m") <= maxMetres)
+  }
 }

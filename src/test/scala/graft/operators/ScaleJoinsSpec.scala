@@ -79,4 +79,39 @@ class ScaleJoinsSpec extends AnyFunSuite {
       .select("rank_dist").as[Long].collect()
     assert(dists.forall(d => d >= 1 && d <= 2))
   }
+
+  test("distanceSelfJoin matches a brute-force haversine join") {
+    // 4×4 grid, ~111 m lat spacing, ~91 m lon spacing at -35°
+    val pts = (0 until 16).map { i =>
+      (i.toLong, -35.0 + (i % 4) * 0.001, 149.0 + (i / 4) * 0.001)
+    }.toDF("pid", "lat", "lon")
+    val got = ScaleJoins.distanceSelfJoin(pts, "pid", "lat", "lon", 250.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def hav(a: (Double, Double), b: (Double, Double)): Double = {
+      val dLat = math.toRadians(b._1 - a._1)
+      val dLon = math.toRadians(b._2 - a._2)
+      2 * 6371000.0 * math.asin(math.sqrt(
+        math.pow(math.sin(dLat / 2), 2) +
+          math.cos(math.toRadians(a._1)) * math.cos(math.toRadians(b._1)) *
+            math.pow(math.sin(dLon / 2), 2)))
+    }
+    val coords = (0 until 16).map(i =>
+      i.toLong -> (-35.0 + (i % 4) * 0.001, 149.0 + (i / 4) * 0.001)).toMap
+    val expected = (for {
+      a <- 0L until 16L; b <- (a + 1) until 16L
+      if hav(coords(a), coords(b)) <= 250.0
+    } yield (a, b)).toSet
+    assert(got == expected && expected.nonEmpty)
+    // sanity: immediate lat neighbours (~111 m) are in, 3-step (~333 m) out
+    assert(got.contains((0L, 1L)) && !got.contains((0L, 3L)))
+  }
+
+  test("distanceSelfJoin emits each qualifying pair exactly once") {
+    val pts = Seq((1L, -35.0, 149.0), (2L, -35.0001, 149.0001))
+      .toDF("pid", "lat", "lon")
+    val rows = ScaleJoins.distanceSelfJoin(pts, "pid", "lat", "lon", 100.0)
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1L && rows.head.getLong(1) == 2L)
+  }
 }

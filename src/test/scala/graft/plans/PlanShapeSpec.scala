@@ -329,6 +329,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q157 distance join pairs via the cell equi-join, never a " +
+      "cartesian / nested-loop product") {
+    val plan = finalPlanOf(
+      graft.SparkEntry.queries("q157_distance_join")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"distance join must stay (cx, cy)-keyed:\n$plan")
+  }
+
   test("q146 sentence stats stay map-only over the scan (no exchange " +
       "before the per-doc projection)") {
     val df = graft.Tables.load(spark, sf, "documents")
