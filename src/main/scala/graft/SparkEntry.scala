@@ -2122,6 +2122,27 @@ object SparkEntry {
       graft.operators.ScaleJoins
         .distanceSelfJoin(pts, "pid", "lat", "lon", maxMetres = 250.0)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ── transformWithState (Spark 4 arbitrary-state v2): per-user
+    //    lifetime stats via typed ValueState + MapState on the RocksDB
+    //    store; final change-log state must equal the batch aggregate ──
+    "q158_tws_lifetime" -> ((s, dir) => {
+      import graft.streaming.StatefulLifetime
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .transform(Tables.normalizeTs)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_type").cast("string").as("event_type"),
+          col("value").cast("double").as("value"))
+        .as[StatefulLifetime.UserEvent](
+          org.apache.spark.sql.Encoders.product[StatefulLifetime.UserEvent])
+      StatefulLifetime
+        .finalTotals(StatefulLifetime.runLifetime(stream, "q158_out"))
+        .orderBy("user_id")
     })
   )
 
@@ -4253,6 +4274,12 @@ object SparkEntry {
         |    pow(sin(radians(b.lon - a.lon) / 2), 2))), 1) AS dist_m
         | FROM pts a JOIN pts b ON a.pid < b.pid)
         |SELECT id_a, id_b, dist_m FROM pairs WHERE dist_m <= 250.0
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q158_tws_lifetime" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id,
+        | count(*) AS n_events,
+        | count(DISTINCT event_type) AS n_types,
+        | round(sum(CAST(value AS DOUBLE)), 2) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
