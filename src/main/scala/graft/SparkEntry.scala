@@ -2143,6 +2143,127 @@ object SparkEntry {
       StatefulLifetime
         .finalTotals(StatefulLifetime.runLifetime(stream, "q158_out"))
         .orderBy("user_id")
+    }),
+
+    // ── chi-square independence + Cramér's V between two facets: the
+    //    "are these dimensions related?" screen; only OBSERVED cells
+    //    aggregate (Σ(o−e)²/e = n·Σo²/(ra·rb) − n) ──
+    "q159_chi_square" -> ((s, dir) =>
+      graft.operators.Profiling.chiSquareIndependence(
+        t(s, dir, "orders"), "o_orderstatus", "o_orderpriority")),
+
+    // ── Welch's unequal-variance t-test between corpus slices: the
+    //    mean-shift screen pairing with the KS shape test (q154) ──
+    "q160_welch_ttest" -> ((s, dir) =>
+      graft.operators.Profiling.welchTTest(
+        t(s, dir, "documents"), "n_chars", "source", "src2", "src3")),
+
+    // ── per-group OLS trend: slope/intercept/r² of order value vs time
+    //    per segment from ONE moment aggregate (closed form, no fits) ──
+    "q161_group_ols" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-06-01").cast("date")).as("x"),
+          col("o_totalprice").as("y"))
+      graft.operators.Profiling.groupOls(joined, "c_mktsegment", "x", "y")
+        .withColumnRenamed("grp", "segment")
+        .orderBy("segment")
+    }),
+
+    // ── corpus-mix inequality: Lorenz curve + Gini of per-source token
+    //    mass — the "is 90% of the corpus one crawl?" dashboard row ──
+    "q162_gini" -> ((s, dir) =>
+      graft.operators.Profiling.giniReport(
+          t(s, dir, "documents"), "source", sum(col("n_chars")))
+        .orderBy("mass", "grp")),
+
+    // ── MOSS winnowing fingerprints: guaranteed-coverage local document
+    //    signatures (any shared substring ≥ k+w−1 chars shares a
+    //    fingerprint); selection = w frame-shifted window minima over ONE
+    //    per-doc sort ──
+    "q163_winnow_fps" -> ((s, dir) =>
+      graft.operators.TextSearch.winnowFingerprints(
+          t(s, dir, "documents"), "doc_id", "text", k = 8, w = 4)
+        .groupBy(col("doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_fps"))
+        .orderBy("doc_id")),
+
+    // ── cross-document winnowing matches: planted near-copies must meet
+    //    their originals on shared fingerprints; df cutoff bounds the
+    //    posting skew before the pair join ──
+    "q164_winnow_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val clones = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(lit("edited prefix "), col("text")).as("text"))
+      val fps = graft.operators.TextSearch.winnowFingerprints(
+        docs.unionByName(clones), "doc_id", "text", k = 8, w = 4)
+      graft.operators.TextSearch
+        .winnowSharedPairs(fps, minShared = 10L, maxDf = 8L)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ── interval-overlap self-join as an equi-join on coverage buckets
+    //    (first-shared-bucket dedup), never a range cross-product ──
+    "q165_interval_join" -> ((s, dir) => {
+      val iv = t(s, dir, "orders").filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").cast("long").as("id"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")).cast("long").as("s"))
+        .withColumn("e", col("s") + col("id") % 13 + lit(1L))
+      graft.operators.ScaleJoins
+        .intervalOverlapJoin(iv, "id", "s", "e", bucketSize = 8L)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ── k-anonymity / l-diversity audit over quasi-identifiers: the
+    //    re-identification screen before a data release ──
+    "q166_k_anonymity" -> ((s, dir) =>
+      graft.operators.Profiling.kAnonymityAudit(
+        t(s, dir, "customer").select(col("c_nationkey"),
+          col("c_mktsegment"),
+          (col("c_acctbal") >= 0).cast("string").as("bal_pos")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_pos", k = 10L)),
+
+    // ── Flesch reading-ease per source: vowel-group syllable heuristic,
+    //    RE2-safe patterns, map-only then one facet ──
+    "q167_flesch" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), TF.fleschStats(col("text")).as("f"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum("f.words").as("words"),
+          sum("f.syllables").as("syllables"),
+          round(avg("f.flesch"), 4).as("avg_flesch"))
+        .orderBy("source")),
+
+    // ── Mann–Whitney U rank-sum between slices: nonparametric shift
+    //    screen; ranks from the distinct-value table, never per row ──
+    "q168_mann_whitney" -> ((s, dir) =>
+      graft.operators.Profiling.mannWhitneyU(
+        t(s, dir, "documents"), "n_chars", "source", "src2", "src3")),
+
+    // ── Benjamini–Hochberg FDR over per-slice drift z-tests: which
+    //    sources' means survive multiple-testing correction ──
+    "q169_slice_fdr" -> ((s, dir) =>
+      graft.operators.Profiling.sliceDriftFdr(
+          t(s, dir, "documents"), "n_chars", "source", alpha = 0.05)
+        .orderBy("rank")),
+
+    // ── offline CUSUM changepoint per key over a daily series: where
+    //    the cumulative deviation from the key mean peaks; daily sums
+    //    are 6-dp-rounded so both engines cusum identical inputs ──
+    "q170_cusum" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("d"))
+        .agg(round(sum("value"), 6).as("x"))
+      graft.operators.Profiling.cusumChangepoint(daily, "event_type", "d", "x")
+        .orderBy("key")
     })
   )
 
@@ -4280,6 +4401,284 @@ object SparkEntry {
         | count(*) AS n_events,
         | count(DISTINCT event_type) AS n_types,
         | round(sum(CAST(value AS DOUBLE)), 2) AS total_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q159_chi_square" ->
+      """WITH cells AS (
+        | SELECT o_orderstatus AS a, o_orderpriority AS b,
+        |  CAST(count(*) AS BIGINT) AS o
+        | FROM orders
+        | WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        | GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+        |rb AS (SELECT b, CAST(sum(o) AS BIGINT) AS rb FROM cells GROUP BY b),
+        |j AS (SELECT cells.o, ra.ra, rb.rb, cells.a, cells.b
+        |      FROM cells JOIN ra USING (a) JOIN rb USING (b)),
+        |m AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |  count(DISTINCT a) AS r, count(DISTINCT b) AS c,
+        |  sum(CAST(o AS DOUBLE) * CAST(o AS DOUBLE) /
+        |      (CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE))) AS q
+        | FROM j)
+        |SELECT n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+        | round(CAST(n AS DOUBLE) * q - n, 6) AS chi2,
+        | round(sqrt(greatest(0.0, (n * q - n) /
+        |   (n * CAST(least(r - 1, c - 1) AS DOUBLE)))), 6) AS cramers_v
+        |FROM m""".stripMargin,
+    "q160_welch_ttest" ->
+      """WITH m AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    AS na,
+        |  sum(CASE WHEN source = 'src2'
+        |      THEN CAST(n_chars AS DOUBLE) END) AS sa,
+        |  sum(CASE WHEN source = 'src2'
+        |      THEN CAST(n_chars AS DOUBLE) * n_chars END) AS qa,
+        |  CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    AS nb,
+        |  sum(CASE WHEN source = 'src3'
+        |      THEN CAST(n_chars AS DOUBLE) END) AS sb,
+        |  sum(CASE WHEN source = 'src3'
+        |      THEN CAST(n_chars AS DOUBLE) * n_chars END) AS qb
+        | FROM documents
+        | WHERE source IN ('src2', 'src3') AND n_chars IS NOT NULL)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        | round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
+        | round((sa / na - sb / nb) / sqrt(
+        |   (qa - sa * sa / na) / (na - 1) / na +
+        |   (qb - sb * sb / nb) / (nb - 1) / nb), 6) AS t_stat,
+        | round(pow((qa - sa * sa / na) / (na - 1) / na +
+        |           (qb - sb * sb / nb) / (nb - 1) / nb, 2) /
+        |   (pow((qa - sa * sa / na) / (na - 1) / na, 2) / (na - 1) +
+        |    pow((qb - sb * sb / nb) / (nb - 1) / nb, 2) / (nb - 1)), 4)
+        |   AS welch_df
+        |FROM m""".stripMargin,
+    "q161_group_ols" ->
+      """WITH pts AS (
+        | SELECT c_mktsegment AS segment,
+        |  CAST(date_diff('day', DATE '1995-06-01',
+        |    CAST(o_orderdate AS DATE)) AS DOUBLE) AS x,
+        |  CAST(o_totalprice AS DOUBLE) AS y
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+        |m AS (
+        | SELECT segment, CAST(count(*) AS DOUBLE) AS n,
+        |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |  sum(x * x) AS sxx, sum(y * y) AS syy
+        | FROM pts GROUP BY segment)
+        |SELECT segment, CAST(n AS BIGINT) AS n,
+        | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        | round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |   AS intercept,
+        | round(CASE WHEN n * syy - sy * sy > 0
+        |   THEN (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |        ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+        |FROM m
+        |WHERE n >= 2 AND n * sxx - sx * sx > 0
+        |ORDER BY segment""".stripMargin,
+    "q162_gini" ->
+      """WITH mass AS (
+        | SELECT source AS grp, CAST(sum(n_chars) AS DOUBLE) AS mass
+        | FROM documents GROUP BY source),
+        |r AS (
+        | SELECT grp, mass,
+        |  row_number() OVER (ORDER BY mass, grp) AS i,
+        |  sum(mass) OVER (ORDER BY mass, grp
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_mass
+        | FROM mass),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS ng, sum(mass) AS total,
+        |  sum((2 * i - 1) * mass) AS wsum FROM r)
+        |SELECT grp, CAST(mass AS BIGINT) AS mass,
+        | round(i / ng, 6) AS cum_group_share,
+        | round(cum_mass / total, 6) AS cum_mass_share,
+        | round(wsum / (ng * total) - 1.0, 6) AS gini
+        |FROM r, t ORDER BY mass, grp""".stripMargin,
+    "q163_winnow_fps" ->
+      (winnowSelCte("SELECT doc_id, text FROM documents") +
+        """SELECT doc_id, count(*) AS n_fps
+          |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q164_winnow_pairs" ->
+      (winnowSelCte(
+        """SELECT doc_id, text FROM documents
+          | UNION ALL
+          | SELECT doc_id + 10000000, 'edited prefix ' || text
+          | FROM documents WHERE doc_id % 10 = 0""".stripMargin) +
+        """, kept AS (
+          | SELECT doc_id, h FROM sel
+          | WHERE h IN (SELECT h FROM sel GROUP BY h HAVING count(*) <= 8))
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          | count(*) AS shared_fps
+          |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 HAVING count(*) >= 10
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    "q165_interval_join" ->
+      """WITH iv AS (
+        | SELECT CAST(o_orderkey AS BIGINT) AS id,
+        |  CAST(date_diff('day', DATE '1992-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS s
+        | FROM orders WHERE o_orderkey % 50 = 0),
+        |iv2 AS (SELECT id, s, s + id % 13 + 1 AS e FROM iv)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        | least(a.e, b.e) - greatest(a.s, b.s) + 1 AS overlap_units
+        |FROM iv2 a JOIN iv2 b
+        | ON a.id < b.id AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q166_k_anonymity" ->
+      """WITH cells AS (
+        | SELECT c_nationkey, c_mktsegment, (c_acctbal >= 0) AS sens,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM customer GROUP BY 1, 2, 3),
+        |g AS (
+        | SELECT c_nationkey, c_mktsegment,
+        |  CAST(sum(n) AS BIGINT) AS grp_rows,
+        |  CAST(count(DISTINCT sens) AS BIGINT) AS l_div
+        | FROM cells GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        | CAST(sum(CASE WHEN grp_rows < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_risky_groups,
+        | CAST(sum(CASE WHEN grp_rows < 10 THEN grp_rows ELSE 0 END)
+        |   AS BIGINT) AS rows_at_risk,
+        | min(grp_rows) AS min_group_size,
+        | min(CASE WHEN grp_rows >= 10 THEN l_div END) AS min_l_diversity
+        |FROM g""".stripMargin,
+    "q167_flesch" ->
+      """WITH f AS (
+        | SELECT source,
+        |  len(regexp_extract_all(text, '[^\s]+')) AS words,
+        |  len(regexp_extract_all(lower(text), '[aeiouy]+')) +
+        |   len(regexp_extract_all(text, '[^\s]+')) -
+        |   len(regexp_extract_all(lower(text), '[^\s]*[aeiouy][^\s]*'))
+        |   AS syllables,
+        |  greatest(1, len(list_filter(string_split_regex(trim(text),
+        |    '[.!?]+(\s+|$)'), s -> length(trim(s)) > 0))) AS sents
+        | FROM documents)
+        |SELECT source, count(*) AS docs,
+        | CAST(sum(words) AS BIGINT) AS words,
+        | CAST(sum(syllables) AS BIGINT) AS syllables,
+        | round(avg(CASE WHEN words > 0 THEN round(206.835 -
+        |   1.015 * words / sents - 84.6 * syllables / words, 4) END), 4)
+        |   AS avg_flesch
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "q168_mann_whitney" ->
+      """WITH byval AS (
+        | SELECT CAST(n_chars AS DOUBLE) AS v,
+        |  CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ta,
+        |  CAST(count(*) AS BIGINT) AS t
+        | FROM documents
+        | WHERE source IN ('src2', 'src3') AND n_chars IS NOT NULL
+        | GROUP BY 1),
+        |r AS (
+        | SELECT ta, t,
+        |  sum(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   - t + (t + 1) / 2.0 AS avgrank
+        | FROM byval),
+        |m AS (
+        | SELECT CAST(sum(ta) AS DOUBLE) AS na,
+        |  CAST(sum(t - ta) AS DOUBLE) AS nb,
+        |  sum(ta * avgrank) AS rank_a,
+        |  CAST(sum(t * t * t - t) AS DOUBLE) AS ties
+        | FROM r)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        | round(rank_a - na * (na + 1) / 2, 2) AS u_a,
+        | round((rank_a - na * (na + 1) / 2 - na * nb / 2) /
+        |   sqrt(na * nb / 12 * ((na + nb + 1) -
+        |     ties / ((na + nb) * (na + nb - 1)))), 6) AS z
+        |FROM m""".stripMargin,
+    "q169_slice_fdr" ->
+      """WITH m AS (
+        | SELECT source AS slice, CAST(count(*) AS DOUBLE) AS n,
+        |  sum(CAST(n_chars AS DOUBLE)) AS s,
+        |  sum(CAST(n_chars AS DOUBLE) * n_chars) AS q
+        | FROM documents
+        | WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        | GROUP BY 1),
+        |tot AS (SELECT sum(n) AS tn, sum(s) AS ts, sum(q) AS tq FROM m),
+        |z AS (
+        | SELECT slice, n, s / n AS mean,
+        |  round((s / n - (ts - s) / (tn - n)) / sqrt(
+        |    (q - s * s / n) / (n - 1) / n +
+        |    ((tq - q) - (ts - s) * (ts - s) / (tn - n)) / (tn - n - 1)
+        |      / (tn - n)), 6) AS z
+        | FROM m, tot),
+        |p AS (
+        | SELECT slice, n, mean, z,
+        |  round(((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+        |    - 0.284496736) * t + 0.254829592) * t * exp(-az * az), 8) AS p
+        | FROM (SELECT slice, n, mean, z, abs(z) / sqrt(2.0) AS az,
+        |   1.0 / (1.0 + 0.3275911 * abs(z) / sqrt(2.0)) AS t FROM z)),
+        |r0 AS (
+        | SELECT slice, n, mean, z, p,
+        |  row_number() OVER (ORDER BY p, slice) AS rank,
+        |  count(*) OVER () AS m
+        | FROM p),
+        |r AS (
+        | SELECT *, max(CASE WHEN p <= rank * 0.05 / m THEN rank END)
+        |   OVER () AS k
+        | FROM r0)
+        |SELECT slice, CAST(n AS BIGINT) AS n, round(mean, 6) AS mean,
+        | z, p, rank, (k IS NOT NULL AND rank <= k) AS significant
+        |FROM r ORDER BY rank""".stripMargin,
+    "q170_cusum" ->
+      """WITH daily AS (
+        | SELECT event_type AS key,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    AS BIGINT) AS ord,
+        |  round(sum(value), 6) AS x
+        | FROM events GROUP BY 1, 2),
+        |w AS (
+        | SELECT key, ord, x,
+        |  avg(x) OVER (PARTITION BY key) AS mean,
+        |  stddev_samp(x) OVER (PARTITION BY key) AS sd,
+        |  count(*) OVER (PARTITION BY key) AS nk
+        | FROM daily),
+        |c AS (
+        | SELECT key, ord, nk, sd,
+        |  round(abs(sum(x - mean) OVER (PARTITION BY key ORDER BY ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS a
+        | FROM w),
+        |r AS (
+        | SELECT key, nk, sd, ord, a,
+        |  row_number() OVER (PARTITION BY key ORDER BY a DESC, ord) AS rn
+        | FROM c)
+        |SELECT key, CAST(nk AS BIGINT) AS n, ord AS changepoint_at,
+        | round(a, 4) AS max_abs_cusum,
+        | round(a / (sd * sqrt(nk)), 6) AS cusum_stat
+        |FROM r WHERE rn = 1 ORDER BY key""".stripMargin
   )
+
+  /** Shared winnowing restatement (k = 8, w = 4) over an input relation
+    * producing (doc_id, text): CTEs ending in `sel` = the DISTINCT
+    * (doc_id, fingerprint) set, mirroring
+    * [[graft.operators.TextSearch.winnowFingerprints]]. */
+  private def winnowSelCte(inputSql: String): String =
+    s"""WITH input AS ($inputSql),
+       |d AS (SELECT doc_id,
+       |  regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM input),
+       |p0 AS (
+       | SELECT doc_id, t, CAST(len(t) - 7 AS BIGINT) AS np,
+       |  unnest(generate_series(1, CAST(len(t) - 7 AS BIGINT))) AS p
+       | FROM d WHERE len(t) - 7 >= 4),
+       |g AS (
+       | SELECT doc_id, CAST(p AS BIGINT) AS pos, np,
+       |  CAST('0x' || substring(md5(substring(t, CAST(p AS INTEGER), 8)),
+       |    1, 8) AS BIGINT) AS h
+       | FROM p0),
+       |m AS (
+       | SELECT doc_id, pos, np, h,
+       |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m0,
+       |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |   ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS m1,
+       |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |   ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS m2,
+       |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m3
+       | FROM g),
+       |sel AS (
+       | SELECT DISTINCT doc_id, h FROM m WHERE
+       |  (pos >= 1 AND pos <= np - 3 AND m0 = h) OR
+       |  (pos - 1 >= 1 AND pos - 1 <= np - 3 AND m1 = h) OR
+       |  (pos - 2 >= 1 AND pos - 2 <= np - 3 AND m2 = h) OR
+       |  (pos - 3 >= 1 AND pos - 3 <= np - 3 AND m3 = h))
+       |""".stripMargin
 }

@@ -320,4 +320,33 @@ object TextFunctions {
     regexp_count(text, lit("```")).as("code_fence_marks"),
     regexp_count(text, lit("<[a-zA-Z][^>]*>")).as("html_tags"),
     regexp_count(text, lit("https?://[^\\s]+")).as("urls"))
+
+  /** Flesch reading-ease inputs and score — the classic readability
+    * quality signal. Syllables are the standard vowel-group heuristic:
+    * one syllable per maximal [aeiouy]+ run, and one for each word with
+    * no vowel at all (counted WITHOUT lookarounds: a vowel-bearing word
+    * matches `[^\s]*[aeiouy][^\s]*` exactly once, because the greedy run
+    * consumes to the token end — RE2-compatible, so the DuckDB oracle
+    * restates every pattern verbatim). Sentences are the [[sentences]]
+    * terminal-punctuation rule with a floor of 1. Map-only; `flesch` is
+    * null for empty documents.
+    *
+    * score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) */
+  def fleschStats(text: Column): Column = {
+    val words = regexp_count(text, lit("[^\\s]+"))
+    val vowelWords =
+      regexp_count(lower(text), lit("[^\\s]*[aeiouy][^\\s]*"))
+    val vowelGroups = regexp_count(lower(text), lit("[aeiouy]+"))
+    val nSent = greatest(lit(1), size(sentences(text)))
+    val syllables = vowelGroups + (words - vowelWords)
+    struct(
+      words.cast("long").as("words"),
+      nSent.cast("long").as("sents"),
+      syllables.cast("long").as("syllables"),
+      when(words > 0, round(
+        lit(206.835) -
+          lit(1.015) * words.cast("double") / nSent.cast("double") -
+          lit(84.6) * syllables.cast("double") / words.cast("double"), 4))
+        .as("flesch"))
+  }
 }

@@ -245,6 +245,169 @@ object Profiling {
           .as("d_stat"))
   }
 
+  /** Chi-square test of independence between two categorical columns,
+    * plus Cramér's V (the normalized effect size) — the "are these two
+    * facets actually related?" screen (language × source, segment ×
+    * priority). Null categories are excluded.
+    *
+    * Uses the identity Σ(o−e)²/e = n·Σ_cells o²/(rowTot·colTot) − n, so
+    * only OBSERVED cells are aggregated — zero-observed cells contribute
+    * nothing to Σo²/e, and the margins come from the same cell table.
+    * Shape at 100 TB: one (a, b) cell-count aggregate (map-side partial,
+    * bounded by the category-pair cardinality), then margin joins over
+    * the cell table — never a second scan of the data. */
+  def chiSquareIndependence(df: DataFrame, colA: String,
+      colB: String): DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("a"),
+        col(colB).cast("string").as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("a").agg(sum("o").as("ra"))
+    val colTot = cells.groupBy("b").agg(sum("o").as("rb"))
+    cells.join(broadcast(rowTot), "a").join(broadcast(colTot), "b")
+      .agg(
+        sum("o").as("n"),
+        count_distinct(col("a")).as("r"),
+        count_distinct(col("b")).as("c"),
+        sum(col("o").cast("double") * col("o").cast("double") /
+          (col("ra").cast("double") * col("rb").cast("double"))).as("_q"))
+      .select(col("n"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        round(col("n").cast("double") * col("_q") - col("n"), 6)
+          .as("chi2"),
+        round(sqrt(greatest(lit(0.0),
+          (col("n") * col("_q") - col("n")) /
+            (col("n") * least(col("r") - 1, col("c") - 1)
+              .cast("double")))), 6).as("cramers_v"))
+  }
+
+  /** Welch's unequal-variance t-test between two slices' means — the
+    * "did slice B's mean move?" screen that pairs with the KS shape test
+    * ([[ksTest]]): one moment aggregate (n, Σx, Σx² per slice), then the
+    * t statistic and Welch–Satterthwaite degrees of freedom in closed
+    * form. Scan-bound, no data-sized shuffle. Sample variance (n−1). */
+  def welchTTest(df: DataFrame, valueCol: String, sliceCol: String,
+      sliceA: String, sliceB: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val isA = col(sliceCol) === sliceA
+    val m = df
+      .filter(col(sliceCol).isin(sliceA, sliceB) && x.isNotNull)
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).cast("double").as("na"),
+        sum(when(isA, x)).as("sa"),
+        sum(when(isA, x * x)).as("qa"),
+        sum(when(!isA, 1L).otherwise(0L)).cast("double").as("nb"),
+        sum(when(!isA, x)).as("sb"),
+        sum(when(!isA, x * x)).as("qb"))
+    val ma = col("sa") / col("na")
+    val mb = col("sb") / col("nb")
+    val va = (col("qa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
+    val vb = (col("qb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
+    val sea = va / col("na")
+    val seb = vb / col("nb")
+    m.select(
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      round((ma - mb) / sqrt(sea + seb), 6).as("t_stat"),
+      round(pow(sea + seb, 2) /
+        (pow(sea, 2) / (col("na") - 1) + pow(seb, 2) / (col("nb") - 1)), 4)
+        .as("welch_df"))
+  }
+
+  /** Per-group ordinary-least-squares fit of `yCol` against `xCol`
+    * (slope, intercept, r², n) — the per-segment trend screen ("is
+    * quality drifting per source?"). One groupBy moment aggregate
+    * (n, Σx, Σy, Σxy, Σx², Σy² — map-side partial), closed-form OLS per
+    * group; never a per-group iterative fit. `xCenter` is subtracted
+    * from x before the moments to keep the nΣxy − ΣxΣy cancellation
+    * well-conditioned when x is a large epoch-like measure (the
+    * intercept is reported at x = xCenter). Groups with < 2 points or
+    * zero x-variance are dropped (no defined slope). */
+  def groupOls(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+      xCenter: Double = 0.0): DataFrame = {
+    val x = col(xCol).cast("double") - lit(xCenter)
+    val y = col(yCol).cast("double")
+    val m = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val covn = col("n") * col("sxy") - col("sx") * col("sy")
+    val varxn = col("n") * col("sxx") - col("sx") * col("sx")
+    val varyn = col("n") * col("syy") - col("sy") * col("sy")
+    m.filter(col("n") >= 2 && varxn > 0)
+      .select(col("grp"),
+        col("n").cast("long").as("n"),
+        round(covn / varxn, 6).as("slope"),
+        round((col("sy") - covn / varxn * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        round(when(varyn > 0, covn * covn / (varxn * varyn))
+          .otherwise(lit(null)), 6).as("r2"))
+  }
+
+  /** Source-balance inequality report: Lorenz curve + Gini coefficient
+    * of a per-group mass (row counts, token mass) — the corpus-mixing
+    * dashboard number ("is 90% of the corpus one crawl?"). Returns one
+    * row per group ordered ascending by mass: cumulative group share,
+    * cumulative mass share, and the Gini repeated (long format, like
+    * [[keySkewReport]]).
+    *
+    * Gini via the rank formula G = Σ(2i−n−1)·vᵢ / (n·Σv) over ascending
+    * vᵢ — tie-safe (equal values make the coefficient sum invariant to
+    * tie order). Shape: one mass aggregate (map-side partial), then
+    * windows over the GROUP-cardinality table only. */
+  def giniReport(df: DataFrame, groupCol: String,
+      massCol: Column): DataFrame = {
+    val mass = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(massCol.cast("double").as("mass"))
+    val w = Window.orderBy(col("mass"), col("grp"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = mass.select(col("grp"), col("mass"),
+      row_number().over(w).as("i"),
+      sum("mass").over(cum).as("cum_mass"))
+    val tot = ranked.agg(count(lit(1)).cast("double").as("ng"),
+      sum("mass").as("total"),
+      sum((lit(2) * col("i") - 1).cast("double") * col("mass")).as("wsum"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("grp"), col("mass").cast("long").as("mass"),
+        round(col("i") / col("ng"), 6).as("cum_group_share"),
+        round(col("cum_mass") / col("total"), 6).as("cum_mass_share"),
+        round(col("wsum") / (col("ng") * col("total")) - 1.0, 6)
+          .as("gini"))
+  }
+
+  /** k-anonymity / l-diversity audit over a set of quasi-identifier
+    * columns — the re-identification screen a training-data release runs
+    * before publishing: every QI combination shared by fewer than `k`
+    * rows is a linkage risk, and a group whose sensitive column is
+    * single-valued leaks the attribute even at size ≥ k. Returns one
+    * row: group counts, rows at risk, the smallest group, and the
+    * minimum l-diversity (distinct sensitive values) over NON-risky
+    * groups (risky groups need suppression anyway).
+    *
+    * Shape at 100 TB: one (QI..., sensitive) count aggregate (map-side
+    * partial, bounded by distinct-combination cardinality), then
+    * group-level algebra — raw rows never shuffle. */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, k: Long): DataFrame = {
+    require(qiCols.nonEmpty && k >= 1)
+    val cells = df.groupBy(
+        (qiCols.map(col) :+ col(sensitiveCol).as("_sens")): _*)
+      .agg(count(lit(1)).as("_n"))
+    cells.groupBy(qiCols.map(col): _*)
+      .agg(sum("_n").as("grp_rows"),
+        count_distinct(col("_sens")).as("l_div"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("grp_rows") < k, 1L).otherwise(0L))
+          .as("n_risky_groups"),
+        sum(when(col("grp_rows") < k, col("grp_rows")).otherwise(0L))
+          .as("rows_at_risk"),
+        min("grp_rows").as("min_group_size"),
+        min(when(col("grp_rows") >= k, col("l_div")))
+          .as("min_l_diversity"))
+  }
+
   /** Benford first-significant-digit profile of a positive numeric
     * column: observed fraction per digit 1..9 vs the Benford expectation
     * log10(1 + 1/d), with the chi-square statistic. The classic
@@ -275,5 +438,138 @@ object Profiling {
             log10(lit(1.0) + lit(1.0) / col("d").cast("double")) *
             col("total"), 4).as("chi2_term"))
       .orderBy("digit")
+  }
+
+  /** Mann–Whitney U rank-sum test between two slices — the
+    * nonparametric mean-shift screen that, unlike [[welchTTest]], is
+    * robust to the heavy-tailed length/score distributions corpus
+    * columns actually have. Tie-corrected normal approximation.
+    *
+    * Ranks are never assigned per row: one per-DISTINCT-VALUE count
+    * aggregate (map-side partial), then average ranks via a cumulative
+    * window over the distinct-value table — the same value-bounded
+    * contract as [[ksTest]]. A tied run of t values ending at cumulative
+    * count c has average rank c − t + (t+1)/2; R_A = Σ tA·avgrank,
+    * U_A = R_A − nA(nA+1)/2, and the tie term Σ(t³−t) corrects σ. */
+  def mannWhitneyU(df: DataFrame, valueCol: String, sliceCol: String,
+      sliceA: String, sliceB: String): DataFrame = {
+    val byVal = df
+      .filter(col(sliceCol).isin(sliceA, sliceB) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(sum(when(col(sliceCol) === sliceA, 1L).otherwise(0L)).as("ta"),
+        count(lit(1)).as("t"))
+    val cum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byVal.select(col("ta"), col("t"),
+      (sum("t").over(cum) - col("t") +
+        (col("t") + 1).cast("double") / 2).as("avgrank"))
+    val m = ranked.agg(
+      sum("ta").cast("double").as("na"),
+      sum(col("t") - col("ta")).cast("double").as("nb"),
+      sum(col("ta") * col("avgrank")).as("rank_a"),
+      sum(col("t") * col("t") * col("t") - col("t")).cast("double")
+        .as("ties"))
+    val n = col("na") + col("nb")
+    val u = col("rank_a") - col("na") * (col("na") + 1) / 2
+    val mu = col("na") * col("nb") / 2
+    val sigma = sqrt(col("na") * col("nb") / 12 *
+      ((n + 1) - col("ties") / (n * (n - 1))))
+    m.select(col("na").cast("long").as("n_a"),
+      col("nb").cast("long").as("n_b"),
+      round(u, 2).as("u_a"),
+      round((u - mu) / sigma, 6).as("z"))
+  }
+
+  /** Benjamini–Hochberg FDR screen over per-slice mean drift: every
+    * slice's mean is z-tested against the REST of the data (Welch form
+    * from the same single moment aggregate — rest = total − slice), the
+    * two-sided p-value comes from the Abramowitz–Stegun 7.1.26 erfc
+    * polynomial (closed-form arithmetic, reproducible on any engine —
+    * there is no portable built-in normal CDF), and the BH step-up rule
+    * at level `alpha` marks which slices survive multiple-testing
+    * correction. p is computed from the 6-dp-ROUNDED z so engine
+    * float-sum ordering cannot flip a boundary decision.
+    *
+    * Shape at 100 TB: one slice-keyed moment aggregate (map-side
+    * partial), then all testing algebra on the slice-cardinality table;
+    * the BH ranking window sorts slices, never rows. */
+  def sliceDriftFdr(df: DataFrame, valueCol: String, sliceCol: String,
+      alpha: Double): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val m = df.filter(col(sliceCol).isNotNull && x.isNotNull)
+      .groupBy(col(sliceCol).as("slice"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x).as("s"), sum(x * x).as("q"))
+    val tot = m.agg(sum("n").as("tn"), sum("s").as("ts"),
+      sum("q").as("tq"))
+    val j = m.crossJoin(broadcast(tot))
+      .withColumn("rn", col("tn") - col("n"))
+      .withColumn("rs", col("ts") - col("s"))
+      .withColumn("rq", col("tq") - col("q"))
+    val mean = col("s") / col("n")
+    val rmean = col("rs") / col("rn")
+    val v = (col("q") - col("s") * col("s") / col("n")) / (col("n") - 1)
+    val rv = (col("rq") - col("rs") * col("rs") / col("rn")) /
+      (col("rn") - 1)
+    val zc = round((mean - rmean) / sqrt(v / col("n") + rv / col("rn")), 6)
+    // two-sided p = erfc(|z|/√2) via A-S 7.1.26 (max abs error 1.5e-7)
+    val az = abs(col("z")) / math.sqrt(2.0)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * az)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t +
+      lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+    val scored = j.select(col("slice"), col("n").cast("long").as("n"),
+        round(mean, 6).as("mean"), zc.as("z"))
+      .withColumn("p", round(poly * exp(-az * az), 8))
+    val byP = Window.orderBy(col("p"), col("slice"))
+    val all = Window.orderBy(col("p"), col("slice"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val mCount = count(lit(1)).over(all)
+    val ranked = scored.select(col("slice"), col("n"), col("mean"),
+      col("z"), col("p"), row_number().over(byP).as("rank"),
+      max(when(col("p") <= row_number().over(byP) * alpha / mCount,
+        row_number().over(byP))).over(all).as("k"))
+    ranked.select(col("slice"), col("n"), col("mean"), col("z"), col("p"),
+      col("rank"), (col("k").isNotNull && col("rank") <= col("k"))
+        .as("significant"))
+  }
+
+  /** Offline CUSUM changepoint detection per key: the point where the
+    * cumulative sum of deviations from the key's mean is farthest from
+    * zero — the classic "when did this metric shift?" screen over a
+    * keyed time series (level changes show as a V in S_t). Returns per
+    * key: n, the changepoint order value (max |S|, ties → earliest),
+    * max|S|, and the scale-free statistic max|S|/(sd·√n).
+    *
+    * Shape at 100 TB: the key mean (unbounded frame) and the running
+    * cumsum (ordered frame) are two window specs over the SAME
+    * partitioning — one exchange, one sort; the per-key argmax is a
+    * groupBy max over a (|S|, −order) struct, never a second sort. */
+  def cusumChangepoint(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val byKey = Window.partitionBy("key")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ordered = Window.partitionBy("key").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.select(col(keyCol).as("key"),
+        col(orderCol).as("ord"), col(valueCol).cast("double").as("x"))
+      .filter(col("x").isNotNull && col("ord").isNotNull)
+    val s = base
+      .withColumn("mean", avg("x").over(byKey))
+      .withColumn("sd", stddev_samp("x").over(byKey))
+      .withColumn("nk", count(lit(1)).over(byKey))
+      .withColumn("cusum", sum(col("x") - col("mean")).over(ordered))
+    // |S| is rounded to 6 dp BEFORE the argmax: engines sum floats in
+    // different orders, and a sub-noise |S| tie must not flip the
+    // reported changepoint.
+    s.groupBy("key")
+      .agg(first("nk").as("n"), first("sd").as("sd"),
+        max(struct(round(abs(col("cusum")), 6).as("a"),
+          (-col("ord")).as("no"))).as("best"))
+      .select(col("key"), col("n"),
+        (-col("best.no")).as("changepoint_at"),
+        round(col("best.a"), 4).as("max_abs_cusum"),
+        round(col("best.a") / (col("sd") * sqrt(col("n"))), 6)
+          .as("cusum_stat"))
   }
 }

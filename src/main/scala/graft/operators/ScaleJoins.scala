@@ -179,4 +179,40 @@ object ScaleJoins {
           col("lat_b"), col("lon_b")), 1).as("dist_m"))
       .filter(col("dist_m") <= maxMetres)
   }
+
+  /** Interval-overlap self-join: all pairs of rows whose [start, end]
+    * intervals (inclusive, integer units — epoch days, sequence numbers)
+    * intersect — as an EQUI-join, never a range cross-product: each
+    * interval explodes to the `bucketSize`-sized buckets it covers, pairs
+    * meet on the bucket key, duplicates from multi-bucket overlaps are
+    * removed by crediting a pair only in the FIRST shared bucket
+    * (`greatest(bucket_start_a, bucket_start_b) = bucket`), and the exact
+    * interval test keeps true overlaps. Pick `bucketSize` ≈ the typical
+    * interval length: the explode factor is len/bucketSize + 1 per row,
+    * and a bucket's pair volume is bounded by the intervals ACTIVE in
+    * that bucket — the same locality argument as [[distanceSelfJoin]]'s
+    * grid. Long outlier intervals degrade gracefully (more buckets, same
+    * correctness); at 100 TB, split the handful of such rows first. */
+  def intervalOverlapJoin(df: DataFrame, idCol: String, startCol: String,
+      endCol: String, bucketSize: Long): DataFrame = {
+    require(bucketSize >= 1, "bucketSize must be >= 1")
+    val base = df.select(col(idCol).as("id"),
+        col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
+      .filter(col("s") <= col("e"))
+    val buckets = base.select(col("id"), col("s"), col("e"),
+      explode(sequence(floor(col("s") / bucketSize).cast("long"),
+        floor(col("e") / bucketSize).cast("long"))).as("bucket"))
+    val a = buckets.select(col("bucket"), col("id").as("id_a"),
+      col("s").as("s_a"), col("e").as("e_a"))
+    val b = buckets.select(col("bucket"), col("id").as("id_b"),
+      col("s").as("s_b"), col("e").as("e_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        col("s_a") <= col("e_b") && col("s_b") <= col("e_a") &&
+        greatest(floor(col("s_a") / bucketSize),
+          floor(col("s_b") / bucketSize)).cast("long") === col("bucket"))
+      .select(col("id_a"), col("id_b"),
+        (least(col("e_a"), col("e_b")) -
+          greatest(col("s_a"), col("s_b")) + 1).as("overlap_units"))
+  }
 }

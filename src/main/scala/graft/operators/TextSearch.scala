@@ -111,6 +111,77 @@ object TextSearch {
       .filter(col("rk") <= topK)
   }
 
+  /** MOSS-style winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003): character k-gram hashes, one fingerprint per complete
+    * window of `w` consecutive grams — the guaranteed-coverage local
+    * document signature (any shared substring of length ≥ k + w − 1
+    * yields at least one shared fingerprint), the standard code/quote
+    * plagiarism detector.
+    *
+    * Selection is restated windowless-streaming-free: with (md5) gram
+    * hashes, a position is selected iff its hash is the minimum of SOME
+    * complete window containing it — checked with `w` frame-shifted
+    * window minima over ONE (doc, pos) sort (same window spec, different
+    * frames → a single exchange + sort; hash ties across positions are
+    * md5-collision-rare and only add a fingerprint, never lose one).
+    * Shape at 100 TB: the gram explode is map-only (~len rows per doc,
+    * same volume as any shingling pass); the only shuffle is the per-doc
+    * window sort; output is the DISTINCT (doc, fingerprint) set, ~2/(w+1)
+    * of gram volume.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2 && w >= 2, "gram size and window must be >= 2")
+    val grams = docs
+      .select(col(idCol).as("doc"),
+        regexp_replace(lower(col(textCol)), "\\s+", " ").as("t"))
+      .select(col("doc"), col("t"),
+        (length(col("t")) - (k - 1)).as("np"))
+      .filter(col("np") >= w) // shorter docs have no complete window
+      .select(col("doc"), col("np"),
+        explode(sequence(lit(1), col("np"))).as("pos"),
+        col("t"))
+      .select(col("doc"), col("np"), col("pos"),
+        conv(substring(md5(substring(col("t"), col("pos"), lit(k))), 1, 8),
+          16, 10).cast("long").as("h"))
+    val byPos = Window.partitionBy("doc").orderBy("pos")
+    // Window expressions can't sit in a filter: project the w shifted
+    // minima first (one exchange+sort; same window spec, different
+    // frames), then test selection as plain column algebra.
+    val withMins = grams.select(col("doc") +: col("np") +: col("pos") +:
+      col("h") +: (0 until w).map { a =>
+        min("h").over(byPos.rowsBetween(-a, w - 1 - a)).as(s"m$a")
+      }: _*)
+    val selected = (0 until w).map { a =>
+      (col("pos") - a >= 1) && (col("pos") - a <= col("np") - (w - 1)) &&
+        col(s"m$a") === col("h")
+    }.reduce(_ || _)
+    withMins.filter(selected).select("doc", "h").distinct()
+  }
+
+  /** Cross-document winnowing matches: pairs of documents sharing at
+    * least `minShared` fingerprints, with the shared count. Fingerprints
+    * with document frequency above `maxDf` are dropped first (boilerplate
+    * grams whose posting groups would dominate the pair join — the same
+    * df cutoff as [[invertedIndex]], and the skew bound that keeps any
+    * single fingerprint's pair contribution ≤ maxDf²). */
+  def winnowSharedPairs(fps: DataFrame, minShared: Long,
+      maxDf: Long): DataFrame = {
+    val kept = fps.join(
+      fps.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf)
+        .select("h"),
+      Seq("h"), "left_semi")
+    val a = kept.select(col("h"), col("doc").as("doc_a"))
+    val b = kept.select(col("h"), col("doc").as("doc_b"))
+    a.join(b, Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of several candidate
     * rankings: each input is `(name, df)` where df carries `idCol` and
     * `scoreCol`; item rank within each list is by (score desc, id), and the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions.{count, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 class ProfilingQualitySpec extends AnyFunSuite {
@@ -92,5 +93,128 @@ class ProfilingQualitySpec extends AnyFunSuite {
     val got = Profiling.ksTest(df, "v", "slice", "a", "b")
       .as[(Long, Long, Double)].head()
     assert(got == ((4L, 4L, 0.5)))
+  }
+
+  test("chiSquareIndependence: exact product table has chi2 = 0") {
+    // counts o(a,b) = f(a)·g(b) → perfectly independent
+    val rows = for {
+      (a, fa) <- Seq(("x", 2), ("y", 3))
+      (b, gb) <- Seq(("p", 1), ("q", 4))
+      _ <- 1 to fa * gb
+    } yield (a, b)
+    val got = Profiling.chiSquareIndependence(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double, Double)].head()
+    assert(got._1 == 25L && got._2 == 1L)
+    assert(math.abs(got._3) < 1e-6 && math.abs(got._4) < 1e-6)
+  }
+
+  test("chiSquareIndependence: perfect association has Cramér's V = 1") {
+    val df = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"),
+      ("z", "r")).toDF("a", "b")
+    val got = Profiling.chiSquareIndependence(df, "a", "b")
+      .as[(Long, Long, Double, Double)].head()
+    // r = c = 3, n = 5, a determines b exactly → chi2 = n·min(r−1,c−1)
+    assert(got == ((5L, 4L, 10.0, 1.0)))
+  }
+
+  test("welchTTest: hand-computed t and Welch df") {
+    val df = (Seq(1, 2, 3, 4, 5).map(v => ("a", v.toDouble)) ++
+      Seq(2, 4, 6, 8, 10, 12).map(v => ("b", v.toDouble)))
+      .toDF("slice", "v")
+    val r = Profiling.welchTTest(df, "v", "slice", "a", "b").head()
+    assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("n_b") == 6L)
+    assert(r.getAs[Double]("mean_a") == 3.0)
+    assert(r.getAs[Double]("mean_b") == 7.0)
+    // va = 2.5, vb = 14: t = −4/√(0.5 + 7/3), df by Welch–Satterthwaite
+    assert(math.abs(r.getAs[Double]("t_stat") - (-2.376354)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("welch_df") - 6.9723) < 1e-4)
+  }
+
+  test("groupOls: exact linear fit per group; zero-variance x dropped") {
+    val df = ((1 to 10).map(i => ("g1", i.toDouble, 2.0 * i + 3.0)) ++
+      (1 to 10).map(i => ("g2", i.toDouble, -1.0 * i + 7.0)) ++
+      Seq(("flat", 5.0, 1.0), ("flat", 5.0, 2.0))) // no x variance
+      .toDF("g", "x", "y")
+    val got = Profiling.groupOls(df, "g", "x", "y")
+      .select("grp", "slope", "intercept", "r2")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got("g1") == ((2.0, 3.0, 1.0)))
+    assert(got("g2") == ((-1.0, 7.0, 1.0)))
+    assert(!got.contains("flat"))
+  }
+
+  test("groupOls: xCenter shifts the intercept, not the slope") {
+    val df = (1 to 10).map(i => ("g", i.toDouble, 2.0 * i + 3.0))
+      .toDF("g", "x", "y")
+    val r = Profiling.groupOls(df, "g", "x", "y", xCenter = 4.0)
+      .select("slope", "intercept").as[(Double, Double)].head()
+    assert(r == ((2.0, 11.0))) // y at x = 4
+  }
+
+  test("mannWhitneyU: hand-computed tie-corrected z") {
+    // A = {1,2,3}, B = {2,3,4}: avg ranks 1, 2.5, 4.5, 6 → R_A = 8,
+    // U_A = 2, ties Σ(t³−t) = 12, σ² = 0.75·(7 − 12/30) = 4.95
+    val df = (Seq(1, 2, 3).map(v => ("a", v)) ++
+      Seq(2, 3, 4).map(v => ("b", v))).toDF("slice", "v")
+    val r = Profiling.mannWhitneyU(df, "v", "slice", "a", "b").head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("u_a") == 2.0)
+    assert(math.abs(r.getAs[Double]("z") - (-1.123666)) < 1e-6)
+  }
+
+  test("mannWhitneyU: symmetric slices give z = 0") {
+    val df = (Seq(1, 2, 3, 4).map(v => ("a", v)) ++
+      Seq(1, 2, 3, 4).map(v => ("b", v))).toDF("slice", "v")
+    val r = Profiling.mannWhitneyU(df, "v", "slice", "a", "b").head()
+    assert(r.getAs[Double]("z") == 0.0)
+  }
+
+  test("sliceDriftFdr: shifted slice flagged, null slices not") {
+    // five identical slices + one shifted by 1.5; the shift is diluted
+    // 1:5 in each null slice's "rest", so only f should reject
+    val df = (Seq("a", "b", "c", "d", "e").flatMap(g =>
+      (1 to 50).map(i => (g, 10.0 + (i % 5)))) ++
+      (1 to 50).map(i => ("f", 11.5 + (i % 5)))).toDF("src", "v")
+    val rows = Profiling.sliceDriftFdr(df, "v", "src", alpha = 0.05)
+      .select("slice", "significant").as[(String, Boolean)]
+      .collect().toMap
+    assert(rows("f"))
+    assert(Seq("a", "b", "c", "d", "e").forall(g => !rows(g)))
+  }
+
+  test("cusumChangepoint: step series peaks at the step") {
+    // x = 0,0,0,10,10 → S = −4,−8,−12,−6,0; max|S| = 12 at ord 3;
+    // sd = √30, stat = 12/(√30·√5)
+    val df = Seq(("k", 1L, 0.0), ("k", 2L, 0.0), ("k", 3L, 0.0),
+      ("k", 4L, 10.0), ("k", 5L, 10.0)).toDF("g", "o", "x")
+    val r = Profiling.cusumChangepoint(df, "g", "o", "x").head()
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Long]("changepoint_at") == 3L)
+    assert(r.getAs[Double]("max_abs_cusum") == 12.0)
+    assert(math.abs(r.getAs[Double]("cusum_stat") - 0.979796) < 1e-6)
+  }
+
+  test("cusumChangepoint: tie on |S| reports the earliest point") {
+    // x = 1,-1,1,-1 (mean 0): S = 1,0,1,0 → |S| ties at ords 1 and 3
+    val df = Seq(("k", 1L, 1.0), ("k", 2L, -1.0), ("k", 3L, 1.0),
+      ("k", 4L, -1.0)).toDF("g", "o", "x")
+    val r = Profiling.cusumChangepoint(df, "g", "o", "x").head()
+    assert(r.getAs[Long]("changepoint_at") == 1L)
+    assert(r.getAs[Double]("max_abs_cusum") == 1.0)
+  }
+
+  test("giniReport: equal masses give gini 0; (1,3) gives 0.25") {
+    val eq = Seq(("a", 5), ("b", 5), ("c", 5), ("d", 5))
+      .flatMap { case (g, n) => (1 to n).map(_ => g) }.toDF("g")
+    val g0 = Profiling.giniReport(eq, "g", count(lit(1)))
+      .select("gini").as[Double].head()
+    assert(g0 == 0.0)
+    val skew = (Seq.fill(1)("a") ++ Seq.fill(3)("b")).toDF("g")
+    val rows = Profiling.giniReport(skew, "g", count(lit(1)))
+      .orderBy("mass")
+      .select("grp", "mass", "cum_mass_share", "gini")
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.toSeq == Seq(("a", 1L, 0.25, 0.25), ("b", 3L, 1.0, 0.25)))
   }
 }
