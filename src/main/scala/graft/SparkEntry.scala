@@ -2264,6 +2264,64 @@ object SparkEntry {
         .agg(round(sum("value"), 6).as("x"))
       graft.operators.Profiling.cusumChangepoint(daily, "event_type", "d", "x")
         .orderBy("key")
+    }),
+
+    // ── MERGE-style CDC apply: update / delete / insert changeset
+    //    applied in ONE full-outer key join (Delta MERGE semantics) ──
+    "q171_merge_apply" -> ((s, dir) => {
+      val tgt = t(s, dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      val base = t(s, dir, "customer")
+      val changes = base
+        .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"), (col("c_custkey") % 11 === 0).as("del"),
+          when(col("c_custkey") % 11 === 0, col("c_acctbal"))
+            .otherwise(col("c_acctbal") + 100).as("c_acctbal"),
+          col("c_mktsegment"))
+      val inserts = base.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit(false).as("del"),
+          round(col("c_acctbal") * 2, 2).as("c_acctbal"),
+          lit("NEW").as("c_mktsegment"))
+      graft.operators.Maintenance
+        .mergeApply(tgt, changes.unionByName(inserts), "c_custkey", "del")
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"),
+          col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // ── incremental aggregate maintenance: signed changeset merged into
+    //    the standing (key, cnt, sum) state ≡ full recompute — the
+    //    oracle IS the recompute, proving the splice exact ──
+    "q172_incremental_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey").as("key"),
+          col("l_quantity").as("v"))
+      val base = li.filter(col("l_orderkey") % 10 =!= 0)
+      val state = base.groupBy("key")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("sum"))
+      val inserts = li.filter(col("l_orderkey") % 10 === 0)
+        .select(col("key"), col("v"), lit(1L).as("op"))
+      val deletes = base.filter(col("l_orderkey") % 7 === 3)
+        .select(col("key"), col("v"), lit(-1L).as("op"))
+      graft.operators.Maintenance
+        .incrementalAggMerge(state, inserts.unionByName(deletes),
+          "key", "v", "op")
+        .select(col("key"), col("cnt"), round(col("sum"), 2).as("sum"))
+        .orderBy("key")
+    }),
+
+    // ── multi-source BFS hop counts: frontier expansion, one join per
+    //    round, anti-join keeps expansion O(edges touched) ──
+    "q173_bfs_hops" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").select(
+        col("l_partkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst"))
+      val edges = graft.operators.Graphs.symmetrize(base)
+      val seeds = t(s, dir, "part").filter(col("p_partkey") < 10)
+        .select(col("p_partkey").as("node"))
+      graft.operators.Graphs.bfsHops(edges, seeds, maxHops = 3)
+        .orderBy("node")
     })
   )
 
@@ -4643,7 +4701,50 @@ object SparkEntry {
         |SELECT key, CAST(nk AS BIGINT) AS n, ord AS changepoint_at,
         | round(a, 4) AS max_abs_cusum,
         | round(a / (sd * sqrt(nk)), 6) AS cusum_stat
-        |FROM r WHERE rn = 1 ORDER BY key""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY key""".stripMargin,
+    "q171_merge_apply" ->
+      """WITH tgt AS (
+        | SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        |src AS (
+        | SELECT c_custkey, (c_custkey % 11 = 0) AS del,
+        |  CASE WHEN c_custkey % 11 = 0 THEN c_acctbal
+        |       ELSE c_acctbal + 100 END AS c_acctbal,
+        |  c_mktsegment
+        | FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+        | UNION ALL
+        | SELECT c_custkey + 1000000, false, round(c_acctbal * 2, 2), 'NEW'
+        | FROM customer WHERE c_custkey % 13 = 0)
+        |SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+        | round(CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+        |       ELSE t.c_acctbal END, 2) AS c_acctbal,
+        | CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+        |      ELSE t.c_mktsegment END AS c_mktsegment
+        |FROM tgt t FULL JOIN src s ON t.c_custkey = s.c_custkey
+        |WHERE NOT coalesce(s.del, false)
+        |ORDER BY c_custkey""".stripMargin,
+    "q172_incremental_agg" ->
+      """SELECT l_suppkey AS key, count(*) AS cnt,
+        | round(sum(l_quantity), 2) AS sum
+        |FROM lineitem
+        |WHERE l_orderkey % 10 = 0
+        |   OR (l_orderkey % 10 <> 0 AND l_orderkey % 7 <> 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q173_bfs_hops" ->
+      """WITH RECURSIVE base AS (
+        | SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+        | FROM lineitem),
+        |edges AS (
+        | SELECT src, dst FROM base
+        | UNION SELECT dst, src FROM base),
+        |walk(node, hops) AS (
+        | SELECT CAST(p_partkey AS BIGINT), CAST(0 AS BIGINT)
+        | FROM part WHERE p_partkey < 10
+        | UNION
+        | SELECT e.dst, w.hops + 1
+        | FROM walk w JOIN edges e ON w.node = e.src
+        | WHERE w.hops < 3)
+        |SELECT node, min(hops) AS hops
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin
   )
 
   /** Shared winnowing restatement (k = 8, w = 4) over an input relation

@@ -128,4 +128,37 @@ object Graphs {
     tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
   }
+
+  /** Multi-source BFS: minimum hop count from any seed node, expanded
+    * to at most `maxHops` rounds — "how far is every page from the
+    * trusted set" (TrustRank-style distance priors) or blast-radius
+    * queries over lineage graphs.
+    *
+    * Synchronous frontier expansion: each round is ONE join of the
+    * current frontier (nodes first reached last round) against the edge
+    * table plus an anti-join against the visited set — the frontier
+    * never re-expands visited nodes, so total work is O(edges touched),
+    * not O(edges × hops). Frontier and visited persist per round (the
+    * plan is iterative; without pinning, round h would recompute rounds
+    * 1..h−1). Rounds are fixed at `maxHops` — no per-round driver
+    * action; an empty frontier makes the remaining joins no-ops. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 16, "maxHops in [0, 16]")
+    val e = edges.toDF("src", "dst").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.toDF("node").distinct()
+      .withColumn("hops", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited.select("node")
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(h.toLong))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      visited = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+      frontier = next.select("node")
+    }
+    visited
+  }
 }

@@ -78,4 +78,20 @@ class GraphsSpec extends AnyFunSuite {
     val g = for { a <- 1L to 3L; b <- 10L to 12L } yield (a, b)
     assert(Graphs.triangleCounts(g.toDF("a", "b")).count() == 0)
   }
+
+  test("bfsHops: path graph hops, truncated at maxHops") {
+    // 1→2→3→4→5, seed 1, maxHops 3: node 5 unreached
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val got = Graphs.bfsHops(e, Seq(1L).toDF("n"), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfsHops: multiple seeds take the minimum hop; cycles terminate") {
+    // cycle 1→2→3→1 plus 3→4; seeds {1, 4}
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d")
+    val got = Graphs.bfsHops(e, Seq(1L, 4L).toDF("n"), maxHops = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
 }

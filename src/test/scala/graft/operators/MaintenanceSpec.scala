@@ -50,4 +50,34 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got == Map(1L -> "removed", 2L -> "unchanged",
       3L -> "changed", 4L -> "added"))
   }
+
+  test("mergeApply: update, delete, insert, no-op delete, untouched") {
+    val tgt = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+    val src = Seq(
+      (2L, false, "B", 99.0),  // update
+      (3L, true, "x", 0.0),    // delete
+      (4L, false, "d", 40.0),  // insert
+      (5L, true, "x", 0.0))    // delete of a missing row: no-op
+      .toDF("id", "del", "name", "v")
+    val got = Maintenance.mergeApply(tgt, src, "id", "del")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "B", 99.0), (4L, "d", 40.0)))
+  }
+
+  test("incrementalAggMerge equals a full recompute; zero-count keys drop") {
+    val base = Seq(("k1", 1.0), ("k1", 2.0), ("k2", 5.0), ("k3", 7.0))
+      .toDF("key", "v")
+    val state = base.groupBy("key")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.sum("v").as("sum"))
+    // delete both k1 rows and the k2 row; insert k2 again and new k4
+    val delta = Seq(("k1", 1.0, -1L), ("k1", 2.0, -1L), ("k2", 5.0, -1L),
+      ("k2", 6.0, 1L), ("k4", 9.0, 1L)).toDF("key", "v", "op")
+    val got = Maintenance
+      .incrementalAggMerge(state, delta, "key", "v", "op")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("k2", 1L, 6.0), ("k3", 1L, 7.0), ("k4", 1L, 9.0)))
+  }
 }
