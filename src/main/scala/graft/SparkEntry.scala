@@ -2322,6 +2322,159 @@ object SparkEntry {
         .select(col("p_partkey").as("node"))
       graft.operators.Graphs.bfsHops(edges, seeds, maxHops = 3)
         .orderBy("node")
+    }),
+
+    // ── trainable text model: multinomial Naive Bayes — train on even
+    //    doc_ids, score odd ones, emit the confusion matrix. The whole
+    //    train→score loop is count algebra + ln, so the oracle replays
+    //    TRAINING too, not just inference ──
+    "q174_naive_bayes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val test = docs.filter(col("doc_id") % 2 === 1)
+      val (ll, priors) = graft.operators.TextModels.naiveBayesTrain(
+        train, "text", "lang")
+      graft.operators.TextModels.naiveBayesScore(test, "doc_id", "text", ll, priors)
+        .join(test.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"), round(avg("lp"), 4).as("avg_lp"))
+        .orderBy("lang", "pred")
+    }),
+
+    // ── EWMA smoothing of daily event counts per type (closed-form
+    //    weights — no sequential recurrence) ──
+    "q175_ewma" -> ((s, dir) =>
+      graft.operators.EventAnalytics.ewmaDailyCounts(
+          t(s, dir, "events"), "event_type", "ts", alpha = 0.3)
+        .withColumn("last_day", date_format(col("last_day"), "yyyy-MM-dd"))
+        .orderBy("series")),
+
+    // ── sequence mining: frequent consecutive event-type trigrams ──
+    "q176_seq_trigrams" -> ((s, dir) =>
+      graft.operators.EventAnalytics.eventTrigrams(
+          t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+          minSupport = 10)
+        .orderBy(col("n").desc, col("pattern"))),
+
+    // ── md5-MinHash LSH dedup: the approximate path itself is
+    //    hash-gated — signatures, band buckets, candidate pairs and the
+    //    exact-Jaccard verify all replay bit-identically in the oracle ──
+    "q177_minhash_portable" -> ((s, dir) =>
+      graft.operators.Dedup.minhashLshPortable(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleWords = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // ── measured LSH quality: precision/recall of the banded candidates
+    //    against exact ground truth, one oracle-checked row — the sketch's
+    //    MISSES are part of the contract, not hidden behind "approximate" ──
+    "q178_lsh_eval" -> ((s, dir) =>
+      graft.operators.Dedup.lshEvalConfusion(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleWords = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.5)),
+
+    // ── audience overlap via mergeable bitset aggregation: pairwise
+    //    |A∩B| / |A∪B| over event-type segments ──
+    "q179_segment_overlap" -> ((s, dir) =>
+      graft.operators.Overlap.segmentOverlap(
+          t(s, dir, "events"), "event_type", "user_id", maxMembers = 1 << 20)
+        .orderBy("seg_a", "seg_b")),
+
+    // ── last-touch attribution: each purchase credited to the latest
+    //    click by the same user within 7 days, via one running struct-max
+    //    window (no self-join) ──
+    "q180_attribution" -> ((s, dir) =>
+      graft.operators.EventAnalytics.lastTouchAttribution(
+          t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+          touchType = "click", conversionType = "purchase",
+          windowSeconds = 7L * 86400)
+        .orderBy("conversion_id")),
+
+    // ── optimizer statistics: join-cardinality estimate from md5-CMS
+    //    inner products (one-sided overestimate), next to the exact join
+    //    count it predicts — sketch contents AND estimate hash-gated ──
+    "q181_join_estimate" -> ((s, dir) =>
+      graft.operators.JoinStats.cmsJoinEstimate(
+        t(s, dir, "lineitem"), col("l_partkey"),
+        t(s, dir, "part"), col("p_partkey"),
+        depth = 4, width = 256)),
+
+    // ── native session windows in Structured Streaming: gap-merged
+    //    sessions per user over the drained event stream; oracle restates
+    //    the island algebra (new session when gap ≥ 6 h — session_window
+    //    merges only strictly-overlapping [ts, ts+gap) intervals) ──
+    "q182_stream_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .transform(Tables.normalizeTs)
+      val agg = stream
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "6 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+      withStatePartitions(s, 8) {
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName("q182_out")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table("q182_out")
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "start_us")
+    }),
+
+    // ── range-partition planning (the terasort primitive): P−1 boundary
+    //    keys from a deterministic md5 sample, every row assigned by
+    //    boundary rank, per-partition counts + key ranges — the plan a
+    //    1000-executor global sort would shuffle by ──
+    "q183_range_partition" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice").as("k"))
+      val p = 8
+      val sample = li.filter(
+        substring(md5(concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"), lit(":rp"))), 1, 8)
+          < lit("05000000"))
+      val w = Window.orderBy(col("k"), col("l_orderkey"), col("l_linenumber"))
+      // equal-frequency buckets over the ranked sample; the boundary set is
+      // the per-bucket max key of buckets 0..p−2 (the p−1 split points)
+      val ranked = sample
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      val bounds = ranked
+        .withColumn("_bkt", floor((col("_rn") - 1) * p / col("_n")))
+        .groupBy("_bkt").agg(max("k").as("bk"))
+        .filter(col("_bkt") < p - 1)
+        .agg(sort_array(collect_list("bk")).as("bnds"))
+      li.crossJoin(bounds)
+        .select(col("k"),
+          size(filter(col("bnds"), b => b <= col("k"))).cast("long").as("pid"))
+        .groupBy("pid")
+        .agg(count(lit(1)).as("n_rows"),
+          round(min("k"), 2).as("min_k"), round(max("k"), 2).as("max_k"))
+        .orderBy("pid")
+    }),
+
+    // ── compression-ratio quality screen (CCNet/RefinedWeb signal):
+    //    deflate size vs raw bytes per document (rows-only: no zlib in
+    //    SQL; Round7Spec pins closed-form repetitive/random cases) ──
+    "q184_compress_ratio" -> ((s, dir) => {
+      val raw = octet_length(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw_bytes"),
+          TF.deflateSize(col("text")).as("deflate_bytes"))
+        .withColumn("ratio",
+          round(col("deflate_bytes").cast("double") / col("raw_bytes"), 4))
+        .withColumn("too_repetitive", col("ratio") < 0.3)
+        .orderBy("doc_id")
     })
   )
 
@@ -4744,7 +4897,261 @@ object SparkEntry {
         | FROM walk w JOIN edges e ON w.node = e.src
         | WHERE w.hops < 3)
         |SELECT node, min(hops) AS hops
-        |FROM walk GROUP BY node ORDER BY node""".stripMargin
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+    // replays Naive Bayes TRAINING (Laplace-smoothed vocab×class grid from
+    // token counts) and scoring; ln on identical doubles differs by ≤1 ulp
+    // across libms, absorbed by the 6dp/4dp rounds
+    "q174_naive_bayes" ->
+      """WITH tokd AS (
+        | SELECT doc_id, lang, unnest(list_filter(
+        |   regexp_split_to_array(lower(trim(text)), '\s+'),
+        |   t -> len(t) > 0)) AS tok
+        | FROM documents),
+        |traintok AS (SELECT lang AS cls, tok FROM tokd WHERE doc_id % 2 = 0),
+        |counts AS (SELECT cls, tok, count(*) AS cnt
+        |           FROM traintok GROUP BY cls, tok),
+        |ct AS (SELECT cls, count(*) AS n_tok FROM traintok GROUP BY cls),
+        |vocab AS (SELECT DISTINCT tok FROM counts),
+        |v AS (SELECT count(*) AS v FROM vocab),
+        |ll AS (
+        | SELECT vo.tok, ct.cls,
+        |  ln((coalesce(c.cnt, 0) + 1)::DOUBLE / (ct.n_tok + v.v)) AS ll
+        | FROM vocab vo CROSS JOIN ct CROSS JOIN v
+        | LEFT JOIN counts c ON c.cls = ct.cls AND c.tok = vo.tok),
+        |priors AS (
+        | SELECT lang AS cls, ln(count(*)::DOUBLE /
+        |   (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)) AS logprior
+        | FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+        |tf AS (SELECT doc_id AS id, tok, count(*) AS tf
+        |       FROM tokd WHERE doc_id % 2 = 1 GROUP BY id, tok),
+        |scored AS (
+        | SELECT tf.id, ll.cls, sum(tf.tf * ll.ll) AS tokll
+        | FROM tf JOIN ll ON ll.tok = tf.tok GROUP BY tf.id, ll.cls),
+        |lp AS (SELECT s.id, s.cls, s.tokll + p.logprior AS lp
+        |       FROM scored s JOIN priors p ON p.cls = s.cls),
+        |pred AS (
+        | SELECT id, cls AS pred, round(lp, 6) AS lp FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id
+        |    ORDER BY lp DESC, cls) AS rn FROM lp) WHERE rn = 1)
+        |SELECT d.lang, pr.pred, count(*) AS n, round(avg(pr.lp), 4) AS avg_lp
+        |FROM pred pr JOIN documents d ON d.doc_id = pr.id
+        |GROUP BY d.lang, pr.pred ORDER BY d.lang, pr.pred""".stripMargin,
+    "q175_ewma" ->
+      """WITH daily AS (
+        | SELECT event_type AS series, CAST(ts AS DATE) AS day,
+        |  count(*) AS x
+        | FROM events GROUP BY 1, 2),
+        |rk AS (
+        | SELECT *, row_number() OVER (PARTITION BY series ORDER BY day) AS rn,
+        |  count(*) OVER (PARTITION BY series) AS n FROM daily),
+        |wtd AS (
+        | SELECT series, n, day, x,
+        |  CASE WHEN rn = 1 THEN pow(0.7, n - 1)
+        |       ELSE 0.3 * pow(0.7, n - rn) END AS w
+        | FROM rk)
+        |SELECT series, max(n) AS n_days,
+        | strftime(max(day), '%Y-%m-%d') AS last_day,
+        | round(sum(w * x), 6) AS ewma
+        |FROM wtd GROUP BY series ORDER BY series""".stripMargin,
+    "q176_seq_trigrams" ->
+      """WITH seq AS (
+        | SELECT event_type AS a,
+        |  lead(event_type, 1) OVER w AS b,
+        |  lead(event_type, 2) OVER w AS c
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT a || '>' || b || '>' || c AS pattern, count(*) AS n
+        |FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+        |GROUP BY 1 HAVING count(*) >= 10
+        |ORDER BY n DESC, pattern""".stripMargin,
+    // replays the md5-MinHash bit-for-bit: uint60(md5) signature mins,
+    // '_'-joined band keys, bucket join, exact-Jaccard verify
+    "q177_minhash_portable" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(
+        |   regexp_split_to_array(lower(trim(text)), '\s+'),
+        |   t -> len(t) > 0) AS ts
+        | FROM documents),
+        |sh AS (
+        | SELECT DISTINCT id, sh FROM (
+        |  SELECT doc_id AS id, unnest(list_transform(range(1, len(ts) - 1),
+        |    i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+        |  FROM toks WHERE len(ts) >= 3)),
+        |hv AS (
+        | SELECT id, h, min(CAST('0x' ||
+        |   substring(md5(h::VARCHAR || ':' || sh), 1, 15) AS UBIGINT)) AS mv
+        | FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) AS h) hh
+        | GROUP BY id, h),
+        |bk AS (
+        | SELECT id, h // 3 AS band,
+        |  string_agg(mv::VARCHAR, '_' ORDER BY h) AS bkey
+        | FROM hv GROUP BY id, band),
+        |cand AS (
+        | SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        | FROM bk a JOIN bk b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |ix AS (
+        | SELECT c.id_a, c.id_b, count(*) AS i
+        | FROM cand c JOIN sh x ON x.id = c.id_a
+        |  JOIN sh y ON y.id = c.id_b AND y.sh = x.sh
+        | GROUP BY c.id_a, c.id_b),
+        |jj AS (
+        | SELECT ix.id_a, ix.id_b, ix.i::DOUBLE / (na.n + nb.n - ix.i) AS j
+        | FROM ix JOIN sz na ON na.id = ix.id_a
+        |  JOIN sz nb ON nb.id = ix.id_b)
+        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM jj
+        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // same signatures/candidates as q177 plus exact ground truth
+    // (inverted-index pairs), confusion counted over the full outer join
+    "q178_lsh_eval" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(
+        |   regexp_split_to_array(lower(trim(text)), '\s+'),
+        |   t -> len(t) > 0) AS ts
+        | FROM documents),
+        |sh AS (
+        | SELECT DISTINCT id, sh FROM (
+        |  SELECT doc_id AS id, unnest(list_transform(range(1, len(ts) - 1),
+        |    i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+        |  FROM toks WHERE len(ts) >= 3)),
+        |hv AS (
+        | SELECT id, h, min(CAST('0x' ||
+        |   substring(md5(h::VARCHAR || ':' || sh), 1, 15) AS UBIGINT)) AS mv
+        | FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) AS h) hh
+        | GROUP BY id, h),
+        |bk AS (
+        | SELECT id, h // 3 AS band,
+        |  string_agg(mv::VARCHAR, '_' ORDER BY h) AS bkey
+        | FROM hv GROUP BY id, band),
+        |cand AS (
+        | SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        | FROM bk a JOIN bk b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |shared AS (
+        | SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        | FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id),
+        |ixall AS (
+        | SELECT s.id_a, s.id_b, count(*) AS i
+        | FROM shared s JOIN sh x ON x.id = s.id_a
+        |  JOIN sh y ON y.id = s.id_b AND y.sh = x.sh
+        | GROUP BY s.id_a, s.id_b),
+        |truth AS (
+        | SELECT ixall.id_a, ixall.id_b FROM ixall
+        |  JOIN sz na ON na.id = ixall.id_a
+        |  JOIN sz nb ON nb.id = ixall.id_b
+        | WHERE ixall.i::DOUBLE / (na.n + nb.n - ixall.i) >= 0.5),
+        |fo AS (
+        | SELECT t.id_a AS ta, c.id_a AS ca
+        | FROM truth t FULL OUTER JOIN cand c
+        |  ON t.id_a = c.id_a AND t.id_b = c.id_b)
+        |SELECT count(ta)::BIGINT AS n_truth, count(ca)::BIGINT AS n_cand,
+        | count(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL THEN 1 END)::BIGINT AS tp,
+        | (count(ca) - count(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL THEN 1 END))::BIGINT AS fp,
+        | (count(ta) - count(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL THEN 1 END))::BIGINT AS fn,
+        | round(count(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL THEN 1 END)::DOUBLE
+        |   / count(ca), 6) AS precision,
+        | round(count(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL THEN 1 END)::DOUBLE
+        |   / count(ta), 6) AS recall
+        |FROM fo""".stripMargin,
+    "q179_segment_overlap" ->
+      """WITH du AS (
+        | SELECT DISTINCT event_type AS seg, user_id FROM events),
+        |sz AS (SELECT seg, count(*) AS n FROM du GROUP BY seg),
+        |ix AS (
+        | SELECT a.seg AS seg_a, b.seg AS seg_b, count(*) AS i
+        | FROM du a JOIN du b ON a.user_id = b.user_id AND a.seg < b.seg
+        | GROUP BY 1, 2)
+        |SELECT p.seg_a, p.seg_b, na.n AS n_a, nb.n AS n_b,
+        | coalesce(ix.i, 0) AS n_common,
+        | (na.n + nb.n - coalesce(ix.i, 0)) AS n_union,
+        | round(coalesce(ix.i, 0)::DOUBLE /
+        |   (na.n + nb.n - coalesce(ix.i, 0)), 6) AS jaccard
+        |FROM (SELECT a.seg AS seg_a, b.seg AS seg_b
+        |      FROM sz a JOIN sz b ON a.seg < b.seg) p
+        |JOIN sz na ON na.seg = p.seg_a
+        |JOIN sz nb ON nb.seg = p.seg_b
+        |LEFT JOIN ix ON ix.seg_a = p.seg_a AND ix.seg_b = p.seg_b
+        |ORDER BY p.seg_a, p.seg_b""".stripMargin,
+    // LATERAL top-1 restates the running struct-max window; "before" is
+    // the lexicographic (ts, event_id) order on both sides
+    "q180_attribution" ->
+      """SELECT p.event_id AS conversion_id, c.event_id AS touch_id,
+        | date_diff('second', c.ts, p.ts) AS lag_s
+        |FROM events p JOIN LATERAL (
+        |  SELECT event_id, ts FROM events c
+        |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |   AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true
+        |WHERE p.event_type = 'purchase'
+        |  AND date_diff('second', c.ts, p.ts) <= 604800
+        |ORDER BY conversion_id""".stripMargin,
+    // restates the CMS cells (same md5 buckets as q147), the per-row inner
+    // products, and the min-over-rows estimate next to the exact join count
+    "q181_join_estimate" ->
+      """WITH rr AS (SELECT unnest(range(0, 4)) AS r),
+        |ca AS (
+        | SELECT r, CAST('0x' || substring(
+        |    md5(l_partkey::VARCHAR || ':' || r), 1, 8) AS UBIGINT) % 256 AS w,
+        |  count(*) AS c
+        | FROM lineitem CROSS JOIN rr GROUP BY 1, 2),
+        |cb AS (
+        | SELECT r, CAST('0x' || substring(
+        |    md5(p_partkey::VARCHAR || ':' || r), 1, 8) AS UBIGINT) % 256 AS w,
+        |  count(*) AS c
+        | FROM part CROSS JOIN rr GROUP BY 1, 2),
+        |prod AS (
+        | SELECT ca.r, CAST(sum(ca.c * cb.c) AS BIGINT) AS ip
+        | FROM ca JOIN cb ON ca.r = cb.r AND ca.w = cb.w GROUP BY ca.r),
+        |est AS (SELECT min(ip) AS est FROM prod),
+        |ex AS (SELECT count(*) AS exact
+        |       FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT est, exact,
+        | round((est - exact)::DOUBLE / exact, 6) AS rel_err
+        |FROM est, ex""".stripMargin,
+    // island restatement of session_window: a session breaks when the gap
+    // is ≥ 6 h (strictly-overlapping [ts, ts+gap) intervals merge);
+    // window end = last event + gap
+    "q182_stream_sessions" ->
+      """WITH g AS (
+        | SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL
+        |   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 21600000000
+        |   THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        | SELECT user_id, value, epoch_us(ts) AS t_us,
+        |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        | FROM g)
+        |SELECT user_id, min(t_us) AS start_us,
+        | max(t_us) + 21600000000 AS end_us,
+        | count(*) AS n_events,
+        | round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+        |FROM s GROUP BY user_id, seq
+        |ORDER BY user_id, start_us""".stripMargin,
+    // same md5 sample, same equal-frequency bucket maxima as boundary
+    // keys, same boundaries-≤-key partition assignment
+    "q183_range_partition" ->
+      """WITH li AS (
+        | SELECT l_orderkey, l_linenumber, l_extendedprice AS k
+        | FROM lineitem),
+        |samp AS (
+        | SELECT * FROM li WHERE substring(md5(l_orderkey::VARCHAR || ':' ||
+        |   l_linenumber::VARCHAR || ':rp'), 1, 8) < '05000000'),
+        |rk AS (
+        | SELECT k, row_number() OVER (
+        |    ORDER BY k, l_orderkey, l_linenumber) AS rn,
+        |  count(*) OVER () AS n FROM samp),
+        |bx AS (SELECT (rn - 1) * 8 // n AS bkt, max(k) AS bk
+        |       FROM rk GROUP BY 1),
+        |bnds AS (SELECT list_sort(list(bk)) AS bnds FROM bx WHERE bkt < 7),
+        |asg AS (
+        | SELECT li.k, len(list_filter(b.bnds, x -> x <= li.k)) AS pid
+        | FROM li CROSS JOIN bnds b)
+        |SELECT pid, count(*) AS n_rows, round(min(k), 2) AS min_k,
+        | round(max(k), 2) AS max_k
+        |FROM asg GROUP BY pid ORDER BY pid""".stripMargin
   )
 
   /** Shared winnowing restatement (k = 8, w = 4) over an input relation

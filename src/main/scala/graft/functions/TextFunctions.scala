@@ -349,4 +349,27 @@ object TextFunctions {
           lit(84.6) * syllables.cast("double") / words.cast("double"), 4))
         .as("flesch"))
   }
+
+  /** Deflate-compressed size of the UTF-8 text (zlib level 6, raw
+    * deflate) — the compression-ratio quality signal of CCNet/RefinedWeb:
+    * machine-generated or template text compresses far below natural
+    * prose, so `deflate_bytes / raw_bytes` is a cheap repetitiveness
+    * screen. Map-only; no engine-portable restatement exists (no zlib in
+    * SQL), so queries over it are rows-only and the spec pins behaviour
+    * with closed-form repetitive/random inputs. */
+  def deflateSize(text: Column): Column = {
+    val f = udf { (t: String) =>
+      if (t == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val d = new java.util.zip.Deflater(6, true)
+        d.setInput(t.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf, 0, buf.length)
+        d.end()
+        java.lang.Long.valueOf(n)
+      }
+    }
+    f(text)
+  }
 }

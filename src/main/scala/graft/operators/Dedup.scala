@@ -367,4 +367,127 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .distinct()
   }
+
+  // ───────────────────────── portable (md5) MinHash ─────────────────────────
+  // The splitmix64-based MinHash above is the fast path; this variant derives
+  // every hash from md5 so the ENTIRE approximate pipeline — signatures, band
+  // keys, bucket join, exact-Jaccard verify — is bit-reproducible on any
+  // engine with an md5 function. That turns LSH from a "rows-only, trust the
+  // spec" operator into a hash-gated one: an external oracle can replay the
+  // same bucketing and must land on identical candidate pairs.
+
+  /** Distinct word `n`-gram shingles per document: (id, sh). Documents with
+    * fewer than `n` whitespace tokens produce no shingles (mirrored by the
+    * oracle). Lowercased, whitespace-tokenized — the portable tokenization. */
+  def wordShingleSet(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    docs
+      .select(col(idCol).as("id"), toks.as("_ts"))
+      .filter(size(col("_ts")) >= n)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("_ts")) - n),
+        i => concat_ws(" ", slice(col("_ts"), i + lit(1), lit(n))))).as("sh"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given candidate pairs over a (id, sh) shingle set:
+    * intersection by a shingle-keyed join, sizes by one count per doc.
+    * Returns (id_a, id_b, jaccard) — exact rational arithmetic, so any
+    * engine reproduces the value bit-for-bit. */
+  def exactJaccardOfPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") /
+          (col("na") + col("nb") - col("i"))).as("jaccard"))
+  }
+
+  /** LSH candidate pairs from md5-derived MinHash signatures.
+    *
+    * For hash `h` of `numHashes`, the signature value is
+    * `min over shingles of uint60(md5(h || ':' || shingle))` (first 15 hex
+    * chars — 60 bits, inside a signed long). Signatures are grouped into
+    * bands of `rowsPerBand` consecutive hashes; the band key is the values
+    * joined with '_' in hash order; candidates are the distinct id pairs
+    * sharing any (band, key) bucket — an equi-join on the bucket, never
+    * all-pairs, exactly the [[minhashLshPairs]] scale shape. */
+  def minhashCandidatesPortable(sh: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val sig = sh
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), lit(numHashes - 1)),
+        h => conv(substring(md5(concat(h.cast("string"), lit(":"), col("sh"))),
+          1, 15), 16, 10).cast("long"))).as(Seq("h", "v")))
+      .groupBy("id", "h").agg(min("v").as("mv"))
+    val bands = sig
+      .withColumn("band", floor(col("h") / rowsPerBand).cast("int"))
+      .groupBy("id", "band")
+      .agg(concat_ws("_", transform(
+        array_sort(collect_list(struct(col("h"), col("mv")))),
+        s => s.getField("mv").cast("string"))).as("bkey"))
+    bands.select(col("band"), col("bkey"), col("id").as("id_a"))
+      .join(bands.select(col("band"), col("bkey"), col("id").as("id_b")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** md5-MinHash LSH near-duplicate pairs with exact-Jaccard verify —
+    * the fully oracle-replayable LSH dedup. Output: (id_a, id_b, jaccard)
+    * for candidate pairs whose TRUE Jaccard ≥ threshold. */
+  def minhashLshPortable(docs: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = wordShingleSet(docs, idCol, textCol, shingleWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = minhashCandidatesPortable(sh, numHashes, rowsPerBand)
+    exactJaccardOfPairs(cand, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** Ground-truth near-duplicate pairs by EXACT Jaccard ≥ threshold over
+    * the word-shingle sets: inverted-index pair generation (docs sharing
+    * ≥ 1 shingle) + exact intersection counts. Hot shingles make the pair
+    * blow-up quadratic per shingle — acceptable for evaluation jobs and
+    * distinctive shingles; the prefix-filtered [[ngramJaccardPairs]] stays
+    * the production exact-join path. */
+  def exactWordJaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val pairs = sh.select(col("id").as("id_a"), col("sh"))
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    exactJaccardOfPairs(pairs, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** Measured quality of the LSH approximation against exact ground truth:
+    * one row (n_truth, n_cand, tp, fp, fn, precision, recall). `tp` =
+    * candidate pairs that are true near-duplicates; precision/recall are
+    * exact rationals of integer counts, so the WHOLE evaluation —
+    * including the sketch's misses — hash-checks against an oracle. */
+  def lshEvalConfusion(docs: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = wordShingleSet(docs, idCol, textCol, shingleWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = exactWordJaccardPairs(sh, threshold).select("id_a", "id_b")
+    val cand = minhashCandidatesPortable(sh, numHashes, rowsPerBand)
+    val joined = truth.withColumn("t", lit(1))
+      .join(cand.withColumn("c", lit(1)), Seq("id_a", "id_b"), "full_outer")
+    joined.agg(
+        sum(coalesce(col("t"), lit(0))).as("n_truth"),
+        sum(coalesce(col("c"), lit(0))).as("n_cand"),
+        sum(coalesce(col("t"), lit(0)) * coalesce(col("c"), lit(0))).as("tp"))
+      .select(col("n_truth"), col("n_cand"), col("tp"),
+        (col("n_cand") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        round(col("tp").cast("double") / col("n_cand"), 6).as("precision"),
+        round(col("tp").cast("double") / col("n_truth"), 6).as("recall"))
+  }
 }

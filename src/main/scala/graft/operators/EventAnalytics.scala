@@ -107,4 +107,76 @@ object EventAnalytics {
         s"CAST($i AS BIGINT), '${steps(i)}', `_c$i`").mkString(", ") +
       ") AS (step_idx, step_name, n_users)"))
   }
+
+  /** Exponentially-weighted moving average of the DAILY event count per
+    * series (`S_1 = x_1; S_n = α·x_n + (1−α)·S_{n−1}` over observed days
+    * in date order), computed CLOSED-FORM instead of as a sequential
+    * recurrence: the weight of observation `i` of `n` is
+    * `α·(1−α)^(n−i)` (and `(1−α)^(n−1)` for the first), so one window
+    * rank + one weighted sum replaces any per-row state. Engine-portable —
+    * the same `pow` algebra restates in SQL — and scale-clean: the heavy
+    * shuffle is the daily pre-aggregate; the window runs over
+    * days-per-series, which stays tiny forever.
+    *
+    * Output: (series, n_days, last_day, ewma) with ewma rounded to 6 dp.
+    */
+  def ewmaDailyCounts(events: DataFrame, seriesCol: String, tsCol: String,
+      alpha: Double): DataFrame = {
+    val daily = events
+      .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("series").orderBy("day")
+    val wAll = Window.partitionBy("series")
+    val weighted = daily
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_w",
+        when(col("_rn") === 1, pow(lit(1.0 - alpha), col("_n") - 1))
+          .otherwise(lit(alpha) * pow(lit(1.0 - alpha), col("_n") - col("_rn"))))
+    weighted.groupBy("series")
+      .agg(max("_n").as("n_days"), max("day").as("last_day"),
+        round(sum(col("_w") * col("x")), 6).as("ewma"))
+  }
+
+  /** Frequent consecutive event-type trigrams per user (sequence mining's
+    * workhorse k=3 case): per-user sequences ordered by (ts, tieCol), each
+    * window of three consecutive events becomes one pattern occurrence,
+    * counted globally with a support cut. Shuffles once on the user key
+    * for the windows and once on the (tiny) pattern key. */
+  def eventTrigrams(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, minSupport: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(typeCol).as("_a"),
+        lead(col(typeCol), 1).over(w).as("_b"),
+        lead(col(typeCol), 2).over(w).as("_c"))
+      .filter(col("_b").isNotNull && col("_c").isNotNull)
+      .select(concat_ws(">", col("_a"), col("_b"), col("_c")).as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+  }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * latest touch event by the same user strictly before it (ordered by
+    * (ts, tieCol)) and within `windowSeconds`. One user-keyed window with
+    * a running `max` over a (ts, id) struct — lexicographic struct max IS
+    * "latest touch so far", and being a max (not `last_value`) it is
+    * insensitive to within-frame evaluation order. No self-join: touch
+    * and conversion streams stay one pass. */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, touchType: String,
+      conversionType: String, windowSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(col(typeCol).isin(touchType, conversionType))
+      .withColumn("_touch",
+        max(when(col(typeCol) === touchType,
+          struct(col(tsCol).as("ts"), col(idCol).as("id")))).over(w))
+      .filter(col(typeCol) === conversionType && col("_touch").isNotNull &&
+        unix_timestamp(col(tsCol)) - unix_timestamp(col("_touch.ts")) <= windowSeconds)
+      .select(col(idCol).as("conversion_id"), col("_touch.id").as("touch_id"),
+        (unix_timestamp(col(tsCol)) - unix_timestamp(col("_touch.ts")))
+          .as("lag_s"))
+  }
 }

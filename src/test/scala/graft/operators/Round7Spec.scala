@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Closed-form cases for the round-7 operator tier: Naive Bayes, EWMA,
+  * sequence trigrams, portable (md5) MinHash LSH, segment overlap,
+  * last-touch attribution. */
+class Round7Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("naive bayes: hand-computed smoothed log-probabilities and argmax") {
+    val train = Seq(("x x y", "A"), ("y z", "B")).toDF("text", "cls")
+    val test = Seq((1L, "x y"), (2L, "w")).toDF("id", "text")
+    val (ll, priors) = TextModels.naiveBayesTrain(train, "text", "cls")
+    // vocab {x,y,z}, V=3; A: x:2 y:1 n=3; B: y:1 z:1 n=2
+    // lp(A|"x y") = ln(1/2) + ln(3/6) + ln(2/6) = ln(1/12)
+    // lp(B|"x y") = ln(1/2) + ln(1/5) + ln(2/5) = ln(1/25)
+    val out = TextModels.naiveBayesScore(test, "id", "text", ll, priors)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    assert(out.size == 1) // doc 2's only token is out-of-vocab → dropped
+    val (pred, lp) = out(1L)
+    assert(pred == "A")
+    assert(math.abs(lp - math.log(1.0 / 12.0)) < 1e-6)
+  }
+
+  test("ewma closed-form weights equal the sequential recurrence") {
+    val ev = Seq(
+      ("s", "2024-01-01 10:00:00"), ("s", "2024-01-02 10:00:00"),
+      ("s", "2024-01-02 11:00:00"), ("s", "2024-01-03 10:00:00"),
+      ("s", "2024-01-03 11:00:00"), ("s", "2024-01-03 12:00:00"))
+      .toDF("series", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    // daily counts 1, 2, 3; α=0.3: S1=1, S2=.3·2+.7·1=1.3, S3=.3·3+.7·1.3=1.81
+    val row = EventAnalytics.ewmaDailyCounts(ev, "series", "ts", 0.3)
+      .collect().head
+    assert(row.getAs[Long]("n_days") == 3)
+    assert(math.abs(row.getAs[Double]("ewma") - 1.81) < 1e-9)
+  }
+
+  test("event trigrams: consecutive windows per user, support cut") {
+    val ev = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C"), (1L, 4L, "D"),
+      (2L, 5L, "A"), (2L, 6L, "B"), (2L, 7L, "C"))
+      .map { case (u, i, t) => (u, i, t, s"2024-01-01 00:00:0$i") }
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = EventAnalytics.eventTrigrams(ev, "user_id", "ts", "event_type",
+        "event_id", minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSet == Set(("A>B>C", 2L))) // B>C>D has support 1
+  }
+
+  test("portable minhash: identical docs always pair with jaccard 1") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPortable(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+    val eval = Dedup.lshEvalConfusion(docs, "doc_id", "text").collect().head
+    assert(eval.getAs[Long]("n_truth") == 1 && eval.getAs[Long]("tp") == 1)
+    assert(eval.getAs[Double]("recall") == 1.0)
+  }
+
+  test("portable minhash: candidates only via shared band buckets") {
+    // doc 3 shares no shingle with 1/2 → no shared signature min is
+    // possible from a common shingle, and a 60-bit collision is ~never
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e f"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.wordShingleSet(docs, "doc_id", "text", 3)
+    val cand = Dedup.minhashCandidatesPortable(sh, 12, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)))
+  }
+
+  test("segment overlap: exact popcount algebra and id-bounds check") {
+    val ev = Seq(("s1", 1L), ("s1", 2L), ("s1", 3L), ("s1", 2L),
+      ("s2", 2L), ("s2", 3L), ("s2", 4L)).toDF("seg", "user")
+    val row = Overlap.segmentOverlap(ev, "seg", "user", 64).collect().head
+    assert(row.getAs[Long]("n_a") == 3 && row.getAs[Long]("n_b") == 3)
+    assert(row.getAs[Long]("n_common") == 2 && row.getAs[Long]("n_union") == 4)
+    assert(row.getAs[Double]("jaccard") == 0.5)
+    val bad = Seq(("s1", 99L)).toDF("seg", "user")
+    intercept[Exception] {
+      Overlap.segmentOverlap(bad, "seg", "user", 64).collect()
+    }
+  }
+
+  test("last-touch attribution: (ts, id) tie-break and window cut") {
+    val ev = Seq(
+      // user 1: click id 1 at t0, purchase id 2 at the SAME t0 → attributed
+      (1L, 1L, "click", "2024-01-10 00:00:00"),
+      (1L, 2L, "purchase", "2024-01-10 00:00:00"),
+      // user 2: purchase id 4 then click id 5 at the same ts (id AFTER) →
+      // no prior touch → unattributed
+      (2L, 4L, "purchase", "2024-01-10 00:00:00"),
+      (2L, 5L, "click", "2024-01-10 00:00:00"),
+      // user 3: click 8 days before purchase → outside the 7-day window
+      (3L, 6L, "click", "2024-01-01 00:00:00"),
+      (3L, 7L, "purchase", "2024-01-09 00:00:01"),
+      // user 4: two clicks → credited to the LATEST
+      (4L, 8L, "click", "2024-01-09 00:00:00"),
+      (4L, 9L, "click", "2024-01-09 12:00:00"),
+      (4L, 10L, "purchase", "2024-01-10 00:00:00"))
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = EventAnalytics.lastTouchAttribution(ev, "user_id", "ts",
+        "event_type", "event_id", "click", "purchase", 7L * 86400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(out.sortBy(_._1) == List((2L, 1L, 0L), (10L, 9L, 43200L)))
+  }
+
+  test("cms join estimate: one-sided, exact when buckets don't collide") {
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("x")
+    val b = Seq(1L, 2L, 2L, 4L).toDF("y")
+    // true join size = 3·1 + 1·2 = 5; with 3 distinct keys in 4096
+    // buckets the md5 assignment collides with probability ~0 and the
+    // estimate is EXACT; the CMS inner product can only over-estimate
+    val row = JoinStats.cmsJoinEstimate(a, col("x"), b, col("y"),
+      depth = 4, width = 4096).collect().head
+    assert(row.getAs[Long]("exact") == 5L)
+    assert(row.getAs[Long]("est") == 5L)
+    assert(row.getAs[Double]("rel_err") == 0.0)
+  }
+
+  test("deflate size: repetitive text compresses, random text doesn't") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "spam " * 400),
+      (2L, (1 to 400).map(i => Integer.toHexString(i * 2654435761L.toInt))
+        .mkString(" ")))
+      .toDF("id", "text")
+    val out = docs.select(col("id"),
+        (TextFunctions.deflateSize(col("text")).cast("double") /
+          octet_length(col("text"))).as("ratio"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) < 0.05) // 400 repeats of one word
+    assert(out(2L) > 0.3)  // hex soup barely compresses
+  }
+}
