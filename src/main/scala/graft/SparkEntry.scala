@@ -2463,6 +2463,76 @@ object SparkEntry {
         .orderBy("pid")
     }),
 
+    // ── hard-negative mining: per query the top-k most-similar vectors
+    //    of a DIFFERENT label — contrastive-training negatives from the
+    //    same broadcast scan as brute-force ANN ──
+    "q185_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+          col("label").as("query_label"))
+      graft.operators.Similarity.hardNegatives(
+          emb.filter(col("vec_id") >= 3), queriesDf, 5)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("cosine"), 4).as("cos_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ── embedding-space quality: centroid silhouette per label (the
+    //    O(n·L) form — the O(n²) classic can't run at corpus scale) ──
+    "q186_silhouette" -> ((s, dir) =>
+      graft.operators.Similarity.centroidSilhouette(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy("label")),
+
+    // ── SCD2 point-in-time join: every line item priced against the
+    //    order-priority version valid at its SHIP date — key-equality
+    //    join with a residual interval filter (disjoint versions ⇒ no
+    //    fan-out), composing the q84 history build ──
+    "q187_pit_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val wded = Window.partitionBy("o_custkey", "o_orderdate")
+        .orderBy("o_orderkey")
+      val log = orders.withColumn("_rn", row_number().over(wded))
+        .filter(col("_rn") === 1)
+        .select(col("o_custkey").as("key"), col("o_orderdate").as("ts"),
+          col("o_orderpriority").as("prio"))
+      val dim = graft.operators.Scd.buildScd2(log, "key", "ts", Seq("prio"))
+      val facts = t(s, dir, "lineitem")
+        .join(orders.select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("key"), col("l_shipdate").as("fts"),
+          col("l_quantity"))
+      graft.operators.Scd.pointInTimeJoin(facts, dim, "key", "fts")
+        .groupBy(coalesce(col("prio"), lit("NONE")).as("prio_at_ship"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("prio_at_ship")
+    }),
+
+    // ── acoustic fingerprinting (Haitsma–Kalker sign features, pure-JVM
+    //    FFT): each clip vs its amplitude-scaled copy (must match) and
+    //    vs the next clip (must not) — rows-only (no FFT in SQL);
+    //    Round7Spec pins the DSP with closed-form tones ──
+    "q188_audio_fingerprint" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 24)
+      val fps = Multimodal.withGeneratedAudioColumn(docs, "doc_id")
+        .withColumn("fp", Multimodal.decodedFingerprint(col("audio")))
+        .withColumn("fp_scaled", Multimodal.decodedFingerprint(
+          Multimodal.scaledAudio(col("audio"), 1, 2)))
+        .select(col("doc_id"), col("fp"), col("fp_scaled"))
+      val next = fps.select((col("doc_id") - 1).as("doc_id"),
+        col("fp").as("fp_next"))
+      fps.join(next, Seq("doc_id"))
+        .select(col("doc_id"), size(col("fp")).as("n_words"),
+          round(Multimodal.fingerprintBer(col("fp"), col("fp_scaled")), 4)
+            .as("ber_scaled"),
+          round(Multimodal.fingerprintBer(col("fp"), col("fp_next")), 4)
+            .as("ber_next"))
+        .orderBy("doc_id")
+    }),
+
     // ── compression-ratio quality screen (CCNet/RefinedWeb signal):
     //    deflate size vs raw bytes per document (rows-only: no zlib in
     //    SQL; Round7Spec pins closed-form repetitive/random cases) ──
@@ -5151,7 +5221,76 @@ object SparkEntry {
         | FROM li CROSS JOIN bnds b)
         |SELECT pid, count(*) AS n_rows, round(min(k), 2) AS min_k,
         | round(max(k), 2) AS max_k
-        |FROM asg GROUP BY pid ORDER BY pid""".stripMargin
+        |FROM asg GROUP BY pid ORDER BY pid""".stripMargin,
+    "q185_hard_negatives" ->
+      """WITH q AS (
+        | SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |  label AS qlbl
+        | FROM embeddings WHERE vec_id < 3),
+        |c AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
+        | FROM embeddings WHERE vec_id >= 3),
+        |scored AS (
+        | SELECT q.query_id, c.vec_id,
+        |  list_cosine_similarity(c.cv, q.qv) AS cos
+        | FROM c CROSS JOIN q WHERE c.label <> q.qlbl),
+        |ranked AS (
+        | SELECT query_id, vec_id, cos, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        | FROM scored)
+        |SELECT query_id, rank, vec_id, round(cos, 4) AS cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // centroids as positional averages, distances in index order on both
+    // sides; ≤1e-14 float drift absorbed by the 4dp round
+    "q186_silhouette" ->
+      """WITH e AS (
+        | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        | FROM embeddings),
+        |pos AS (
+        | SELECT label AS clbl, i, avg(v[i]) AS c
+        | FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+        | GROUP BY 1, 2),
+        |cent AS (SELECT clbl, list(c ORDER BY i) AS cvec
+        |         FROM pos GROUP BY clbl),
+        |d AS (
+        | SELECT e.vec_id AS id, e.label AS lbl, c.clbl,
+        |  list_distance(e.v, c.cvec) AS d
+        | FROM e CROSS JOIN cent c),
+        |own AS (SELECT id, lbl, d AS a FROM d WHERE lbl = clbl),
+        |oth AS (SELECT id, min(d) AS b FROM d WHERE lbl <> clbl GROUP BY id),
+        |s AS (SELECT own.lbl, (b - a) / greatest(a, b) AS s
+        |      FROM own JOIN oth ON own.id = oth.id)
+        |SELECT lbl AS label, count(*) AS n, round(avg(s), 4) AS silhouette
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SCD2 rebuild (dedup → collapse-unchanged → lead validity) + the
+    // interval-residual key join, exactly the operator's algebra
+    "q187_pit_join" ->
+      """WITH log AS (
+        | SELECT o_custkey AS key, o_orderdate AS ts,
+        |  o_orderpriority AS prio
+        | FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey) AS rn
+        |   FROM orders) WHERE rn = 1),
+        |chg AS (
+        | SELECT key, ts, prio FROM (
+        |  SELECT *, lag(prio) OVER (PARTITION BY key ORDER BY ts) AS pp
+        |  FROM log)
+        | WHERE pp IS NULL OR pp <> prio),
+        |dim AS (
+        | SELECT key, prio, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY key ORDER BY ts) AS valid_to
+        | FROM chg),
+        |facts AS (
+        | SELECT o_custkey AS key, l_shipdate AS fts, l_quantity
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |pit AS (
+        | SELECT f.l_quantity, d.prio
+        | FROM facts f LEFT JOIN dim d ON d.key = f.key
+        |  AND d.valid_from <= f.fts
+        |  AND (d.valid_to IS NULL OR f.fts < d.valid_to))
+        |SELECT coalesce(prio, 'NONE') AS prio_at_ship, count(*) AS n,
+        | round(sum(l_quantity), 2) AS qty
+        |FROM pit GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared winnowing restatement (k = 8, w = 4) over an input relation

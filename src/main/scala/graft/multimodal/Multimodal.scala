@@ -187,6 +187,35 @@ object Multimodal {
       }
     }.apply(bytesCol)
 
+  /** Acoustic fingerprint words ([[AudioFingerprint]] Haitsma–Kalker sign
+    * features) from the binary WAV column; null for unparseable payloads.
+    * Map-only. */
+  def decodedFingerprint(bytesCol: Column): Column =
+    udf { (b: Array[Byte]) =>
+      AudioCodec.decodeWav(b).map { case (rate, samples) =>
+        AudioFingerprint.fingerprint(rate, samples)
+      }
+    }.apply(bytesCol)
+
+  /** Amplitude-scaled re-encode of the WAV payload (×num/den) — the cheap
+    * "re-mastered copy" a robust fingerprint must still match. */
+  def scaledAudio(bytesCol: Column, num: Int, den: Int): Column =
+    udf { (b: Array[Byte]) =>
+      AudioCodec.decodeWav(b).map { case (rate, samples) =>
+        val out = new Array[Short](samples.length)
+        var i = 0
+        while (i < out.length) {
+          out(i) = (samples(i) * num / den).toShort; i += 1
+        }
+        AudioCodec.encodeWav(out, rate)
+      }
+    }.apply(bytesCol)
+
+  /** Bit error rate between two fingerprint columns. */
+  def fingerprintBer(a: Column, b: Column): Column =
+    udf((x: Seq[Int], y: Seq[Int]) =>
+      AudioFingerprint.bitErrorRate(x.toArray, y.toArray)).apply(a, b)
+
   /** Attach a deterministic fake binary payload + metadata to a DataFrame —
     * kept for payload-agnostic plumbing tests (e.g. frame sampling, where
     * a real video codec is genuinely absent from the JDK). */

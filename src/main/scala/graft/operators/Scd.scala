@@ -37,4 +37,27 @@ object Scd {
       .withColumn("is_current", col("valid_to").isNull)
       .drop(tsCol)
   }
+
+  /** Point-in-time join: each fact row picks the dimension version valid
+    * at its own timestamp (`valid_from <= ts < valid_to`, open-ended
+    * current version included; facts before the first version keep nulls —
+    * left join).
+    *
+    * Plan shape: the key equality makes this a plain shuffle (or
+    * broadcast) hash/merge join with the interval predicate as a residual
+    * filter — NOT a nested-loop range join — because SCD2 intervals per
+    * key are disjoint: at most one dimension row survives the residual,
+    * so the join never fans out. Scale-safe wherever the fact join itself
+    * is. */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val f = facts.alias("f")
+    val d = dim.alias("d")
+    f.join(d,
+        col(s"f.$keyCol") === col(s"d.$keyCol") &&
+          col("d.valid_from") <= col(s"f.$tsCol") &&
+          (col("d.valid_to").isNull || col(s"f.$tsCol") < col("d.valid_to")),
+        "left")
+      .drop(col(s"d.$keyCol"))
+  }
 }

@@ -318,4 +318,59 @@ object Similarity {
         .filter(col("rank") <= k)
     }
   }
+
+  /** Hard-negative mining for contrastive training: for each query, the
+    * top-k most-COSINE-similar corpus vectors whose label DIFFERS from the
+    * query's — the negatives that actually move a metric-learning loss.
+    * Same broadcast-queries map-only scan as [[bruteForceTopK]] with the
+    * label guard applied before ranking; the per-query heap is the only
+    * state, so the scan cost is unchanged at any corpus size.
+    *
+    * `queries` columns: (query_id, query_vec, query_label); corpus:
+    * (corpusId, corpusVec, labelCol). Output: (query_id, vec_id, cosine,
+    * rank). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(labelCol) =!= col("query_label"))
+      .select(col("query_id"), col(corpusId),
+        cosineCol(corpus)(col(corpusVec), col("query_vec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Centroid-based silhouette score per label — the O(n·L) embedding
+    * quality metric (the classic O(n²) silhouette is unrunnable at corpus
+    * scale): a(x) = distance to the OWN label centroid, b(x) = min
+    * distance to any OTHER centroid, s(x) = (b−a)/max(a,b), averaged per
+    * label. Centroids come from one positional-explode aggregate (an
+    * (L×dim)-sized result broadcast to the scoring scan); distances run
+    * map-only in index order, so every distance is bit-reproducible.
+    * Output: (label, n, silhouette). */
+  def centroidSilhouette(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val cents = emb
+      .select(col(labelCol).as("_clbl"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("_clbl", "i").agg(avg(col("x").cast("double")).as("c"))
+      .groupBy("_clbl")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+    val pts = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+      col(vecCol).cast("array<double>").as("v"))
+    val d = pts.crossJoin(broadcast(cents))
+      .select(col("id"), col("lbl"), col("_clbl"),
+        l2Distance(col("v"), col("cvec")).as("d"))
+    val own = d.filter(col("lbl") === col("_clbl"))
+      .select(col("id"), col("lbl"), col("d").as("a"))
+    val other = d.filter(col("lbl") =!= col("_clbl"))
+      .groupBy("id").agg(min("d").as("b"))
+    own.join(other, Seq("id"))
+      .select(col("lbl"),
+        ((col("b") - col("a")) / greatest(col("a"), col("b"))).as("s"))
+      .groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("n"), round(avg("s"), 4).as("silhouette"))
+  }
 }

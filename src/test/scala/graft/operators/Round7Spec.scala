@@ -129,6 +129,72 @@ class Round7Spec extends AnyFunSuite {
     assert(row.getAs[Double]("rel_err") == 0.0)
   }
 
+  test("hard negatives: same-label vectors are never returned") {
+    val emb = Seq(
+      (10L, Array(1f, 0f), 0), (11L, Array(0.9f, 0.1f), 0),
+      (12L, Array(0.8f, 0.2f), 1), (13L, Array(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq((1L, Array(1f, 0f), 0))
+      .toDF("query_id", "query_vec", "query_label")
+    val out = Similarity.hardNegatives(emb, q, 2)
+      .orderBy("rank").collect()
+    // label-0 vectors (10, 11) excluded; 12 is more similar than 13
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(12L, 13L))
+  }
+
+  test("centroid silhouette: separated clusters score near 1") {
+    val emb = Seq(
+      (1L, Array(0f, 0f), 0), (2L, Array(0f, 2f), 0),
+      (3L, Array(10f, 0f), 1), (4L, Array(10f, 2f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidSilhouette(emb, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Double]("silhouette"))
+      .toMap
+    // a = 1 (to own centroid), b = sqrt(101): s = (sqrt(101)-1)/sqrt(101)
+    val expected = (math.sqrt(101.0) - 1.0) / math.sqrt(101.0)
+    assert(math.abs(out(0) - expected) < 1e-3)
+    assert(math.abs(out(1) - expected) < 1e-3)
+  }
+
+  test("point-in-time join picks the version valid at the fact ts") {
+    val log = Seq((1L, "2024-01-02", "v1"), (1L, "2024-01-04", "v2"))
+      .toDF("key", "ts", "attr")
+      .withColumn("ts", col("ts").cast("date"))
+    val dim = Scd.buildScd2(log, "key", "ts", Seq("attr"))
+    val facts = Seq((1L, "2024-01-01"), (1L, "2024-01-02"),
+      (1L, "2024-01-03"), (1L, "2024-01-04"), (1L, "2024-01-05"))
+      .toDF("key", "fts").withColumn("fts", col("fts").cast("date"))
+    val out = Scd.pointInTimeJoin(facts, dim, "key", "fts")
+      .select(col("fts").cast("string"), col("attr"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("2024-01-01" -> null, "2024-01-02" -> "v1",
+      "2024-01-03" -> "v1", "2024-01-04" -> "v2", "2024-01-05" -> "v2"))
+  }
+
+  test("fft: pure tone concentrates energy in its bin") {
+    import graft.multimodal.AudioFingerprint
+    val n = 256
+    val re = Array.tabulate(n)(i => math.cos(2 * math.Pi * 4 * i / n))
+    val im = new Array[Double](n)
+    AudioFingerprint.fft(re, im)
+    def mag(k: Int) = math.sqrt(re(k) * re(k) + im(k) * im(k))
+    assert(math.abs(mag(4) - n / 2.0) < 1e-9)  // peak at bin 4
+    assert(mag(5) < 1e-9 && mag(3) < 1e-9)     // clean neighbours
+  }
+
+  test("audio fingerprint: amplitude-invariant, discriminates content") {
+    import graft.multimodal.{AudioCodec, AudioFingerprint}
+    val a = AudioCodec.syntheticAudio(7L, 16000)
+    val b = AudioCodec.syntheticAudio(8L, 16000)
+    val aScaled = a.map(s => (s / 2).toShort)
+    val fa = AudioFingerprint.fingerprint(8000, a)
+    val fas = AudioFingerprint.fingerprint(8000, aScaled)
+    val fb = AudioFingerprint.fingerprint(8000, b)
+    assert(fa.length == (16000 - 1024) / 512) // frames − 1
+    assert(AudioFingerprint.bitErrorRate(fa, fas) < 0.15)
+    assert(AudioFingerprint.bitErrorRate(fa, fb) > 0.25)
+  }
+
   test("deflate size: repetitive text compresses, random text doesn't") {
     import graft.functions.TextFunctions
     val docs = Seq(
