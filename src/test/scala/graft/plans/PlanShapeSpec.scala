@@ -338,6 +338,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"distance join must stay (cx, cy)-keyed:\n$plan")
   }
 
+  test("q187 point-in-time join plans as an equi-join with a residual " +
+      "interval filter, never a nested loop") {
+    val plan = finalPlanOf(
+      graft.SparkEntry.queries("q187_pit_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"PIT join must use the key equality:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected a hash/merge join on the key:\n$plan")
+  }
+
+  test("q185 hard negatives: queries broadcast, corpus scan is map-only " +
+      "up to the per-query top-k") {
+    val plan = finalPlanOf(
+      graft.SparkEntry.queries("q185_hard_negatives")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"query set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must never shuffle for the scoring scan:\n$plan")
+  }
+
+  test("q174 naive bayes: the model grid joins by token — the plan " +
+      "works without any broadcast (no driver-sized model assumption)") {
+    // at test scale AQE rightly broadcasts the tiny grid; the SCALE
+    // property is that nothing in the plan REQUIRES it: with broadcast
+    // disabled the model join must fall back to a shuffle join (a 10M-term
+    // × 10-class grid is big data, not a driver-side dimension)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlanOf(
+        graft.SparkEntry.queries("q174_naive_bayes")(spark, sf))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected the token-keyed model join to shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q146 sentence stats stay map-only over the scan (no exchange " +
       "before the per-doc projection)") {
     val df = graft.Tables.load(spark, sf, "documents")
