@@ -2533,6 +2533,107 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── LEFT OUTER stream-stream interval join: unmatched clicks emit
+    //    null conversions once the watermark passes their join window —
+    //    a different state machine from the inner q75 (state eviction
+    //    EMITS instead of dropping). Sentinel batches advance the
+    //    watermark so the drain flushes all retained state; the oracle is
+    //    the plain batch left join ──
+    "q189_stream_outer_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = t(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q189_").toString
+      // batch 1: real events (normalized µs timestamps — rewriting via
+      // Tables.load sidesteps the TIMESTAMP(NANOS) generations). batches
+      // 2-3: far-future click+purchase sentinels (negative ids) that pass
+      // the type filters, so the watermark operator SEES them and expires
+      // the outer-join state; distinct mod-times keep file order.
+      ev.select("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      def sentinels(tsLit: String): Unit =
+        s.sql(
+          s"""SELECT * FROM VALUES
+             | (CAST(-1 AS BIGINT), TIMESTAMP '$tsLit', CAST(-1 AS BIGINT),
+             |  'click', CAST(0.0 AS DOUBLE)),
+             | (CAST(-2 AS BIGINT), TIMESTAMP '$tsLit', CAST(-2 AS BIGINT),
+             |  'purchase', CAST(0.0 AS DOUBLE))
+             | AS t(event_id, ts, user_id, event_type, value)""".stripMargin)
+          .coalesce(1).write.mode("append").parquet(tmp)
+      Thread.sleep(150); sentinels("2024-06-01 00:00:00")
+      Thread.sleep(150); sentinels("2024-12-01 00:00:00")
+      val schema = s.read.parquet(tmp).schema
+      def stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("imp_id"), col("user_id"), col("ts"))
+        .withWatermark("ts", "1 hour")
+      val purch = stream.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id").as("cu"),
+          col("ts").as("cts"), col("value").as("cv"))
+        .withWatermark("cts", "1 hour")
+      val joined = clicks.join(purch,
+        col("user_id") === col("cu") && col("cts") >= col("ts") &&
+          col("cts") <= col("ts") + expr("INTERVAL 6 HOURS"),
+        "left_outer")
+      withStatePartitions(s, 8) {
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName("q189_out")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table("q189_out").filter(col("imp_id") >= 0)
+        .select(col("imp_id"), col("conv_id"),
+          round(col("cv"), 2).as("conv_value"))
+        .orderBy(col("imp_id").asc, col("conv_id").asc_nulls_first)
+    }),
+
+    // ── WHY z-order: data-skipping effectiveness, measured. The same
+    //    rows bucketed 64 ways by insertion order vs by z-value; a box
+    //    predicate must read every natural bucket (modular coords hit
+    //    all key ranges) but only the z-buckets whose min/max rectangle
+    //    intersects the box. (Exact global ranks keep the oracle simple;
+    //    a production layout job would use q183's sampled boundaries.) ──
+    "q190_skipping_stats" -> ((s, dir) => {
+      val b = 64
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          ((col("o_orderkey") % 170 - 85).cast("double") + lit(0.5)).as("lat"),
+          ((col("o_orderkey") % 356 - 178).cast("double") + lit(0.25)).as("lon"))
+        .withColumn("z", graft.geo.ZOrder.zValue(col("lat"), col("lon")))
+      val n = Window.partitionBy(lit(1))
+      val ranked = base
+        .withColumn("_rnat", row_number().over(Window.orderBy("o_orderkey")))
+        .withColumn("_rz", row_number().over(Window.orderBy(col("z"), col("o_orderkey"))))
+        .withColumn("_n", count(lit(1)).over(n))
+      val lo = -20.0; val hi = 20.0; val lonLo = -30.0; val lonHi = 30.0
+      // a bucket must be read iff its min/max rectangle intersects the box
+      def layoutReads(rankCol: String) = ranked
+        .withColumn("_bkt", floor((col(rankCol) - 1) * b / col("_n")))
+        .groupBy("_bkt")
+        .agg(min("lat").as("lat_min"), max("lat").as("lat_max"),
+          min("lon").as("lon_min"), max("lon").as("lon_max"))
+        .agg(sum(when(col("lat_min") <= hi && col("lat_max") >= lo &&
+          col("lon_min") <= lonHi && col("lon_max") >= lonLo, 1L)
+          .otherwise(0L)).as("reads"))
+      val matches = base.agg(sum(when(col("lat").between(lo, hi) &&
+        col("lon").between(lonLo, lonHi), 1L).otherwise(0L)).as("rows_match"))
+      layoutReads("_rnat").select(col("reads").as("read_natural"))
+        .crossJoin(layoutReads("_rz").select(col("reads").as("read_zorder")))
+        .crossJoin(matches)
+        .select(lit(b).cast("long").as("n_buckets"), col("read_natural"),
+          col("read_zorder"), col("rows_match"))
+    }),
+
+    // ── water-filling budget allocation: the cap c with Σ min(n_i, c)
+    //    filling the budget — caps dominant sources, passes small ones
+    //    through; pure integer algebra over a |sources|-sized table ──
+    "q191_water_filling" -> ((s, dir) =>
+      graft.operators.Curation.waterFillAllocation(
+          t(s, dir, "documents").groupBy(col("lang").as("source"))
+            .agg(count(lit(1)).as("n")),
+          budget = 300L)
+        .orderBy("source")),
+
     // ── compression-ratio quality screen (CCNet/RefinedWeb signal):
     //    deflate size vs raw bytes per document (rows-only: no zlib in
     //    SQL; Round7Spec pins closed-form repetitive/random cases) ──
@@ -5290,7 +5391,91 @@ object SparkEntry {
         |  AND (d.valid_to IS NULL OR f.fts < d.valid_to))
         |SELECT coalesce(prio, 'NONE') AS prio_at_ship, count(*) AS n,
         | round(sum(l_quantity), 2) AS qty
-        |FROM pit GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM pit GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the batch semantics the streaming outer join must converge to once
+    // every watermark has passed
+    "q189_stream_outer_join" ->
+      """SELECT c.event_id AS imp_id, p.event_id AS conv_id,
+        | round(p.value, 2) AS conv_value
+        |FROM events c LEFT JOIN events p
+        | ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+        |WHERE c.event_type = 'click'
+        |ORDER BY imp_id, conv_id NULLS FIRST""".stripMargin,
+    // q69's bit-spread z restatement + equal-frequency buckets per layout
+    // + rectangle-vs-box intersection counts
+    "q190_skipping_stats" ->
+      """WITH q AS (
+        | SELECT o_orderkey,
+        |  (o_orderkey % 170 - 85) + 0.5 AS lat,
+        |  (o_orderkey % 356 - 178) + 0.25 AS lon,
+        |  CAST(floor((((o_orderkey % 170 - 85) + 0.5) + 90.0)
+        |    / 180.0 * 65535.0) AS BIGINT) AS latq,
+        |  CAST(floor((((o_orderkey % 356 - 178) + 0.25) + 180.0)
+        |    / 360.0 * 65535.0) AS BIGINT) AS lonq
+        | FROM orders),
+        |s1 AS (SELECT o_orderkey,
+        |  ((latq | (latq << 8)) & 16711935) AS a,
+        |  ((lonq | (lonq << 8)) & 16711935) AS b FROM q),
+        |s2 AS (SELECT o_orderkey,
+        |  ((a | (a << 4)) & 252645135) AS a,
+        |  ((b | (b << 4)) & 252645135) AS b FROM s1),
+        |s3 AS (SELECT o_orderkey,
+        |  ((a | (a << 2)) & 858993459) AS a,
+        |  ((b | (b << 2)) & 858993459) AS b FROM s2),
+        |s4 AS (SELECT o_orderkey,
+        |  ((a | (a << 1)) & 1431655765) AS a,
+        |  ((b | (b << 1)) & 1431655765) AS b FROM s3),
+        |zz AS (
+        | SELECT q.o_orderkey, q.lat, q.lon, s4.a | (s4.b << 1) AS z
+        | FROM q JOIN s4 ON q.o_orderkey = s4.o_orderkey),
+        |rk AS (
+        | SELECT *, row_number() OVER (ORDER BY o_orderkey) AS rnat,
+        |  row_number() OVER (ORDER BY z, o_orderkey) AS rz,
+        |  count(*) OVER () AS n
+        | FROM zz),
+        |nat AS (
+        | SELECT (rnat - 1) * 64 // n AS bkt,
+        |  min(lat) AS latmin, max(lat) AS latmax,
+        |  min(lon) AS lonmin, max(lon) AS lonmax
+        | FROM rk GROUP BY 1),
+        |zb AS (
+        | SELECT (rz - 1) * 64 // n AS bkt,
+        |  min(lat) AS latmin, max(lat) AS latmax,
+        |  min(lon) AS lonmin, max(lon) AS lonmax
+        | FROM rk GROUP BY 1)
+        |SELECT CAST(64 AS BIGINT) AS n_buckets,
+        | (SELECT count(*) FROM nat WHERE latmin <= 20 AND latmax >= -20
+        |   AND lonmin <= 30 AND lonmax >= -30) AS read_natural,
+        | (SELECT count(*) FROM zb WHERE latmin <= 20 AND latmax >= -20
+        |   AND lonmin <= 30 AND lonmax >= -30) AS read_zorder,
+        | (SELECT count(*) FROM zz WHERE lat BETWEEN -20 AND 20
+        |   AND lon BETWEEN -30 AND 30) AS rows_match""".stripMargin,
+    // the closed-form cap: unique k whose candidate lands inside its own
+    // [n_{k-1}, n_k) segment; negative candidates fail the >= lo guard on
+    // both engines (floor vs truncate differs only below zero)
+    "q191_water_filling" ->
+      """WITH counts AS (
+        | SELECT lang AS source, count(*) AS n FROM documents GROUP BY 1),
+        |rk AS (
+        | SELECT *, row_number() OVER (ORDER BY n, source) AS k,
+        |  coalesce(sum(n) OVER (ORDER BY n, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+        |  count(*) OVER () AS s_cnt,
+        |  sum(n) OVER () AS total,
+        |  coalesce(lag(n) OVER (ORDER BY n, source), 0) AS lo
+        | FROM counts),
+        |cap AS (
+        | SELECT CAST(min((300 - prefix) // (s_cnt - k + 1)) AS BIGINT) AS cap
+        | FROM rk
+        | WHERE total > 300
+        |  AND (300 - prefix) // (s_cnt - k + 1) >= lo
+        |  AND (300 - prefix) // (s_cnt - k + 1) < n)
+        |SELECT c.source, c.n,
+        | CASE WHEN cap.cap IS NOT NULL THEN least(c.n, cap.cap)
+        |      ELSE c.n END AS alloc,
+        | cap.cap
+        |FROM counts c CROSS JOIN cap ORDER BY source""".stripMargin
   )
 
   /** Shared winnowing restatement (k = 8, w = 4) over an input relation

