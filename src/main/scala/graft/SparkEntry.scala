@@ -2634,6 +2634,44 @@ object SparkEntry {
           budget = 300L)
         .orderBy("source")),
 
+    // ── fixed-round k-core peeling over the part↔supplier graph:
+    //    synchronous rounds (the scalable form of the inherently-serial
+    //    degeneracy peel), converged flag from the last two rounds ──
+    "q192_kcore_peel" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").select(
+        col("l_partkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst"))
+      graft.operators.Graphs.kCorePeel(
+          graft.operators.Graphs.symmetrize(base), k = 4, rounds = 3)
+        .orderBy("node")
+    }),
+
+    // ── exact lower WEIGHTED median per group (no interpolation — any
+    //    engine lands on the identical row): the doc size at which half
+    //    of each language's BYTES sit in smaller docs ──
+    "q193_weighted_median" -> ((s, dir) =>
+      graft.operators.Profiling.weightedMedian(
+          t(s, dir, "documents"), "lang", "n_chars", "n_chars", "doc_id")
+        .orderBy("lang")),
+
+    // ── calendar densify + forward fill of a sparse daily series (the
+    //    feature-store resampling shape); gaps flagged ──
+    "q194_forward_fill" -> ((s, dir) =>
+      graft.operators.EventAnalytics.forwardFillDaily(
+          t(s, dir, "events").filter(col("user_id") === 3),
+          "event_type", "ts")
+        .select(col("series"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("x_filled"), col("was_gap"))
+        .orderBy("series", "day")),
+
+    // ── LSH operating-point sweep: precision/recall for four bandings
+    //    from ONE signature table and ONE ground truth — the S-curve
+    //    tuning table, every cell oracle-checked ──
+    "q195_lsh_sweep" -> ((s, dir) =>
+      graft.operators.Dedup.lshBandingSweep(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("rows_per_band")),
+
     // ── compression-ratio quality screen (CCNet/RefinedWeb signal):
     //    deflate size vs raw bytes per document (rows-only: no zlib in
     //    SQL; Round7Spec pins closed-form repetitive/random cases) ──
@@ -5475,7 +5513,165 @@ object SparkEntry {
         | CASE WHEN cap.cap IS NOT NULL THEN least(c.n, cap.cap)
         |      ELSE c.n END AS alloc,
         | cap.cap
-        |FROM counts c CROSS JOIN cap ORDER BY source""".stripMargin
+        |FROM counts c CROSS JOIN cap ORDER BY source""".stripMargin,
+    // three explicit peel rounds (degree >= 4 survivors, induced
+    // subgraph), converged = |s3| = |s2|
+    "q192_kcore_peel" ->
+      """WITH base AS (
+        | SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+        | FROM lineitem),
+        |e0 AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+        |s1 AS (SELECT src AS node FROM (
+        |  SELECT src, count(*) AS deg FROM e0 GROUP BY 1) WHERE deg >= 4),
+        |e1 AS (SELECT e.src, e.dst FROM e0 e
+        |  JOIN s1 a ON e.src = a.node JOIN s1 b ON e.dst = b.node),
+        |s2 AS (SELECT src AS node FROM (
+        |  SELECT src, count(*) AS deg FROM e1 GROUP BY 1) WHERE deg >= 4),
+        |e2 AS (SELECT e.src, e.dst FROM e1 e
+        |  JOIN s2 a ON e.src = a.node JOIN s2 b ON e.dst = b.node),
+        |s3 AS (SELECT src AS node FROM (
+        |  SELECT src, count(*) AS deg FROM e2 GROUP BY 1) WHERE deg >= 4),
+        |e3 AS (SELECT e.src, e.dst FROM e2 e
+        |  JOIN s3 a ON e.src = a.node JOIN s3 b ON e.dst = b.node),
+        |deg3 AS (SELECT src AS node, count(*) AS degree
+        |         FROM e3 GROUP BY 1),
+        |conv AS (SELECT (SELECT count(*) FROM s3) =
+        |  (SELECT count(*) FROM s2) AS converged)
+        |SELECT s3.node, coalesce(deg3.degree, 0) AS degree, conv.converged
+        |FROM s3 LEFT JOIN deg3 ON deg3.node = s3.node CROSS JOIN conv
+        |ORDER BY s3.node""".stripMargin,
+    "q193_weighted_median" ->
+      """WITH c AS (
+        | SELECT lang, n_chars,
+        |  sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(n_chars) OVER (PARTITION BY lang) AS tot
+        | FROM documents)
+        |SELECT lang, min(n_chars) AS weighted_median,
+        | CAST(max(tot) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= tot GROUP BY lang ORDER BY lang""".stripMargin,
+    "q194_forward_fill" ->
+      """WITH daily AS (
+        | SELECT event_type AS series, CAST(ts AS DATE) AS day,
+        |  count(*) AS x
+        | FROM events WHERE user_id = 3 GROUP BY 1, 2),
+        |span AS (SELECT series, min(day) AS d0, max(day) AS d1
+        |         FROM daily GROUP BY 1),
+        |cal AS (
+        | SELECT series, CAST(unnest(generate_series(
+        |   d0::TIMESTAMP, d1::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
+        | FROM span),
+        |f AS (SELECT c.series, c.day, d.x FROM cal c
+        |      LEFT JOIN daily d ON d.series = c.series AND d.day = c.day)
+        |SELECT series, strftime(day, '%Y-%m-%d') AS day,
+        | last_value(x IGNORE NULLS) OVER (PARTITION BY series ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x_filled,
+        | x IS NULL AS was_gap
+        |FROM f ORDER BY series, day""".stripMargin,
+    // q178's signatures/truth shared across four bandings; one result row
+    // per rows-per-band setting
+    "q195_lsh_sweep" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(
+        |   regexp_split_to_array(lower(trim(text)), '\s+'),
+        |   t -> len(t) > 0) AS ts
+        | FROM documents),
+        |sh AS (
+        | SELECT DISTINCT id, sh FROM (
+        |  SELECT doc_id AS id, unnest(list_transform(range(1, len(ts) - 1),
+        |    i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+        |  FROM toks WHERE len(ts) >= 3)),
+        |hv AS (
+        | SELECT id, h, min(CAST('0x' ||
+        |   substring(md5(h::VARCHAR || ':' || sh), 1, 15) AS UBIGINT)) AS mv
+        | FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) AS h) hh
+        | GROUP BY id, h),
+        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |shared AS (
+        | SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        | FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id),
+        |ixall AS (
+        | SELECT s.id_a, s.id_b, count(*) AS i
+        | FROM shared s JOIN sh x ON x.id = s.id_a
+        |  JOIN sh y ON y.id = s.id_b AND y.sh = x.sh
+        | GROUP BY s.id_a, s.id_b),
+        |truth AS (
+        | SELECT ixall.id_a, ixall.id_b FROM ixall
+        |  JOIN sz na ON na.id = ixall.id_a
+        |  JOIN sz nb ON nb.id = ixall.id_b
+        | WHERE ixall.i::DOUBLE / (na.n + nb.n - ixall.i) >= 0.5),
+        |b2 AS (SELECT id, h // 2 AS band,
+        |  string_agg(mv::VARCHAR, '_' ORDER BY h) AS bkey
+        | FROM hv GROUP BY id, band),
+        |c2 AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM b2 a
+        | JOIN b2 b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+        |b3 AS (SELECT id, h // 3 AS band,
+        |  string_agg(mv::VARCHAR, '_' ORDER BY h) AS bkey
+        | FROM hv GROUP BY id, band),
+        |c3 AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM b3 a
+        | JOIN b3 b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+        |b4 AS (SELECT id, h // 4 AS band,
+        |  string_agg(mv::VARCHAR, '_' ORDER BY h) AS bkey
+        | FROM hv GROUP BY id, band),
+        |c4 AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM b4 a
+        | JOIN b4 b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+        |b6 AS (SELECT id, h // 6 AS band,
+        |  string_agg(mv::VARCHAR, '_' ORDER BY h) AS bkey
+        | FROM hv GROUP BY id, band),
+        |c6 AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM b6 a
+        | JOIN b6 b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+        |r2 AS (SELECT CAST(2 AS BIGINT) AS rows_per_band,
+        |  CAST(6 AS BIGINT) AS n_bands,
+        |  count(c.id_a)::BIGINT AS n_cand,
+        |  count(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL
+        |    THEN 1 END)::BIGINT AS tp,
+        |  (count(t.id_a) - count(CASE WHEN t.id_a IS NOT NULL
+        |    AND c.id_a IS NOT NULL THEN 1 END))::BIGINT AS fn,
+        |  round(count(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL
+        |    THEN 1 END)::DOUBLE / count(c.id_a), 6) AS precision,
+        |  round(count(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL
+        |    THEN 1 END)::DOUBLE / count(t.id_a), 6) AS recall
+        | FROM truth t FULL OUTER JOIN c2 c
+        |  ON t.id_a = c.id_a AND t.id_b = c.id_b),
+        |r3 AS (SELECT CAST(3 AS BIGINT), CAST(4 AS BIGINT),
+        |  count(c.id_a)::BIGINT,
+        |  count(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL
+        |    THEN 1 END)::BIGINT,
+        |  (count(t.id_a) - count(CASE WHEN t.id_a IS NOT NULL
+        |    AND c.id_a IS NOT NULL THEN 1 END))::BIGINT,
+        |  round(count(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL
+        |    THEN 1 END)::DOUBLE / count(c.id_a), 6),
+        |  round(count(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL
+        |    THEN 1 END)::DOUBLE / count(t.id_a), 6)
+        | FROM truth t FULL OUTER JOIN c3 c
+        |  ON t.id_a = c.id_a AND t.id_b = c.id_b),
+        |r4 AS (SELECT CAST(4 AS BIGINT), CAST(3 AS BIGINT),
+        |  count(c.id_a)::BIGINT,
+        |  count(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL
+        |    THEN 1 END)::BIGINT,
+        |  (count(t.id_a) - count(CASE WHEN t.id_a IS NOT NULL
+        |    AND c.id_a IS NOT NULL THEN 1 END))::BIGINT,
+        |  round(count(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL
+        |    THEN 1 END)::DOUBLE / count(c.id_a), 6),
+        |  round(count(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL
+        |    THEN 1 END)::DOUBLE / count(t.id_a), 6)
+        | FROM truth t FULL OUTER JOIN c4 c
+        |  ON t.id_a = c.id_a AND t.id_b = c.id_b),
+        |r6 AS (SELECT CAST(6 AS BIGINT), CAST(2 AS BIGINT),
+        |  count(c.id_a)::BIGINT,
+        |  count(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL
+        |    THEN 1 END)::BIGINT,
+        |  (count(t.id_a) - count(CASE WHEN t.id_a IS NOT NULL
+        |    AND c.id_a IS NOT NULL THEN 1 END))::BIGINT,
+        |  round(count(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL
+        |    THEN 1 END)::DOUBLE / count(c.id_a), 6),
+        |  round(count(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL
+        |    THEN 1 END)::DOUBLE / count(t.id_a), 6)
+        | FROM truth t FULL OUTER JOIN c6 c
+        |  ON t.id_a = c.id_a AND t.id_b = c.id_b)
+        |SELECT * FROM r2 UNION ALL SELECT * FROM r3
+        |UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r6
+        |ORDER BY rows_per_band""".stripMargin
   )
 
   /** Shared winnowing restatement (k = 8, w = 4) over an input relation

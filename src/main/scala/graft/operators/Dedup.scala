@@ -421,14 +421,18 @@ object Dedup {
     * joined with '_' in hash order; candidates are the distinct id pairs
     * sharing any (band, key) bucket — an equi-join on the bucket, never
     * all-pairs, exactly the [[minhashLshPairs]] scale shape. */
-  def minhashCandidatesPortable(sh: DataFrame, numHashes: Int,
-      rowsPerBand: Int): DataFrame = {
-    val sig = sh
-      .select(col("id"), posexplode(transform(
+  /** md5 signature table (id, h, mv) — the per-hash minima every banding
+    * below consumes. */
+  def signaturesPortable(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(col("id"), posexplode(transform(
         sequence(lit(0), lit(numHashes - 1)),
         h => conv(substring(md5(concat(h.cast("string"), lit(":"), col("sh"))),
           1, 15), 16, 10).cast("long"))).as(Seq("h", "v")))
       .groupBy("id", "h").agg(min("v").as("mv"))
+
+  /** Band-bucket candidate pairs from a signature table, for one
+    * rows-per-band setting. */
+  def candidatesFromSignatures(sig: DataFrame, rowsPerBand: Int): DataFrame = {
     val bands = sig
       .withColumn("band", floor(col("h") / rowsPerBand).cast("int"))
       .groupBy("id", "band")
@@ -441,6 +445,10 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  def minhashCandidatesPortable(sh: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame =
+    candidatesFromSignatures(signaturesPortable(sh, numHashes), rowsPerBand)
 
   /** md5-MinHash LSH near-duplicate pairs with exact-Jaccard verify —
     * the fully oracle-replayable LSH dedup. Output: (id_a, id_b, jaccard)
@@ -482,6 +490,42 @@ object Dedup {
         col("sa") >= lit(threshold) * col("sb"))
       .select("id_a", "id_b").distinct()
     exactJaccardOfPairs(cand, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** Banding-parameter sweep: precision/recall of the banded candidates
+    * for SEVERAL rows-per-band settings from one signature table and one
+    * ground truth — the tuning table that picks an LSH operating point on
+    * the S-curve (more rows per band ⇒ fewer, purer candidates). Output:
+    * one row per setting (rows_per_band, n_bands, n_cand, tp, fn,
+    * precision, recall). */
+  def lshBandingSweep(docs: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, numHashes: Int = 12,
+      rowsPerBandOptions: Seq[Int] = Seq(2, 3, 4, 6),
+      threshold: Double = 0.5): DataFrame = {
+    require(rowsPerBandOptions.nonEmpty &&
+      rowsPerBandOptions.forall(r => numHashes % r == 0))
+    val sh = wordShingleSet(docs, idCol, textCol, shingleWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = signaturesPortable(sh, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = exactWordJaccardPairs(sh, threshold).select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rowsPerBandOptions.map { r =>
+      val joined = truth.withColumn("t", lit(1))
+        .join(candidatesFromSignatures(sig, r).withColumn("c", lit(1)),
+          Seq("id_a", "id_b"), "full_outer")
+      joined.agg(
+          sum(coalesce(col("t"), lit(0))).as("n_truth"),
+          sum(coalesce(col("c"), lit(0))).as("n_cand"),
+          sum(coalesce(col("t"), lit(0)) * coalesce(col("c"), lit(0)))
+            .as("tp"))
+        .select(lit(r).cast("long").as("rows_per_band"),
+          lit(numHashes / r).cast("long").as("n_bands"),
+          col("n_cand"), col("tp"),
+          (col("n_truth") - col("tp")).as("fn"),
+          round(col("tp").cast("double") / col("n_cand"), 6).as("precision"),
+          round(col("tp").cast("double") / col("n_truth"), 6).as("recall"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Measured quality of the LSH approximation against exact ground truth:

@@ -156,6 +156,28 @@ object EventAnalytics {
       .filter(col("n") >= minSupport)
   }
 
+  /** Calendar-densified daily series with forward fill: every series gets
+    * one row per day between its first and last active day; days with no
+    * events carry the LAST observed value forward (`was_gap` marks them) —
+    * the feature-store resampling shape (training joins need dense,
+    * aligned series; raw event logs are sparse). The calendar explode is
+    * days-per-series-sized; the fill is one window over it. */
+  def forwardFillDaily(events: DataFrame, seriesCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val cal = daily.groupBy("series")
+      .agg(min("day").as("_d0"), max("day").as("_d1"))
+      .select(col("series"), explode(sequence(col("_d0"), col("_d1")))
+        .as("day"))
+    val w = Window.partitionBy("series").orderBy("day")
+    cal.join(daily, Seq("series", "day"), "left")
+      .withColumn("x_filled", last("x", ignoreNulls = true).over(w))
+      .withColumn("was_gap", col("x").isNull)
+      .drop("x")
+  }
+
   /** Last-touch attribution: each conversion event is credited to the
     * latest touch event by the same user strictly before it (ordered by
     * (ts, tieCol)) and within `windowSeconds`. One user-keyed window with

@@ -161,4 +161,49 @@ object Graphs {
     }
     visited
   }
+
+  /** Fixed-round k-core peeling: each round drops every node whose degree
+    * in the SURVIVING subgraph is < k (then the edges touching it). A
+    * bounded number of synchronous rounds — each one degree aggregate plus
+    * two semi-joins, all distributed — approaches the true k-core from
+    * above; the `converged` column reports whether the LAST round removed
+    * anything, so callers know when the fixpoint is reached. (The exact
+    * sequential algorithm — degeneracy-ordered peeling — is inherently
+    * serial; synchronous rounds are the scalable form, like [[pageRank]]'s
+    * synchronous iterations.) `edges` must be symmetric ([[symmetrize]]).
+    *
+    * Output: (node, degree, converged) for survivors after `rounds` —
+    * degree measured in the FINAL induced subgraph (possibly < k when not
+    * yet converged; survivors that lost every edge report 0).
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 16)
+    var e = edges.toDF("src", "dst").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // seed "previous survivors" with the full node set so a single round
+    // reports converged ⇔ it removed nothing at all
+    var survivors: DataFrame = e.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevSurvivors: DataFrame = survivors
+    for (_ <- 1 to rounds) {
+      prevSurvivors = survivors
+      survivors = e.groupBy("src").agg(count(lit(1)).as("_deg"))
+        .filter(col("_deg") >= k).select(col("src").as("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e = e.join(survivors.select(col("node").as("src")), Seq("src"),
+          "left_semi")
+        .join(survivors.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val finalDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val convergedDf = survivors.agg(count(lit(1)).as("_a"))
+      .crossJoin(prevSurvivors.agg(count(lit(1)).as("_b")))
+      .select((col("_a") === col("_b")).as("converged"))
+    survivors
+      .join(finalDeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("degree"), lit(0L)).as("degree"))
+      .crossJoin(convergedDf)
+  }
 }

@@ -572,4 +572,26 @@ object Profiling {
         round(col("best.a") / (col("sd") * sqrt(col("n"))), 6)
           .as("cusum_stat"))
   }
+
+  /** Exact lower weighted median per group: the smallest value whose
+    * cumulative weight (in (value, tieCol) order) reaches half the
+    * group's total weight — all integer/exact comparisons, no
+    * interpolation, so any engine lands on the identical row. One
+    * group-keyed window + one tiny aggregate. With weight ≡ 1 this is the
+    * plain lower median; with weight = bytes it answers "the size at
+    * which half the corpus VOLUME sits in smaller rows". */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(valueCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(groupCol)
+    df
+      .withColumn("_cum", sum(col(weightCol)).over(w))
+      .withColumn("_tot", sum(col(weightCol)).over(tot))
+      .filter(col("_cum") * 2 >= col("_tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("weighted_median"),
+        max("_tot").as("total_weight"))
+  }
 }

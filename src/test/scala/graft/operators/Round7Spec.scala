@@ -212,6 +212,48 @@ class Round7Spec extends AnyFunSuite {
     assert(zero.forall(_.getAs[Long]("alloc") == 0L))
   }
 
+  test("k-core peel: cascading removal reaches the fixpoint") {
+    // path a-b-c-d plus triangle x-y-z sharing no nodes; k=2:
+    // round 1 drops the path endpoints, round 2 the rest of the path;
+    // the triangle is a 2-core and survives with degree 2
+    val edges = Graphs.symmetrize(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst"))
+    val out = Graphs.kCorePeel(edges, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.map(t => t._1 -> t._2).toMap ==
+      Map(10L -> 2L, 11L -> 2L, 12L -> 2L))
+    assert(out.forall(_._3)) // round 3 removed nothing → converged
+    // one round is not enough → not converged, path middles linger
+    val partial = Graphs.kCorePeel(edges, k = 2, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(partial.map(_._1).toSet == Set(2L, 3L, 10L, 11L, 12L))
+    assert(partial.forall(!_._2))
+  }
+
+  test("weighted median: smallest value reaching half the total weight") {
+    val df = Seq(("g", 1L, 1L, 1L), ("g", 2L, 2L, 2L), ("g", 3L, 10L, 3L))
+      .toDF("grp", "v", "w", "id")
+    // total 13, half 6.5 → cum 1, 3, 13 → first row with 2·cum ≥ 13 is v=3
+    val row = Profiling.weightedMedian(df, "grp", "v", "w", "id")
+      .collect().head
+    assert(row.getAs[Long]("weighted_median") == 3L)
+    assert(row.getAs[Long]("total_weight") == 13L)
+  }
+
+  test("forward fill: gap days carry the last observed value") {
+    val ev = Seq(("s", "2024-01-01 10:00:00"), ("s", "2024-01-01 11:00:00"),
+      ("s", "2024-01-04 10:00:00"))
+      .toDF("series", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val out = EventAnalytics.forwardFillDaily(ev, "series", "ts")
+      .orderBy("day")
+      .collect().map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("x_filled"), r.getAs[Boolean]("was_gap")))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 2L, false), ("2024-01-02", 2L, true),
+      ("2024-01-03", 2L, true), ("2024-01-04", 1L, false)))
+  }
+
   test("deflate size: repetitive text compresses, random text doesn't") {
     import graft.functions.TextFunctions
     val docs = Seq(
