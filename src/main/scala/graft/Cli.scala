@@ -29,6 +29,7 @@ object Cli {
       |  delete-column <inParquet> <column> <outParquet>
       |  duplicates-incr <candidatesParquet> <changedKeysCsv>
       |              <previousParquet> <outParquet>
+      |  explain     <queryName> <sfDir>
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -89,6 +90,20 @@ object Cli {
       Store.detectDuplicatesIncremental(spark,
           spark.read.parquet(in), changed, previous)
         .write.mode("overwrite").parquet(out)
+    case "explain" :: name :: sfDir :: Nil =>
+      val df = SparkEntry.queries.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown query: $name"))
+        .apply(spark, sfDir)
+      df.explain("formatted")
+      // plan-shape audit: the properties the 100 TB design notes promise
+      val plan = df.queryExecution.executedPlan.toString
+      def cnt(pat: String) = pat.r.findAllIn(plan).size
+      println(s"[shape] exchanges=${cnt("Exchange")}" +
+        s" bhj=${cnt("BroadcastHashJoin")} smj=${cnt("SortMergeJoin")}" +
+        s" bnlj=${cnt("BroadcastNestedLoopJoin")}" +
+        s" cartesian=${cnt("CartesianProduct")}" +
+        s" wholestagecodegen=${cnt("WholeStageCodegen")}" +
+        s" pushedFilters=${if (plan.contains("PushedFilters: [")) "yes" else "no"}")
     case verb :: rest if verbs(verb) =>
       throw new IllegalArgumentException(
         s"wrong arguments for '$verb' (got ${rest.length})\n$usage")
@@ -99,5 +114,6 @@ object Cli {
 
   private val verbs = Set("load-dwca", "load-csv", "process", "sample",
     "index", "facet", "export-dwca", "export-avro", "delete-keys",
-    "duplicates", "duplicates-incr", "rename-column", "delete-column")
+    "duplicates", "duplicates-incr", "rename-column", "delete-column",
+    "explain")
 }

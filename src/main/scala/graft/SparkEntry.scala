@@ -2672,6 +2672,49 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy("rows_per_band")),
 
+    // ── curriculum interleave plan: quality-ranked within source, then
+    //    round-robin across sources — every epoch prefix is both
+    //    high-quality and source-diverse. The global position comes from
+    //    rank-table cumsums + a per-rank window (bounded by |sources|),
+    //    NOT a global sort window — the scalable form ──
+    "q196_curriculum" -> ((s, dir) => {
+      val ranked = t(s, dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+      val perRank = ranked.groupBy("rank").agg(count(lit(1)).as("_cnt"))
+        .withColumn("_before", coalesce(sum("_cnt").over(
+          Window.orderBy("rank")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("rank", "_before")
+      ranked.join(perRank, Seq("rank"))
+        .withColumn("position", (col("_before") + row_number().over(
+          Window.partitionBy("rank").orderBy("source", "doc_id"))).cast("long"))
+        .select("position", "doc_id", "source", "rank")
+        .orderBy("position")
+    }),
+
+    // ── benchmark-overlap fraction: per corpus doc, the share of its
+    //    distinct word-8-gram windows present in the benchmark set — the
+    //    graded form of binary decontamination (q58): how MUCH leaked ──
+    "q197_overlap_fraction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpusW = graft.operators.Dedup.wordShingleSet(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text", 8)
+      val benchW = graft.operators.Dedup.wordShingleSet(
+          docs.filter(col("source") === "src0"), "doc_id", "text", 8)
+        .select("sh").distinct().withColumn("_hit", lit(1))
+      corpusW.join(benchW, Seq("sh"), "left")
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(coalesce(col("_hit"), lit(0))).as("n_hit"))
+        .filter(col("n_hit") > 0)
+        .withColumn("frac",
+          round(col("n_hit").cast("double") / col("n_windows"), 6))
+        .orderBy("doc_id")
+    }),
+
     // ── compression-ratio quality screen (CCNet/RefinedWeb signal):
     //    deflate size vs raw bytes per document (rows-only: no zlib in
     //    SQL; Round7Spec pins closed-form repetitive/random cases) ──
@@ -5671,7 +5714,38 @@ object SparkEntry {
         |  ON t.id_a = c.id_a AND t.id_b = c.id_b)
         |SELECT * FROM r2 UNION ALL SELECT * FROM r3
         |UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r6
-        |ORDER BY rows_per_band""".stripMargin
+        |ORDER BY rows_per_band""".stripMargin,
+    // the plain global row_number restates the rank-cumsum position
+    // arithmetic (identical result, simpler SQL)
+    "q196_curriculum" ->
+      """WITH ranked AS (
+        | SELECT doc_id, source, n_chars, row_number() OVER (
+        |   PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+        | FROM documents)
+        |SELECT row_number() OVER (ORDER BY rank, source, doc_id) AS position,
+        | doc_id, source, rank
+        |FROM ranked ORDER BY position""".stripMargin,
+    "q197_overlap_fraction" ->
+      """WITH toks AS (
+        | SELECT doc_id, source, list_filter(
+        |   regexp_split_to_array(lower(trim(text)), '\s+'),
+        |   t -> len(t) > 0) AS ts
+        | FROM documents),
+        |w AS (
+        | SELECT DISTINCT doc_id, source, sh FROM (
+        |  SELECT doc_id, source, unnest(list_transform(range(1, len(ts) - 6),
+        |    i -> array_to_string(list_slice(ts, i, i + 7), ' '))) AS sh
+        |  FROM toks WHERE len(ts) >= 8)),
+        |bench AS (SELECT DISTINCT sh FROM w WHERE source = 'src0'),
+        |hits AS (
+        | SELECT a.doc_id, count(*) AS n_windows,
+        |  count(b.sh) AS n_hit
+        | FROM w a LEFT JOIN bench b ON a.sh = b.sh
+        | WHERE a.source <> 'src0'
+        | GROUP BY a.doc_id)
+        |SELECT doc_id, n_windows, n_hit,
+        | round(n_hit::DOUBLE / n_windows, 6) AS frac
+        |FROM hits WHERE n_hit > 0 ORDER BY doc_id""".stripMargin
   )
 
   /** Shared winnowing restatement (k = 8, w = 4) over an input relation

@@ -422,13 +422,16 @@ object Dedup {
     * sharing any (band, key) bucket — an equi-join on the bucket, never
     * all-pairs, exactly the [[minhashLshPairs]] scale shape. */
   /** md5 signature table (id, h, mv) — the per-hash minima every banding
-    * below consumes. */
-  def signaturesPortable(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.select(col("id"), posexplode(transform(
-        sequence(lit(0), lit(numHashes - 1)),
-        h => conv(substring(md5(concat(h.cast("string"), lit(":"), col("sh"))),
-          1, 15), 16, 10).cast("long"))).as(Seq("h", "v")))
-      .groupBy("id", "h").agg(min("v").as("mv"))
+    * below consumes. Computed by the codegen'd `minhash_md5` expression
+    * (all k minima in one pass per doc over the collected shingle array)
+    * instead of the relational explode-×k → (id, h) groupBy form: same
+    * bytes, one shuffle fewer and k× fewer intermediate rows. */
+  def signaturesPortable(sh: DataFrame, numHashes: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(sh.sparkSession)
+    sh.groupBy("id").agg(collect_list(col("sh")).as("_arr"))
+      .select(col("id"), posexplode(graft.plans.GraftFunctions
+        .minhash_md5(col("_arr"), lit(numHashes))).as(Seq("h", "mv")))
+  }
 
   /** Band-bucket candidate pairs from a signature table, for one
     * rows-per-band setting. */

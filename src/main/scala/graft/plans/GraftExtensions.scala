@@ -371,6 +371,70 @@ case class FixMojibakeExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+object MinhashMd5 {
+  /** All `k` md5-derived signature minima over one shingle array in a
+    * single tight pass — byte-identical to the relational form
+    * `min over shingles of conv(substring(md5(h || ':' || sh), 1, 15),
+    * 16, 10)` (the first 15 hex chars are the first 7 digest bytes plus
+    * the high nibble of byte 7), but with no ×k row explode and no
+    * (id, h) shuffle. */
+  def compute(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val prefixes = new Array[Array[Byte]](k)
+    var h = 0
+    while (h < k) {
+      prefixes(h) = (h.toString + ":").getBytes("US-ASCII"); h += 1
+    }
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val shBytes = shingles.getUTF8String(i).getBytes
+        h = 0
+        while (h < k) {
+          md.reset()
+          md.update(prefixes(h))
+          md.update(shBytes)
+          val d = md.digest()
+          var v = 0L
+          var b = 0
+          while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+          v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
+/** minhash_md5(array<string>, int) → array<long>: engine-portable MinHash
+  * signature (every hash md5-derived, so an external oracle replays it)
+  * computed in one codegen'd pass per row. */
+case class MinhashMd5(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "minhash_md5 expects (array<string>, int)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, k: Any): Any =
+    MinhashMd5.compute(a.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, k) =>
+      s"${ev.value} = graft.plans.MinhashMd5.compute($a, $k);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinhashMd5 =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   /** Column-API forms (require `register(spark)` first — the public
     * `call_function` route is the supported Column↔Expression bridge). */
@@ -391,6 +455,8 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("char_entropy", s)
   def fix_mojibake(s: Column): Column =
     org.apache.spark.sql.functions.call_function("fix_mojibake", s)
+  def minhash_md5(shingles: Column, k: Column): Column =
+    org.apache.spark.sql.functions.call_function("minhash_md5", shingles, k)
 
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
@@ -400,7 +466,8 @@ object GraftFunctions {
     "jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1))),
     "geohash" -> (es => GeohashExpr(es(0), es(1), es(2))),
     "char_entropy" -> (es => CharEntropyExpr(es(0))),
-    "fix_mojibake" -> (es => FixMojibakeExpr(es(0))))
+    "fix_mojibake" -> (es => FixMojibakeExpr(es(0))),
+    "minhash_md5" -> (es => MinhashMd5(es(0), es(1))))
 
   /** Post-hoc registration on a live session (SQL surface). */
   def register(spark: SparkSession): Unit =
@@ -434,6 +501,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("fix_mojibake"),
       new ExpressionInfo(classOf[FixMojibakeExpr].getName, "fix_mojibake"),
       es => FixMojibakeExpr(es(0))))
+    e.injectFunction((FunctionIdentifier("minhash_md5"),
+      new ExpressionInfo(classOf[MinhashMd5].getName, "minhash_md5"),
+      es => MinhashMd5(es(0), es(1))))
     e.injectOptimizerRule(ApproxDistinctRule)
   }
 }

@@ -254,6 +254,21 @@ class Round7Spec extends AnyFunSuite {
       ("2024-01-03", 2L, true), ("2024-01-04", 1L, false)))
   }
 
+  test("minhash_md5 expression equals the relational md5 form bit-for-bit") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "the quick brown fox " * 5),
+      (3L, "x y z")).toDF("doc_id", "text")
+    val sh = Dedup.wordShingleSet(docs, "doc_id", "text", 3)
+    val viaExpr = Dedup.signaturesPortable(sh, 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaSql = sh.select(col("id"), posexplode(transform(
+        sequence(lit(0), lit(11)),
+        h => conv(substring(md5(concat(h.cast("string"), lit(":"), col("sh"))),
+          1, 15), 16, 10).cast("long"))).as(Seq("h", "v")))
+      .groupBy("id", "h").agg(min("v").as("mv"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaExpr == viaSql)
+  }
+
   test("deflate size: repetitive text compresses, random text doesn't") {
     import graft.functions.TextFunctions
     val docs = Seq(
