@@ -94,15 +94,19 @@ object Cli {
       val df = SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(s"unknown query: $name"))
         .apply(spark, sfDir)
-      df.explain("formatted")
-      // plan-shape audit: the properties the 100 TB design notes promise
+      // plan-shape audit: the properties the 100 TB design notes promise.
+      // The query RUNS first — AQE only commits join strategies, partition
+      // coalescing, and codegen spans in the final (post-execution) plan.
+      df.collect()
       val plan = df.queryExecution.executedPlan.toString
+      println(plan)
       def cnt(pat: String) = pat.r.findAllIn(plan).size
+      val spans = "\\*\\(\\d+\\)".r.findAllIn(plan).toSet.size
       println(s"[shape] exchanges=${cnt("Exchange")}" +
         s" bhj=${cnt("BroadcastHashJoin")} smj=${cnt("SortMergeJoin")}" +
         s" bnlj=${cnt("BroadcastNestedLoopJoin")}" +
         s" cartesian=${cnt("CartesianProduct")}" +
-        s" wholestagecodegen=${cnt("WholeStageCodegen")}" +
+        s" codegenSpans=$spans" +
         s" pushedFilters=${if (plan.contains("PushedFilters: [")) "yes" else "no"}")
     case verb :: rest if verbs(verb) =>
       throw new IllegalArgumentException(
