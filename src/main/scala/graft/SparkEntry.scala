@@ -2715,6 +2715,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── quantile-rank transform (the rank-normalization preprocessing
+    //    step): percent_rank of price within priority — exact rational
+    //    (rank−1)/(n−1), identical row values on any engine ──
+    "q198_quantile_rank" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+          round(percent_rank().over(Window.partitionBy("o_orderpriority")
+            .orderBy(col("o_totalprice"), col("o_orderkey"))), 6).as("qr"))
+        .orderBy("o_orderkey")),
+
+    // ── calibration audit of the in-engine NB classifier: stable-softmax
+    //    confidence deciles vs realized accuracy — is the model's
+    //    confidence honest? (accuracy is an exact 0/1 rational; only the
+    //    bin EDGES touch float exp, 1-ulp risk absorbed by density) ──
+    "q199_nb_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val test = docs.filter(col("doc_id") % 2 === 1)
+      val (ll, priors) = graft.operators.TextModels.naiveBayesTrain(
+        train, "text", "lang")
+      graft.operators.TextModels.naiveBayesConfidence(
+          test, "doc_id", "text", ll, priors)
+        .join(test.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .withColumn("bin",
+          least(lit(9L), floor(col("conf") * 10)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), round(avg("conf"), 4).as("avg_conf"),
+          round(avg((col("pred") === col("lang")).cast("double")), 6)
+            .as("accuracy"))
+        .orderBy("bin")
+    }),
+
     // ── compression-ratio quality screen (CCNet/RefinedWeb signal):
     //    deflate size vs raw bytes per document (rows-only: no zlib in
     //    SQL; Round7Spec pins closed-form repetitive/random cases) ──
@@ -5745,7 +5777,62 @@ object SparkEntry {
         | GROUP BY a.doc_id)
         |SELECT doc_id, n_windows, n_hit,
         | round(n_hit::DOUBLE / n_windows, 6) AS frac
-        |FROM hits WHERE n_hit > 0 ORDER BY doc_id""".stripMargin
+        |FROM hits WHERE n_hit > 0 ORDER BY doc_id""".stripMargin,
+    "q198_quantile_rank" ->
+      """SELECT o_orderkey, o_orderpriority AS prio,
+        | round(percent_rank() OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice, o_orderkey), 6) AS qr
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    // replays q174's training + scoring, then the stable softmax and the
+    // decile reliability bins
+    "q199_nb_calibration" ->
+      """WITH tokd AS (
+        | SELECT doc_id, lang, unnest(list_filter(
+        |   regexp_split_to_array(lower(trim(text)), '\s+'),
+        |   t -> len(t) > 0)) AS tok
+        | FROM documents),
+        |traintok AS (SELECT lang AS cls, tok FROM tokd WHERE doc_id % 2 = 0),
+        |counts AS (SELECT cls, tok, count(*) AS cnt
+        |           FROM traintok GROUP BY cls, tok),
+        |ct AS (SELECT cls, count(*) AS n_tok FROM traintok GROUP BY cls),
+        |vocab AS (SELECT DISTINCT tok FROM counts),
+        |v AS (SELECT count(*) AS v FROM vocab),
+        |ll AS (
+        | SELECT vo.tok, ct.cls,
+        |  ln((coalesce(c.cnt, 0) + 1)::DOUBLE / (ct.n_tok + v.v)) AS ll
+        | FROM vocab vo CROSS JOIN ct CROSS JOIN v
+        | LEFT JOIN counts c ON c.cls = ct.cls AND c.tok = vo.tok),
+        |priors AS (
+        | SELECT lang AS cls, ln(count(*)::DOUBLE /
+        |   (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)) AS logprior
+        | FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+        |tf AS (SELECT doc_id AS id, tok, count(*) AS tf
+        |       FROM tokd WHERE doc_id % 2 = 1 GROUP BY id, tok),
+        |scored AS (
+        | SELECT tf.id, ll.cls, sum(tf.tf * ll.ll) AS tokll
+        | FROM tf JOIN ll ON ll.tok = tf.tok GROUP BY tf.id, ll.cls),
+        |lp AS (SELECT s.id, s.cls, s.tokll + p.logprior AS lp
+        |       FROM scored s JOIN priors p ON p.cls = s.cls),
+        |mxd AS (
+        | SELECT id, cls, lp, max(lp) OVER (PARTITION BY id) AS mx
+        | FROM lp),
+        |zz AS (
+        | SELECT id, cls, lp,
+        |  sum(exp(lp - mx)) OVER (PARTITION BY id) AS z,
+        |  row_number() OVER (PARTITION BY id
+        |    ORDER BY lp DESC, cls) AS rn
+        | FROM mxd),
+        |pred AS (
+        | SELECT id, cls AS pred, 1.0 / z AS conf FROM zz WHERE rn = 1),
+        |joined AS (
+        | SELECT pr.id, pr.pred, pr.conf, d.lang
+        | FROM pred pr JOIN documents d ON d.doc_id = pr.id)
+        |SELECT least(9, CAST(floor(conf * 10) AS BIGINT)) AS bin,
+        | count(*) AS n, round(avg(conf), 4) AS avg_conf,
+        | round(avg(CASE WHEN pred = lang THEN 1.0 ELSE 0.0 END), 6)
+        |   AS accuracy
+        |FROM joined GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared winnowing restatement (k = 8, w = 4) over an input relation

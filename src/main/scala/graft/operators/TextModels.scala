@@ -65,27 +65,51 @@ object TextModels {
     (ll, priors)
   }
 
-  /** Score documents against a trained model: per-doc argmax class.
-    *
-    * Tokens outside the training vocabulary are dropped (the standard
-    * multinomial convention); ties on log-probability break to the
-    * lexicographically smallest class so the argmax is total. Output:
-    * `(id, pred, lp)` with `lp` the winning log-probability rounded to
-    * 6 dp (rounded AFTER the argmax — the ranking uses full doubles).
-    */
-  def naiveBayesScore(test: DataFrame, idCol: String, textCol: String,
+  /** Per-doc per-class log-probability table (id, cls, lp). Tokens
+    * outside the training vocabulary are dropped (the standard
+    * multinomial convention). */
+  def classLogProbs(test: DataFrame, idCol: String, textCol: String,
       ll: DataFrame, priors: DataFrame): DataFrame = {
     val tf = test
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-    val scored = tf
-      .join(ll, Seq("tok"))
+    tf.join(ll, Seq("tok"))
       .groupBy("id", "cls").agg(sum(col("tf") * col("ll")).as("tokll"))
       .join(priors, Seq("cls"))
       .select(col("id"), col("cls"),
         (col("tokll") + col("logprior")).as("lp"))
+  }
+
+  /** Score documents against a trained model: per-doc argmax class.
+    *
+    * Ties on log-probability break to the lexicographically smallest
+    * class so the argmax is total. Output: `(id, pred, lp)` with `lp` the
+    * winning log-probability rounded to 6 dp (rounded AFTER the argmax —
+    * the ranking uses full doubles).
+    */
+  def naiveBayesScore(test: DataFrame, idCol: String, textCol: String,
+      ll: DataFrame, priors: DataFrame): DataFrame = {
+    val scored = classLogProbs(test, idCol, textCol, ll, priors)
     val w = Window.partitionBy("id").orderBy(col("lp").desc, col("cls").asc)
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .select(col("id"), col("cls").as("pred"), round(col("lp"), 6).as("lp"))
+  }
+
+  /** Per-doc predicted class with its stable-softmax confidence
+    * `p(pred) = 1 / Σ_c exp(lp_c − lp_max)` — the number a calibration
+    * audit bins against realized accuracy. Same id-keyed windows as the
+    * argmax; no extra shuffle beyond the score itself. */
+  def naiveBayesConfidence(test: DataFrame, idCol: String, textCol: String,
+      ll: DataFrame, priors: DataFrame): DataFrame = {
+    val scored = classLogProbs(test, idCol, textCol, ll, priors)
+    val wid = Window.partitionBy("id")
+    val w = Window.partitionBy("id").orderBy(col("lp").desc, col("cls").asc)
+    scored
+      .withColumn("_mx", max("lp").over(wid))
+      .withColumn("_z", sum(exp(col("lp") - col("_mx"))).over(wid))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("id"), col("cls").as("pred"),
+        (lit(1.0) / col("_z")).as("conf"))
   }
 }

@@ -27,6 +27,17 @@ class Round7Spec extends AnyFunSuite {
     assert(math.abs(lp - math.log(1.0 / 12.0)) < 1e-6)
   }
 
+  test("naive bayes confidence: stable softmax of the hand case") {
+    val train = Seq(("x x y", "A"), ("y z", "B")).toDF("text", "cls")
+    val test = Seq((1L, "x y")).toDF("id", "text")
+    val (ll, priors) = TextModels.naiveBayesTrain(train, "text", "cls")
+    val row = TextModels.naiveBayesConfidence(test, "id", "text", ll, priors)
+      .collect().head
+    // lpA = ln(1/12), lpB = ln(1/25) → p(A) = (1/12)/(1/12+1/25) = 25/37
+    assert(row.getString(1) == "A")
+    assert(math.abs(row.getDouble(2) - 25.0 / 37.0) < 1e-9)
+  }
+
   test("ewma closed-form weights equal the sequential recurrence") {
     val ev = Seq(
       ("s", "2024-01-01 10:00:00"), ("s", "2024-01-02 10:00:00"),
