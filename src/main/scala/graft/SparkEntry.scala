@@ -2747,6 +2747,22 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // ── content-defined chunking (LBFS-style storage dedup): boundaries
+    //    move with the content, so identical spans chunk identically
+    //    across docs; per-source chunk-duplication stats, every boundary
+    //    oracle-replayed via the md5 cut rule ──
+    "q200_cdc_chunking" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.cdcChunks(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          count_distinct(col("chunk")).as("n_distinct"),
+          round(avg(length(col("chunk"))), 4).as("mean_len"))
+        .withColumn("dup_chunks", col("n_chunks") - col("n_distinct"))
+        .orderBy("source")
+    }),
+
     // ── compression-ratio quality screen (CCNet/RefinedWeb signal):
     //    deflate size vs raw bytes per document (rows-only: no zlib in
     //    SQL; Round7Spec pins closed-form repetitive/random cases) ──
@@ -5832,7 +5848,37 @@ object SparkEntry {
         | count(*) AS n, round(avg(conf), 4) AS avg_conf,
         | round(avg(CASE WHEN pred = lang THEN 1.0 ELSE 0.0 END), 6)
         |   AS accuracy
-        |FROM joined GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM joined GROUP BY 1 ORDER BY 1""".stripMargin,
+    // replays every cut position (md5 of the trailing 16-char span ≡ 0
+    // mod 64) and the chunk substrings between consecutive cuts
+    "q200_cdc_chunking" ->
+      """WITH d AS (
+        | SELECT doc_id, source, text AS t, length(text) AS L
+        | FROM documents),
+        |cut AS (
+        | SELECT doc_id, source, t, L,
+        |  list_filter(range(16, L + 1), i ->
+        |   CAST('0x' || substring(md5(
+        |     t[CAST(i - 15 AS INTEGER):CAST(i AS INTEGER)]), 1, 8)
+        |    AS UBIGINT) % 64 = 0) AS cuts
+        | FROM d),
+        |cut2 AS (
+        | SELECT doc_id, source, t,
+        |  CASE WHEN len(cuts) = 0 OR cuts[-1] <> L
+        |       THEN list_append(cuts, L) ELSE cuts END AS cuts
+        | FROM cut),
+        |chunks AS (
+        | SELECT doc_id, source,
+        |  unnest(list_transform(range(1, len(cuts) + 1), c ->
+        |   t[CAST(CASE WHEN c = 1 THEN 1
+        |          ELSE cuts[CAST(c - 1 AS INTEGER)] + 1 END AS INTEGER)
+        |    :CAST(cuts[CAST(c AS INTEGER)] AS INTEGER)])) AS chunk
+        | FROM cut2)
+        |SELECT source, count(*) AS n_chunks,
+        | count(DISTINCT chunk) AS n_distinct,
+        | round(avg(length(chunk)), 4) AS mean_len,
+        | count(*) - count(DISTINCT chunk) AS dup_chunks
+        |FROM chunks GROUP BY source ORDER BY source""".stripMargin
   )
 
   /** Shared winnowing restatement (k = 8, w = 4) over an input relation

@@ -495,6 +495,53 @@ object Dedup {
     exactJaccardOfPairs(cand, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** Content-defined chunking (the storage-dedup / delta-sync primitive:
+    * Muthitacharoen et al. 2001, LBFS): split each document at positions
+    * where the hash of the trailing `window`-codepoint span is ≡ 0 mod
+    * `modulus` — boundaries move WITH the content, so an insertion only
+    * re-chunks its neighbourhood and identical spans chunk identically
+    * across documents. The cut rule hashes via md5 (first 8 hex chars as
+    * uint32), so an external oracle replays every boundary; production
+    * CDC would swap in a Gear/Buzhash rolling hash with min/max chunk
+    * bounds — the STATS shape downstream is identical.
+    *
+    * Returns (id, chunk_idx, chunk, chunk_md5) — map-only per doc. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 16, modulus: Int = 64): DataFrame = {
+    val chunker = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else {
+        val cps = text.codePoints().toArray
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val cuts = scala.collection.mutable.ArrayBuffer[Int]()
+        var i = window
+        while (i <= cps.length) {
+          val win = new String(cps, i - window, window)
+          md.reset()
+          val d = md.digest(win.getBytes("UTF-8"))
+          val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          if (u % modulus == 0) cuts += i
+          i += 1
+        }
+        if (cuts.isEmpty || cuts.last != cps.length) cuts += cps.length
+        val out = new Array[String](cuts.length)
+        var prev = 0
+        var c = 0
+        while (c < cuts.length) {
+          out(c) = new String(cps, prev, cuts(c) - prev)
+          prev = cuts(c)
+          c += 1
+        }
+        out
+      }
+    }
+    docs.select(col(idCol).as("id"),
+        posexplode(chunker(col(textCol))).as(Seq("chunk_idx", "chunk")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"), md5(col("chunk")).as("chunk_md5"))
+  }
+
   /** Banding-parameter sweep: precision/recall of the banded candidates
     * for SEVERAL rows-per-band settings from one signature table and one
     * ground truth — the tuning table that picks an LSH operating point on

@@ -280,6 +280,23 @@ class Round7Spec extends AnyFunSuite {
     assert(viaExpr == viaSql)
   }
 
+  test("cdc chunking: chunks reassemble; boundaries realign after insert") {
+    val base = (1 to 400).map(i => s"w$i${i * 7 % 97}").mkString(" ")
+    val docs = Seq((1L, base), (2L, "INSERTED-PREFIX " + base))
+      .toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text").collect()
+    val a = ch.filter(_.getLong(0) == 1).sortBy(_.getLong(1)).map(_.getString(2))
+    val b = ch.filter(_.getLong(0) == 2).sortBy(_.getLong(1)).map(_.getString(2))
+    assert(a.mkString == base)                       // lossless split
+    assert(b.mkString == "INSERTED-PREFIX " + base)
+    assert(a.length > 3)                             // the rule actually cuts
+    // content-defined property: after the first shared cut the boundary
+    // stream realigns, so the tail chunks are IDENTICAL despite the
+    // shifted prefix — the reason CDC dedups re-synced content
+    assert(a.last == b.last)
+    assert((a.toSet intersect b.toSet).size >= a.length - 2)
+  }
+
   test("deflate size: repetitive text compresses, random text doesn't") {
     import graft.functions.TextFunctions
     val docs = Seq(
