@@ -2763,6 +2763,29 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ── cross-corpus dedup ("dedup the new crawl against the training
+    //    set") in the oracle-replayable md5 form: both sides banded from
+    //    md5 signatures, candidates from the cross band-bucket join,
+    //    exact-Jaccard verify — the hash-gated companion of q139 ──
+    "q201_cross_dedup_portable" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.minhashCrossPortable(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "doc_id", "text")
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ── md5-SimHash fingerprints: every BIT replayed by the oracle's
+    //    (md5-uint64 >> b) & 1 vote algebra — the hash-gated companion of
+    //    the splitmix-based q29 ──
+    "q202_simhash_portable" -> ((s, dir) =>
+      graft.operators.Dedup.simhashPortable(
+          t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash"))
+        .orderBy("doc_id")),
+
     // ── compression-ratio quality screen (CCNet/RefinedWeb signal):
     //    deflate size vs raw bytes per document (rows-only: no zlib in
     //    SQL; Round7Spec pins closed-form repetitive/random cases) ──
@@ -5878,7 +5901,78 @@ object SparkEntry {
         | count(DISTINCT chunk) AS n_distinct,
         | round(avg(length(chunk)), 4) AS mean_len,
         | count(*) - count(DISTINCT chunk) AS dup_chunks
-        |FROM chunks GROUP BY source ORDER BY source""".stripMargin
+        |FROM chunks GROUP BY source ORDER BY source""".stripMargin,
+    // q177's signature algebra on each side, cross band-bucket join,
+    // two-sided exact-Jaccard verify
+    "q201_cross_dedup_portable" ->
+      """WITH toks AS (
+        | SELECT doc_id, source, list_filter(
+        |   regexp_split_to_array(lower(trim(text)), '\s+'),
+        |   t -> len(t) > 0) AS ts
+        | FROM documents),
+        |shAll AS (
+        | SELECT DISTINCT id, source, sh FROM (
+        |  SELECT doc_id AS id, source,
+        |   unnest(list_transform(range(1, len(ts) - 1),
+        |    i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+        |  FROM toks WHERE len(ts) >= 3)),
+        |shc AS (SELECT id, sh FROM shAll WHERE source <> 'src0'),
+        |shp AS (SELECT id, sh FROM shAll WHERE source = 'src0'),
+        |hvc AS (
+        | SELECT id, h, min(CAST('0x' ||
+        |   substring(md5(h::VARCHAR || ':' || sh), 1, 15) AS UBIGINT)) AS mv
+        | FROM shc CROSS JOIN (SELECT unnest(range(0, 12)) AS h) hh
+        | GROUP BY id, h),
+        |hvp AS (
+        | SELECT id, h, min(CAST('0x' ||
+        |   substring(md5(h::VARCHAR || ':' || sh), 1, 15) AS UBIGINT)) AS mv
+        | FROM shp CROSS JOIN (SELECT unnest(range(0, 12)) AS h) hh
+        | GROUP BY id, h),
+        |bc AS (SELECT id, h // 3 AS band,
+        |  string_agg(mv::VARCHAR, '_' ORDER BY h) AS bkey
+        | FROM hvc GROUP BY id, band),
+        |bp AS (SELECT id, h // 3 AS band,
+        |  string_agg(mv::VARCHAR, '_' ORDER BY h) AS bkey
+        | FROM hvp GROUP BY id, band),
+        |cand AS (
+        | SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        | FROM bc a JOIN bp b ON a.band = b.band AND a.bkey = b.bkey),
+        |szc AS (SELECT id, count(*) AS n FROM shc GROUP BY id),
+        |szp AS (SELECT id, count(*) AS n FROM shp GROUP BY id),
+        |ix AS (
+        | SELECT c.id_a, c.id_b, count(*) AS i
+        | FROM cand c JOIN shc x ON x.id = c.id_a
+        |  JOIN shp y ON y.id = c.id_b AND y.sh = x.sh
+        | GROUP BY c.id_a, c.id_b),
+        |jj AS (
+        | SELECT ix.id_a, ix.id_b, ix.i::DOUBLE / (na.n + nb.n - ix.i) AS j
+        | FROM ix JOIN szc na ON na.id = ix.id_a
+        |  JOIN szp nb ON nb.id = ix.id_b)
+        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM jj
+        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // every fingerprint bit from the (md5-uint64 >> b) & 1 weighted vote
+    "q202_simhash_portable" ->
+      """WITH tokc AS (
+        | SELECT doc_id, tok, count(*) AS w FROM (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0)) AS tok
+        |  FROM documents) GROUP BY doc_id, tok),
+        |hv AS (
+        | SELECT doc_id, w,
+        |  CAST('0x' || substring(md5(tok), 1, 16) AS UBIGINT) AS h
+        | FROM tokc),
+        |bits AS (
+        | SELECT doc_id, b,
+        |  sum(CASE WHEN ((h >> CAST(b AS INTEGER)) & 1) = 1
+        |      THEN w ELSE -w END) AS vote
+        | FROM hv CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+        | GROUP BY doc_id, b)
+        |SELECT doc_id, lpad(lower(hex(CAST(sum(
+        |  CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << CAST(b AS INTEGER)
+        |       ELSE CAST(0 AS UBIGINT) END) AS UBIGINT))), 16, '0')
+        |  AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** Shared winnowing restatement (k = 8, w = 4) over an input relation

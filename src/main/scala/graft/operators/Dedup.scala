@@ -495,6 +495,94 @@ object Dedup {
     exactJaccardOfPairs(cand, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** Exact Jaccard for candidate pairs spanning TWO corpora: (id_a from
+    * `shA`, id_b from `shB`) — same hashed-array kernel as
+    * [[exactJaccardOfPairs]], one array table per side (id spaces may
+    * overlap freely). */
+  def exactJaccardOfPairsTwoSided(pairs: DataFrame, shA: DataFrame,
+      shB: DataFrame): DataFrame = {
+    def arr(sh: DataFrame) = sh.groupBy("id")
+      .agg(collect_list(xxhash64(col("sh"))).as("hs"))
+    val jac = udf((a: Seq[Long], b: Seq[Long]) =>
+      graft.functions.HashKernels.jaccardLong(a, b))
+    pairs
+      .join(arr(shA).select(col("id").as("id_a"), col("hs").as("ha")),
+        Seq("id_a"))
+      .join(arr(shB).select(col("id").as("id_b"), col("hs").as("hb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jac(col("ha"), col("hb")).as("jaccard"))
+  }
+
+  /** Cross-corpus md5-MinHash LSH with exact-Jaccard verify — the
+    * "dedup the new crawl against the existing training set" operation
+    * ([[minhashLshPairsAgainst]]) in the ORACLE-REPLAYABLE form: both
+    * sides banded from md5 signatures, candidates from the cross
+    * band-bucket join, every pair verified on true shingle Jaccard.
+    * Output: (id_a = corpus doc, id_b = probe doc, jaccard ≥ threshold).
+    */
+  def minhashCrossPortable(corpus: DataFrame, probe: DataFrame,
+      idCol: String, textCol: String, shingleWords: Int = 3,
+      numHashes: Int = 12, rowsPerBand: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val shC = wordShingleSet(corpus, idCol, textCol, shingleWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shP = wordShingleSet(probe, idCol, textCol, shingleWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandsOf(sh: DataFrame) = {
+      val sig = signaturesPortable(sh, numHashes)
+      sig.withColumn("band", floor(col("h") / rowsPerBand).cast("int"))
+        .groupBy("id", "band")
+        .agg(concat_ws("_", transform(
+          array_sort(collect_list(struct(col("h"), col("mv")))),
+          s => s.getField("mv").cast("string"))).as("bkey"))
+    }
+    val cand = bandsOf(shC).select(col("band"), col("bkey"),
+        col("id").as("id_a"))
+      .join(bandsOf(shP).select(col("band"), col("bkey"),
+        col("id").as("id_b")), Seq("band", "bkey"))
+      .select("id_a", "id_b").distinct()
+    exactJaccardOfPairsTwoSided(cand, shC, shP)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash from md5 token hashes — the oracle-replayable form of
+    * [[simhashes]]: bit b of the fingerprint is set iff
+    * `Σ_tokens (±1 by bit b of uint64(md5(token)))` is positive, with
+    * each DISTINCT token weighted by its in-doc count. Formatted as
+    * 16-hex-char strings so signed/unsigned display cannot diverge.
+    * One pass per doc over the token array; an external oracle replays
+    * every bit with `(md5-uint64 >> b) & 1` algebra. */
+  def simhashPortable(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val sim = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val counts = new java.util.HashMap[String, Int]()
+        toks.foreach(t => counts.merge(t, 1, Integer.sum _))
+        val votes = new Array[Long](64)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        counts.forEach { (tok, w) =>
+          md.reset()
+          val d = md.digest(tok.getBytes("UTF-8"))
+          var h = 0L
+          var i = 0
+          while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += w else votes(b) -= w
+            b += 1
+          }
+        }
+        var fp = 0L
+        var b = 0
+        while (b < 64) { if (votes(b) > 0) fp |= 1L << b; b += 1 }
+        String.format("%016x", java.lang.Long.valueOf(fp))
+      }
+    }
+    docs.select(col(idCol).as("id"), sim(col(textCol)).as("simhash"))
+  }
+
   /** Content-defined chunking (the storage-dedup / delta-sync primitive:
     * Muthitacharoen et al. 2001, LBFS): split each document at positions
     * where the hash of the trailing `window`-codepoint span is ≡ 0 mod

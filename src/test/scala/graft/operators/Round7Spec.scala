@@ -297,6 +297,27 @@ class Round7Spec extends AnyFunSuite {
     assert((a.toSet intersect b.toSet).size >= a.length - 2)
   }
 
+  test("portable simhash: single-token doc's fingerprint IS its md5 bits") {
+    // one token with weight 1 → every bit vote is the bit itself, so the
+    // fingerprint equals uint64(md5("a")) = the first 16 hex chars
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b c d")).toDF("doc_id", "text")
+    val out = Dedup.simhashPortable(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "0cc175b9c0f1b6a8") // md5("a") prefix
+    assert(out(1L) == out(2L))            // identical docs agree
+    assert(out(1L) != out(3L))
+  }
+
+  test("portable cross-corpus minhash finds the planted probe duplicate") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val probe = Seq((9L, "alpha beta gamma delta epsilon zeta"),
+      (8L, "seven eight nine ten eleven twelve")).toDF("doc_id", "text")
+    val out = Dedup.minhashCrossPortable(corpus, probe, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 9L, 1.0)))
+  }
+
   test("deflate size: repetitive text compresses, random text doesn't") {
     import graft.functions.TextFunctions
     val docs = Seq(
