@@ -2786,6 +2786,47 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("simhash"))
         .orderBy("doc_id")),
 
+    // ── parquet bloom filters on the write path: point lookups skip row
+    //    groups whose bloom rejects the key (the file-format tier of
+    //    predicate pushdown — footer metadata asserted in Round7Spec);
+    //    small row groups force real multi-group files at test scale ──
+    "q203_parquet_bloom" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_")
+        .toString
+      t(s, dir, "documents")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#doc_id", "true")
+        .option("parquet.block.size", (128 * 1024).toString)
+        .parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("doc_id").isin(7L, 99L, 321L))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // ── schema evolution on read: two parquet generations (one without
+    //    the later `quality` column) unify under mergeSchema, old rows
+    //    surfacing NULL — the lakehouse column-add path ──
+    "q204_schema_evolution" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evo_")
+        .toString
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars") % 100).cast("long").as("quality"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("quality").isNull, 1L).otherwise(0L))
+            .as("n_pre_schema"),
+          coalesce(sum("quality"), lit(0L)).as("quality_sum"))
+        .orderBy("lang")
+    }),
+
     // ── compression-ratio quality screen (CCNet/RefinedWeb signal):
     //    deflate size vs raw bytes per document (rows-only: no zlib in
     //    SQL; Round7Spec pins closed-form repetitive/random cases) ──
@@ -5972,7 +6013,17 @@ object SparkEntry {
         |  CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << CAST(b AS INTEGER)
         |       ELSE CAST(0 AS UBIGINT) END) AS UBIGINT))), 16, '0')
         |  AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q203_parquet_bloom" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (7, 99, 321) ORDER BY doc_id""".stripMargin,
+    "q204_schema_evolution" ->
+      """SELECT lang, count(*) AS n,
+        | sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_pre_schema,
+        | coalesce(sum(CASE WHEN doc_id % 2 = 1
+        |   THEN n_chars % 100 ELSE 0 END), 0)::BIGINT AS quality_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 
   /** Shared winnowing restatement (k = 8, w = 4) over an input relation

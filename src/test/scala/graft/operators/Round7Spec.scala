@@ -318,6 +318,27 @@ class Round7Spec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 9L, 1.0)))
   }
 
+  test("parquet bloom filter is present exactly for the enabled column") {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("bloomspec").toString
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "v")
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#doc_id", "true").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      val cols = rdr.getFooter.getBlocks.get(0).getColumns.asScala
+      assert(cols.find(_.getPath.toDotString == "doc_id")
+        .get.getBloomFilterOffset > 0)
+      assert(cols.find(_.getPath.toDotString == "v")
+        .get.getBloomFilterOffset <= 0) // not enabled → no bloom
+    } finally rdr.close()
+  }
+
   test("deflate size: repetitive text compresses, random text doesn't") {
     import graft.functions.TextFunctions
     val docs = Seq(
