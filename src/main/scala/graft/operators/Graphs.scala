@@ -178,23 +178,28 @@ object Graphs {
     */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 16)
-    var e = edges.toDF("src", "dst").distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint per round: persist alone caches DATA but the
+    // LOGICAL PLAN still grows by three joins every round — by round ~12
+    // even printing the plan OOMs the driver. Eager local checkpoints
+    // truncate lineage to the materialized blocks each round (the
+    // standard iterative-graph discipline); stale checkpoint blocks are
+    // released by the ContextCleaner as references drop.
+    var e = edges.toDF("src", "dst").distinct().localCheckpoint(true)
     // seed "previous survivors" with the full node set so a single round
     // reports converged ⇔ it removed nothing at all
-    var survivors: DataFrame = e.select(col("src").as("node")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var survivors: DataFrame =
+      e.select(col("src").as("node")).distinct().localCheckpoint(true)
     var prevSurvivors: DataFrame = survivors
     for (_ <- 1 to rounds) {
       prevSurvivors = survivors
       survivors = e.groupBy("src").agg(count(lit(1)).as("_deg"))
         .filter(col("_deg") >= k).select(col("src").as("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       e = e.join(survivors.select(col("node").as("src")), Seq("src"),
           "left_semi")
         .join(survivors.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
     val finalDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("degree"))
