@@ -2547,9 +2547,21 @@ object SparkEntry {
       // Tables.load sidesteps the TIMESTAMP(NANOS) generations). batches
       // 2-3: far-future click+purchase sentinels (negative ids) that pass
       // the type filters, so the watermark operator SEES them and expires
-      // the outer-join state; distinct mod-times keep file order.
+      // the outer-join state. The file source orders batches by file
+      // mod-time, so each batch's mtime is SET explicitly — no clock race.
+      def stampMtime(minuteOffset: Int): Unit = {
+        val t = java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + minuteOffset * 60000L)
+        java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).forEach { p =>
+          val mt = java.nio.file.Files.getLastModifiedTime(p)
+          if (mt.toMillis > 1700000000000L + (minuteOffset - 1) * 60000L + 59000L
+            || mt.toMillis < 1700000000000L)
+            java.nio.file.Files.setLastModifiedTime(p, t)
+        }
+      }
       ev.select("event_id", "ts", "user_id", "event_type", "value")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
+      stampMtime(0)
       def sentinels(tsLit: String): Unit =
         s.sql(
           s"""SELECT * FROM VALUES
@@ -2559,8 +2571,8 @@ object SparkEntry {
              |  'purchase', CAST(0.0 AS DOUBLE))
              | AS t(event_id, ts, user_id, event_type, value)""".stripMargin)
           .coalesce(1).write.mode("append").parquet(tmp)
-      Thread.sleep(150); sentinels("2024-06-01 00:00:00")
-      Thread.sleep(150); sentinels("2024-12-01 00:00:00")
+      sentinels("2024-06-01 00:00:00"); stampMtime(1)
+      sentinels("2024-12-01 00:00:00"); stampMtime(2)
       val schema = s.read.parquet(tmp).schema
       def stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(tmp)
