@@ -2839,6 +2839,27 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ── classical additive seasonal decomposition of the daily event
+    //    volume: 7-row centered trend, weekday seasonal means of the
+    //    detrended values, residuals — engine-neutral weekday (epoch-day
+    //    mod 7) ──
+    "q205_seasonal_decompose" -> ((s, dir) =>
+      graft.operators.EventAnalytics.seasonalDecompose(
+          t(s, dir, "events"), "event_type", "ts")
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("series", "day")),
+
+    // ── linear multi-touch attribution: each purchase splits one credit
+    //    unit equally over all its clicks in the 7-day lookback — the
+    //    fractional-credit companion of q180's winner-take-all ──
+    "q206_linear_attribution" -> ((s, dir) =>
+      graft.operators.EventAnalytics.linearAttribution(
+          t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+          touchType = "click", conversionType = "purchase",
+          windowSeconds = 7L * 86400)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("day")),
+
     // ── compression-ratio quality screen (CCNet/RefinedWeb signal):
     //    deflate size vs raw bytes per document (rows-only: no zlib in
     //    SQL; Round7Spec pins closed-form repetitive/random cases) ──
@@ -6029,6 +6050,42 @@ object SparkEntry {
     "q203_parquet_bloom" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (7, 99, 321) ORDER BY doc_id""".stripMargin,
+    "q205_seasonal_decompose" ->
+      """WITH daily AS (
+        | SELECT event_type AS series, CAST(ts AS DATE) AS day,
+        |  count(*)::DOUBLE AS x
+        | FROM events GROUP BY 1, 2),
+        |tr AS (
+        | SELECT *, CASE WHEN count(*) OVER w = 7
+        |   THEN avg(x) OVER w END AS trend,
+        |  (day - DATE '1970-01-01') % 7 AS dow
+        | FROM daily WINDOW w AS (PARTITION BY series ORDER BY day
+        |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |se AS (SELECT series, dow, avg(x - trend) AS seasonal
+        |       FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2)
+        |SELECT tr.series, strftime(tr.day, '%Y-%m-%d') AS day, tr.x,
+        | round(tr.trend, 4) AS trend, round(se.seasonal, 4) AS seasonal,
+        | round(tr.x - tr.trend - se.seasonal, 4) AS residual
+        |FROM tr LEFT JOIN se ON se.series = tr.series AND se.dow = tr.dow
+        |ORDER BY tr.series, day""".stripMargin,
+    "q206_linear_attribution" ->
+      """WITH touches AS (
+        | SELECT user_id AS u, event_id AS touch_id, ts AS tts
+        | FROM events WHERE event_type = 'click'),
+        |convs AS (
+        | SELECT user_id AS u, event_id AS conv_id, ts AS cts
+        | FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        | SELECT c.conv_id, t.tts FROM convs c JOIN touches t
+        |  ON t.u = c.u AND t.tts < c.cts
+        |  AND date_diff('second', t.tts, c.cts) <= 604800),
+        |n AS (SELECT conv_id, count(*) AS cnt FROM j GROUP BY 1),
+        |cred AS (
+        | SELECT CAST(j.tts AS DATE) AS day, 1::DOUBLE / n.cnt AS cr
+        | FROM j JOIN n ON n.conv_id = j.conv_id)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        | round(sum(cr), 6) AS credit, count(*) AS n_touches
+        |FROM cred GROUP BY 1 ORDER BY 1""".stripMargin,
     "q204_schema_evolution" ->
       """SELECT lang, count(*) AS n,
         | sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT

@@ -178,6 +178,58 @@ object EventAnalytics {
       .drop("x")
   }
 
+  /** Classical additive seasonal decomposition of a (dense) daily series:
+    * trend = 7-row centered moving average (null at the edges), seasonal =
+    * per-weekday mean of the detrended values, residual = x − trend −
+    * seasonal. Weekday is epoch-day mod 7 — engine-neutral (SQL DOW
+    * conventions differ). Sparse series should be densified first
+    * ([[forwardFillDaily]]); all shuffles are series-keyed or
+    * weekday-table-sized. */
+  def seasonalDecompose(events: DataFrame, seriesCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val w = Window.partitionBy("series").orderBy("day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("_n7", count(lit(1)).over(w))
+      .withColumn("trend", when(col("_n7") === 7, avg("x").over(w)))
+      .withColumn("dow", pmod(datediff(col("day"), lit("1970-01-01")), lit(7)))
+    val seasonal = trended.filter(col("trend").isNotNull)
+      .groupBy("series", "dow")
+      .agg(avg(col("x") - col("trend")).as("seasonal"))
+    trended.join(seasonal, Seq("series", "dow"), "left")
+      .select(col("series"), col("day"), col("x"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("x") - col("trend") - col("seasonal"), 4).as("residual"))
+  }
+
+  /** Linear multi-touch attribution: every conversion splits one unit of
+    * credit equally over ALL its touch events inside the lookback window
+    * (vs [[lastTouchAttribution]]'s winner-take-all). One interval join
+    * keyed on the user, one per-conversion count window, one day-keyed
+    * rollup of fractional credits. Output: (day, credit, n_touches). */
+  def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, touchType: String,
+      conversionType: String, windowSeconds: Long): DataFrame = {
+    val touches = events.filter(col(typeCol) === touchType)
+      .select(col(userCol).as("u"), col(idCol).as("touch_id"),
+        col(tsCol).as("tts"))
+    val convs = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("u"), col(idCol).as("conv_id"),
+        col(tsCol).as("cts"))
+    val joined = convs.join(touches, Seq("u"))
+      .filter(col("tts") < col("cts") &&
+        unix_timestamp(col("cts")) - unix_timestamp(col("tts")) <= windowSeconds)
+    val wc = Window.partitionBy("conv_id")
+    joined
+      .withColumn("_n", count(lit(1)).over(wc))
+      .groupBy(to_date(col("tts")).as("day"))
+      .agg(round(sum(lit(1.0) / col("_n")), 6).as("credit"),
+        count(lit(1)).as("n_touches"))
+  }
+
   /** Last-touch attribution: each conversion event is credited to the
     * latest touch event by the same user strictly before it (ordered by
     * (ts, tieCol)) and within `windowSeconds`. One user-keyed window with
