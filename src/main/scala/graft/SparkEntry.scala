@@ -2860,6 +2860,18 @@ object SparkEntry {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy("day")),
 
+    // ── native Generator (the Catalyst UDTF tier): word_shingles fans
+    //    each doc straight into its 3-gram rows — no intermediate array
+    //    column — feeding a plain shingle facet ──
+    "q207_shingle_facet" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .select(graft.plans.GraftFunctions
+          .word_shingles(col("text"), lit(3)).as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("sh")).limit(20)
+    }),
+
     // ── compression-ratio quality screen (CCNet/RefinedWeb signal):
     //    deflate size vs raw bytes per document (rows-only: no zlib in
     //    SQL; Round7Spec pins closed-form repetitive/random cases) ──
@@ -6050,6 +6062,16 @@ object SparkEntry {
     "q203_parquet_bloom" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (7, 99, 321) ORDER BY doc_id""".stripMargin,
+    "q207_shingle_facet" ->
+      """WITH sh AS (
+        | SELECT unnest(list_transform(range(1, len(ts) - 1),
+        |   i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+        | FROM (SELECT list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0) AS ts FROM documents)
+        | WHERE len(ts) >= 3)
+        |SELECT sh, count(*) AS n FROM sh GROUP BY sh
+        |ORDER BY n DESC, sh LIMIT 20""".stripMargin,
     "q205_seasonal_decompose" ->
       """WITH daily AS (
         | SELECT event_type AS series, CAST(ts AS DATE) AS day,

@@ -371,6 +371,47 @@ case class FixMojibakeExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** word_shingles(string, int) → rows of `sh: string` — a NATIVE Generator
+  * (the Catalyst UDTF tier, completing the UDF/UDAF/UDTF triple next to
+  * the codegen'd scalars and the typed Aggregators): one input row fans
+  * out to its word n-grams without materialising an intermediate array
+  * column. Lowercased whitespace tokens, the same portable tokenization
+  * the dedup operators use; fewer tokens than `n` yields no rows.
+  * Generators run interpreted by design (CodegenFallback) — the fan-out
+  * dominates, not the per-row eval. */
+case class WordShinglesGen(text: Expression, n: Expression)
+    extends Expression with Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = Seq(text, n)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (text.dataType == StringType && n.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "word_shingles expects (string, int)")
+  override def elementSchema: StructType =
+    StructType(StructField("sh", StringType, nullable = false) :: Nil)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val t = text.eval(input)
+    val kv = n.eval(input)
+    if (t == null || kv == null) Nil
+    else {
+      val k = kv.asInstanceOf[Int]
+      val toks = t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (k <= 0 || toks.length < k) Nil
+      else (0 to toks.length - k).iterator.map { i =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            toks.slice(i, i + k).mkString(" ")))
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WordShinglesGen =
+    copy(text = newChildren(0), n = newChildren(1))
+}
+
 object MinhashMd5 {
   /** All `k` md5-derived signature minima over one shingle array in a
     * single tight pass — byte-identical to the relational form
@@ -457,6 +498,8 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("fix_mojibake", s)
   def minhash_md5(shingles: Column, k: Column): Column =
     org.apache.spark.sql.functions.call_function("minhash_md5", shingles, k)
+  def word_shingles(text: Column, n: Column): Column =
+    org.apache.spark.sql.functions.call_function("word_shingles", text, n)
 
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
@@ -467,7 +510,8 @@ object GraftFunctions {
     "geohash" -> (es => GeohashExpr(es(0), es(1), es(2))),
     "char_entropy" -> (es => CharEntropyExpr(es(0))),
     "fix_mojibake" -> (es => FixMojibakeExpr(es(0))),
-    "minhash_md5" -> (es => MinhashMd5(es(0), es(1))))
+    "minhash_md5" -> (es => MinhashMd5(es(0), es(1))),
+    "word_shingles" -> (es => WordShinglesGen(es(0), es(1))))
 
   /** Post-hoc registration on a live session (SQL surface). */
   def register(spark: SparkSession): Unit =
@@ -504,6 +548,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("minhash_md5"),
       new ExpressionInfo(classOf[MinhashMd5].getName, "minhash_md5"),
       es => MinhashMd5(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesGen].getName, "word_shingles"),
+      es => WordShinglesGen(es(0), es(1))))
     e.injectOptimizerRule(ApproxDistinctRule)
   }
 }

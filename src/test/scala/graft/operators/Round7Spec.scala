@@ -339,6 +339,16 @@ class Round7Spec extends AnyFunSuite {
     } finally rdr.close()
   }
 
+  test("word_shingles generator: native UDTF fan-out and edge cases") {
+    graft.plans.GraftFunctions.register(spark)
+    val out = spark.sql("SELECT word_shingles('The quick  Brown fox', 2) AS sh")
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("the quick", "quick brown", "brown fox"))
+    assert(spark.sql("SELECT word_shingles('one two', 3)").count() == 0)
+    assert(spark.sql("SELECT word_shingles(CAST(NULL AS STRING), 2)")
+      .count() == 0)
+  }
+
   test("deflate size: repetitive text compresses, random text doesn't") {
     import graft.functions.TextFunctions
     val docs = Seq(
