@@ -2872,6 +2872,43 @@ object SparkEntry {
         .orderBy(col("n").desc, col("sh")).limit(20)
     }),
 
+    // ── capstone: the WHOLE curation pipeline composed end-to-end —
+    //    exact dedup → portable-LSH near-dedup with keep-best survivors →
+    //    benchmark decontamination → quality floor → content-addressed
+    //    split → per-(split, lang) yield report. Every stage is an
+    //    operator proven above; the oracle replays the full chain ──
+    "q208_curation_pipeline" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      val corpus = all.filter(col("source") =!= "src0")
+      val bench = all.filter(col("source") === "src0")
+      val exact = graft.operators.Dedup.dropExactDuplicates(
+        corpus, "doc_id", "text")
+      val pairs = graft.operators.Dedup.minhashLshPortable(
+        exact, "doc_id", "text").select("id_a", "id_b")
+      val comps = Components.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("node", "doc_id")
+      val eff = coalesce(col("component"), col("doc_id"))
+      val kept = exact.join(comps, Seq("doc_id"), "left")
+        .withColumn("_rn", row_number().over(Window.partitionBy(eff)
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .filter(col("_rn") === 1)
+      val contaminated = graft.operators.Dedup
+        .wordShingleSet(kept, "doc_id", "text", 8)
+        .join(graft.operators.Dedup.wordShingleSet(bench, "doc_id", "text", 8)
+          .select("sh").distinct(), Seq("sh"), "left_semi")
+        .select(col("id").as("doc_id")).distinct()
+      val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(col("n_chars") >= 150)
+      val hx = substring(md5(concat(col("doc_id").cast("string"),
+        lit(":v1"))), 1, 8)
+      clean
+        .withColumn("split", when(hx < "0ccccccc", "test")
+          .when(hx < "19999999", "val").otherwise("train"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy("split", "lang")
+    }),
+
     // ── compression-ratio quality screen (CCNet/RefinedWeb signal):
     //    deflate size vs raw bytes per document (rows-only: no zlib in
     //    SQL; Round7Spec pins closed-form repetitive/random cases) ──
@@ -6062,6 +6099,105 @@ object SparkEntry {
     "q203_parquet_bloom" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (7, 99, 321) ORDER BY doc_id""".stripMargin,
+    // the full chain: fingerprint dedup (q19/q20 algebra) → q177's md5
+    // banding + verify → q51-style recursive closure → keep-best window →
+    // q197-style 8-gram decontamination → quality floor → q53 split
+    "q208_curation_pipeline" ->
+      """WITH RECURSIVE corpus0 AS (
+        | SELECT * FROM documents WHERE source <> 'src0'),
+        |norm AS (
+        | SELECT doc_id, lang, n_chars, text,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        | FROM corpus0),
+        |exact AS (
+        | SELECT doc_id, lang, n_chars, text FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+        |    AS rn FROM norm) WHERE rn = 1),
+        |toks AS (
+        | SELECT doc_id, list_filter(
+        |   regexp_split_to_array(lower(trim(text)), '\s+'),
+        |   t -> len(t) > 0) AS ts
+        | FROM exact),
+        |sh3 AS (
+        | SELECT DISTINCT id, sh FROM (
+        |  SELECT doc_id AS id, unnest(list_transform(range(1, len(ts) - 1),
+        |    i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+        |  FROM toks WHERE len(ts) >= 3)),
+        |hv AS (
+        | SELECT id, h, min(CAST('0x' ||
+        |   substring(md5(h::VARCHAR || ':' || sh), 1, 15) AS UBIGINT)) AS mv
+        | FROM sh3 CROSS JOIN (SELECT unnest(range(0, 12)) AS h) hh
+        | GROUP BY id, h),
+        |bk AS (
+        | SELECT id, h // 3 AS band,
+        |  string_agg(mv::VARCHAR, '_' ORDER BY h) AS bkey
+        | FROM hv GROUP BY id, band),
+        |cand AS (
+        | SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        | FROM bk a JOIN bk b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+        |sz AS (SELECT id, count(*) AS n FROM sh3 GROUP BY id),
+        |ix AS (
+        | SELECT c.id_a, c.id_b, count(*) AS i
+        | FROM cand c JOIN sh3 x ON x.id = c.id_a
+        |  JOIN sh3 y ON y.id = c.id_b AND y.sh = x.sh
+        | GROUP BY c.id_a, c.id_b),
+        |ppairs AS (
+        | SELECT ix.id_a, ix.id_b FROM ix
+        |  JOIN sz na ON na.id = ix.id_a JOIN sz nb ON nb.id = ix.id_b
+        | WHERE ix.i::DOUBLE / (na.n + nb.n - ix.i) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS t2 FROM ppairs
+        |          UNION SELECT id_b, id_a FROM ppairs),
+        |walk(node, reach) AS (
+        | SELECT s, s FROM edges
+        | UNION
+        | SELECT w.node, e.t2 FROM walk w JOIN edges e ON w.reach = e.s),
+        |comp AS (SELECT node, min(reach) AS component FROM walk
+        |         GROUP BY node),
+        |clustered AS (
+        | SELECT e.*, coalesce(c.component, e.doc_id) AS eff
+        | FROM exact e LEFT JOIN comp c ON c.node = e.doc_id),
+        |kept AS (
+        | SELECT doc_id, lang, n_chars, text FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY eff
+        |    ORDER BY n_chars DESC, doc_id) AS krn FROM clustered)
+        | WHERE krn = 1),
+        |ktoks AS (
+        | SELECT doc_id, list_filter(
+        |   regexp_split_to_array(lower(trim(text)), '\s+'),
+        |   t -> len(t) > 0) AS ts
+        | FROM kept),
+        |w8 AS (
+        | SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),
+        |    i -> array_to_string(list_slice(ts, i, i + 7), ' '))) AS g
+        |  FROM ktoks WHERE len(ts) >= 8)),
+        |btoks AS (
+        | SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |   t -> len(t) > 0) AS ts
+        | FROM documents WHERE source = 'src0'),
+        |b8 AS (
+        | SELECT DISTINCT g FROM (
+        |  SELECT unnest(list_transform(range(1, len(ts) - 6),
+        |    i -> array_to_string(list_slice(ts, i, i + 7), ' '))) AS g
+        |  FROM btoks WHERE len(ts) >= 8)),
+        |contaminated AS (
+        | SELECT DISTINCT w8.doc_id FROM w8 JOIN b8 USING (g)),
+        |clean AS (
+        | SELECT k.* FROM kept k LEFT JOIN contaminated c
+        |  ON c.doc_id = k.doc_id
+        | WHERE c.doc_id IS NULL AND k.n_chars >= 150),
+        |sp AS (
+        | SELECT lang, n_chars, CASE
+        |   WHEN substr(md5(doc_id::VARCHAR || ':v1'), 1, 8) < '0ccccccc'
+        |    THEN 'test'
+        |   WHEN substr(md5(doc_id::VARCHAR || ':v1'), 1, 8) < '19999999'
+        |    THEN 'val'
+        |   ELSE 'train' END AS split
+        | FROM clean)
+        |SELECT split, lang, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q207_shingle_facet" ->
       """WITH sh AS (
         | SELECT unnest(list_transform(range(1, len(ts) - 1),
