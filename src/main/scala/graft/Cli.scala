@@ -30,6 +30,7 @@ object Cli {
       |  duplicates-incr <candidatesParquet> <changedKeysCsv>
       |              <previousParquet> <outParquet>
       |  explain     <queryName> <sfDir>
+      |  curate      <corpusParquet> <benchmarkParquet> <outParquet>
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -90,6 +91,11 @@ object Cli {
       Store.detectDuplicatesIncremental(spark,
           spark.read.parquet(in), changed, previous)
         .write.mode("overwrite").parquet(out)
+    case "curate" :: in :: benchPath :: out :: Nil =>
+      operators.Curation.curateCorpus(
+          spark.read.parquet(in), spark.read.parquet(benchPath),
+          "doc_id", "text", "n_chars", minQuality = 150)
+        .write.mode("overwrite").parquet(out)
     case "explain" :: name :: sfDir :: Nil =>
       val df = SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(s"unknown query: $name"))
@@ -119,5 +125,5 @@ object Cli {
   private val verbs = Set("load-dwca", "load-csv", "process", "sample",
     "index", "facet", "export-dwca", "export-avro", "delete-keys",
     "duplicates", "duplicates-incr", "rename-column", "delete-column",
-    "explain")
+    "explain", "curate")
 }

@@ -2879,31 +2879,10 @@ object SparkEntry {
     //    operator proven above; the oracle replays the full chain ──
     "q208_curation_pipeline" -> ((s, dir) => {
       val all = t(s, dir, "documents")
-      val corpus = all.filter(col("source") =!= "src0")
-      val bench = all.filter(col("source") === "src0")
-      val exact = graft.operators.Dedup.dropExactDuplicates(
-        corpus, "doc_id", "text")
-      val pairs = graft.operators.Dedup.minhashLshPortable(
-        exact, "doc_id", "text").select("id_a", "id_b")
-      val comps = Components.connectedComponents(pairs, "id_a", "id_b")
-        .withColumnRenamed("node", "doc_id")
-      val eff = coalesce(col("component"), col("doc_id"))
-      val kept = exact.join(comps, Seq("doc_id"), "left")
-        .withColumn("_rn", row_number().over(Window.partitionBy(eff)
-          .orderBy(col("n_chars").desc, col("doc_id").asc)))
-        .filter(col("_rn") === 1)
-      val contaminated = graft.operators.Dedup
-        .wordShingleSet(kept, "doc_id", "text", 8)
-        .join(graft.operators.Dedup.wordShingleSet(bench, "doc_id", "text", 8)
-          .select("sh").distinct(), Seq("sh"), "left_semi")
-        .select(col("id").as("doc_id")).distinct()
-      val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
-        .filter(col("n_chars") >= 150)
-      val hx = substring(md5(concat(col("doc_id").cast("string"),
-        lit(":v1"))), 1, 8)
-      clean
-        .withColumn("split", when(hx < "0ccccccc", "test")
-          .when(hx < "19999999", "val").otherwise("train"))
+      Curation.curateCorpus(
+          all.filter(col("source") =!= "src0"),
+          all.filter(col("source") === "src0"),
+          "doc_id", "text", "n_chars", minQuality = 150)
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
         .orderBy("split", "lang")

@@ -717,6 +717,37 @@ object Curation {
         coalesce(col("contaminated"), lit(false)))
   }
 
+  /** The full corpus-curation pipeline as ONE operator (the q208
+    * capstone, reusable from the CLI): exact dedup (keep lowest id per
+    * normalized content) → portable-LSH near-dedup keeping the
+    * highest-quality member of each duplicate cluster → drop docs sharing
+    * any word-8-gram with the benchmark → quality floor → deterministic
+    * content-addressed split. Returns the surviving docs with their
+    * `split` column; every stage is an operator proven by its own gate.
+    */
+  def curateCorpus(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, qualityCol: String, minQuality: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = Dedup.dropExactDuplicates(corpus, idCol, textCol)
+    val pairs = Dedup.minhashLshPortable(exact, idCol, textCol)
+      .select("id_a", "id_b")
+    val comps = Components.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", idCol)
+    val eff = coalesce(col("component"), col(idCol))
+    val kept = exact.join(comps, Seq(idCol), "left")
+      .withColumn("_rn", row_number().over(Window.partitionBy(eff)
+        .orderBy(col(qualityCol).desc, col(idCol).asc)))
+      .filter(col("_rn") === 1).drop("_rn", "component")
+    val contaminated = Dedup.wordShingleSet(kept, idCol, textCol, 8)
+      .join(Dedup.wordShingleSet(benchmark, idCol, textCol, 8)
+        .select("sh").distinct(), Seq("sh"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    kept.join(contaminated, Seq(idCol), "left_anti")
+      .filter(col(qualityCol) >= minQuality)
+      .transform(assignSplit(_, idCol, "v1",
+        Seq("test" -> 0.05, "val" -> 0.05)))
+  }
+
   /** Water-filling budget allocation: spread `budget` rows across sources
     * by capping every source at the level `c` where `Σ min(n_i, c)` fills
     * the budget — small sources pass through untouched, dominant sources
