@@ -2888,6 +2888,22 @@ object SparkEntry {
         .orderBy("split", "lang")
     }),
 
+    // ── hive-style partitioned layout + partition pruning: the
+    //    DIRECTORY-level skip (a predicate on the partition column never
+    //    lists, let alone reads, the other partitions — PlanShapeSpec
+    //    asserts the PartitionFilters), distinct from row-group pushdown ──
+    "q209_partition_pruning" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part_")
+        .toString
+      t(s, dir, "documents").write.mode("overwrite")
+        .partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("lang") === "de")
+        .groupBy("source").agg(count(lit(1)).as("n"),
+          sum("n_chars").as("chars"))
+        .orderBy("source")
+    }),
+
     // ── compression-ratio quality screen (CCNet/RefinedWeb signal):
     //    deflate size vs raw bytes per document (rows-only: no zlib in
     //    SQL; Round7Spec pins closed-form repetitive/random cases) ──
@@ -6177,6 +6193,10 @@ object SparkEntry {
         |SELECT split, lang, count(*) AS n,
         | CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q209_partition_pruning" ->
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang = 'de'
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q207_shingle_facet" ->
       """WITH sh AS (
         | SELECT unnest(list_transform(range(1, len(ts) - 1),

@@ -376,6 +376,14 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q209 partitioned layout: the lang predicate prunes at the " +
+      "DIRECTORY level (PartitionFilters, not just row-group pushdown)") {
+    val plan = planOf(
+      graft.SparkEntry.queries("q209_partition_pruning")(spark, sf))
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      s"expected the lang predicate in PartitionFilters:\n$plan")
+  }
+
   test("q146 sentence stats stay map-only over the scan (no exchange " +
       "before the per-doc projection)") {
     val df = graft.Tables.load(spark, sf, "documents")
