@@ -103,7 +103,12 @@ object Cli {
       // plan-shape audit: the properties the 100 TB design notes promise.
       // The query RUNS first — AQE only commits join strategies, partition
       // coalescing, and codegen spans in the final (post-execution) plan.
-      df.collect()
+      // Executed by driving THIS df's physical plan with a no-op action so
+      // no rows ever land on the driver — auditing a 100 TB query's plan
+      // must not OOM the auditor. (Not the noop sink or Dataset.foreach:
+      // both spawn a SEPARATE QueryExecution, leaving this df's adaptive
+      // plan unfinalized and the shape line empty.)
+      df.queryExecution.executedPlan.execute().foreach(_ => ())
       val plan = df.queryExecution.executedPlan.toString
       println(plan)
       def cnt(pat: String) = pat.r.findAllIn(plan).size

@@ -2378,7 +2378,7 @@ object SparkEntry {
     //    |A∩B| / |A∪B| over event-type segments ──
     "q179_segment_overlap" -> ((s, dir) =>
       graft.operators.Overlap.segmentOverlap(
-          t(s, dir, "events"), "event_type", "user_id", maxMembers = 1 << 20)
+          t(s, dir, "events"), "event_type", "user_id")
         .orderBy("seg_a", "seg_b")),
 
     // ── last-touch attribution: each purchase credited to the latest
@@ -2552,12 +2552,13 @@ object SparkEntry {
       def stampMtime(minuteOffset: Int): Unit = {
         val t = java.nio.file.attribute.FileTime.fromMillis(
           1700000000000L + minuteOffset * 60000L)
-        java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).forEach { p =>
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        try ls.forEach { p =>
           val mt = java.nio.file.Files.getLastModifiedTime(p)
           if (mt.toMillis > 1700000000000L + (minuteOffset - 1) * 60000L + 59000L
             || mt.toMillis < 1700000000000L)
             java.nio.file.Files.setLastModifiedTime(p, t)
-        }
+        } finally ls.close()
       }
       ev.select("event_id", "ts", "user_id", "event_type", "value")
         .coalesce(1).write.mode("overwrite").parquet(tmp)

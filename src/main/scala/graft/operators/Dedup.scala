@@ -16,6 +16,71 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** All unordered within-bucket value pairs (`<valueCol>_a < <valueCol>_b`)
+    * with EVERY task's work bounded, no matter how degenerate the bucket
+    * distribution — the same lossless trick as the duplicate-detection
+    * operator's sub-block salting
+    * ([[graft.operators.DuplicationDetection]], reference
+    * `tool/DuplicationDetection.scala` blocking), generalised to any
+    * banded self-join.
+    *
+    * Buckets of at most `maxBucket` rows self-join directly. A bucket of
+    * B > maxBucket rows is split into R = ⌈B / maxBucket⌉ deterministic
+    * blocks (by within-bucket row number, so blocks are perfectly
+    * balanced); each row is replicated R times on each side so that the
+    * pair (x, y) with blocks (bx, by) meets in exactly the grid cell
+    * (bx, by). One cell holds ≤ maxBucket rows per side, so no task ever
+    * does more than maxBucket² comparisons — the output of a hot bucket is
+    * still quadratic (that IS the answer), but it is now produced across
+    * R² distributed tasks instead of one straggler. Replication cost is
+    * R× on bucket rows, i.e. bytes grow as B²/maxBucket — the knob trades
+    * wire bytes against per-task bound.
+    *
+    * Values must be distinct within a bucket and orderable. The same pair
+    * may appear once per bucket it co-occurs in (e.g. once per LSH band) —
+    * callers dedup across buckets, as they did over the raw band join.
+    */
+  private[graft] def boundedSelfPairs(rows: DataFrame, bucketCols: Seq[String],
+      valueCol: String, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxBucket >= 2, s"maxBucket must be at least 2, got $maxBucket")
+    val bcols = bucketCols.map(col)
+    val w = Window.partitionBy(bcols: _*).orderBy(col(valueCol))
+    val sized = rows
+      .select(bcols :+ col(valueCol): _*)
+      .withColumn("_bn", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("_blk", ((row_number().over(w) - 1)
+        % ceil(col("_bn").cast("double") / maxBucket).cast("int")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def side(df: DataFrame, suffix: String) =
+      df.withColumnRenamed(valueCol, valueCol + suffix)
+    val va = col(valueCol + "_a")
+    val vb = col(valueCol + "_b")
+
+    val small = sized.filter(col("_bn") <= maxBucket)
+      .drop("_bn", "_blk")
+    val smallPairs = side(small, "_a").join(side(small, "_b"), bucketCols)
+
+    val big = sized.filter(col("_bn") > maxBucket)
+      .withColumn("_r", ceil(col("_bn").cast("double") / maxBucket).cast("int"))
+      .drop("_bn")
+    val bigL = side(big, "_a")
+      .withColumn("_i", col("_blk"))
+      .withColumn("_j", explode(sequence(lit(0), col("_r") - 1)))
+      .drop("_blk", "_r")
+    val bigR = side(big, "_b")
+      .withColumn("_j", col("_blk"))
+      .withColumn("_i", explode(sequence(lit(0), col("_r") - 1)))
+      .drop("_blk", "_r")
+    val bigPairs = bigL.join(bigR, bucketCols ++ Seq("_i", "_j"))
+      .drop("_i", "_j")
+
+    smallPairs.unionByName(bigPairs)
+      .filter(va < vb)
+      .select(va, vb)
+  }
+
   /** Exact duplicates by normalised-content hash: one shuffle (groupBy). */
   def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
@@ -43,44 +108,72 @@ object Dedup {
 
   /** MinHash + LSH near-duplicate candidate pairs.
     * Pipeline: shingle → minhash(numHashes) + band hashes (one kernel pass) →
-    * explode tiny (id, band, bandHash) rows → self-join within band buckets →
-    * re-attach signatures → verify estimated Jaccard ≥ threshold.
+    * collapse identical signatures to one representative → explode tiny
+    * (rep, band, bandHash) rows → bounded self-join within band buckets →
+    * verify estimated Jaccard ≥ threshold → expand back to id pairs.
     * The band join is an equi-join on (band, bandHash): shuffle is by bucket,
     * never all-pairs; exploded rows carry no arrays, so the join side stays
-    * bytes-per-row small. */
+    * bytes-per-row small.
+    *
+    * Degenerate-input safety: identical documents share a signature, so a
+    * corpus of N copies would put N rows in every band bucket (N² pairs in
+    * one task). Collapsing to one representative per distinct signature
+    * before banding removes that entirely — identical-signature groups pair
+    * through [[boundedSelfPairs]] at est_jaccard 1.0 — and residual hot
+    * buckets of distinct signatures get the same per-task bound. Output is
+    * row-for-row what the naive band self-join would produce.
+    */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 5, numHashes: Int = 32, numBands: Int = 8,
-      jaccardThreshold: Double = 0.8): DataFrame = {
+      jaccardThreshold: Double = 0.8, maxBucket: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val mhb = udf { (text: String) =>
       val sig = graft.functions.HashKernels.minhash(
         graft.functions.HashKernels.charShingles(text, shingleLen), numHashes)
       (sig, graft.functions.HashKernels.bandHashes(sig, numBands))
     }
-    // the signature table feeds four plan branches (both sides of the
-    // band self-join and both sides of the verify join); persist so the
-    // minhash kernel runs once per row, not once per branch
+    // the signature table feeds four plan branches (representative table,
+    // member expansion, equal-signature pairing); persist so the minhash
+    // kernel runs once per row, not once per branch
     val sig = docs
       .select(col(idCol).as("id"), mhb(col(textCol)).as("s"))
       .select(col("id"), col("s._1").as("sig"), col("s._2").as("bands"))
+      .withColumn("rep",
+        min(col("id")).over(Window.partitionBy(col("sig"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repTable = sig.filter(col("id") === col("rep"))
+      .select(col("rep"), col("sig"), col("bands"))
+    val members = sig.select(col("rep"), col("id"))
 
-    val banded = sig.select(col("id"),
+    val banded = repTable.select(col("rep"),
       posexplode(col("bands")).as(Seq("band", "bandHash")))
-    val a = banded.select(col("band"), col("bandHash"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bandHash"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "bandHash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val candidates =
+      boundedSelfPairs(banded, Seq("band", "bandHash"), "rep", maxBucket)
+        .distinct()
 
     val simUdf = udf((x: Seq[Long], y: Seq[Long]) =>
       graft.functions.HashKernels.signatureSimilarity(x, y))
-    candidates
-      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val verified = candidates
+      .join(repTable.select(col("rep").as("rep_a"), col("sig").as("sig_a")),
+        Seq("rep_a"))
+      .join(repTable.select(col("rep").as("rep_b"), col("sig").as("sig_b")),
+        Seq("rep_b"))
+      .select(col("rep_a"), col("rep_b"),
         simUdf(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= jaccardThreshold)
+    val cross = verified
+      .join(members.select(col("rep").as("rep_a"), col("id").as("_ia")),
+        Seq("rep_a"))
+      .join(members.select(col("rep").as("rep_b"), col("id").as("_ib")),
+        Seq("rep_b"))
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("est_jaccard"))
+    // identical signatures estimate Jaccard 1.0 by construction
+    val eq = boundedSelfPairs(members, Seq("rep"), "id", maxBucket)
+      .select(col("id_a"), col("id_b"), lit(1.0).as("est_jaccard"))
+      .filter(lit(1.0) >= jaccardThreshold)
+    cross.unionByName(eq)
   }
 
   /** Cross-corpus MinHash+LSH near-duplicate pairs: which `probe` docs
@@ -159,12 +252,23 @@ object Dedup {
   /** Banded Hamming-distance pair join over ANY 64-bit signature table
     * (`id`, `sh`) — the engine behind [[simhashPairs]], reused for image
     * perceptual hashes and any other bit-signature near-dup. Same
-    * pigeonhole recall guarantee: numBands > maxHamming is lossless. */
+    * pigeonhole recall guarantee: numBands > maxHamming is lossless.
+    *
+    * Degenerate-input safety (the failure mode a plain band self-join
+    * has): a corpus of N near-empty docs all hashes to ONE signature, so
+    * every band bucket holds N rows and one task computes N² pairs. Here
+    * the banding runs over DISTINCT signatures — identical docs collapse
+    * to one banded row each — and identical-signature groups are paired
+    * directly (they are Hamming-0 pairs by definition) through
+    * [[boundedSelfPairs]], which also caps residual hot buckets of
+    * distinct signatures. Output is row-for-row identical to the naive
+    * band join; no task ever exceeds maxBucket² comparisons.
+    */
   def hammingPairsOfSignatures(sigIn: DataFrame, maxHamming: Int,
-      numBandsOverride: Option[Int] = None): DataFrame = {
+      numBandsOverride: Option[Int] = None, maxBucket: Int = 4096): DataFrame = {
     // persisted for the same reason as the minhash signature table: the
-    // signature computation (simhash / image-decode UDF) feeds the band
-    // explode and both verify-join sides
+    // signature computation (simhash / image-decode UDF) feeds the distinct
+    // pass, both expansion-join sides and the equal-signature pairing
     val sh = sigIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val numBands = numBandsOverride.getOrElse(maxHamming + 1)
     require(numBands >= 1 && numBands <= 64, "numBands must be in [1, 64]")
@@ -180,22 +284,31 @@ object Dedup {
       val lens = (0 until numBands).map(i => baseLen + (if (i < rem) 1 else 0))
       lens.scanLeft(0)(_ + _).zip(lens)
     }
-    val banded = sh.select(col("id"),
-      posexplode(array(bandSpecs.map { case (offset, len) =>
-        val mask = if (len == 64) -1L else (1L << len) - 1L
-        shiftright(col("sh"), offset).bitwiseAND(mask)
-      }: _*)).as(Seq("band", "bandKey")))
-    val a = banded.select(col("band"), col("bandKey"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bandKey"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "bandKey"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val banded = sh.select(col("sh")).distinct()
+      .select(col("sh"),
+        posexplode(array(bandSpecs.map { case (offset, len) =>
+          val mask = if (len == 64) -1L else (1L << len) - 1L
+          shiftright(col("sh"), offset).bitwiseAND(mask)
+        }: _*)).as(Seq("band", "bandKey")))
     val hamming = bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int")
-    candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+    // candidate pairs of DISTINCT signature values (sh_a < sh_b as longs;
+    // a pair recurs once per shared band, hence the distinct)
+    val simSig = boundedSelfPairs(banded, Seq("band", "bandKey"), "sh", maxBucket)
+      .distinct()
+      .select(col("sh_a"), col("sh_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    // expand verified signature pairs back to id pairs, re-oriented by id
+    val cross = simSig
+      .join(sh.select(col("id").as("_ia"), col("sh").as("sh_a")), Seq("sh_a"))
+      .join(sh.select(col("id").as("_ib"), col("sh").as("sh_b")), Seq("sh_b"))
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("hamming"))
+    // identical signatures are Hamming-0 pairs by definition — paired
+    // within each signature group under the same per-task bound
+    val eq = boundedSelfPairs(sh.select(col("sh"), col("id")), Seq("sh"),
+        "id", maxBucket)
+      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
+    cross.unionByName(eq)
   }
 
   /** Exact n-gram Jaccard ≥ threshold via the prefix-filter similarity join

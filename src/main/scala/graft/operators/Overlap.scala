@@ -57,6 +57,25 @@ object Overlap {
     * the bitsets are exact distinct-member sets, and every output number
     * is integer popcount algebra (jaccard an exact rational, rounded 6dp).
     */
+  /** As the explicit-width overload, but the bitset width is derived from
+    * the data: one scalar `max(memberCol)` pre-pass (a single-row driver
+    * action, not a collect) sizes the aggregator, so the operator never
+    * fails on a larger scale factor just because a hard-coded ceiling was
+    * tuned for a smaller one. Widths past 2^27 bits (16 MB of buffer per
+    * segment on the shuffle wire) fail loudly with the roaring/KMV advice
+    * from the header — a dense bitmap is the wrong tool there.
+    */
+  def segmentOverlap(events: DataFrame, segCol: String,
+      memberCol: String): DataFrame = {
+    val mx = events.agg(max(col(memberCol).cast("long"))).head().getLong(0)
+    require(mx >= 0, s"max($memberCol) is negative: $mx")
+    require(mx + 1 <= (1L << 27),
+      s"max($memberCol)=$mx needs a ${(mx + 1 + 63) >>> 6}-word dense " +
+        "bitset per segment; use roaring bitmaps or the KMV sketch " +
+        "(BottomKAgg) at this width")
+    segmentOverlap(events, segCol, memberCol, (mx + 1).toInt)
+  }
+
   def segmentOverlap(events: DataFrame, segCol: String, memberCol: String,
       maxMembers: Int): DataFrame = {
     val bm = udaf(new BitsetAgg(maxMembers))

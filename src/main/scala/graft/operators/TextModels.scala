@@ -67,7 +67,13 @@ object TextModels {
 
   /** Per-doc per-class log-probability table (id, cls, lp). Tokens
     * outside the training vocabulary are dropped (the standard
-    * multinomial convention). */
+    * multinomial convention). A document whose tokens are ALL
+    * out-of-vocabulary — or that tokenizes to nothing — therefore has no
+    * surviving evidence and yields NO rows here, so it gets no prediction
+    * from naiveBayesScore/naiveBayesConfidence (rather than a prior-only
+    * guess). Callers that need total coverage should left-join their id
+    * universe against the score output and apply the prior argmax to the
+    * gaps. */
   def classLogProbs(test: DataFrame, idCol: String, textCol: String,
       ll: DataFrame, priors: DataFrame): DataFrame = {
     val tf = test
