@@ -193,12 +193,11 @@ object Store {
         when(col("_userCodes").isNotNull,
           array_union(col("assertionCodes"), col("_userCodes")))
           .otherwise(col("assertionCodes")))
-      .withColumn("assertions",
-        graft.model.AssertionCodes.structsFromCodes(col("assertionCodes")))
-      .withColumn("geospatiallyKosher",
-        graft.model.AssertionCodes.geospatiallyKosherCodes(col("assertionCodes")))
-      .withColumn("taxonomicallyKosher",
-        graft.model.AssertionCodes.taxonomicallyKosherCodes(col("assertionCodes")))
-      .drop("_userCodes")
+      .withColumn("_asm",
+        graft.model.AssertionCodes.assembleFromCodes(col("assertionCodes")))
+      .withColumn("assertions", col("_asm.assertions"))
+      .withColumn("geospatiallyKosher", col("_asm.geospatiallyKosher"))
+      .withColumn("taxonomicallyKosher", col("_asm.taxonomicallyKosher"))
+      .drop("_userCodes", "_asm")
   }
 }

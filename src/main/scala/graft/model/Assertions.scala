@@ -226,4 +226,34 @@ object AssertionCodes {
 
   def taxonomicallyKosherCodes(codes: Column): Column =
     !arrays_overlap(codes, array(fatalTaxonCodes.map(lit): _*))
+
+  /** Everything derived from the code array — the struct column and both
+    * kosher flags. */
+  case class AssembledAssertions(assertions: Seq[QualityAssertion],
+      geospatiallyKosher: Boolean, taxonomicallyKosher: Boolean)
+
+  private val fatalGeoSet = fatalGeoCodes.toSet
+  private val fatalTaxonSet = fatalTaxonCodes.toSet
+  private val assembleMemo = new java.util.concurrent.ConcurrentHashMap[
+    Seq[Int], AssembledAssertions]()
+
+  /** Fused final assembly: one kernel pass per row computes the struct
+    * array AND both kosher flags (separately they cost three passes —
+    * one interpreted UDF plus two arrays_overlap scans). Assertion-code
+    * combinations are categorical, so the result is memoised per distinct
+    * code array per executor (bounded; overflow degrades to computing). */
+  private def buildAssembled(codes: Seq[Int]): AssembledAssertions =
+    AssembledAssertions(
+      codes.map(c => QualityAssertion(nameByCode.getOrElse(c, "unknown"), c, 0, "")),
+      !codes.exists(fatalGeoSet), !codes.exists(fatalTaxonSet))
+
+  val assembleFromCodes: Column => Column = {
+    val u = udf { (codes: Seq[Int]) =>
+      if (AssertionCodes.assembleMemo.size > 65536)
+        AssertionCodes.buildAssembled(codes)
+      else AssertionCodes.assembleMemo.computeIfAbsent(codes,
+        AssertionCodes.buildAssembled(_))
+    }
+    (codes: Column) => u(codes)
+  }
 }

@@ -113,6 +113,128 @@ object NameMatcher {
       (if (sp + 1 < nameLower.length) nameLower.charAt(sp + 1) else ' ')
   }
 
+  /** Entries above this bound skip the collect+broadcast matcher for the
+    * shuffled path below. At ~100-200 bytes per entry the bound caps the
+    * driver materialisation around 100-200 MB — the same explicit-contract
+    * style as the BPE trainer's ≤200k word-types bound. The ALA production
+    * name index (~5M names × 11 strings) always exceeds it and takes the
+    * shuffled path. */
+  val MaxBroadcastEntries: Int = 1000000
+
+  /** The blocking key as a Column — bit-for-bit the expression form of
+    * [[blockKey]], used by the shuffled fuzzy path. */
+  private def blockKeyCol(n: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val sp = instr(n, " ") // 1-based position of the first space; 0 if none
+    when(sp === 0, substring(n, 1, 4))
+      .otherwise(concat(
+        n.substr(lit(1), least(lit(4), sp - 1)),
+        lit(" "),
+        when(length(n) > sp, n.substr(sp + 1, lit(1))).otherwise(lit(" "))))
+  }
+
+  /** Shuffled classification lookup for names dimensions too large to
+    * collect + broadcast: the same exact → kingdom-resolved homonym →
+    * blocked-fuzzy semantics as [[NameMatcher.lookup]], expressed as two
+    * equi-joins — by `nameLower` for the exact/homonym tier, by
+    * [[blockKey]] for the fuzzy tier (only rows with no exact entry get a
+    * non-null block key, so the second join moves no bytes for matched
+    * rows) — with per-row candidate scans over the small collected block
+    * arrays. No driver materialisation anywhere; both joins shuffle by
+    * key and the dim side aggregates to one row per name/block.
+    *
+    * Parity caveat: when several dim entries share the minimal fuzzy
+    * nameLower, the broadcast kernel keeps the first in dim-collect order
+    * while this path breaks the tie by the remaining entry fields
+    * (deterministically) — both are "an arbitrary entry of the tied name".
+    *
+    * Appends `outCol` with the [[NameHit]]-shaped struct (null = no match).
+    */
+  def attachHitsDistributed(df: DataFrame,
+      nameForMatch: org.apache.spark.sql.Column,
+      kingdomRaw: org.apache.spark.sql.Column,
+      dim: DataFrame, outCol: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    def optCol(name: String) =
+      if (dim.columns.contains(name)) col(name).cast("string").as(name)
+      else lit(null).cast("string").as(name)
+    // nameLower FIRST: array_sort orders struct arrays field-by-field, so
+    // the fuzzy tie-break below is "lexicographically smallest name"
+    val prepared = dim.select(
+      lower(trim(col("nameLower").cast("string"))).as("nameLower"),
+      col("taxonConceptID").cast("string").as("taxonConceptID"),
+      col("acceptedName").cast("string").as("acceptedName"),
+      col("taxonRank").cast("string").as("taxonRank"),
+      col("kingdom").cast("string").as("kingdom"),
+      optCol("phylum"), optCol("classs"),
+      col("family").cast("string").as("family"),
+      col("genus").cast("string").as("genus"),
+      col("lft").cast("long").as("lft"),
+      col("rgt").cast("long").as("rgt"))
+    def entryStruct = struct(prepared.columns.map(col).toIndexedSeq: _*)
+    val byName = prepared.groupBy("nameLower")
+      .agg(collect_list(entryStruct).as("_ncands"))
+      .withColumnRenamed("nameLower", "_nmKey")
+    val byBlock = prepared
+      .withColumn("_bk", blockKeyCol(col("nameLower")))
+      .groupBy("_bk")
+      .agg(collect_list(entryStruct).as("_fcands"))
+
+    def toHit(c: Column, fuzzy: Boolean) = struct(
+      c.getField("taxonConceptID").as("taxonConceptID"),
+      c.getField("acceptedName").as("acceptedName"),
+      c.getField("taxonRank").as("taxonRank"),
+      c.getField("kingdom").as("kingdom"),
+      c.getField("phylum").as("phylum"),
+      c.getField("classs").as("classs"),
+      c.getField("family").as("family"),
+      c.getField("genus").as("genus"),
+      c.getField("lft").as("lft"),
+      c.getField("rgt").as("rgt"),
+      lit(false).as("homonym"), lit(fuzzy).as("fuzzy"))
+    val homonymStruct = struct(
+      lit(null).cast("string").as("taxonConceptID"),
+      lit(null).cast("string").as("acceptedName"),
+      lit(null).cast("string").as("taxonRank"),
+      lit(null).cast("string").as("kingdom"),
+      lit(null).cast("string").as("phylum"),
+      lit(null).cast("string").as("classs"),
+      lit(null).cast("string").as("family"),
+      lit(null).cast("string").as("genus"),
+      lit(null).cast("long").as("lft"),
+      lit(null).cast("long").as("rgt"),
+      lit(true).as("homonym"), lit(false).as("fuzzy"))
+
+    val withKey = df.withColumn("_nmKey",
+      nullif(lower(trim(nameForMatch)), lit("")))
+    val needFuzzy = col("_ncands").isNull && col("_nmKey").isNotNull
+    val joined = withKey
+      .join(byName, Seq("_nmKey"), "left")
+      .withColumn("_bk", when(needFuzzy, blockKeyCol(col("_nmKey"))))
+      .join(byBlock, Seq("_bk"), "left")
+
+    val kh = coalesce(lower(trim(kingdomRaw)), lit(""))
+    val khMatches = filter(col("_ncands"), c =>
+      c.getField("kingdom").isNotNull && lower(c.getField("kingdom")) === kh)
+    val exactResolved =
+      when(size(col("_ncands")) === 1,
+        toHit(element_at(col("_ncands"), 1), fuzzy = false))
+        .when(size(khMatches) === 1, toHit(element_at(khMatches, 1), fuzzy = false))
+        .otherwise(homonymStruct)
+    // levenshtein's threshold form returns -1 past the bound — the exact
+    // analogue of the kernel's early-exit levenshteinWithin
+    val fuzzyMatches = filter(col("_fcands"), c =>
+      levenshtein(col("_nmKey"), c.getField("nameLower"), 2) >= 0)
+    val fuzzyBest = element_at(array_sort(fuzzyMatches), 1)
+    val nm = when(col("_ncands").isNotNull, exactResolved)
+      .when(needFuzzy && coalesce(size(fuzzyMatches), lit(0)) > 0,
+        toHit(fuzzyBest, fuzzy = true))
+    joined.withColumn(outCol, nm)
+      .drop("_nmKey", "_ncands", "_bk", "_fcands")
+  }
+
   def fromDataFrame(dim: DataFrame): NameMatcher = {
     import org.apache.spark.sql.functions.{col, lit}
     // phylum/classs are optional dim columns (used by the taxonomic-hints

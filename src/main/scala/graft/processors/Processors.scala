@@ -81,10 +81,24 @@ object Processors {
     * out-of-range, future), eventDate/eventDateEnd/verbatim resolution,
     * other-date checks, first-of flags, and datePrecision reformatting.
     * See [[graft.functions.EventKernel]] for the port notes. */
+  // Memo over the full input tuple: dates (and discrete y/m/d fields)
+  // repeat heavily in occurrence data — an aggregator's worth of records
+  // shares a few thousand distinct collection dates — so the kernel's
+  // parse/validate control flow runs once per distinct input combination
+  // per executor. Bounded so high-cardinality input degrades to the
+  // uncached path instead of growing the heap. The kernel is pure
+  // (modulo the once-per-JVM "today" constant), so caching is exact.
+  private val eventMemo = new java.util.concurrent.ConcurrentHashMap[
+    java.util.List[String], graft.functions.EventResult]()
   private val eventUdf = udf(
     (ed: String, edEnd: String, y: String, m: String, d: String,
-        verb: String, dp: String, mod: String, di: String, gd: String) =>
-      graft.functions.EventKernel.process(ed, edEnd, y, m, d, verb, dp, mod, di, gd))
+        verb: String, dp: String, mod: String, di: String, gd: String) => {
+      val key = java.util.Arrays.asList(ed, edEnd, y, m, d, verb, dp, mod, di, gd)
+      if (eventMemo.size > 65536)
+        graft.functions.EventKernel.process(ed, edEnd, y, m, d, verb, dp, mod, di, gd)
+      else eventMemo.computeIfAbsent(key, _ =>
+        graft.functions.EventKernel.process(ed, edEnd, y, m, d, verb, dp, mod, di, gd))
+    })
 
   /** Kernel result for an all-null row — what absent-column datasets fold
     * to at plan time (the guarded UDF below never runs for them). */
@@ -127,10 +141,17 @@ object Processors {
     * bounding-box repair, and uncertainty/precision checks. See
     * [[graft.functions.LocationKernel]] for the port notes. Georeference
     * completeness checks stay column-side. */
-  // 13 inputs exceed the 10-arg scala UDF limit; one array argument instead
-  private val locationUdf = udf((a: Seq[String]) =>
-    graft.functions.LocationKernel.process(a(0), a(1), a(2), a(3), a(4),
-      a(5), a(6), a(7), a(8), a(9), a(10), a(11), a(12)))
+  // 13 inputs exceed the 10-arg scala UDF limit; one array argument instead.
+  // Memoized like eventUdf: coordinates repeat per collection site, so the
+  // parse/reproject/validate path runs once per distinct site per executor.
+  private val locationMemo = new java.util.concurrent.ConcurrentHashMap[
+    Seq[String], graft.functions.LocationResult]()
+  private val locationUdf = udf { (a: Seq[String]) =>
+    def compute = graft.functions.LocationKernel.process(a(0), a(1), a(2),
+      a(3), a(4), a(5), a(6), a(7), a(8), a(9), a(10), a(11), a(12))
+    if (locationMemo.size > 65536) compute
+    else locationMemo.computeIfAbsent(a, _ => compute)
+  }
 
   /** Kernel result for an all-null row (plan-time constant for absent
     * columns, like eventAllNull). */
@@ -312,10 +333,6 @@ object Processors {
     * processed_nameMatchMetric, mirroring the reference's
     * name_match_metric index field. */
   def processClassification(df0: DataFrame, namesDim: DataFrame): DataFrame = {
-    val matcher = NameMatcher.fromDataFrame(namesDim)
-    val bc = df0.sparkSession.sparkContext.broadcast(matcher)
-    val lookupUdf = udf((name: String, kingdom: String) =>
-      bc.value.lookup(name, kingdom))
     val nameRaw = colOrNull(df0, "scientificName")
     val kingdomRaw = colOrNull(df0, "kingdom")
     // reference getExactSciName (:898-913): fall back to subspecies /
@@ -325,8 +342,26 @@ object Processors {
       when(colOrNull(df0, "genus").isNotNull,
         nullif(concat_ws(" ", colOrNull(df0, "genus"),
           colOrNull(df0, "specificEpithet")), lit(""))))
-    df0.withColumn("_nm",
+    // explicit scale contract: dims within MaxBroadcastEntries collect to
+    // the broadcast kernel (one in-memory probe per row); larger dims take
+    // the shuffled two-join path with identical semantics — never an
+    // unbounded driver materialisation. limit+count keeps the size probe
+    // itself cheap on huge dims.
+    val oversized = namesDim
+      .limit(NameMatcher.MaxBroadcastEntries + 1).count() >
+      NameMatcher.MaxBroadcastEntries
+    val withNm = if (oversized)
+      NameMatcher.attachHitsDistributed(df0, nameForMatch, kingdomRaw,
+        namesDim, "_nm")
+    else {
+      val matcher = NameMatcher.fromDataFrame(namesDim)
+      val bc = df0.sparkSession.sparkContext.broadcast(matcher)
+      val lookupUdf = udf((name: String, kingdom: String) =>
+        bc.value.lookup(name, kingdom))
+      df0.withColumn("_nm",
         when(nameForMatch.isNotNull, lookupUdf(nameForMatch, kingdomRaw)))
+    }
+    withNm
       .withColumn("processed_taxonConceptID", col("_nm.taxonConceptID"))
       .withColumn("processed_scientificName", col("_nm.acceptedName"))
       .withColumn("processed_taxonRank", col("_nm.taxonRank"))
@@ -470,11 +505,11 @@ object Processors {
       "assertions_profile", "assertions_sensitive")
     val finished = afterGroups
       .withColumn("assertionCodes", concat(assertionCols.map(col): _*))
-      .withColumn("assertions", structsFromCodes(col("assertionCodes")))
-      .withColumn("geospatiallyKosher",
-        geospatiallyKosherCodes(col("assertionCodes")))
-      .withColumn("taxonomicallyKosher",
-        taxonomicallyKosherCodes(col("assertionCodes")))
+      .withColumn("_asm", assembleFromCodes(col("assertionCodes")))
+      .withColumn("assertions", col("_asm.assertions"))
+      .withColumn("geospatiallyKosher", col("_asm.geospatiallyKosher"))
+      .withColumn("taxonomicallyKosher", col("_asm.taxonomicallyKosher"))
+      .drop("_asm")
       .drop(assertionCols: _*)
     // A9 processing metrics (reference RecordProcessor nanosecond
     // accumulators → Spark observed metrics; read via a

@@ -26,7 +26,7 @@ trait Vocab extends Serializable {
   def terms: IndexedSeq[(String, Seq[String])]
 
   protected def norm(s: String): String =
-    s.toLowerCase(Locale.ROOT).replaceAll("[^a-z0-9]", "")
+    Vocab.NormPattern.matcher(s.toLowerCase(Locale.ROOT)).replaceAll("")
 
   /** term-index-tracking maps: first term wins on key collision. */
   @transient private lazy val (exactMap, stemmedMap) = {
@@ -42,8 +42,21 @@ trait Vocab extends Serializable {
     (exact.toMap, stemmed.toMap)
   }
 
+  /** Memo over raw lookup strings: vocab inputs are categorical — a
+    * handful of distinct values repeated millions of times per partition —
+    * so the normalise+stem+rank work runs once per distinct string per
+    * executor, not once per row. Bounded so adversarial high-cardinality
+    * input degrades to the uncached path instead of growing the heap. */
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
   def matchTerm(raw: String): Option[String] = {
     if (raw == null) return None
+    if (memo.size > 65536) return matchTermUncached(raw)
+    memo.computeIfAbsent(raw, matchTermUncached(_))
+  }
+
+  private def matchTermUncached(raw: String): Option[String] = {
     val n = norm(raw)
     if (n.isEmpty) return None
     val s = Stemmer.stem(n)
@@ -53,6 +66,12 @@ trait Vocab extends Serializable {
   }
 
   def canonicals: Seq[String] = terms.map(_._1)
+}
+
+object Vocab {
+  /** Precompiled: String.replaceAll recompiles its pattern on every call,
+    * which showed up as a top cost in the enrichment battery profile. */
+  private[vocab] val NormPattern = Pattern.compile("[^a-z0-9]")
 }
 
 /** Classpath data-table loaders (formats per reference `vocab/Vocab
