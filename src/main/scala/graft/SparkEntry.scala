@@ -364,6 +364,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ── ANN both-sides-large: every embedding queries the corpus (a
+    //    kNN-graph build — the batch×batch case where neither side can
+    //    broadcast); cell-blocked shuffled join + TopKPerGroup partial
+    //    prune; rows-only like q32 (centroid-dependent) ──
+    "q212_batch_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queriesDf = emb
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.batchIvfTopK(emb, queriesDf, k = 4,
+          numCells = 16, nprobe = 4)
+        .filter(col("query_id") =!= col("vec_id")) // drop self-hit
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("cosine"), 4).as("cos_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ── Embedding near-duplicate pairs by cosine (rows-only) ──
     "q33_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id",
@@ -2917,6 +2933,65 @@ object SparkEntry {
           round(col("deflate_bytes").cast("double") / col("raw_bytes"), 4))
         .withColumn("too_repetitive", col("ratio") < 0.3)
         .orderBy("doc_id")
+    }),
+
+    // ── miscProperties catch-all end to end (reference
+    //    model/FullRecord.scala:28-32, dao/OccurrenceDAOImpl.scala:185-303):
+    //    supplier → DwC CSV with two UNMAPPED columns → S2 load (unknown
+    //    columns fold into the misc map) → enrich → index projection →
+    //    S18 download with includeMisc (key universe discovered from the
+    //    data) → facet over the misc-sourced field; the oracle replays the
+    //    aggregate straight off the parquet, so every misc value must
+    //    survive the load→index→download loop byte-for-byte ──
+    "q210_misc_passthrough" -> ((s, dir) => {
+      val src = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("string").as("occurrenceID"),
+        col("s_name").as("recordedBy"),
+        // NOT Darwin Core terms → miscProperties
+        col("s_nationkey").cast("string").as("sourceSystem"),
+        col("s_acctbal").cast("string").as("account_d"))
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q210").getAbsolutePath
+      src.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      val loaded = graft.sources.DwcSource.loadCsv(
+        s, tmp, "dr210", uniqueTerms = Seq("occurrenceID"))
+      val enriched = graft.processors.Processors.enrich(loaded)
+      val index = graft.index.IndexSupport.project(enriched,
+        miscKeys = Seq("sourceSystem", "account_d"))
+      val dl = graft.index.Serving.download(index,
+        loaded.select("rowKey"), fields = Seq("id"), qaFields = Nil,
+        includeMisc = true, miscFields = Nil)
+      dl.groupBy(col("misc_sourceSystem").as("source_system"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("misc_account_d").cast("double")), 2).as("bal"))
+        .orderBy("source_system")
+    }),
+
+    // ── EXIF metadata end to end (reference util/EXIF.scala,
+    //    load/MediaStore feeding occurrence coords from images): build a
+    //    REAL JPEG/APP1/TIFF byte stream per row (GPS DMS rationals +
+    //    DateTimeOriginal), parse it back with the pure-JVM reader, and
+    //    aggregate the recovered coordinates by the recovered capture
+    //    month. Coordinates are exact-DMS values (quarter degrees), so
+    //    the oracle replays the arithmetic straight from the source
+    //    columns — any byte-level drift in writer or parser breaks the
+    //    hash ──
+    "q211_exif_extract" -> ((s, dir) => {
+      val jpegUdf = udf((k: Long, d: String) =>
+        graft.multimodal.Exif.syntheticExifJpeg(
+          (k % 170 - 85) + 0.25, (k % 356 - 178) + 0.5, d + " 10:00:00"))
+      val exifUdf = udf((b: Array[Byte]) => graft.multimodal.Exif.extract(b))
+      t(s, dir, "orders").filter(col("o_orderkey") <= 5000)
+        .select(col("o_orderkey").as("img_id"),
+          jpegUdf(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy:MM:dd")).as("image"))
+        .select(col("img_id"), exifUdf(col("image")).as("x"))
+        .groupBy(substring(col("x.dateTimeOriginal"), 1, 7).as("ym"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("x.latitude")), 2).as("lat_sum"),
+          round(sum(col("x.longitude")), 2).as("lon_sum"))
+        .orderBy("ym")
     })
   )
 
@@ -6198,6 +6273,16 @@ object SparkEntry {
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE lang = 'de'
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q210_misc_passthrough" ->
+      """SELECT CAST(s_nationkey AS VARCHAR) AS source_system,
+        | count(*) AS n, round(sum(s_acctbal), 2) AS bal
+        |FROM supplier GROUP BY 1 ORDER BY source_system""".stripMargin,
+    "q211_exif_extract" ->
+      """SELECT strftime(o_orderdate, '%Y:%m') AS ym, count(*) AS n,
+        | round(sum((o_orderkey % 170 - 85) + 0.25), 2) AS lat_sum,
+        | round(sum((o_orderkey % 356 - 178) + 0.5), 2) AS lon_sum
+        |FROM orders WHERE o_orderkey <= 5000
+        |GROUP BY 1 ORDER BY ym""".stripMargin,
     "q207_shingle_facet" ->
       """WITH sh AS (
         | SELECT unnest(list_transform(range(1, len(ts) - 1),

@@ -86,8 +86,23 @@ object Store {
       qaFields: Seq[String]): DataFrame =
     Serving.download(index, rowKeys, fields, qaFields)
 
-  def writeCsv(df: DataFrame, path: String, sep: String = ","): Unit =
-    df.write.mode("overwrite").option("header", "true").option("sep", sep).csv(path)
+  /** S20 CSV dump. Complex columns (the miscProperties map, assertion
+    * arrays) serialise as JSON strings — the reference stores exactly that
+    * shape in its flat rows (`Json.toJSON` of the misc map,
+    * `dao/OccurrenceDAOImpl` writeToRecordWriter). */
+  def writeCsv(df: DataFrame, path: String, sep: String = ","): Unit = {
+    val flat = df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.StructType =>
+          acc.withColumn(f.name, to_json(col(f.name)))
+        case _ => acc
+      }
+    }
+    flat.write.mode("overwrite").option("header", "true").option("sep", sep)
+      .csv(path)
+  }
 
   // ── Offline analytics (reference duplicate-detection / outlier tools) ──
   def detectDuplicates(spark: SparkSession, candidates: DataFrame) =

@@ -249,7 +249,20 @@ object IndexSupport {
     * (`index/SolrIndexDAO.scala:173-181`): one column per sampled layer id,
     * numeric (double) for `el*`, string for `cl*`, sourced from the
     * record's `cl` sample map. */
-  def project(enriched: DataFrame, layerIds: Seq[String] = Nil): DataFrame = {
+  /** Misc key → typed dynamic index column, reference suffix convention
+    * (`Store.scala:695-719`: user fields keep an explicit `_i`/`_d` suffix,
+    * anything else becomes a `_s` string field;
+    * `index/SolrIndexDAO.scala:173-181` matches them as dynamic fields). */
+  private[index] def dynamicMiscColumn(miscMap: Column, key: String): Column = {
+    val v = element_at(miscMap, key)
+    if (key.endsWith("_i")) v.try_cast("int").as(key)
+    else if (key.endsWith("_d")) v.try_cast("double").as(key)
+    else if (key.endsWith("_s")) v.as(key)
+    else v.as(s"${key}_s")
+  }
+
+  def project(enriched: DataFrame, layerIds: Seq[String] = Nil,
+      miscKeys: Seq[String] = Nil): DataFrame = {
     val base = shouldIndex(enriched)
     // try_cast at the source: the processed coords are doubles out of the
     // enrichment pipeline, but project() also accepts re-read tables where
@@ -289,6 +302,14 @@ object IndexSupport {
       val v = element_at(clMap, id)
       if (id.startsWith("el")) v.try_cast("double").as(id) else v.as(id)
     }
+    // miscProperties catch-all: the map rides through the index (download
+    // passthrough reads it), and requested keys surface as typed dynamic
+    // columns (reference `Store.scala:695-719` suffix typing)
+    val miscMap =
+      if (base.columns.contains("miscProperties")) col("miscProperties")
+      else lit(null).cast("map<string,string>")
+    val miscCols: Seq[Column] =
+      miscMap.as("miscProperties") +: miscKeys.map(dynamicMiscColumn(miscMap, _))
     val sensitiveFlag =
       if (base.columns.contains("isSensitive")) col("isSensitive")
       else lit(false)
@@ -297,7 +318,7 @@ object IndexSupport {
         col("originalSensitiveValues")
       else lit(null).cast("map<string,string>")
     val cols: Seq[Column] =
-      col("rowKey").as("id") +: mapped ++: layerCols ++: Seq(
+      col("rowKey").as("id") +: mapped ++: layerCols ++: miscCols ++: Seq(
         lat.as("decimalLatitude"),
         lon.as("decimalLongitude"),
         concat_ws(",", lat.cast("string"), lon.cast("string")).as("latLong"),
@@ -376,10 +397,31 @@ object Serving {
     * key set (reference `writeToStream`, `OccurrenceDAOImpl.scala:304-360`).
     * Write the result with `.write.option("sep", d).csv(path)`. */
   def download(index: DataFrame, rowKeys: DataFrame, fields: Seq[String],
-      qaFields: Seq[String]): DataFrame = {
+      qaFields: Seq[String]): DataFrame =
+    download(index, rowKeys, fields, qaFields, includeMisc = false, Nil)
+
+  /** S17/S18 with `miscProperties` passthrough (reference
+    * `dao/OccurrenceDAOImpl.scala:185-303` `includeMisc`/`miscFields`):
+    * requested misc fields append in the given order as `misc_<key>`
+    * columns; with `includeMisc` and no explicit list, the key universe is
+    * discovered from the data (one distinct-keys aggregate — bounded by
+    * key cardinality, not row count — sorted for a deterministic schema,
+    * where the reference's streaming writer appends keys in encounter
+    * order). */
+  def download(index: DataFrame, rowKeys: DataFrame, fields: Seq[String],
+      qaFields: Seq[String], includeMisc: Boolean,
+      miscFields: Seq[String]): DataFrame = {
     val keyed = index.join(rowKeys, index("id") === rowKeys("rowKey"), "left_semi")
     val qaCols = qaFields.map(qa =>
       array_contains(col("assertions"), qa).as(s"qa_$qa"))
-    keyed.select(fields.map(col) ++ qaCols: _*).orderBy("id")
+    val miscKeys: Seq[String] =
+      if (!includeMisc) miscFields
+      else if (miscFields.nonEmpty) miscFields
+      else keyed.select(explode(map_keys(col("miscProperties"))).as("k"))
+        .distinct().orderBy("k")
+        .collect().map(_.getString(0)).toSeq
+    val miscCols = miscKeys.map(k =>
+      element_at(col("miscProperties"), k).as(s"misc_$k"))
+    keyed.select(fields.map(col) ++ qaCols ++ miscCols: _*).orderBy("id")
   }
 }

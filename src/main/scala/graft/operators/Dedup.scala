@@ -467,19 +467,24 @@ object Dedup {
   /** Embedding near-duplicates: cosine ≥ threshold within LSH buckets.
     * `bits` controls bucket granularity (recall/cost trade-off). */
   def embeddingNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 8): DataFrame = {
+      threshold: Double = 0.95, bits: Int = 8,
+      maxBucket: Int = 4096): DataFrame = {
     import graft.functions.VectorFunctions
     val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.lshSignature(col(vecCol), bits).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = keyed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = keyed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+    // id pairs through the bounded grid (hot sign-buckets — e.g. a corpus
+    // of near-identical embeddings — split into sub-blocks, same as the
+    // SimHash band join), vectors re-attached by id afterwards so the
+    // pairing shuffle moves ids, not embeddings
+    val pairs = boundedSelfPairs(keyed.select(col("bucket"), col("id")),
+      Seq("bucket"), "id", maxBucket)
+    pairs
+      .join(keyed.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(keyed.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosineCol(emb)(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
   }
 
   // ───────────────────────── portable (md5) MinHash ─────────────────────────

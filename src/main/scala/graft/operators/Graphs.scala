@@ -138,25 +138,28 @@ object Graphs {
     * current frontier (nodes first reached last round) against the edge
     * table plus an anti-join against the visited set — the frontier
     * never re-expands visited nodes, so total work is O(edges touched),
-    * not O(edges × hops). Frontier and visited persist per round (the
-    * plan is iterative; without pinning, round h would recompute rounds
-    * 1..h−1). Rounds are fixed at `maxHops` — no per-round driver
-    * action; an empty frontier makes the remaining joins no-ops. */
+    * not O(edges × hops). Frontier and visited `localCheckpoint` per
+    * round — same lineage discipline as [[kCore]] and
+    * [[Components.connectedComponents]]: persist alone caches data but
+    * the logical plan still grows a union per hop, so the optimizer
+    * re-walks an O(maxHops)-deep tree each round; eager checkpointing
+    * keeps plan depth O(1) per hop. Rounds are fixed at `maxHops` — no
+    * per-round driver data action; an empty frontier makes the remaining
+    * joins no-ops. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0 && maxHops <= 16, "maxHops in [0, 16]")
-    val e = edges.toDF("src", "dst").distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.toDF("src", "dst").distinct().localCheckpoint(true)
     var visited = seeds.toDF("node").distinct()
       .withColumn("hops", lit(0L))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var frontier = visited.select("node")
     for (h <- 1 to maxHops) {
       val next = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("hops", lit(h.toLong))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      visited = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
       frontier = next.select("node")
     }
     visited

@@ -137,6 +137,58 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Batch×batch IVF top-k: both the corpus AND the query batch are large,
+    * so NEITHER side broadcasts — the missing case of [[ivfTopK]] (whose
+    * contract is a small probe batch). Queries explode to (cell, probe)
+    * rows and meet the cell-assigned corpus in a plain shuffled equi-join
+    * on (cell, block): per-cell sub-blocking (corpus rows hash to
+    * ⌈cell/maxBlockRows⌉ blocks, probes replicate across them) bounds
+    * every scoring task at maxBlockRows corpus rows regardless of cell
+    * skew — the two-sided analogue of the dedup family's
+    * `boundedSelfPairs` grid. Per-query results then prune through the
+    * custom [[graft.plans.TopKPerGroup]] operator (map-side partial top-k,
+    * then one shuffle of ≤ k rows per query) instead of a raw window over
+    * the full scored set. Only the ≤ numCells-row cell-count table is
+    * broadcast. Output and semantics are identical to [[ivfTopK]] for the
+    * same parameters (same centroid training, same probes, same
+    * tie-break). */
+  def batchIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int = 64, nprobe: Int = 8, iterations: Int = 2,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      maxBlockRows: Int = 100000): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = trainCentroids(corpus, corpusVec, numCells,
+      iterations, corpusId)
+    val celled = cellAssignment(corpus, corpusVec, centroids)
+    val cellCounts = celled.groupBy("cell").agg(count(lit(1)).as("_cn"))
+    val rCol = ceil(col("_cn").cast("double") / maxBlockRows).cast("int")
+    val corpusBlocked = celled.join(broadcast(cellCounts), Seq("cell"))
+      .withColumn("_blk",
+        pmod(xxhash64(col(corpusId)), rCol.cast("long")).cast("int"))
+      .drop("_cn")
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val va = v.toArray
+      bc.value.indices
+        .map(c => c -> graft.functions.HashKernels.cosine(va, bc.value(c)))
+        .sortBy(-_._2).take(nprobe).map(_._1)
+    }
+    val probes = queries.select(col(queryId), col(queryVec),
+      explode(probeUdf(col(queryVec))).as("cell"))
+    val probesBlocked = probes.join(broadcast(cellCounts), Seq("cell"))
+      .withColumn("_blk", explode(sequence(lit(0), rCol - 1)))
+      .drop("_cn")
+    val scored = corpusBlocked.join(probesBlocked, Seq("cell", "_blk"))
+      .select(col(queryId), col(corpusId),
+        cosineCol(corpus)(col(corpusVec), col(queryVec)).as("cosine"))
+    val pruned = graft.plans.TopKOps.topKPerGroup(scored, Seq(col(queryId)),
+      Seq(col("cosine").desc, col(corpusId).asc), k)
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Per-label elementwise mean of an embedding column, in long format
     * (label, pos, mean) — class centroids for classifier probes, cluster
     * summaries, or SemDeDup cell seeds. posexplode → ONE partial-agg

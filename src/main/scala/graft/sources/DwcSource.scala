@@ -26,7 +26,7 @@ object DwcSource {
       .option("header", "true").option("sep", sep)
       .option("quote", "\"").option("escape", "\"")
       .csv(path)
-    withIdentity(normalizeColumns(raw), dataResourceUid, uniqueTerms)
+    withIdentity(captureMisc(normalizeColumns(raw)), dataResourceUid, uniqueTerms)
   }
 
   /** S1: DwC-A already unzipped to a directory: core.txt + extension files
@@ -36,7 +36,7 @@ object DwcSource {
       extensions: Seq[String] = Nil, sep: String = "\t"): DataFrame = {
     val core = spark.read.option("header", "true").option("sep", sep)
       .csv(s"$dir/$coreFile")
-    val withExt = extensions.foldLeft(normalizeColumns(core)) { (acc, extFile) =>
+    val withExt = extensions.foldLeft(captureMisc(normalizeColumns(core))) { (acc, extFile) =>
       val extName = extFile.stripSuffix(".txt")
       val ext = spark.read.option("header", "true").option("sep", sep)
         .csv(s"$dir/$extFile")
@@ -49,6 +49,12 @@ object DwcSource {
     withIdentity(withExt, dataResourceUid, uniqueTerms)
   }
 
+  /** Shared loader tail (S2/S4/S5): canonicalise headers, fold unmapped
+    * columns into `miscProperties`, mint deterministic identity. */
+  def fromRaw(df: DataFrame, dataResourceUid: String,
+      uniqueTerms: Seq[String]): DataFrame =
+    withIdentity(captureMisc(normalizeColumns(df)), dataResourceUid, uniqueTerms)
+
   /** S4: records supplied as maps (sandbox uploads). */
   def loadRows(spark: SparkSession, rows: Seq[Map[String, String]],
       dataResourceUid: String, uniqueTerms: Seq[String]): DataFrame = {
@@ -60,19 +66,56 @@ object DwcSource {
       org.apache.spark.sql.types.StructField(c,
         org.apache.spark.sql.types.StringType)))
     withIdentity(
-      normalizeColumns(spark.createDataFrame(
-        spark.sparkContext.parallelize(df), schema)),
+      captureMisc(normalizeColumns(spark.createDataFrame(
+        spark.sparkContext.parallelize(df), schema))),
       dataResourceUid, uniqueTerms)
   }
 
-  /** lowercase → canonical Darwin Core term, from the index field scheme
-    * (reference `load/FullRecordMapper` maps supplied headers onto model
-    * properties case-insensitively — FullRecordMapperTest "Test wrong
-    * case": SCIENTIFICNAME → scientificName). */
+  /** The Darwin Core model term universe (reference model POSO properties:
+    * `model/{Occurrence,Classification,Location,Event,Attribution,
+    * Identification,Measurement}.scala` — extracted verbatim as data to
+    * `/graft/dwcTerms.txt`, the same contract as the vocab tables). Input
+    * columns OUTSIDE this set are "unrecognised" and ride along in the
+    * `miscProperties` catch-all (`model/FullRecord.scala:28-32`). */
+  lazy val dwcTerms: Set[String] = {
+    val in = getClass.getResourceAsStream("/graft/dwcTerms.txt")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
+  /** lowercase → canonical Darwin Core term, from the model term universe +
+    * the index field scheme (reference `load/FullRecordMapper` maps supplied
+    * headers onto model properties case-insensitively —
+    * FullRecordMapperTest "Test wrong case": SCIENTIFICNAME →
+    * scientificName). */
   private lazy val canonicalTerms: Map[String, String] =
-    graft.index.IndexSupport.indexFields.map(_._1)
+    (graft.index.IndexSupport.indexFields.map(_._1) ++ dwcTerms)
       .map(t => t.toLowerCase -> t).toMap +
       ("class" -> "class") // case-fixed first, then reservedRenames → classs
+
+  /** Columns that are part of the record contract and never land in misc. */
+  private lazy val knownColumns: Set[String] =
+    dwcTerms ++ graft.index.IndexSupport.indexFields.map(_._1) ++
+      reservedRenames.values + "id" + "rowKey" + "dataResourceUid"
+
+  /** Unrecognised input columns → one `miscProperties` map<string,string>
+    * column, originals dropped (reference `model/FullRecord.scala:28-32`;
+    * real aggregator data always carries unmapped columns). Null values
+    * are absent from the map, matching the reference's sparse row maps.
+    * Runs after [[normalizeColumns]], so case-variant DwC headers have
+    * already been folded into their canonical columns. */
+  private def captureMisc(df: DataFrame): DataFrame = {
+    val unknown = df.columns.filterNot(knownColumns.contains).toSeq
+    if (unknown.isEmpty)
+      df.withColumn("miscProperties",
+        map().cast("map<string,string>"))
+    else
+      df.withColumn("miscProperties", map_filter(
+        map(unknown.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*),
+        (_, v) => v.isNotNull))
+        .drop(unknown: _*)
+  }
 
   private def normalizeColumns(df: DataFrame): DataFrame = {
     val caseFixed = df.columns.foldLeft(df) { (acc, c) =>

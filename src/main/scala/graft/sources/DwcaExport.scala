@@ -47,7 +47,20 @@ object DwcaExport {
       outZip: String): Unit = {
     val tmpDir = java.nio.file.Files.createTempDirectory("dwca").toString
     val fields = df.columns.toSeq
-    df.coalesce(1).write.mode("overwrite")
+    // complex columns (miscProperties map, assertion arrays) → JSON
+    // strings: the archive's occurrence.txt is flat CSV, and a JSON cell
+    // keeps the export lossless (same shape Store.writeCsv uses)
+    val flat = df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.StructType =>
+          acc.withColumn(f.name, org.apache.spark.sql.functions.to_json(
+            org.apache.spark.sql.functions.col(f.name)))
+        case _ => acc
+      }
+    }
+    flat.coalesce(1).write.mode("overwrite")
       .option("header", "true").option("quoteAll", "true")
       .csv(s"$tmpDir/occurrence")
 

@@ -80,6 +80,32 @@ class Round8Spec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("batch ANN equals small-batch IVF; sub-blocking changes nothing") {
+    // deterministic pseudo-embeddings: 200 corpus + 40 query vectors
+    def vec(seed: Long): Array[Float] = Array.tabulate(8) { d =>
+      val h = graft.functions.HashKernels.mix64(seed * 31 + d)
+      ((h % 1000L).toFloat / 500f) - 1f
+    }
+    val corpus = (0 until 200).map(i => (i.toLong, vec(i.toLong)))
+      .toDF("vec_id", "embedding")
+    val queries = (1000 until 1040).map(i => (i.toLong, vec(i.toLong * 7)))
+      .toDF("query_id", "query_vec")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id").as[(Long, Int, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    val small = Similarity.ivfTopK(corpus, queries, k = 5,
+      numCells = 8, nprobe = 3)
+    // maxBlockRows=16 forces every cell through multi-block decomposition
+    val batch = Similarity.batchIvfTopK(corpus, queries, k = 5,
+      numCells = 8, nprobe = 3, maxBlockRows = 16)
+    assert(canon(batch) == canon(small))
+    assert(canon(batch).nonEmpty)
+    // neither corpus nor query side carries a broadcast hint: the only
+    // broadcast in the optimized plan is the numCells-row count table
+    val plan = batch.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+  }
+
   test("minhash bounded path equals naive band join on a corpus with exact dup family") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val docs = (Seq((1L, base), (2L, base + " extra"),

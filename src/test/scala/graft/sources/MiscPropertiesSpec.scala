@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.index.{IndexSupport, Serving}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** miscProperties catch-all (reference `model/FullRecord.scala:28-32`,
+  * `dao/OccurrenceDAOImpl.scala:185-303`, `Store.scala:695-719`): unmapped
+  * input columns fold into one map column on load, ride through the index
+  * projection, surface as typed dynamic columns, and pass through downloads.
+  */
+class MiscPropertiesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def load() = DwcSource.loadRows(spark, Seq(
+    Map("occurrenceID" -> "o1", "scientificName" -> "Macropus rufus",
+      "sourceSystem" -> "legacy", "count_i" -> "12", "weight_d" -> "3.5"),
+    Map("occurrenceID" -> "o2", "scientificName" -> "Macropus rufus",
+      "sourceSystem" -> "modern"),
+    Map("occurrenceID" -> "o3", "scientificName" -> "Aves")),
+    "dr1", Seq("occurrenceID"))
+
+  test("unmapped columns fold into miscProperties; DwC terms do not") {
+    val df = load()
+    assert(df.columns.contains("miscProperties"))
+    assert(!df.columns.contains("sourceSystem") && !df.columns.contains("count_i"))
+    assert(df.columns.contains("scientificName")) // model term stays a column
+    val m = df.filter(col("occurrenceID") === "o1")
+      .select("miscProperties").as[Map[String, String]].head()
+    assert(m == Map("sourceSystem" -> "legacy", "count_i" -> "12",
+      "weight_d" -> "3.5"))
+    // null values are absent, not null-valued keys
+    val m2 = df.filter(col("occurrenceID") === "o2")
+      .select("miscProperties").as[Map[String, String]].head()
+    assert(m2 == Map("sourceSystem" -> "modern"))
+    // terms the ENRICHMENT consumes but the index does not must stay columns
+    val withVerbatim = DwcSource.loadRows(spark, Seq(
+      Map("occurrenceID" -> "o1", "verbatimSRS" -> "EPSG:4326",
+        "easting" -> "310000", "georeferencedBy" -> "someone",
+        "associatedTaxa" -> "eats:Grass")), "dr1", Seq("occurrenceID"))
+    Seq("verbatimSRS", "easting", "georeferencedBy", "associatedTaxa")
+      .foreach(t => assert(withVerbatim.columns.contains(t), t))
+  }
+
+  test("misc keys surface as typed dynamic index columns (suffix scheme)") {
+    val enriched = graft.processors.Processors.enrich(load())
+    val index = IndexSupport.project(enriched,
+      miscKeys = Seq("sourceSystem", "count_i", "weight_d"))
+    // reference Store.storeCustomIndexFields: explicit _i/_d keep the
+    // suffix and type; anything else becomes a _s string field
+    assert(index.columns.contains("sourceSystem_s"))
+    val r = index.filter(col("occurrence_id") === "o1")
+      .select("sourceSystem_s", "count_i", "weight_d").head()
+    assert(r.getString(0) == "legacy")
+    assert(r.getInt(1) == 12)
+    assert(r.getDouble(2) == 3.5)
+    // garbage never ANSI-crashes the typed cast
+    val bad = DwcSource.loadRows(spark, Seq(
+      Map("occurrenceID" -> "o9", "count_i" -> "not-a-number")),
+      "dr1", Seq("occurrenceID"))
+    val badIdx = IndexSupport.project(
+      graft.processors.Processors.enrich(bad), miscKeys = Seq("count_i"))
+    assert(badIdx.select("count_i").head().isNullAt(0))
+  }
+
+  test("download passthrough: explicit order first, discovery sorted") {
+    val enriched = graft.processors.Processors.enrich(load())
+    val index = IndexSupport.project(enriched)
+    val keys = load().select("rowKey")
+    // explicit miscFields: requested order, missing keys → null
+    val dl = Serving.download(index, keys, Seq("id"), Nil,
+      includeMisc = true, miscFields = Seq("weight_d", "sourceSystem"))
+    assert(dl.columns.toSeq == Seq("id", "misc_weight_d", "misc_sourceSystem"))
+    val bySrc = dl.collect().map(r =>
+      r.getAs[String]("misc_sourceSystem")).toSet
+    assert(bySrc == Set("legacy", "modern", null))
+    // discovery: all keys in the data, sorted for a deterministic schema
+    val dl2 = Serving.download(index, keys, Seq("id"), Nil,
+      includeMisc = true, miscFields = Nil)
+    assert(dl2.columns.toSeq ==
+      Seq("id", "misc_count_i", "misc_sourceSystem", "misc_weight_d"))
+    // includeMisc=false stays byte-compatible with the old surface
+    val dl3 = Serving.download(index, keys, Seq("id"), Nil)
+    assert(dl3.columns.toSeq == Seq("id"))
+  }
+}
