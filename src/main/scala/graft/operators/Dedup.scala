@@ -185,7 +185,12 @@ object Dedup {
     * Same banded equi-join scale shape as [[minhashLshPairs]]: each side
     * is banded independently, the join shuffles by (band, bandHash)
     * bucket — never all-pairs — and at 100 TB the (typically much
-    * smaller) probe side's banded rows broadcast when they fit. Output:
+    * smaller) probe side's banded rows broadcast when they fit. Both
+    * sides collapse identical signatures to one representative before
+    * banding (the [[minhashLshPairs]] degenerate-input fix: a crawl full
+    * of identical boilerplate pages puts ONE row per band bucket, not one
+    * per copy); residual skew of distinct signatures sharing a bucket is
+    * partition-level and AQE's skew-join split handles it. Output:
     * (corpus_id, probe_id, est_jaccard), distinct pairs.
     */
   def minhashLshPairsAgainst(
@@ -193,6 +198,7 @@ object Dedup {
       idCol: String, textCol: String,
       shingleLen: Int = 5, numHashes: Int = 32, numBands: Int = 8,
       jaccardThreshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val mhb = udf { (text: String) =>
       val sig = graft.functions.HashKernels.minhash(
         graft.functions.HashKernels.charShingles(text, shingleLen), numHashes)
@@ -201,24 +207,36 @@ object Dedup {
     def sigTable(docs: DataFrame) = docs
       .select(col(idCol).as("id"), mhb(col(textCol)).as("s"))
       .select(col("id"), col("s._1").as("sig"), col("s._2").as("bands"))
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("sig"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigC = sigTable(corpus)
     val sigP = sigTable(probe)
-    def banded(sig: DataFrame, as: String) = sig.select(col("id").as(as),
-      posexplode(col("bands")).as(Seq("band", "bandHash")))
-    val candidates = banded(sigC, "corpus_id")
-      .join(banded(sigP, "probe_id"), Seq("band", "bandHash"))
-      .select("corpus_id", "probe_id").distinct()
+    def repTable(sig: DataFrame) = sig.filter(col("id") === col("rep"))
+    def banded(sig: DataFrame, as: String) = repTable(sig)
+      .select(col("rep").as(as),
+        posexplode(col("bands")).as(Seq("band", "bandHash")))
+    val repCandidates = banded(sigC, "corpus_rep")
+      .join(banded(sigP, "probe_rep"), Seq("band", "bandHash"))
+      .select("corpus_rep", "probe_rep").distinct()
+    // verify on REP pairs (one est per signature pair), expand to id pairs
+    // only for the survivors — duplicate-heavy corpora verify once per
+    // distinct-content pair instead of once per copy pair
     val simUdf = udf((x: Seq[Long], y: Seq[Long]) =>
       graft.functions.HashKernels.signatureSimilarity(x, y))
-    candidates
-      .join(sigC.select(col("id").as("corpus_id"), col("sig").as("sig_c")),
-        Seq("corpus_id"))
-      .join(sigP.select(col("id").as("probe_id"), col("sig").as("sig_p")),
-        Seq("probe_id"))
-      .select(col("corpus_id"), col("probe_id"),
+    val verified = repCandidates
+      .join(repTable(sigC).select(col("rep").as("corpus_rep"),
+        col("sig").as("sig_c")), Seq("corpus_rep"))
+      .join(repTable(sigP).select(col("rep").as("probe_rep"),
+        col("sig").as("sig_p")), Seq("probe_rep"))
+      .select(col("corpus_rep"), col("probe_rep"),
         simUdf(col("sig_c"), col("sig_p")).as("est_jaccard"))
       .filter(col("est_jaccard") >= jaccardThreshold)
+    verified
+      .join(sigC.select(col("rep").as("corpus_rep"), col("id").as("corpus_id")),
+        Seq("corpus_rep"))
+      .join(sigP.select(col("rep").as("probe_rep"), col("id").as("probe_id")),
+        Seq("probe_rep"))
+      .select("corpus_id", "probe_id", "est_jaccard")
   }
 
   /** 64-bit SimHash from word shingles: weighted bit-vote over shingle

@@ -80,6 +80,37 @@ class Round8Spec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("cross-corpus minhash rep-collapse: dup families expand exactly once") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    // 11 copies of `base` in the corpus, 5 exact copies + 1 near-dup in
+    // the probe: the banded join sees ONE row per signature per band, and
+    // the expansion must produce each (copy, copy) pair exactly once
+    val corpus = (Seq((1L, base), (2L, other)) ++
+      (100 to 109).map(i => (i.toLong, base))).toDF("doc_id", "text")
+    val probe = (Seq((10L, base + " extra"), (11L, "entirely unrelated")) ++
+      (200 to 204).map(i => (i.toLong, base))).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairsAgainst(corpus, probe, "doc_id", "text",
+      jaccardThreshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("probe_id")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    val corpusFam = Set(1L) ++ (100L to 109L)
+    val probeFam = (200L to 204L).toSet
+    // full family cross product at est 1.0
+    for (c <- corpusFam; p <- probeFam) {
+      assert(got.get((c, p)).contains(1.0), s"missing exact pair ($c,$p)")
+    }
+    // near-dup probe matches every corpus copy of the family
+    for (c <- corpusFam) assert(got.contains((c, 10L)), s"missing ($c,10)")
+    // unrelated probe matches nothing; `other` corpus doc matches nothing
+    assert(!got.keys.exists(_._2 == 11L))
+    assert(!got.keys.exists(_._1 == 2L))
+    // no duplicate pairs (map building would have collapsed them silently)
+    val rows = Dedup.minhashLshPairsAgainst(corpus, probe, "doc_id", "text",
+      jaccardThreshold = 0.5).count()
+    assert(rows == got.size)
+  }
+
   test("batch ANN equals small-batch IVF; sub-blocking changes nothing") {
     // deterministic pseudo-embeddings: 200 corpus + 40 query vectors
     def vec(seed: Long): Array[Float] = Array.tabulate(8) { d =>
