@@ -92,9 +92,12 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,""" +
         s""""subset_r06_total":${f3(subsetTotal)},"wall":${f3(wall)},"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
-    catch { case _: Throwable => () }
+    // SPARK_GRAFT_ONLY subset runs are local iteration aids — they must
+    // not clobber the full-sweep record
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+      catch { case _: Throwable => () }
     // The final stdout line must survive the 2000-char tail (plus sbt's
     // trailing "[success] ..." line), so cap it and keep the slowest
     // queries — the informative ones. `nq` = queries actually timed.

@@ -397,4 +397,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"per-doc sentence stats must not shuffle:\n$plan")
   }
+
+  test("q212 batch ANN: TopKPerGroup partial prune in the plan, no " +
+      "cartesian, no broadcast of the query side") {
+    val plan = planOf(graft.SparkEntry.queries("q212_batch_ann")(spark, sf))
+    assert(plan.contains("TopKPerGroup"),
+      s"partial top-k operator missing from:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"quadratic join in:\n$plan")
+  }
+
+  test("q29 simhash: banding runs over DISTINCT signatures (aggregate " +
+      "below the band join), never a cartesian") {
+    val df = graft.SparkEntry.queries("q29_dedup_simhash")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"quadratic join in:\n$plan")
+    // the distinct-signature collapse shows up as an aggregate feeding the
+    // band explode (Generate)
+    assert(plan.contains("Generate"), "band explode missing")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "distinct-signature aggregate missing below the band join")
+  }
+
+  test("q210 misc download: key restriction is a semi-join; no cartesian") {
+    val plan = planOf(
+      graft.SparkEntry.queries("q210_misc_passthrough")(spark, sf))
+    assert(plan.contains("LeftSemi"), s"keyed download must semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
 }
