@@ -380,6 +380,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ── media derivative ladder (reference Thumbnailer THUMB/SMALL/LARGE
+    //    100/314/650): real PNG decode → aspect-preserving resize → PNG
+    //    re-encode, then decode each derivative BACK to prove the bytes
+    //    are valid images of the expected geometry (rows-only: PNG bytes
+    //    are encoder-specific; MultimodalSpec pins the dims closed-form) ──
+    "q213_thumbnails" -> ((s, dir) => {
+      val dims = udf { (b: Array[Byte]) =>
+        graft.multimodal.ImageCodec.decode(b).map(r => (r.width, r.height))
+      }
+      val base = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey").cast("long").as("img_id"))
+      val imgs = graft.multimodal.Multimodal
+        .withGeneratedImageColumn(base, "img_id")
+      graft.multimodal.Multimodal.withThumbnails(imgs, "image")
+        .select(col("img_id"),
+          dims(col("image_thumb")).as("t"),
+          dims(col("image_small")).as("s"),
+          dims(col("image_large")).as("l"))
+        .select(col("img_id"), col("t._1").as("thumb_w"),
+          col("t._2").as("thumb_h"), col("s._1").as("small_w"),
+          col("s._2").as("small_h"), col("l._1").as("large_w"),
+          col("l._2").as("large_h"))
+        .orderBy("img_id")
+    }),
+
     // ── Embedding near-duplicate pairs by cosine (rows-only) ──
     "q33_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id",

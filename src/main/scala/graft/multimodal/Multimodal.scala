@@ -109,6 +109,30 @@ object Multimodal {
         .map(r => ImageCodec.encodePng(ImageCodec.resizeNearest(r, w, h)))
     }.apply(bytesCol)
 
+  /** Reference derivative ladder (`load/Thumbnailer.scala` +
+    * `load/MediaStore.scala` THUMB/SMALL/LARGE = 100/314/650): the longest
+    * side scales to the target size, aspect preserved, PNG re-encode.
+    * Map-only — ONE decode per row produces all three derivatives; nulls
+    * for undecodable payloads. Appends `<bytesCol>_thumb/_small/_large`. */
+  def withThumbnails(df: DataFrame, bytesCol: String): DataFrame = {
+    val u = udf { (b: Array[Byte]) =>
+      ImageCodec.decode(b).map { r =>
+        def derive(target: Float): Array[Byte] = {
+          val f = target / math.max(r.width, r.height)
+          val w = math.max(1, math.round(r.width * f))
+          val h = math.max(1, math.round(r.height * f))
+          ImageCodec.encodePng(ImageCodec.resizeNearest(r, w, h))
+        }
+        (derive(100f), derive(314f), derive(650f))
+      }
+    }
+    df.withColumn("_derivs", u(col(bytesCol)))
+      .withColumn(s"${bytesCol}_thumb", col("_derivs._1"))
+      .withColumn(s"${bytesCol}_small", col("_derivs._2"))
+      .withColumn(s"${bytesCol}_large", col("_derivs._3"))
+      .drop("_derivs")
+  }
+
   /** REAL perceptual hash (dHash: 9×8 integer resize → luma gradient
     * bits): near-duplicate images differ in few bits, so the SimHash
     * Hamming-banding machinery applies unchanged. Null for undecodable

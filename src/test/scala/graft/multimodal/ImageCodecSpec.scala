@@ -153,4 +153,21 @@ class ImageCodecSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == (0 until 10).map(k => (2L * k, 2L * k + 1)).toSet)
   }
+
+  test("thumbnail ladder: longest side hits 100/314/650, aspect preserved") {
+    // reference Thumbnailer THUMB/SMALL/LARGE; 8×6 source → thumb 100×75
+    val src = Seq((1L, ImageCodec.encodePng(
+      ImageCodec.syntheticImage(1L, 8, 6)))).toDF("img_id", "image")
+    val out = Multimodal.withThumbnails(src, "image").head()
+    def dims(b: Array[Byte]): (Int, Int) = {
+      val r = ImageCodec.decode(b).get; (r.width, r.height)
+    }
+    assert(dims(out.getAs[Array[Byte]]("image_thumb")) == (100, 75))
+    assert(dims(out.getAs[Array[Byte]]("image_small")) == (314, 236))
+    assert(dims(out.getAs[Array[Byte]]("image_large")) == (650, 488))
+    // undecodable payloads yield nulls, not exceptions
+    val bad = Seq((2L, "junk".getBytes)).toDF("img_id", "image")
+    val badOut = Multimodal.withThumbnails(bad, "image").head()
+    assert(badOut.isNullAt(badOut.fieldIndex("image_thumb")))
+  }
 }
