@@ -728,7 +728,12 @@ object Curation {
   def curateCorpus(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, qualityCol: String, minQuality: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // exact feeds both the near-dup pairing and the representative join;
+    // kept feeds both the decontamination shingles and the final
+    // anti-join — persist each so the upstream dedup window runs once,
+    // not once per consumer branch
     val exact = Dedup.dropExactDuplicates(corpus, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.minhashLshPortable(exact, idCol, textCol)
       .select("id_a", "id_b")
     val comps = Components.connectedComponents(pairs, "id_a", "id_b")
@@ -738,6 +743,7 @@ object Curation {
       .withColumn("_rn", row_number().over(Window.partitionBy(eff)
         .orderBy(col(qualityCol).desc, col(idCol).asc)))
       .filter(col("_rn") === 1).drop("_rn", "component")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contaminated = Dedup.wordShingleSet(kept, idCol, textCol, 8)
       .join(Dedup.wordShingleSet(benchmark, idCol, textCol, 8)
         .select("sh").distinct(), Seq("sh"), "left_semi")
