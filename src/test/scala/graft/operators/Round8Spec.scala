@@ -80,6 +80,44 @@ class Round8Spec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("boundedSelfPairs property: random bucket shapes, every maxBucket") {
+    // deterministic pseudo-random bucket sizes (no RNG): 12 buckets sized
+    // by a hash, values unique across buckets
+    val rows = (0 until 12).flatMap { b =>
+      val n = 1 + (graft.functions.HashKernels.mix64(b.toLong + 7)
+        .abs % 40L).toInt
+      (0 until n).map(i => (s"bk$b", b * 1000L + i))
+    }
+    val df = rows.toDF("bucket", "v")
+    val want = rows.groupBy(_._1).values.flatMap { grp =>
+      for (a <- grp; b <- grp if a._2 < b._2) yield (a._2, b._2)
+    }.toSet
+    for (mb <- Seq(2, 3, 7, 64)) {
+      val got = Dedup.boundedSelfPairs(df, Seq("bucket"), "v", mb)
+        .as[(Long, Long)].collect()
+      assert(got.toSet == want, s"maxBucket=$mb set mismatch")
+      assert(got.length == want.size, s"maxBucket=$mb duplicates")
+    }
+  }
+
+  test("batch ANN recall vs brute force matches small-batch IVF recall") {
+    def vec(seed: Long): Array[Float] = Array.tabulate(8) { d =>
+      val h = graft.functions.HashKernels.mix64(seed * 131 + d)
+      ((h % 1000L).toFloat / 500f) - 1f
+    }
+    val corpus = (0 until 300).map(i => (i.toLong, vec(i.toLong)))
+      .toDF("vec_id", "embedding")
+    val queries = (2000 until 2020).map(i => (i.toLong, vec(i.toLong * 13)))
+      .toDF("query_id", "query_vec")
+    val brute = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val batch = Similarity.batchIvfTopK(corpus, queries, 5,
+        numCells = 8, nprobe = 4, maxBlockRows = 32)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & batch).size.toDouble / brute.size
+    assert(recall >= 0.7, s"batch ANN recall $recall below floor")
+  }
+
   test("cross-corpus minhash rep-collapse: dup families expand exactly once") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val other = (100 to 140).map(i => s"word$i").mkString(" ")
