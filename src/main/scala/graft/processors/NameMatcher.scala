@@ -121,6 +121,14 @@ object NameMatcher {
     * shuffled path. */
   val MaxBroadcastEntries: Int = 1000000
 
+  /** Effective bound — `graft.names.maxBroadcastEntries` system property
+    * overrides for tests that need to drive the shuffled path through the
+    * full pipeline without materialising a million-row dimension. */
+  private[processors] def maxBroadcastEntries: Int =
+    sys.props.get("graft.names.maxBroadcastEntries")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(MaxBroadcastEntries)
+
   /** The blocking key as a Column — bit-for-bit the expression form of
     * [[blockKey]], used by the shuffled fuzzy path. */
   private def blockKeyCol(n: org.apache.spark.sql.Column)

@@ -347,9 +347,8 @@ object Processors {
     // the shuffled two-join path with identical semantics — never an
     // unbounded driver materialisation. limit+count keeps the size probe
     // itself cheap on huge dims.
-    val oversized = namesDim
-      .limit(NameMatcher.MaxBroadcastEntries + 1).count() >
-      NameMatcher.MaxBroadcastEntries
+    val bound = NameMatcher.maxBroadcastEntries
+    val oversized = namesDim.limit(bound + 1).count() > bound
     val withNm = if (oversized)
       NameMatcher.attachHitsDistributed(df0, nameForMatch, kingdomRaw,
         namesDim, "_nm")

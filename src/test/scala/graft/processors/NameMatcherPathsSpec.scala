@@ -79,6 +79,27 @@ class NameMatcherPathsSpec extends AnyFunSuite {
     assert(b("n1").isEmpty && b("n2").isEmpty && b("n3").isEmpty)
   }
 
+  test("full pipeline via the shuffled path matches the broadcast path") {
+    // drive processClassification itself down the oversized branch by
+    // shrinking the bound, and compare the COMPLETE stage output —
+    // processed_* columns and assertions — against the broadcast run
+    val facts2 = facts.withColumnRenamed("id", "occurrenceID")
+      .withColumn("taxonRank", lit("species"))
+    def run(): Array[String] =
+      Processors.processClassification(facts2, dim)
+        .select(col("occurrenceID"), col("processed_taxonConceptID"),
+          col("processed_scientificName"), col("processed_kingdom"),
+          col("processed_lft"), col("processed_nameMatchMetric"),
+          col("assertions_class").cast("string"))
+        .collect().map(_.toString).sorted
+    val broadcastRun = run()
+    System.setProperty("graft.names.maxBroadcastEntries", "2")
+    try {
+      val shuffledRun = run()
+      assert(shuffledRun.toSeq == broadcastRun.toSeq)
+    } finally System.clearProperty("graft.names.maxBroadcastEntries")
+  }
+
   test("shuffled path plan has no cartesian/nested-loop join") {
     val out = NameMatcher.attachHitsDistributed(
       facts, col("scientificName"), col("kingdom"), dim, "_nm")
