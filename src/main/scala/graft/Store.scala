@@ -100,7 +100,11 @@ object Store {
         case _ => acc
       }
     }
+    // standard CSV quote-doubling (escape = quote), matching what the
+    // loaders read — Spark's default backslash-escape would corrupt the
+    // JSON cells on a write→load roundtrip
     flat.write.mode("overwrite").option("header", "true").option("sep", sep)
+      .option("quote", "\"").option("escape", "\"")
       .csv(path)
   }
 

@@ -104,17 +104,40 @@ object DwcSource {
     * real aggregator data always carries unmapped columns). Null values
     * are absent from the map, matching the reference's sparse row maps.
     * Runs after [[normalizeColumns]], so case-variant DwC headers have
-    * already been folded into their canonical columns. */
+    * already been folded into their canonical columns.
+    *
+    * Re-ingest roundtrip: an input that ALREADY carries `miscProperties`
+    * keeps it — as-is when it is a map, parsed back with `from_json` when
+    * it is the JSON-string cell our own CSV/DwC-A sinks write. Fresh
+    * unknowns merge in via `map_concat` (a key collision with an existing
+    * misc key fails loudly under Spark's default dedup policy rather than
+    * silently picking a side). */
   private def captureMisc(df: DataFrame): DataFrame = {
-    val unknown = df.columns.filterNot(knownColumns.contains).toSeq
-    if (unknown.isEmpty)
-      df.withColumn("miscProperties",
-        map().cast("map<string,string>"))
-    else
-      df.withColumn("miscProperties", map_filter(
+    val unknown = df.columns
+      .filterNot(knownColumns.contains).filterNot(_ == "miscProperties").toSeq
+    val freshMap =
+      if (unknown.isEmpty) map().cast("map<string,string>")
+      else map_filter(
         map(unknown.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*),
-        (_, v) => v.isNotNull))
-        .drop(unknown: _*)
+        (_, v) => v.isNotNull)
+    val baseMap = df.schema.fields.find(_.name == "miscProperties") match {
+      case Some(f) if f.dataType.isInstanceOf[
+        org.apache.spark.sql.types.MapType] => Some(col("miscProperties"))
+      case Some(_) => // our sinks' JSON cell form
+        Some(coalesce(
+          from_json(col("miscProperties").cast("string"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType)),
+          map().cast("map<string,string>")))
+      case None => None
+    }
+    val merged = baseMap match {
+      case Some(b) if unknown.isEmpty => b
+      case Some(b) => map_concat(b, freshMap)
+      case None => freshMap
+    }
+    df.withColumn("miscProperties", merged).drop(unknown: _*)
   }
 
   private def normalizeColumns(df: DataFrame): DataFrame = {

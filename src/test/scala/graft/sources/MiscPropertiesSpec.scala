@@ -44,6 +44,29 @@ class MiscPropertiesSpec extends AnyFunSuite {
       .foreach(t => assert(withVerbatim.columns.contains(t), t))
   }
 
+  test("re-ingest roundtrip: an exported miscProperties JSON cell parses back") {
+    // our CSV/DwC-A sinks serialise the map as a JSON string; loading that
+    // export must restore the SAME map, not a map nested inside a string
+    val loaded = load()
+    val dir = java.nio.file.Files.createTempDirectory("graft_misc_rt").toString
+    graft.Store.writeCsv(loaded, dir)
+    val back = DwcSource.loadCsv(spark, dir, "dr1", Seq("occurrenceID"))
+    val m = back.filter(col("occurrenceID") === "o1")
+      .select("miscProperties").as[Map[String, String]].head()
+    assert(m == Map("sourceSystem" -> "legacy", "count_i" -> "12",
+      "weight_d" -> "3.5"))
+    // rowKeys identical across the roundtrip (same unique terms)
+    assert(back.select("rowKey").as[String].collect().sorted.toSeq ==
+      loaded.select("rowKey").as[String].collect().sorted.toSeq)
+    // a frame that already holds a MAP miscProperties keeps it untouched
+    val again = DwcSource.fromRaw(
+      loaded.select("occurrenceID", "scientificName", "miscProperties"),
+      "dr1", Seq("occurrenceID"))
+    val m2 = again.filter(col("occurrenceID") === "o1")
+      .select("miscProperties").as[Map[String, String]].head()
+    assert(m2 == m)
+  }
+
   test("misc keys surface as typed dynamic index columns (suffix scheme)") {
     val enriched = graft.processors.Processors.enrich(load())
     val index = IndexSupport.project(enriched,
