@@ -414,14 +414,19 @@ object Serving {
     val keyed = index.join(rowKeys, index("id") === rowKeys("rowKey"), "left_semi")
     val qaCols = qaFields.map(qa =>
       array_contains(col("assertions"), qa).as(s"qa_$qa"))
+    // indexes built before the misc column existed read as misc-less
+    val miscMap =
+      if (index.columns.contains("miscProperties")) col("miscProperties")
+      else lit(null).cast("map<string,string>")
     val miscKeys: Seq[String] =
       if (!includeMisc) miscFields
       else if (miscFields.nonEmpty) miscFields
-      else keyed.select(explode(map_keys(col("miscProperties"))).as("k"))
+      else if (!index.columns.contains("miscProperties")) Nil
+      else keyed.select(explode(map_keys(miscMap)).as("k"))
         .distinct().orderBy("k")
         .collect().map(_.getString(0)).toSeq
     val miscCols = miscKeys.map(k =>
-      element_at(col("miscProperties"), k).as(s"misc_$k"))
+      element_at(miscMap, k).as(s"misc_$k"))
     keyed.select(fields.map(col) ++ qaCols ++ miscCols: _*).orderBy("id")
   }
 }

@@ -29,7 +29,13 @@ object WsAdapter {
   def fetchPages(baseUrl: String, landingDir: String, pageSize: Int = 1000,
       maxPages: Int = 100000): Int = {
     require(pageSize > 0, "pageSize must be positive")
-    new java.io.File(landingDir).mkdirs()
+    val dir = new java.io.File(landingDir)
+    dir.mkdirs()
+    // clear stale pages: a previous longer fetch must not leak its tail
+    // into this ingest's landing set
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("page-") && f.getName.endsWith(".json"))
+      .foreach(_.delete())
     var offset = 0
     var pages = 0
     var done = false
