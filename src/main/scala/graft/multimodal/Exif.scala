@@ -106,6 +106,12 @@ object Exif {
     def rationals(entry: (Int, Long, Int)): Array[Double] = {
       val (typ, count, fo) = entry
       val off = valueOffset(typ, count, fo)
+      // bounds-check with Long arithmetic BEFORE allocating: the count
+      // field is untrusted, and a crafted header declaring 512M rationals
+      // must fail as a caught IndexOutOfBounds, never as an uncatchable
+      // multi-GB OutOfMemoryError
+      if (count < 0 || off < 0 || off + 8L * count > end)
+        throw new IndexOutOfBoundsException
       Array.tabulate(count.toInt) { k =>
         val num = u32(off + 8 * k); val den = u32(off + 8 * k + 4)
         if (den == 0) 0.0 else num.toDouble / den.toDouble

@@ -67,7 +67,11 @@ object Overlap {
     */
   def segmentOverlap(events: DataFrame, segCol: String,
       memberCol: String): DataFrame = {
-    val mx = events.agg(max(col(memberCol).cast("long"))).head().getLong(0)
+    val mxRow = events.agg(max(col(memberCol).cast("long"))).head()
+    require(!mxRow.isNullAt(0),
+      s"cannot derive a bitset width: max($memberCol) is null — empty " +
+        "input, or a member column that casts to all-null longs")
+    val mx = mxRow.getLong(0)
     require(mx >= 0, s"max($memberCol) is negative: $mx")
     require(mx + 1 <= (1L << 27),
       s"max($memberCol)=$mx needs a ${(mx + 1 + 63) >>> 6}-word dense " +

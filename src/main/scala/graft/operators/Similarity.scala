@@ -160,7 +160,11 @@ object Similarity {
     val spark = corpus.sparkSession
     val centroids = trainCentroids(corpus, corpusVec, numCells,
       iterations, corpusId)
+    // celled feeds two plan branches (the cell-count aggregate and the
+    // scoring join); persist so the per-row centroid-assignment cosines —
+    // the most expensive scan in the operator — run once, not twice
     val celled = cellAssignment(corpus, corpusVec, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cellCounts = celled.groupBy("cell").agg(count(lit(1)).as("_cn"))
     val rCol = ceil(col("_cn").cast("double") / maxBlockRows).cast("int")
     val corpusBlocked = celled.join(broadcast(cellCounts), Seq("cell"))

@@ -26,7 +26,7 @@ object DwcSource {
       .option("header", "true").option("sep", sep)
       .option("quote", "\"").option("escape", "\"")
       .csv(path)
-    withIdentity(captureMisc(normalizeColumns(raw)), dataResourceUid, uniqueTerms)
+    captureMisc(withIdentity(normalizeColumns(raw), dataResourceUid, uniqueTerms))
   }
 
   /** S1: DwC-A already unzipped to a directory: core.txt + extension files
@@ -36,7 +36,7 @@ object DwcSource {
       extensions: Seq[String] = Nil, sep: String = "\t"): DataFrame = {
     val core = spark.read.option("header", "true").option("sep", sep)
       .csv(s"$dir/$coreFile")
-    val withExt = extensions.foldLeft(captureMisc(normalizeColumns(core))) { (acc, extFile) =>
+    val withExt = extensions.foldLeft(normalizeColumns(core)) { (acc, extFile) =>
       val extName = extFile.stripSuffix(".txt")
       val ext = spark.read.option("header", "true").option("sep", sep)
         .csv(s"$dir/$extFile")
@@ -46,14 +46,19 @@ object DwcSource {
       acc.join(grouped, acc("id") === grouped("coreid"), "left")
         .drop("coreid")
     }
-    withIdentity(withExt, dataResourceUid, uniqueTerms)
+    captureMisc(withIdentity(withExt, dataResourceUid, uniqueTerms),
+      keep = extensions.map(_.stripSuffix(".txt")).toSet)
   }
 
-  /** Shared loader tail (S2/S4/S5): canonicalise headers, fold unmapped
-    * columns into `miscProperties`, mint deterministic identity. */
+  /** Shared loader tail (S2/S4/S5): canonicalise headers, mint
+    * deterministic identity, THEN fold unmapped columns into
+    * `miscProperties`. Identity-before-misc matters: a uniqueTerm may name
+    * an unmapped input column (it must still resolve when the key is
+    * hashed), and the no-uniqueTerms fallback must hash the original cells,
+    * not a map rendering of them. */
   def fromRaw(df: DataFrame, dataResourceUid: String,
       uniqueTerms: Seq[String]): DataFrame =
-    withIdentity(captureMisc(normalizeColumns(df)), dataResourceUid, uniqueTerms)
+    captureMisc(withIdentity(normalizeColumns(df), dataResourceUid, uniqueTerms))
 
   /** S4: records supplied as maps (sandbox uploads). */
   def loadRows(spark: SparkSession, rows: Seq[Map[String, String]],
@@ -65,10 +70,10 @@ object DwcSource {
     val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
       org.apache.spark.sql.types.StructField(c,
         org.apache.spark.sql.types.StringType)))
-    withIdentity(
-      captureMisc(normalizeColumns(spark.createDataFrame(
-        spark.sparkContext.parallelize(df), schema))),
-      dataResourceUid, uniqueTerms)
+    captureMisc(withIdentity(
+      normalizeColumns(spark.createDataFrame(
+        spark.sparkContext.parallelize(df), schema)),
+      dataResourceUid, uniqueTerms))
   }
 
   /** The Darwin Core model term universe (reference model POSO properties:
@@ -111,10 +116,14 @@ object DwcSource {
     * it is the JSON-string cell our own CSV/DwC-A sinks write. Fresh
     * unknowns merge in via `map_concat` (a key collision with an existing
     * misc key fails loudly under Spark's default dedup policy rather than
-    * silently picking a side). */
-  private def captureMisc(df: DataFrame): DataFrame = {
+    * silently picking a side). Runs AFTER [[withIdentity]] so the rowKey
+    * hash sees the raw columns; `keep` names columns a caller built itself
+    * (DwC-A extension arrays) that must stay columns. */
+  private def captureMisc(df: DataFrame,
+      keep: Set[String] = Set.empty): DataFrame = {
     val unknown = df.columns
-      .filterNot(knownColumns.contains).filterNot(_ == "miscProperties").toSeq
+      .filterNot(knownColumns.contains).filterNot(keep.contains)
+      .filterNot(_ == "miscProperties").toSeq
     val freshMap =
       if (unknown.isEmpty) map().cast("map<string,string>")
       else map_filter(

@@ -315,10 +315,14 @@ private final class DwcaPartitionReader(path: String,
   }
 
   /** Plain split when meta.xml declares no field quote (the common
-    * tab-separated form); a quote-aware scan otherwise — handles enclosed
-    * separators, doubled quotes, and backslash-escaped quotes (what
-    * `DwcaExport`'s quoteAll CSV emits). Quoted fields spanning lines are
-    * out of contract. -1 keeps trailing empty columns. */
+    * tab-separated form); a quote-aware RFC 4180 scan otherwise — enclosed
+    * separators and DOUBLED quotes, the one convention every graft sink
+    * (`DwcaExport`, `Store.writeCsv`) writes. Backslash is a literal
+    * character: a backslash-escape rule here would be ambiguous against
+    * quote-doubled JSON cells (`\"` inside a JSON string doubles to `\""`,
+    * which a backslash-aware parser mis-reads as escaped-quote + closing
+    * quote). Quoted fields spanning lines are out of contract. -1 keeps
+    * trailing empty columns. */
   private def splitLine(line: String): Array[String] = meta.quote match {
     case None =>
       line.split(java.util.regex.Pattern.quote(meta.sep.toString), -1)
@@ -330,13 +334,7 @@ private final class DwcaPartitionReader(path: String,
       while (i < line.length) {
         val c = line.charAt(i)
         if (inQ) {
-          if (c == '\\' && i + 1 < line.length && line.charAt(i + 1) == q) {
-            sb.append(q); i += 1
-          } else if (c == '\\' && i + 1 < line.length &&
-              line.charAt(i + 1) == '\\') {
-            // the CSV writer escapes the escape char itself: \\ → \
-            sb.append('\\'); i += 1
-          } else if (c == q) {
+          if (c == q) {
             if (i + 1 < line.length && line.charAt(i + 1) == q) {
               sb.append(q); i += 1
             } else inQ = false

@@ -60,8 +60,12 @@ object DwcaExport {
         case _ => acc
       }
     }
+    // quote-doubling (escape = quote), the same convention Store.writeCsv
+    // and the loaders use — Spark's default backslash escape would corrupt
+    // the JSON cells on an export→loadCsv roundtrip
     flat.coalesce(1).write.mode("overwrite")
       .option("header", "true").option("quoteAll", "true")
+      .option("quote", "\"").option("escape", "\"")
       .csv(s"$tmpDir/occurrence")
 
     val csvPart = new File(s"$tmpDir/occurrence").listFiles()

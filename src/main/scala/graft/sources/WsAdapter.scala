@@ -49,7 +49,10 @@ object WsAdapter {
       val in = url.openStream()
       val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       val trimmed = body.trim
-      if (trimmed.isEmpty || trimmed == "[]") done = true
+      // end-of-scan = no record object in the page, not a byte-exact "[]":
+      // pretty-printing servers return "[ ]"/"[\n]" for the past-the-end
+      // page, and an exact-match test would loop to maxPages against them
+      if (trimmed.isEmpty || !trimmed.contains('{')) done = true
       else {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(landingDir, f"page-$pages%05d.json"), body)

@@ -72,4 +72,33 @@ class ExifSpec extends AnyFunSuite {
     assert(x.latitude == -35.25)
     assert(x.longitude == null && x.dateTimeOriginal == null)
   }
+
+  test("crafted rational count never allocates: all-null, no OOM") {
+    // same hand-built TIFF as above, but the GPS latitude entry declares
+    // count = 512M rationals (4 GB) — the bounds check must reject it
+    // BEFORE Array.tabulate, or the 'untrusted input never throws'
+    // contract dies by uncatchable OutOfMemoryError
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    val tiff = new java.io.ByteArrayOutputStream()
+    def t8(v: Int): Unit = tiff.write(v & 0xff)
+    def t16(v: Int): Unit = { t8(v); t8(v >> 8) }
+    def t32(v: Long): Unit = { t8(v.toInt); t8((v >> 8).toInt); t8((v >> 16).toInt); t8((v >> 24).toInt) }
+    t8('I'); t8('I'); t16(42); t32(8)
+    t16(1)
+    t16(0x8825); t16(4); t32(1); t32(26)
+    t32(0)
+    t16(2)
+    t16(0x0001); t16(2); t32(2); t8('S'); t8(0); t8(0); t8(0)
+    t16(0x0002); t16(5); t32(0x20000000L); t32(56)
+    t32(0)
+    for ((n, d) <- Seq((35L, 1L), (15L, 1L), (0L, 1L))) { t32(n); t32(d) }
+    val tb = tiff.toByteArray
+    w8(0xff); w8(0xd8); w8(0xff); w8(0xe1)
+    val len = 2 + 6 + tb.length
+    w8(len >> 8); w8(len)
+    out.write("Exif".getBytes); w8(0); w8(0)
+    out.write(tb); w8(0xff); w8(0xd9)
+    assert(Exif.extract(out.toByteArray) == ExifData(null, null, null))
+  }
 }

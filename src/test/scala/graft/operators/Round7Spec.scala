@@ -101,6 +101,19 @@ class Round7Spec extends AnyFunSuite {
     intercept[Exception] {
       Overlap.segmentOverlap(bad, "seg", "user", 64).collect()
     }
+    // derived-width overload on empty / all-null-cast input: a diagnostic
+    // require message, not a bare NPE from head().getLong
+    val empty = Seq.empty[(String, Long)].toDF("seg", "user")
+    val e1 = intercept[IllegalArgumentException] {
+      Overlap.segmentOverlap(empty, "seg", "user")
+    }
+    assert(e1.getMessage.contains("bitset width"))
+    val allNull = Seq(("s1", null.asInstanceOf[java.lang.Long]))
+      .toDF("seg", "user")
+    val e2 = intercept[IllegalArgumentException] {
+      Overlap.segmentOverlap(allNull, "seg", "user")
+    }
+    assert(e2.getMessage.contains("bitset width"))
   }
 
   test("last-touch attribution: (ts, id) tie-break and window cut") {

@@ -79,16 +79,19 @@ class DwcaConnectorSpec extends AnyFunSuite {
     zos.write(quotedMeta.getBytes("UTF-8"))
     zos.closeEntry()
     zos.putNextEntry(new ZipEntry("occurrence.txt"))
+    // r2 is the case that makes backslash-escape rules ambiguous: a JSON
+    // cell's own \" sequence quote-doubles to \"" — RFC 4180 reads the
+    // backslash literally and the doubled quote as one quote
     zos.write(("\"id\",\"scientificName\",\"decimalLatitude\",\"class\"\n" +
       "\"r1\",\"Aus, comma bus\",\"-35.2\",\"Aves\"\n" +
-      "\"r2\",\"Cus \\\"quoted\\\" dus\",\"1.0\",\"Aves\"\n" +
+      "\"r2\",\"{\"\"k\"\":\"\"a\\\"\"b\"\"}\",\"1.0\",\"Aves\"\n" +
       "\"r3\",\"Eus \"\"doubled\"\" fus\",\"2.0\",\"Aves\"\n")
       .getBytes("UTF-8"))
     zos.closeEntry()
     zos.close()
     val got = spark.read.format("dwca").load(f.getAbsolutePath)
       .orderBy("id").select("scientificName").as[String].collect().toSeq
-    assert(got == Seq("Aus, comma bus", "Cus \"quoted\" dus",
+    assert(got == Seq("Aus, comma bus", "{\"k\":\"a\\\"b\"}",
       "Eus \"doubled\" fus"))
   }
 
@@ -103,6 +106,26 @@ class DwcaConnectorSpec extends AnyFunSuite {
       .as[(String, String, String)].collect().toSeq
     assert(got == Seq(("k1", "Aus bus", "loc,with comma"),
       ("k2", "Cus dus", "plain")))
+  }
+
+  test("export with a JSON map cell round-trips through the connector") {
+    // the miscProperties shape: the export's quote-doubling must agree
+    // with the connector's RFC 4180 parse, including a quote INSIDE a
+    // JSON string value (the \" case that breaks backslash-aware parsers)
+    val src = Seq(
+      ("k1", "Aus bus", Map("note" -> "said \"hi\"", "src" -> "legacy")),
+      ("k2", "Cus dus", Map.empty[String, String]))
+      .toDF("rowKey", "scientificName", "miscProperties")
+    val zip = Files.createTempDirectory("rtj").resolve("dr.zip").toString
+    DwcaExport.`export`(src, "drJ", "json cells", zip)
+    val back = spark.read.format("dwca").load(zip)
+      .withColumn("m", from_json(col("miscProperties"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+    val m = back.filter(col("id") === "k1")
+      .select("m").as[Map[String, String]].head()
+    assert(m == Map("note" -> "said \"hi\"", "src" -> "legacy"))
   }
 
   test("string predicates push into the reader and are not re-filtered away") {

@@ -67,6 +67,28 @@ class MiscPropertiesSpec extends AnyFunSuite {
     assert(m2 == m)
   }
 
+  test("identity minted before the misc fold: unmapped unique terms work") {
+    // a uniqueTerm naming an UNMAPPED column must resolve for the key hash
+    // (identity runs on the raw columns) and still fold into misc after
+    val df = DwcSource.loadRows(spark, Seq(
+      Map("myLocalId" -> "L1", "scientificName" -> "Aus bus"),
+      Map("myLocalId" -> "L2", "scientificName" -> "Cus dus")),
+      "dr2", Seq("myLocalId"))
+    assert(df.select("rowKey").distinct().count() == 2)
+    assert(!df.columns.contains("myLocalId"))
+    val miscs = df.select("miscProperties").as[Map[String, String]]
+      .collect().toSet
+    assert(miscs == Set(Map("myLocalId" -> "L1"), Map("myLocalId" -> "L2")))
+    // no-uniqueTerms fallback hashes the original cells: deterministic
+    // across re-ingest of the same rows
+    def nilKeys() = DwcSource.loadRows(spark, Seq(
+      Map("myLocalId" -> "L1", "scientificName" -> "Aus bus"),
+      Map("myLocalId" -> "L2", "scientificName" -> "Aus bus")),
+      "dr2", Nil).select("rowKey").as[String].collect().sorted.toSeq
+    val k1 = nilKeys()
+    assert(k1 == nilKeys() && k1.distinct.size == 2)
+  }
+
   test("misc keys surface as typed dynamic index columns (suffix scheme)") {
     val enriched = graft.processors.Processors.enrich(load())
     val index = IndexSupport.project(enriched,

@@ -70,4 +70,33 @@ class WsAdapterSpec extends AnyFunSuite {
         .forall(_.startsWith("dr55|")))
     }
   }
+
+  test("pretty-printed empty page ends the scan (not just byte-exact [])") {
+    // a server that pretty-prints its past-the-end page: '[\n]' — exact
+    // string matching would loop to maxPages and land 100k junk files
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/ws", { exchange =>
+      val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+      val offset = q.split("&").filter(_.startsWith("offset="))
+        .headOption.map(_.stripPrefix("offset=").toInt).getOrElse(0)
+      val body =
+        if (offset == 0) """[ {"occurrenceID": "a1"} ]"""
+        else "[\n]"
+      val bytes = body.getBytes("UTF-8")
+      exchange.sendResponseHeaders(200, bytes.length)
+      val os = exchange.getResponseBody
+      try os.write(bytes) finally os.close()
+    })
+    server.start()
+    try {
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_ws_pp").toString
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/ws"
+      val pages = WsAdapter.fetchPages(base, landing, pageSize = 10,
+        maxPages = 5)
+      assert(pages == 1)
+      assert(new java.io.File(landing).list().toSeq == Seq("page-00000.json"))
+    } finally server.stop(0)
+  }
 }
