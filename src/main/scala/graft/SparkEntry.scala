@@ -405,6 +405,54 @@ object SparkEntry {
         .orderBy("img_id")
     }),
 
+    // ── REAL video decode (F14 closed): AVI/MJPEG payloads — header-only
+    //    metadata scan, idx1-seek stride sampling, genuine JPEG pixel
+    //    decode per selected frame (rows-only: no SQL video codec) ──
+    "q214_video_mjpeg" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val vids = Multimodal.withGeneratedVideoColumn(
+        t(s, dir, "documents").select("doc_id").limit(200), "doc_id")
+      Multimodal.sampleAviFrames(vids, "video", stride = 2)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          max("frameIndex").as("max_idx"),
+          max("frameWidth").as("frame_w"),
+          round(avg(element_at(col("frameFeatures"), 1)), 4).as("mean_r"))
+        .orderBy("doc_id")
+    }),
+
+    // ── video near-dup by temporal perceptual signature: majority-voted
+    //    per-frame dHash → banded Hamming join — the motion analogue of
+    //    q149's image pHash dedup (rows-only) ──
+    "q215_video_neardup" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val base = t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey").cast("long").as("vid_id"))
+      val vids = Multimodal.withNearDupVideoColumn(base, "vid_id")
+      Multimodal.videoNearDupPairs(vids, "vid_id", "video",
+          stride = 1, maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ── consensus record version (reference model/Version.scala): third
+    //    column family filled processed-else-raw; dd-MMM-yyyy raws parse
+    //    to ISO consensus, the unparseable stratum falls back verbatim ──
+    "q216_consensus_version" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val pseudo = t(s, dir, "orders").select(
+        k.cast("string").as("occurrenceID"),
+        when(k % 7 === 0, lit("circa nineties"))
+          .otherwise(date_format(col("o_orderdate"), "dd-MMM-yyyy"))
+          .as("eventDate"))
+      val cons = graft.processors.Processors.consensusVersion(
+        graft.processors.Processors.enrich(pseudo), Seq("eventDate"))
+      cons.groupBy(substring(col("consensus_eventDate"), 1, 4).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("consensus_eventDate")).as("min_c"),
+          max(col("consensus_eventDate")).as("max_c"))
+        .orderBy("bucket")
+    }),
+
     // ── Embedding near-duplicate pairs by cosine (rows-only) ──
     "q33_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id",
@@ -6308,6 +6356,14 @@ object SparkEntry {
         | round(sum((o_orderkey % 356 - 178) + 0.5), 2) AS lon_sum
         |FROM orders WHERE o_orderkey <= 5000
         |GROUP BY 1 ORDER BY ym""".stripMargin,
+    "q216_consensus_version" ->
+      """WITH rowed AS (
+        | SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'circa nineties'
+        |   ELSE strftime(o_orderdate, '%Y-%m-%d') END AS c
+        | FROM orders)
+        |SELECT substr(c, 1, 4) AS bucket, count(*) AS n,
+        | min(c) AS min_c, max(c) AS max_c
+        |FROM rowed GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q207_shingle_facet" ->
       """WITH sh AS (
         | SELECT unnest(list_transform(range(1, len(ts) - 1),

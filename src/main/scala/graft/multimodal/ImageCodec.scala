@@ -23,9 +23,18 @@ object ImageCodec {
   def decode(bytes: Array[Byte]): Option[Raster] =
     if (bytes == null || bytes.length == 0) None
     else
-      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
-        val w = img.getWidth; val h = img.getHeight
-        Raster(w, h, img.getRGB(0, 0, w, h, null, 0, w))
+      // ImageIO returns null for unrecognized payloads but THROWS on
+      // recognized-yet-corrupt ones (truncated JPEG, bogus huffman/DAC
+      // tables...). In a 100 TB corpus corrupt payloads are routine data,
+      // not exceptions: map them to None so the task survives and the row
+      // yields null, same contract as the WAV/AVI parsers.
+      try
+        Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          Raster(w, h, img.getRGB(0, 0, w, h, null, 0, w))
+        }
+      catch {
+        case _: java.io.IOException | _: RuntimeException => None
       }
 
   def encodePng(r: Raster): Array[Byte] = {

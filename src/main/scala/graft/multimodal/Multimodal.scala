@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * as partition-parallel kernels over the binary bytes. IMAGE decode,
   * resize, grayscale, and features are REAL — [[ImageCodec]] rides the
   * JDK's built-in `javax.imageio` PNG/JPEG/BMP codecs, headless, no
-  * external libraries. Only the VIDEO frame-split remains a deterministic
-  * stub (the JDK ships no video codec); its row-explosion shape, frame
-  * index column, and per-frame feature hook are the real pipeline a
-  * keyframe-seeking codec would drop into.
+  * external libraries. VIDEO is REAL too, as AVI/MJPEG — [[VideoCodec]]
+  * parses the RIFF container, seeks frames through the `idx1` index, and
+  * decodes each selected frame's JPEG with the same JDK codec; only
+  * inter-frame-compressed formats (H.26x etc.) stay out of scope (the JDK
+  * genuinely ships no such codec — real deployments swap the container
+  * kernel for an ffmpeg call with the SAME column shape).
   */
 object Multimodal {
 
@@ -239,6 +241,109 @@ object Multimodal {
   def fingerprintBer(a: Column, b: Column): Column =
     udf((x: Seq[Int], y: Seq[Int]) =>
       AudioFingerprint.bitErrorRate(x.toArray, y.toArray)).apply(a, b)
+
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("usPerFrame", IntegerType),
+    StructField("nFrames", IntegerType)))
+
+  /** Attach a REAL AVI/MJPEG payload + metadata per id: deterministic
+    * synthetic frames ([[VideoCodec.syntheticVideo]]), byte-accurate RIFF
+    * container. Frame count and dimensions vary with the id so decode
+    * paths see varied shapes. */
+  def withGeneratedVideoColumn(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val n = (id % 5).toInt + 3
+      val w = (id % 9).toInt + 16
+      val h = (id % 5).toInt + 12
+      VideoCodec.syntheticVideo(id, n, w, h)
+    }
+    df.withColumn("video", gen(col(idCol).cast("long")))
+      .withColumn("videoMeta", struct(
+        lit("video/avi").as("format"),
+        ((col(idCol).cast("long") % 9) + 16).cast("int").as("width"),
+        ((col(idCol).cast("long") % 5) + 12).cast("int").as("height"),
+        lit(100000).as("usPerFrame"),
+        ((col(idCol).cast("long") % 5) + 3).cast("int").as("nFrames")))
+  }
+
+  /** Container metadata parsed from the AVI headers — NO frame decode, no
+    * pixel work; the cheap pass a 100 TB profiling scan runs first. */
+  def videoMetaOf(bytesCol: Column): Column =
+    udf { (b: Array[Byte]) =>
+      VideoCodec.parseMeta(b).map(m =>
+        (m.width, m.height, m.usPerFrame, m.totalFrames))
+    }.apply(bytesCol)
+
+  /** REAL video frame sampling: `idx1`-seek to every `stride`-th frame
+    * (skipped frames are never decoded — in MJPEG every frame is a
+    * keyframe), JPEG-decode the selected ones, one output row per frame
+    * with genuinely decoded per-frame features. Map-only explode. */
+  def sampleAviFrames(df: DataFrame, bytesCol: String,
+      stride: Int): DataFrame = {
+    val sampler = udf { (b: Array[Byte]) =>
+      VideoCodec.sampleFrameBytes(b, stride).flatMap { case (idx, jpeg) =>
+        ImageCodec.decode(jpeg).map(r =>
+          (idx, r.width, r.height, ImageCodec.features(r)))
+      }
+    }
+    df.withColumn("_frames", sampler(col(bytesCol)))
+      .select(col("*"), explode(col("_frames")).as("frame"))
+      .withColumn("frameIndex", col("frame._1"))
+      .withColumn("frameWidth", col("frame._2"))
+      .withColumn("frameHeight", col("frame._3"))
+      .withColumn("frameFeatures", col("frame._4"))
+      .drop("_frames", "frame")
+  }
+
+  /** Temporal perceptual signature over the AVI payload
+    * ([[VideoCodec.signature]]: majority-voted per-frame dHash). Null for
+    * unparseable payloads. Map-only. */
+  def decodedVideoSignature(bytesCol: Column, stride: Int = 1): Column =
+    udf { (b: Array[Byte]) => VideoCodec.signature(b, stride) }
+      .apply(bytesCol)
+
+  /** Video near-duplicate pairs: temporal signature per payload, banded
+    * Hamming join (pigeonhole-lossless at `maxHamming`), exact verify —
+    * the video analogue of [[imageNearDupPairs]]. Only (id, 64-bit
+    * signature) rows ever shuffle. */
+  def videoNearDupPairs(df: DataFrame, idCol: String, bytesCol: String,
+      stride: Int = 1, maxHamming: Int = 6): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+        decodedVideoSignature(col(bytesCol), stride).as("sh"))
+      .filter(col("sh").isNotNull)
+    graft.operators.Dedup.hammingPairsOfSignatures(sig, maxHamming)
+  }
+
+  /** Attach a REAL AVI/MJPEG payload where consecutive ids share a source
+    * clip: seed = id/2, odd ids re-encode with a small black patch burned
+    * into frame 0 — a near-duplicate video corpus for temporal-signature
+    * dedup, the motion analogue of [[withNearDupImageColumn]]. */
+  def withNearDupVideoColumn(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val seed = id / 2
+      val n = (seed % 4).toInt + 3
+      val w = (seed % 9).toInt + 16
+      val h = (seed % 5).toInt + 12
+      val frames = (0 until n).map { i =>
+        val r = ImageCodec.syntheticImage(seed * 1000L + i * 7L, w, h)
+        if (id % 2 == 1 && i == 0) {
+          val px = r.argb.clone()
+          var y = 0
+          while (y < 3) {
+            var x = 0
+            while (x < 3) { px(y * w + x) = 0xFF000000; x += 1 }
+            y += 1
+          }
+          VideoCodec.encodeJpeg(ImageCodec.Raster(w, h, px))
+        } else VideoCodec.encodeJpeg(r)
+      }
+      VideoCodec.encodeAvi(frames, w, h, 10)
+    }
+    df.withColumn("video", gen(col(idCol).cast("long")))
+  }
 
   /** Attach a deterministic fake binary payload + metadata to a DataFrame —
     * kept for payload-agnostic plumbing tests (e.g. frame sampling, where

@@ -168,11 +168,17 @@ object TextSearch {
     * single fingerprint's pair contribution ≤ maxDf²). */
   def winnowSharedPairs(fps: DataFrame, minShared: Long,
       maxDf: Long): DataFrame = {
-    val kept = fps.join(
-      fps.groupBy("h").agg(count(lit(1)).as("df"))
+    // the fingerprint pipeline (per-position gram explode + window minima)
+    // feeds the df cutoff AND both pair-join sides — persist it, or the
+    // text pass runs three times (same discipline as the minhash/simhash
+    // signature tables)
+    val f = fps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = f.join(
+      f.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf)
         .select("h"),
       Seq("h"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = kept.select(col("h"), col("doc").as("doc_a"))
     val b = kept.select(col("h"), col("doc").as("doc_b"))
     a.join(b, Seq("h"))

@@ -520,4 +520,20 @@ object Processors {
   }
 
   private val obsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Consensus record version (reference `model/Version.scala:9-21`; fields
+    * suffixed `.c` via `load/FullRecordMapper.scala:247-256`): the reference
+    * persists Raw / Processed / Consensus as three parallel column families
+    * but no pipeline derives consensus beyond filling from the other two.
+    * The Spark rendering is therefore a projection, not state: for each
+    * field, `consensus_<f>` takes the processed value when processing
+    * produced one and falls back to the raw value otherwise. Map-only —
+    * one `coalesce` per field, stays inside whole-stage codegen. */
+  def consensusVersion(enriched: DataFrame, fields: Seq[String]): DataFrame =
+    fields.foldLeft(enriched) { (d, f) =>
+      require(d.columns.contains(f) && d.columns.contains(s"processed_$f"),
+        s"consensusVersion needs both '$f' and 'processed_$f' columns")
+      d.withColumn(s"consensus_$f",
+        coalesce(col(s"processed_$f").cast("string"), col(f)))
+    }
 }
