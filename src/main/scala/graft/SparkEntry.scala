@@ -434,6 +434,47 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ── muxed A/V demux: ONE binary column (interleaved MJPEG + PCM in
+    //    a real AVI) feeds the audio feature kernel AND the frame
+    //    sampler — container demux in-engine, map-only (rows-only) ──
+    "q217_av_demux" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val av = Multimodal.withGeneratedAvColumn(
+        t(s, dir, "documents").select("doc_id").limit(200), "doc_id")
+      val frames = Multimodal.sampleAviFrames(av, "av", stride = 1)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      av.select(col("doc_id"),
+          Multimodal.demuxedAudioFeatures(col("av")).as("af"))
+        .select(col("doc_id"),
+          round(element_at(col("af"), 1), 4).as("audio_s"),
+          round(element_at(col("af"), 2), 4).as("audio_rms"))
+        .join(frames, Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // ── fully-distributed Lloyd's k-means over the embedding corpus: the
+    //    corpus never leaves the executors (per-iteration collect is the
+    //    k×dim sum table only); cells then audited by size + cohesion
+    //    (mean member→centroid cosine). Iterative float means — rows-only ──
+    "q218_kmeans_cells" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansFitDistributed(emb, "embedding",
+        k = 8, iterations = 3)
+      val centDf = broadcast(
+        cents.zipWithIndex
+          .map { case (v, c) => (c, v.toSeq) }.toSeq
+          .toDF("cell", "centroid"))
+      graft.plans.GraftFunctions.register(s)
+      Similarity.cellAssignment(emb, "embedding", cents)
+        .join(centDf, Seq("cell"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"),
+          round(avg(graft.plans.GraftFunctions.cosine_sim(
+            col("embedding"), col("centroid"))), 3).as("cohesion"))
+        .orderBy("cell")
+    }),
+
     // ── consensus record version (reference model/Version.scala): third
     //    column family filled processed-else-raw; dd-MMM-yyyy raws parse
     //    to ISO consensus, the unparseable stratum falls back verbatim ──

@@ -317,6 +317,33 @@ object Multimodal {
     graft.operators.Dedup.hammingPairsOfSignatures(sig, maxHamming)
   }
 
+  /** Attach a REAL muxed audio+video payload: MJPEG frames and a 16-bit
+    * PCM track interleaved in ONE AVI container
+    * ([[VideoCodec.encodeAviAv]]) — the shape real camera-trap /
+    * acoustic-survey media arrives in. */
+  def withGeneratedAvColumn(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val n = (id % 4).toInt + 2
+      val w = (id % 7).toInt + 16
+      val h = (id % 5).toInt + 12
+      val frames = (0 until n).map(i =>
+        VideoCodec.encodeJpeg(ImageCodec.syntheticImage(id * 1000L + i, w, h)))
+      val samples = AudioCodec.syntheticAudio(id, n * 800) // 800/frame @8kHz
+      VideoCodec.encodeAviAv(frames, samples, w, h, 10, 8000)
+    }
+    df.withColumn("av", gen(col(idCol).cast("long")))
+  }
+
+  /** Audio features demuxed straight out of the A/V container — the PCM
+    * stream feeds the SAME kernel as standalone WAV payloads
+    * ([[AudioCodec.features]]). Null when no audio stream. Map-only. */
+  def demuxedAudioFeatures(bytesCol: Column): Column =
+    udf { (b: Array[Byte]) =>
+      VideoCodec.demuxAudio(b).map { case (rate, samples) =>
+        AudioCodec.features(rate, samples)
+      }
+    }.apply(bytesCol)
+
   /** Attach a REAL AVI/MJPEG payload where consecutive ids share a source
     * clip: seed = id/2, odd ids re-encode with a small black patch burned
     * into frame 0 — a near-duplicate video corpus for temporal-signature

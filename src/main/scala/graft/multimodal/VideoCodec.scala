@@ -48,6 +48,7 @@ object VideoCodec {
   private val VIDS = fourcc("vids"); private val MJPG = fourcc("MJPG")
   private val MOVI = fourcc("movi"); private val DC00 = fourcc("00dc")
   private val IDX1 = fourcc("idx1")
+  private val AUDS = fourcc("auds"); private val WB01 = fourcc("01wb")
 
   /** Encode pre-compressed JPEG frames into a canonical AVI/MJPEG file. */
   def encodeAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
@@ -147,7 +148,11 @@ object VideoCodec {
     * absent or inconsistent. Offsets in `idx1` may follow either public
     * convention (relative to the movi list's fourcc, or absolute); both
     * are detected by checking the bytes actually name a `00dc` chunk. */
-  def frameTable(bytes: Array[Byte]): IndexedSeq[(Int, Int)] = {
+  def frameTable(bytes: Array[Byte]): IndexedSeq[(Int, Int)] =
+    chunkTable(bytes, DC00)
+
+  private def chunkTable(bytes: Array[Byte],
+      wantId: Int): IndexedSeq[(Int, Int)] = {
     val buf = reader(bytes).getOrElse(return IndexedSeq.empty)
     var moviStart = -1 // position of the 'movi' fourcc
     var idxPos = -1; var idxLen = 0
@@ -171,7 +176,7 @@ object VideoCodec {
       if (pos < 0 || pos + 8 > bytes.length) return None
       val b = ByteBuffer.wrap(bytes, pos, 8).order(ByteOrder.LITTLE_ENDIAN)
       val id = b.getInt; val len = b.getInt
-      if (id == DC00 && len >= 0 && pos + 8 + len <= bytes.length)
+      if (id == wantId && len >= 0 && pos + 8 + len <= bytes.length)
         Some((pos + 8, len))
       else None
     }
@@ -186,7 +191,7 @@ object VideoCodec {
       while (ok && i < n) {
         val ckid = idx.getInt; idx.getInt // flags
         val off = idx.getInt; idx.getInt // size (trust the chunk header)
-        if (ckid == DC00) {
+        if (ckid == wantId) {
           chunkAt(moviStart + off).orElse(chunkAt(off)) match {
             case Some(c) => out += c
             case None => ok = false
@@ -208,7 +213,7 @@ object VideoCodec {
       val id = b.getInt; val len = b.getInt
       if (len < 0 || pos + 8 + len > bytes.length) continue = false
       else {
-        if (id == DC00) out += ((pos + 8, len))
+        if (id == wantId) out += ((pos + 8, len))
         else if (id == IDX1) continue = false // ran past movi into the index
         pos += 8 + len + (len & 1)
       }
@@ -254,6 +259,146 @@ object VideoCodec {
       Some(sig)
     }
   }
+
+  /** Encode an interleaved audio+video AVI: MJPEG frames in stream 0
+    * ('00dc') and 16-bit mono PCM in stream 1 ('01wb'), the PCM split
+    * evenly across frame periods, both streams declared by their own
+    * `strl` (video BITMAPINFOHEADER / audio WAVEFORMATEX) and indexed in
+    * `idx1` — a genuine muxed A/V container, not two files glued. */
+  def encodeAviAv(frames: Seq[Array[Byte]], samples: Array[Short],
+      width: Int, height: Int, fps: Int, sampleRate: Int): Array[Byte] = {
+    require(fps > 0 && sampleRate > 0, "fps and sampleRate must be positive")
+    require(frames.nonEmpty, "at least one frame")
+    val nF = frames.length
+    val spf = (samples.length + nF - 1) / nF // samples per frame period
+    val audioChunks: Seq[Array[Byte]] = (0 until nF).map { i =>
+      val from = math.min(samples.length, i * spf)
+      val to = math.min(samples.length, (i + 1) * spf)
+      val b = ByteBuffer.allocate((to - from) * 2)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      var j = from
+      while (j < to) { b.putShort(samples(j)); j += 1 }
+      b.array()
+    }
+    def padded(a: Array[Byte]) = a.length + (a.length & 1)
+    val moviDataLen = frames.map(f => padded(f) + 8).sum +
+      audioChunks.map(a => padded(a) + 8).sum
+    val moviListLen = 4 + moviDataLen
+    val idxLen = (nF * 2) * 16
+    val vidStrl = 4 + (8 + 56) + (8 + 40)
+    val audStrl = 4 + (8 + 56) + (8 + 16)
+    val hdrlListLen = 4 + (8 + 56) + (8 + vidStrl) + (8 + audStrl)
+    val riffLen = 4 + (8 + hdrlListLen) + (8 + moviListLen) + (8 + idxLen)
+    val buf = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
+
+    buf.putInt(RIFF).putInt(riffLen).putInt(AVI)
+    buf.putInt(LIST).putInt(hdrlListLen).putInt(HDRL)
+    buf.putInt(AVIH).putInt(56)
+    buf.putInt(1000000 / fps)
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(nF).putInt(0).putInt(2) // two streams
+      .putInt(frames.map(_.length).max)
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    // stream 0: video
+    buf.putInt(LIST).putInt(vidStrl).putInt(STRL)
+    buf.putInt(STRH).putInt(56)
+    buf.putInt(VIDS).putInt(MJPG)
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(fps)
+      .putInt(0).putInt(nF)
+      .putInt(frames.map(_.length).max).putInt(-1).putInt(0)
+      .putShort(0).putShort(0)
+      .putShort(width.toShort).putShort(height.toShort)
+    buf.putInt(STRF).putInt(40)
+    buf.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24).putInt(MJPG)
+      .putInt(width * height * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+    // stream 1: audio (PCM mono 16-bit)
+    buf.putInt(LIST).putInt(audStrl).putInt(STRL)
+    buf.putInt(STRH).putInt(56)
+    buf.putInt(AUDS).putInt(0) // handler 0 = PCM
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(sampleRate) // scale, rate → samples/sec
+      .putInt(0).putInt(samples.length) // start, length (in samples)
+      .putInt(spf * 2).putInt(-1).putInt(2) // buf, quality, sampleSize
+      .putShort(0).putShort(0).putShort(0).putShort(0)
+    buf.putInt(STRF).putInt(16) // WAVEFORMATEX fixed part
+    buf.putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+    // movi: interleave 00dc / 01wb per frame period
+    buf.putInt(LIST).putInt(moviListLen)
+    val moviStart = buf.position()
+    buf.putInt(MOVI)
+    val entries = (0 until nF).flatMap { i =>
+      val vOff = buf.position() - moviStart
+      buf.putInt(DC00).putInt(frames(i).length).put(frames(i))
+      if ((frames(i).length & 1) == 1) buf.put(0.toByte)
+      val aOff = buf.position() - moviStart
+      buf.putInt(WB01).putInt(audioChunks(i).length).put(audioChunks(i))
+      if ((audioChunks(i).length & 1) == 1) buf.put(0.toByte)
+      Seq((DC00, vOff, frames(i).length), (WB01, aOff, audioChunks(i).length))
+    }
+    buf.putInt(IDX1).putInt(idxLen)
+    entries.foreach { case (ckid, off, len) =>
+      buf.putInt(ckid).putInt(Keyframe).putInt(off).putInt(len)
+    }
+    buf.array()
+  }
+
+  /** Audio sample rate from the `auds` stream's WAVEFORMATEX — header
+    * walk only. None when the container has no PCM-mono-16 audio stream. */
+  def audioRate(bytes: Array[Byte]): Option[Int] =
+    reader(bytes).flatMap { buf =>
+      try {
+        var rate: Option[Int] = None
+        var sawAuds = false
+        def walkList(end: Int): Unit =
+          while (rate.isEmpty && buf.position() + 8 <= end) {
+            val id = buf.getInt; val len = buf.getInt
+            if (len < 0 || len > end - buf.position()) return
+            val next = buf.position() + len + (len & 1)
+            if (id == LIST && len >= 4) { buf.getInt; walkList(next) }
+            else if (id == STRH && len >= 4) sawAuds = buf.getInt == AUDS
+            else if (id == STRF && sawAuds && len >= 16) {
+              val fmt = buf.getShort; val ch = buf.getShort
+              val sr = buf.getInt; buf.getInt; buf.getShort
+              val bits = buf.getShort
+              if (fmt == 1 && ch == 1 && bits == 16 && sr > 0)
+                rate = Some(sr)
+              else sawAuds = false
+            }
+            buf.position(math.min(next, end))
+          }
+        walkList(bytes.length)
+        rate
+      } catch { case _: RuntimeException => None }
+    }
+
+  /** Demux the PCM audio stream: concatenated `01wb` chunk payloads →
+    * (sampleRate, samples) — the SAME contract as
+    * [[AudioCodec.decodeWav]], so every audio kernel (features,
+    * decimation, acoustic fingerprint) runs unchanged on video payloads. */
+  def demuxAudio(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    audioRate(bytes).flatMap { rate =>
+      val chunks = chunkTable(bytes, WB01)
+      if (chunks.isEmpty) None
+      else {
+        val total = chunks.map(_._2).sum / 2
+        val out = new Array[Short](total)
+        var k = 0
+        chunks.foreach { case (off, len) =>
+          val b = ByteBuffer.wrap(bytes, off, len)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          val n = len / 2
+          var i = 0
+          while (i < n) { out(k) = b.getShort; k += 1; i += 1 }
+        }
+        Some((rate, if (k == out.length) out
+        else java.util.Arrays.copyOf(out, k)))
+      }
+    }
 
   /** JPEG-encode a raster with the JDK codec (quality left at the writer
     * default — deterministic for a fixed JDK). */

@@ -90,6 +90,50 @@ object Similarity {
     centroids
   }
 
+  /** Fully-distributed Lloyd's k-means — the path for corpora where even a
+    * training sample is unacceptable (sampling bias on rare modes, or
+    * governance rules that forbid collecting raw vectors). The corpus
+    * never moves: each iteration broadcasts the k×dim centroid table
+    * (kilobytes) into a map-only nearest-cell assignment, and the new
+    * means come from ONE partially-aggregated groupBy over posexploded
+    * (cell, dim) — only the k×dim sum/count table (k·dim rows, regardless
+    * of corpus size) is ever collected, so iteration cost is one scan +
+    * one tiny shuffle at any scale.
+    *
+    * Deterministic: init is the k vectors of smallest
+    * (xxhash64(id) mod 10⁶, id) — a top-k, not a global sort — and
+    * nearest-cell ties break to the lowest cell index, the same rule as
+    * [[cellAssignment]] / [[trainCentroids]]. Empty cells keep their
+    * previous centroid (Lloyd's standard dead-cell rule, matching the
+    * driver-side trainer). */
+  def kmeansFitDistributed(corpus: DataFrame, vecCol: String, k: Int,
+      iterations: Int = 3, idCol: String = "vec_id"): Array[Array[Float]] = {
+    require(k >= 1, "k must be >= 1")
+    var centroids: Array[Array[Float]] = corpus
+      .select(col(vecCol).as("_v"),
+        pmod(xxhash64(col(idCol)), lit(1000000L)).as("_h"),
+        col(idCol).cast("string").as("_id"))
+      .orderBy(col("_h"), col("_id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(centroids.nonEmpty, "empty corpus")
+    for (_ <- 1 to iterations) {
+      val stats = cellAssignment(corpus.select(col(vecCol)), vecCol, centroids)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          (r.getDouble(2) / r.getLong(3)).toFloat
+      }
+      centroids = next
+    }
+    centroids
+  }
+
   /** Cell assignment against trained centroids (nearest by cosine). */
   def cellAssignment(emb: DataFrame, vecCol: String,
       centroids: Array[Array[Float]]): DataFrame = {

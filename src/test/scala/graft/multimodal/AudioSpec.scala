@@ -27,6 +27,17 @@ class AudioSpec extends AnyFunSuite {
     assert(AudioCodec.decodeWav(bad).isEmpty)
   }
 
+  test("single-byte fuzz anywhere in a valid wav never throws") {
+    val good = AudioCodec.encodeWav(AudioCodec.syntheticAudio(7L, 1200), 8000)
+    var i = 0
+    while (i < good.length) {
+      val fuzzed = good.clone()
+      fuzzed(i) = (fuzzed(i) ^ 0x5A).toByte
+      AudioCodec.decodeWav(fuzzed) // may be None; must not throw
+      i += 1
+    }
+  }
+
   test("decoder walks extra chunks before data") {
     // insert a LIST chunk between fmt and data
     val samples = Array[Short](100, -200, 300)

@@ -41,6 +41,17 @@ class ExifSpec extends AnyFunSuite {
     assert(Exif.extract(png) == ExifData(null, null, null))
   }
 
+  test("single-byte fuzz anywhere in a valid exif jpeg never throws") {
+    val good = Exif.syntheticExifJpeg(-35.25, 149.75, "2012:03:05 14:30:00")
+    var i = 0
+    while (i < good.length) {
+      val fuzzed = good.clone()
+      fuzzed(i) = (fuzzed(i) ^ 0x5A).toByte
+      Exif.extract(fuzzed) // fields may go null; must not throw
+      i += 1
+    }
+  }
+
   test("little-endian TIFF parses too") {
     // hand-build an II-order TIFF with just a GPS IFD holding latitude
     val out = new java.io.ByteArrayOutputStream()

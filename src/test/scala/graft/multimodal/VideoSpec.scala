@@ -119,6 +119,56 @@ class VideoSpec extends AnyFunSuite {
     assert(rows.forall(_.getSeq[Float](3).length == 11))
   }
 
+  test("muxed a/v container: audio demux roundtrips PCM exactly, video intact") {
+    val frames = (0 until 3).map(i =>
+      VideoCodec.encodeJpeg(ImageCodec.syntheticImage(500L + i, 18, 14)))
+    val samples = AudioCodec.syntheticAudio(99L, 2400)
+    val av = VideoCodec.encodeAviAv(frames, samples, 18, 14, 10, 8000)
+    // audio: rate + every sample back, bit-exact
+    assert(VideoCodec.audioRate(av).contains(8000))
+    val Some((rate, back)) = VideoCodec.demuxAudio(av)
+    assert(rate == 8000 && back.sameElements(samples))
+    // video: frame table unchanged by the interleaved audio chunks
+    val table = VideoCodec.frameTable(av)
+    assert(table.size == 3)
+    table.zipWithIndex.foreach { case ((off, len), i) =>
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(av, off, off + len), frames(i)))
+    }
+    // meta still reads; a video-only file has no audio stream
+    assert(VideoCodec.parseMeta(av).exists(_.totalFrames == 3))
+    val videoOnly = VideoCodec.encodeAvi(frames, 18, 14, 10)
+    assert(VideoCodec.audioRate(videoOnly).isEmpty)
+    assert(VideoCodec.demuxAudio(videoOnly).isEmpty)
+    // features computed from the demuxed track match the wav-path kernel
+    assert(AudioCodec.features(rate, back)
+      .sameElements(AudioCodec.features(8000, samples)))
+  }
+
+  test("spark a/v pipeline: one binary column feeds audio AND frame kernels") {
+    val df = (0L until 30L).toDF("doc_id")
+    val av = Multimodal.withGeneratedAvColumn(df, "doc_id")
+    val out = av.select(col("doc_id"),
+        Multimodal.demuxedAudioFeatures(col("av")).as("af"),
+        Multimodal.videoMetaOf(col("av")).as("m"))
+      .collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val n = (id % 4).toInt + 2
+      val af = r.getSeq[Double](1)
+      // duration = n*800 samples at 8 kHz
+      assert(math.abs(af.head - n * 800 / 8000.0) < 1e-9, s"doc $id")
+      assert(r.getStruct(2).getInt(3) == n) // nFrames from avih
+    }
+    // frame sampling runs unchanged on the muxed payload
+    val frames = Multimodal.sampleAviFrames(av, "av", stride = 1)
+      .groupBy("doc_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 30L).foreach { id =>
+      assert(frames(id) == (id % 4) + 2, s"doc $id")
+    }
+  }
+
   test("property: random clips roundtrip container + survive byte fuzz") {
     // raw ScalaCheck generators sampled deterministically (the scalatest
     // bridge artifact is not in the offline cache)

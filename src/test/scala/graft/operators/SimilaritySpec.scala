@@ -77,4 +77,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(adcErrs.nonEmpty && adcErrs.max < 0.15,
       s"max |adc - cos| = ${adcErrs.max}")
   }
+
+  test("distributed Lloyd matches a driver-side replay exactly " +
+    "(same init, same tie rule)") {
+    val k = 6; val iters = 3
+    val got = Similarity.kmeansFitDistributed(corpus, "embedding", k,
+      iterations = iters, idCol = "vec_id")
+    assert(got.length == k && got.forall(_.length == dim))
+
+    // driver-side replay with the SAME init (smallest (hash, id)) and the
+    // same lowest-index tie rule — pure Scala, no Spark
+    val rows = corpus
+      .select(col("vec_id"), col("embedding"),
+        pmod(xxhash64(col("vec_id")), lit(1000000L)).as("h"))
+      .as[(Long, Seq[Float], Long)].collect()
+    val vecs = rows.map(_._2.toArray)
+    var cents = rows.sortBy(r => (r._3, r._1.toString)).take(k)
+      .map(_._2.toArray)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      vecs.foreach { v =>
+        var best = 0; var bestSim = Double.MinValue
+        for (c <- 0 until k) {
+          val s = graft.functions.HashKernels.cosine(v, cents(c))
+          if (s > bestSim) { bestSim = s; best = c }
+        }
+        counts(best) += 1
+        for (d <- 0 until dim) sums(best)(d) += v(d)
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
+      }
+    }
+    // sum order differs between executors and the replay loop; the only
+    // admissible drift is float addition reassociation
+    for (c <- 0 until k; d <- 0 until dim)
+      assert(math.abs(got(c)(d) - cents(c)(d)) < 1e-4f,
+        s"centroid $c dim $d: ${got(c)(d)} vs ${cents(c)(d)}")
+    // and the resulting partitions agree
+    val gotCells = Similarity.cellAssignment(corpus, "embedding", got)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    rows.foreach { case (id, v, _) =>
+      val va = v.toArray
+      var best = 0; var bestSim = Double.MinValue
+      for (c <- 0 until k) {
+        val s = graft.functions.HashKernels.cosine(va, cents(c))
+        if (s > bestSim) { bestSim = s; best = c }
+      }
+      assert(gotCells(id) == best, s"vec $id assigned ${gotCells(id)} != $best")
+    }
+  }
 }
