@@ -475,6 +475,38 @@ object SparkEntry {
         .orderBy("cell")
     }),
 
+    // ── t-digest quantile sketch (mergeable typed Aggregator, ~2δ
+    //    centroids per group on the wire): per-flag p50/p90/p99 of
+    //    l_extendedprice next to the EXACT in-engine percentiles and the
+    //    observed rank error — the sketch audits itself. Approximate
+    //    kernel → rows-only ──
+    "q219_tdigest_quantiles" -> ((s, dir) => {
+      import graft.functions.TDigestAgg
+      val td = udaf(new TDigestAgg(100.0))
+      val li = t(s, dir, "lineitem")
+      val sketched = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          td(col("l_extendedprice").cast("double")).as("digest"))
+        .select(col("l_returnflag"), col("n"),
+          round(TDigestAgg.quantileOf(col("digest"), 0.5), 2).as("est_p50"),
+          round(TDigestAgg.quantileOf(col("digest"), 0.9), 2).as("est_p90"),
+          round(TDigestAgg.quantileOf(col("digest"), 0.99), 2).as("est_p99"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(100000)).as("p"))
+        .select(col("l_returnflag"),
+          col("p")(0).as("exact_p50"), col("p")(1).as("exact_p90"),
+          col("p")(2).as("exact_p99"))
+      sketched.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"),
+          col("est_p50"), col("est_p90"), col("est_p99"),
+          round(abs(col("est_p50") - col("exact_p50")) /
+            col("exact_p50"), 3).as("rel_err_p50"),
+          round(abs(col("est_p99") - col("exact_p99")) /
+            col("exact_p99"), 3).as("rel_err_p99"))
+        .orderBy("l_returnflag")
+    }),
+
     // ── consensus record version (reference model/Version.scala): third
     //    column family filled processed-else-raw; dd-MMM-yyyy raws parse
     //    to ISO consensus, the unparseable stratum falls back verbatim ──
