@@ -507,6 +507,27 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ── streaming windowed tail quantiles: t-digest held in the streaming
+    //    aggregation's state store (~2δ centroids per window/group, partial
+    //    agg ships digests not rows); complete-mode AvailableNow drain.
+    //    Approximate kernel → rows-only; stream ≡ batch proved by spec ──
+    "q220_stream_windowed_quantiles" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .transform(Tables.normalizeTs)
+      val out = withStatePartitions(s, 8) {
+        graft.streaming.StreamingSketches.windowedQuantilesStream(
+          stream, "ts", "event_type", "value", "6 hours",
+          Seq(0.5, 0.95), "q220_out")
+      }
+      out.select(col("w.start").as("bucket"), col("event_type"), col("n"),
+          round(col("p50"), 2).as("p50"), round(col("p95"), 2).as("p95"))
+        .orderBy("bucket", "event_type")
+    }),
+
     // ── consensus record version (reference model/Version.scala): third
     //    column family filled processed-else-raw; dd-MMM-yyyy raws parse
     //    to ISO consensus, the unparseable stratum falls back verbatim ──

@@ -64,4 +64,33 @@ object StreamingSketches {
         .filter(col("cnt") * lit(k.toLong) > lit(summary.total))
     }
   }
+
+  /** Event-time windowed tail-latency quantiles whose per-window state is
+    * a t-digest ([[graft.functions.TDigestAgg]]) held IN the streaming
+    * aggregation's state store: ~2δ centroids per (window, group)
+    * regardless of events per window, and partial aggregation ships
+    * digests, not rows — the p95/p99-per-window dashboard at stream
+    * scale. Complete-mode drain of an AvailableNow source; output one row
+    * per (window, group) with the requested quantile estimates
+    * (`p50`-style column per requested quantile). */
+  def windowedQuantilesStream(stream: DataFrame, tsCol: String,
+      groupCol: String, valueCol: String, windowDuration: String,
+      quantiles: Seq[Double], queryName: String,
+      compression: Double = 100.0): DataFrame = {
+    import graft.functions.TDigestAgg
+    val td = udaf(new TDigestAgg(compression))
+    val agg = stream
+      .groupBy(window(col(tsCol), windowDuration).as("w"), col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        td(col(valueCol).cast("double")).as("digest"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val base = stream.sparkSession.table(queryName)
+    quantiles.foldLeft(base) { (df, p) =>
+      df.withColumn(s"p${math.round(p * 100)}",
+        TDigestAgg.quantileOf(col("digest"), p))
+    }.drop("digest")
+  }
 }

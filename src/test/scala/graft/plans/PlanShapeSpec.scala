@@ -426,4 +426,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), s"keyed download must semi-join:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
+
+  test("q219 t-digest: sketch aggregates partially — centroids, not rows, " +
+      "cross the exchange") {
+    val plan = finalPlanOf(
+      graft.SparkEntry.queries("q219_tdigest_quantiles")(spark, sf))
+    assert("partial_tdigestagg".r.findAllIn(plan.toLowerCase).size >= 1,
+      s"expected map-side partial t-digest aggregation in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"quadratic join in:\n$plan")
+  }
+
+  test("q218 k-means: centroid join-back broadcasts; no shuffled join " +
+      "against the corpus") {
+    val plan = planOf(
+      graft.SparkEntry.queries("q218_kmeans_cells")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), s"shuffled/quadratic join:\n$plan")
+  }
 }

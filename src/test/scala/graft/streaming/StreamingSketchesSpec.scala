@@ -30,4 +30,41 @@ class StreamingSketchesSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got == batchSide)
   }
+
+  test("windowed t-digest quantiles: stream matches batch within rank bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // two event-time hours × two groups, heavy-tailed values; second
+    // micro-batch appends MORE data into hour 1 (state-store merge path)
+    def rows(seed: Int, n: Int): Seq[(java.sql.Timestamp, String, Double)] =
+      (0 until n).map { i =>
+        val hour = (i % 2).toLong
+        val g = if (i % 3 == 0) "a" else "b"
+        val v = math.exp(5.0 * ((i * 2654435761L + seed) % 1000003L) / 1000003.0)
+        (new java.sql.Timestamp((1700000000L + hour * 3600) * 1000L), g, v)
+      }
+    val b1 = rows(1, 3000); val b2 = rows(7, 3000)
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    in.addData(b1); in.addData(b2)
+    val stream = in.toDF().toDF("ts", "g", "v")
+    val got = graft.streaming.StreamingSketches
+      .windowedQuantilesStream(stream, "ts", "g", "v", "1 hour",
+        Seq(0.5, 0.95), "t_td_win")
+      .select(col("w.start").cast("long").as("h"), col("g"), col("n"),
+        col("p50"), col("p95"))
+      .as[(Long, String, Long, Double, Double)].collect()
+    assert(got.length == 4) // 2 windows × 2 groups
+    val all = b1 ++ b2
+    got.foreach { case (h, g, n, p50, p95) =>
+      val mine = all.collect {
+        case (ts, gg, v) if gg == g &&
+          ts.getTime / 1000 / 3600 * 3600 == h => v
+      }.sorted
+      assert(n == mine.size.toLong)
+      def rank(x: Double) = mine.count(_ <= x).toDouble / mine.size
+      assert(math.abs(rank(p50) - 0.5) < 0.015, s"h=$h g=$g p50 rank=${rank(p50)}")
+      assert(math.abs(rank(p95) - 0.95) < 0.015, s"h=$h g=$g p95 rank=${rank(p95)}")
+    }
+  }
 }
