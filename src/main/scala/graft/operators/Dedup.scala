@@ -368,12 +368,16 @@ object Dedup {
     // shared by a qualifying pair appears in both docs, so its df >= 2);
     // dropping them AFTER the rank keeps the prefix positions intact and
     // is therefore lossless while shrinking the self-join input.
+    // persisted: both sides of the candidate self-join read the SAME
+    // prefix table — without it the whole explode→df-join→rank pipeline
+    // (the two heaviest shuffles here) executes twice, once per side
     val prefixes = exploded.join(dfTable, "shingle")
       .withColumn("_rn", row_number().over(rankW))
       .filter(col("_rn") <= col("setSize") -
         ceil(lit(threshold) * col("setSize")).cast("int") + 1)
       .filter(col("df") >= 2)
       .select(col("id"), col("setSize"), col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = prefixes.select(col("shingle"), col("id").as("id_a"),
       col("setSize").as("size_a"))
@@ -615,12 +619,16 @@ object Dedup {
     val dfT = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("sh"))
+    // persisted for the same reason as in ngramJaccardPairs: the
+    // candidate self-join must not re-run the df-join + rank pipeline
+    // once per side
     val prefixes = sh.join(dfT, "sh").join(sizes, "id")
       .withColumn("_rn", row_number().over(rankW))
       .filter(col("_rn") <= col("setSize") -
         ceil(lit(threshold) * col("setSize")).cast("int") + 1)
       .filter(col("df") >= 2)
       .select(col("id"), col("setSize"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefixes
       .select(col("sh"), col("id").as("id_a"), col("setSize").as("sa"))
       .join(prefixes.select(col("sh"), col("id").as("id_b"),
