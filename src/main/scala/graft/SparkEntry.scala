@@ -528,6 +528,33 @@ object SparkEntry {
         .orderBy("bucket", "event_type")
     }),
 
+    // ── robust scaling: group-wise winsorization at the p05/p95 order
+    //    statistics (rank-based, no interpolation — engine-portable), the
+    //    outlier-clipping step of a feature pipeline. Bounds table is
+    //    |groups| rows and joins back by broadcast; sums carried as exact
+    //    integer cents so the oracle is FP-order-proof ──
+    "q221_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val bounds = li
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+        .groupBy("l_returnflag")
+        .agg(max(when(col("rn") === ceil(col("n") * 0.05),
+            col("l_extendedprice"))).as("lo"),
+          max(when(col("rn") === ceil(col("n") * 0.95),
+            col("l_extendedprice"))).as("hi"))
+      li.join(broadcast(bounds), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          greatest(least(col("l_extendedprice"), col("hi")), col("lo")).as("v"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("v") * 100).cast("long")).as("sum_cents"),
+          round(min("v"), 2).as("min_w"), round(max("v"), 2).as("max_w"))
+        .orderBy("l_returnflag")
+    }),
+
     // ── consensus record version (reference model/Version.scala): third
     //    column family filled processed-else-raw; dd-MMM-yyyy raws parse
     //    to ISO consensus, the unparseable stratum falls back verbatim ──
@@ -4871,6 +4898,28 @@ object SparkEntry {
         | round(max(CASE WHEN rn = ceil(n*0.9) THEN l_extendedprice END),2)
         |   AS p90
         |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q221_winsorize" ->
+      """WITH ranked AS (
+        | SELECT l_returnflag, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n
+        | FROM lineitem),
+        |bounds AS (
+        | SELECT l_returnflag,
+        |  max(CASE WHEN rn = ceil(n*0.05) THEN l_extendedprice END) AS lo,
+        |  max(CASE WHEN rn = ceil(n*0.95) THEN l_extendedprice END) AS hi
+        | FROM ranked GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n,
+        | cast(sum(cast(round(
+        |   greatest(least(l.l_extendedprice, b.hi), b.lo) * 100)
+        |   AS bigint)) AS bigint) AS sum_cents,
+        | round(min(greatest(least(l.l_extendedprice, b.hi), b.lo)), 2)
+        |   AS min_w,
+        | round(max(greatest(least(l.l_extendedprice, b.hi), b.lo)), 2)
+        |   AS max_w
+        |FROM lineitem l JOIN bounds b USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
     "q41_stream_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
         | count(*) AS n, round(sum(value),2) AS total_value
