@@ -111,8 +111,11 @@ object Cli {
       df.queryExecution.executedPlan.execute().foreach(_ => ())
       val plan = df.queryExecution.executedPlan.toString
       println(plan)
-      def cnt(pat: String) = pat.r.findAllIn(plan).size
-      val spans = "\\*\\(\\d+\\)".r.findAllIn(plan).toSet.size
+      // count operators in the post-AQE final section only — the appended
+      // "Initial Plan" would double-count every node
+      val finalPlan = plan.split("== Initial Plan ==")(0)
+      def cnt(pat: String) = pat.r.findAllIn(finalPlan).size
+      val spans = "\\*\\(\\d+\\)".r.findAllIn(finalPlan).toSet.size
       println(s"[shape] exchanges=${cnt("Exchange")}" +
         s" bhj=${cnt("BroadcastHashJoin")} smj=${cnt("SortMergeJoin")}" +
         s" bnlj=${cnt("BroadcastNestedLoopJoin")}" +
