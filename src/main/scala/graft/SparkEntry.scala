@@ -555,6 +555,23 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ── label-propagation communities: 3 fixed synchronous rounds with
+    //    deterministic smallest-label tie-break over the part–supplier
+    //    co-occurrence graph; the whole evolution restates as nested SQL ──
+    "q222_label_propagation" -> ((s, dir) => {
+      // sparsified (every 11th order): the full co-occurrence graph is
+      // near-connected and collapses to 2 labels — the sparse one keeps
+      // real community structure (130 communities at sf0.01)
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 11 === 0)
+        .select(col("l_partkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      graft.operators.Graphs.labelPropagation(edges, rounds = 3)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("community")
+    }),
+
     // ── consensus record version (reference model/Version.scala): third
     //    column family filled processed-else-raw; dd-MMM-yyyy raws parse
     //    to ISO consensus, the unparseable stratum falls back verbatim ──
@@ -4920,6 +4937,44 @@ object SparkEntry {
         |   AS max_w
         |FROM lineitem l JOIN bounds b USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+    // 3 synchronous LPA rounds replayed as nested CTEs; argmax restated
+    // as a window over the grouped neighbour-label counts (count desc,
+    // label asc = the operator's smallest-label tie-break)
+    "q222_label_propagation" ->
+      """WITH base AS (
+        | SELECT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+        | WHERE l_orderkey % 11 = 0),
+        |e AS (
+        | SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM base WHERE src <> dst
+        |  UNION
+        |  SELECT dst AS src, src AS dst FROM base WHERE src <> dst)),
+        |l0 AS (
+        | SELECT node, node AS label
+        | FROM (SELECT DISTINCT src AS node FROM e)),
+        |r1 AS (
+        | SELECT node, label FROM (
+        |  SELECT e.src AS node, l.label,
+        |   row_number() OVER (PARTITION BY e.src
+        |     ORDER BY count(*) DESC, l.label ASC) AS rn
+        |  FROM e JOIN l0 l ON e.dst = l.node
+        |  GROUP BY e.src, l.label) WHERE rn = 1),
+        |r2 AS (
+        | SELECT node, label FROM (
+        |  SELECT e.src AS node, l.label,
+        |   row_number() OVER (PARTITION BY e.src
+        |     ORDER BY count(*) DESC, l.label ASC) AS rn
+        |  FROM e JOIN r1 l ON e.dst = l.node
+        |  GROUP BY e.src, l.label) WHERE rn = 1),
+        |r3 AS (
+        | SELECT node, label FROM (
+        |  SELECT e.src AS node, l.label,
+        |   row_number() OVER (PARTITION BY e.src
+        |     ORDER BY count(*) DESC, l.label ASC) AS rn
+        |  FROM e JOIN r2 l ON e.dst = l.node
+        |  GROUP BY e.src, l.label) WHERE rn = 1)
+        |SELECT label AS community, count(*) AS n_members
+        |FROM r3 GROUP BY label ORDER BY community""".stripMargin,
     "q41_stream_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
         | count(*) AS n, round(sum(value),2) AS total_value

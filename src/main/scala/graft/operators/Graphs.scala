@@ -179,6 +179,40 @@ object Graphs {
     * degree measured in the FINAL induced subgraph (possibly < k when not
     * yet converged; survivors that lost every edge report 0).
     */
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, public algorithm) over an undirected edge table, run for a
+    * fixed `rounds` — the scalable form of LPA (the classic sequential
+    * sweep is inherently serial; synchronous rounds are one keyed shuffle
+    * each). Fully deterministic: every node starts labelled with itself;
+    * each round every node adopts the most frequent label among its
+    * neighbours, ties to the SMALLEST label. Per round: one edge⋈labels
+    * join (both sides hash-partitioned), one (node,label) count with
+    * map-side partials, one per-node argmax as a struct max — no window,
+    * no collect; lineage truncated per round like [[kCorePeel]].
+    * Deterministic fixed rounds + deterministic tie-break make the whole
+    * evolution restatable in SQL (q222's 3-round nested-CTE oracle).
+    * Returns (node, label). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds in [1,16]")
+    val e = symmetrize(edges).localCheckpoint(true)
+    // symmetrized: every node occurs as src, and every node has >= 1
+    // neighbour, so the per-round argmax covers the full node set
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = e
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src").as("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("_nl"))).as("_m"))
+        .select(col("node"), (-col("_m._nl")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 16)
     // localCheckpoint per round: persist alone caches DATA but the

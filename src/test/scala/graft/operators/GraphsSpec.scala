@@ -94,4 +94,30 @@ class GraphsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("label propagation: hand-traced rounds on two bridged triangles") {
+    // triangles {1,2,3} and {7,8,9}, bridge 3–7; deterministic sync LPA
+    // with smallest-label ties, traced by hand round by round
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (7L, 8L), (8L, 9L), (7L, 9L), (3L, 7L)).toDF("s", "d")
+    def run(r: Int): Map[Long, Long] =
+      Graphs.labelPropagation(e, r).as[(Long, Long)].collect().toMap
+    assert(run(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      7L -> 3L, 8L -> 7L, 9L -> 7L))
+    assert(run(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 3L, 9L -> 3L))
+    // by round 3 the two triangles settle into distinct communities
+    assert(run(3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 3L, 8L -> 3L, 9L -> 3L))
+  }
+
+  test("label propagation: disconnected cliques each settle on their min id") {
+    val clique1 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val clique2 = for { a <- 11L to 14L; b <- (a + 1) to 14L } yield (a, b)
+    val got = Graphs.labelPropagation(
+      (clique1 ++ clique2).toDF("s", "d"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 4L).forall(got(_) == 1L))
+    assert((11L to 14L).forall(got(_) == 11L))
+  }
 }
