@@ -572,6 +572,87 @@ object SparkEntry {
         .orderBy("community")
     }),
 
+    // ── pooled autocorrelation at lags 1-3: per-user lag windows (high-
+    //    cardinality key, never a global sort), Pearson pooled per type ──
+    "q223_acf" -> ((s, dir) =>
+      graft.operators.EventAnalytics.pooledAutocorrelation(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id",
+        "value")
+        .orderBy("group")),
+
+    // ── Pareto frontier (min price, max size): distributed sort-sweep —
+    //    distinct points, range buckets, strict-prefix max across buckets,
+    //    one running-max window inside each. No O(n²) anti-join ──
+    "q224_pareto_skyline" -> ((s, dir) =>
+      graft.operators.Skyline.skyline2D(
+        t(s, dir, "part").select(col("p_retailprice").as("price"),
+          col("p_size").as("size")), "price", "size")
+        .select(round(col("price"), 2).as("price"),
+          col("size").cast("long").as("size"), col("n_rows"))
+        .orderBy("price", "size")),
+
+    // ── Theil–Sen robust slope per user (value vs time-in-days): group-
+    //    keyed pairwise self-join under an explicit maxGroupSize contract;
+    //    median = percentile(0.5), the quantile_cont interpolation ──
+    "q225_theil_sen" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")).cast("double") / lit(86400e6)).as("x"),
+        col("value").as("y"))
+      graft.operators.EventAnalytics.theilSenSlope(
+        e, "user_id", "x", "y", "event_id")
+        .orderBy("group")
+    }),
+
+    // ── frequency-ordered dictionary encode (string indexer): fit over
+    //    the distinct-term table (rank window runs on |vocab| rows, not
+    //    the corpus), transform via broadcast join; OOV well-defined ──
+    "q227_dict_encode" -> ((s, dir) => {
+      import graft.operators.FeatureEncoding
+      val part = t(s, dir, "part")
+      val dict = FeatureEncoding.fitDictionary(part, "p_type")
+      FeatureEncoding.encodeWithDictionary(
+          part.select(col("p_brand"), col("p_type")), "p_type", dict)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_rows"), sum("idx").as("sum_idx"),
+          max("idx").as("max_idx"))
+        .orderBy("p_brand")
+    }),
+
+    // ── leave-one-out smoothed target encoding: category aggregate
+    //    broadcast back, map-only per-row encode; exact integer cents
+    //    inside the formula so the hash check is FP-order-proof ──
+    "q228_target_encode" -> ((s, dir) =>
+      graft.operators.FeatureEncoding.targetEncodeLoo(
+          t(s, dir, "orders").select("o_orderkey", "o_orderpriority",
+            "o_totalprice"), "o_orderpriority", "o_totalprice", m = 10.0)
+        .select("o_orderkey", "o_orderpriority", "enc")
+        .orderBy("o_orderkey")),
+
+    // ── Adamic–Adar link prediction over the sparsified part–supplier
+    //    graph: wedge join through the shared neighbour under a degree
+    //    cap (maxDeg² task bound), known edges anti-joined out ──
+    "q229_adamic_adar" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 11 === 0)
+        .select(col("l_partkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      graft.operators.Graphs.adamicAdar(edges, maxDeg = 64)
+        .orderBy("node_a", "node_b")
+    }),
+
+    // ── reciprocal best match across two embedding corpora (bitext-mining
+    //    alignment filter): two broadcast top-1 passes joined on mutual
+    //    agreement; hubs survive one direction, never both ──
+    "q226_mutual_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mutualBestMatch(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1))
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 4).as("cos_sim"))
+        .orderBy("id_a")
+    }),
+
     // ── consensus record version (reference model/Version.scala): third
     //    column family filled processed-else-raw; dd-MMM-yyyy raws parse
     //    to ISO consensus, the unparseable stratum falls back verbatim ──
@@ -4975,6 +5056,110 @@ object SparkEntry {
         |  GROUP BY e.src, l.label) WHERE rn = 1)
         |SELECT label AS community, count(*) AS n_members
         |FROM r3 GROUP BY label ORDER BY community""".stripMargin,
+    "q223_acf" ->
+      """WITH s AS (
+        | SELECT event_type AS grp, value AS x,
+        |  lag(value, 1) OVER w AS x1,
+        |  lag(value, 2) OVER w AS x2,
+        |  lag(value, 3) OVER w AS x3
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT grp AS "group", count(*) AS n,
+        | round(corr(x, x1), 4) AS acf1,
+        | round(corr(x, x2), 4) AS acf2,
+        | round(corr(x, x3), 4) AS acf3
+        |FROM s GROUP BY grp ORDER BY grp""".stripMargin,
+    // the skyline restated as the naive NOT EXISTS dominance anti-join
+    // over distinct points — the formulation the operator exists to avoid
+    "q224_pareto_skyline" ->
+      """WITH d AS (
+        | SELECT CAST(p_retailprice AS DOUBLE) AS price,
+        |  CAST(p_size AS DOUBLE) AS size, count(*) AS n_rows
+        | FROM part GROUP BY 1, 2)
+        |SELECT round(price, 2) AS price, CAST(size AS BIGINT) AS size,
+        | n_rows
+        |FROM d a WHERE NOT EXISTS (
+        | SELECT 1 FROM d b
+        | WHERE b.price <= a.price AND b.size >= a.size
+        |  AND (b.price < a.price OR b.size > a.size))
+        |ORDER BY price, size""".stripMargin,
+    "q225_theil_sen" ->
+      """WITH e AS (
+        | SELECT user_id, event_id,
+        |  CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 AS x, value AS y
+        | FROM events),
+        |p AS (
+        | SELECT a.user_id AS g, (b.y - a.y) / (b.x - a.x) AS slope
+        | FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |   AND a.x <> b.x),
+        |s AS (
+        | SELECT g, count(*) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5), 6) AS sen_slope
+        | FROM p GROUP BY g),
+        |np AS (SELECT user_id AS g, count(*) AS n_points
+        |  FROM events GROUP BY user_id)
+        |SELECT np.g AS "group", np.n_points, s.n_pairs, s.sen_slope
+        |FROM np JOIN s USING (g) ORDER BY "group"""".stripMargin,
+    "q227_dict_encode" ->
+      """WITH dict AS (
+        | SELECT p_type AS term, count(*) AS n FROM part
+        | WHERE p_type IS NOT NULL GROUP BY p_type),
+        |idx AS (
+        | SELECT term,
+        |  row_number() OVER (ORDER BY n DESC, term ASC) - 1 AS idx
+        | FROM dict)
+        |SELECT p.p_brand, count(*) AS n_rows,
+        | CAST(sum(i.idx) AS BIGINT) AS sum_idx, max(i.idx) AS max_idx
+        |FROM part p JOIN idx i ON p.p_type = i.term
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+    "q228_target_encode" ->
+      """WITH o AS (
+        | SELECT o_orderkey, o_orderpriority,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS y FROM orders),
+        |c AS (SELECT o_orderpriority, sum(y) AS s, count(*) AS n
+        |  FROM o GROUP BY 1),
+        |g AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) / 100.0 AS prior
+        |  FROM o)
+        |SELECT o.o_orderkey, o.o_orderpriority,
+        | round((CAST(c.s - o.y AS DOUBLE) / 100.0 + 10.0 * g.prior) /
+        |   (c.n - 1 + 10.0), 6) AS enc
+        |FROM o JOIN c USING (o_orderpriority) CROSS JOIN g
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q229_adamic_adar" ->
+      """WITH base AS (
+        | SELECT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+        | WHERE l_orderkey % 11 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM base WHERE src <> dst
+        |  UNION SELECT dst, src FROM base WHERE src <> dst)),
+        |deg AS (SELECT src AS z, count(*) AS deg FROM e GROUP BY src),
+        |b AS (SELECT e.src AS z, e.dst AS n, deg.deg
+        |  FROM e JOIN deg ON e.src = deg.z WHERE deg.deg <= 64),
+        |w AS (SELECT x.z, x.n AS a, y.n AS b, x.deg
+        |  FROM b x JOIN b y ON x.z = y.z WHERE x.n < y.n),
+        |s AS (SELECT a AS node_a, b AS node_b, count(*) AS n_common,
+        |  round(sum(1.0 / ln(deg)), 6) AS aa_score FROM w GROUP BY a, b)
+        |SELECT s.node_a, s.node_b, s.n_common, s.aa_score FROM s
+        |WHERE NOT EXISTS (SELECT 1 FROM e
+        |  WHERE e.src = s.node_a AND e.dst = s.node_b)
+        |ORDER BY node_a, node_b""".stripMargin,
+    "q226_mutual_topk" ->
+      """WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(a.v, b.v) AS cos
+        | FROM a CROSS JOIN b),
+        |ab AS (SELECT id_a, id_b, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id_a
+        |    ORDER BY cos DESC, id_b ASC) AS rn FROM sc) WHERE rn = 1),
+        |ba AS (SELECT id_a, id_b FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id_b
+        |    ORDER BY cos DESC, id_a ASC) AS rn FROM sc) WHERE rn = 1)
+        |SELECT ab.id_a, ab.id_b, round(ab.cos, 4) AS cos_sim
+        |FROM ab JOIN ba USING (id_a, id_b) ORDER BY id_a""".stripMargin,
     "q41_stream_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
         | count(*) AS n, round(sum(value),2) AS total_value

@@ -253,4 +253,65 @@ object EventAnalytics {
         (unix_timestamp(col(tsCol)) - unix_timestamp(col("_touch.ts")))
           .as("lag_s"))
   }
+
+  /** Autocorrelation of a value series at fixed lags 1..3, computed over
+    * MANY independent per-key series and pooled per group: the `lag`
+    * windows are partitioned by the (high-cardinality) series key — never
+    * one global sort — and the Pearson correlations then aggregate by the
+    * (low-cardinality) group with ordinary partial aggregation. Pairs that
+    * cross a series boundary never exist (lag is per-partition), so the
+    * pooled ACF is exactly "corr over all within-series (x_t, x_{t−k})
+    * pairs". Output: (group, n, acf1, acf2, acf3) rounded to 4 dp.
+    */
+  def pooledAutocorrelation(events: DataFrame, seriesCol: String,
+      groupCol: String, tsCol: String, tieCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(tieCol))
+    val v = col(valueCol)
+    events
+      .select(col(groupCol).as("group"), v.as("x"),
+        lag(v, 1).over(w).as("x1"),
+        lag(v, 2).over(w).as("x2"),
+        lag(v, 3).over(w).as("x3"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("x"), col("x1")), 4).as("acf1"),
+        round(corr(col("x"), col("x2")), 4).as("acf2"),
+        round(corr(col("x"), col("x3")), 4).as("acf3"))
+  }
+
+  /** Theil–Sen robust slope per group: the median of all pairwise slopes
+    * `(y_j − y_i) / (x_j − x_i)` over ordered pairs with distinct x. The
+    * pair generation is a group-keyed self-join — O(m²) per group — so the
+    * operator carries an explicit size contract like the BPE/NameMatcher
+    * ones: groups larger than `maxGroupSize` fail loudly at plan-build
+    * time rather than silently detonating a task. (The standard scale-out
+    * is sub-sampling each group to √budget rows first; callers that need
+    * it can pre-filter.) Median is `percentile(0.5)` — the linear-
+    * interpolation definition shared by DuckDB's `quantile_cont`. Output:
+    * (group, n_points, n_pairs, sen_slope rounded to 6 dp).
+    */
+  def theilSenSlope(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, idCol: String, maxGroupSize: Int = 4096): DataFrame = {
+    val sized = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_m"))
+    val over = sized.filter(col("_m") > maxGroupSize).limit(1).collect()
+    require(over.isEmpty,
+      s"theilSenSlope: group ${over.headOption.map(_.get(0))} exceeds " +
+        s"maxGroupSize=$maxGroupSize; sub-sample groups or raise the bound")
+    val a = df.select(col(groupCol).as("g"), col(xCol).as("xa"),
+      col(yCol).as("ya"), col(idCol).as("ia"))
+    val b = df.select(col(groupCol).as("g"), col(xCol).as("xb"),
+      col(yCol).as("yb"), col(idCol).as("ib"))
+    val pairs = a.join(b, Seq("g"))
+      .filter(col("ia") < col("ib") && col("xa") =!= col("xb"))
+      .select(col("g"),
+        ((col("yb") - col("ya")) / (col("xb") - col("xa"))).as("slope"))
+    val slopes = pairs.groupBy("g")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("sen_slope"))
+    df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n_points"))
+      .join(slopes, Seq("g"))
+      .select(col("g").as("group"), col("n_points"), col("n_pairs"),
+        col("sen_slope"))
+  }
 }

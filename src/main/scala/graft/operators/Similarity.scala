@@ -473,4 +473,28 @@ object Similarity {
       .groupBy(col("lbl").as("label"))
       .agg(count(lit(1)).as("n"), round(avg("s"), 4).as("silhouette"))
   }
+
+  /** Reciprocal best match between two embedding corpora: the pairs
+    * (a, b) where b is a's cosine-nearest neighbour in B AND a is b's in
+    * A — the high-precision alignment filter used for bitext mining and
+    * cross-corpus entity linking (a one-directional top-1 keeps every
+    * hub; mutuality kills them). Ties on cosine break to the smaller id
+    * so the argmax is total.
+    *
+    * Built as two [[bruteForceTopK]] k=1 passes (each broadcasts the
+    * smaller role), joined on agreement. Contract: at least one side
+    * broadcastable per pass — for two huge corpora, produce the two
+    * top-1 lists with [[batchIvfTopK]] instead and reuse the same
+    * mutual join. Output: (id_a, id_b, cosine). */
+  def mutualBestMatch(a: DataFrame, b: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qa = a.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val qb = b.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val bestInB = bruteForceTopK(b, qa, 1, idCol, vecCol)
+      .select(col("query_id").as("id_a"), col(idCol).as("id_b"),
+        col("cosine"))
+    val bestInA = bruteForceTopK(a, qb, 1, idCol, vecCol)
+      .select(col(idCol).as("id_a"), col("query_id").as("id_b"))
+    bestInB.join(bestInA, Seq("id_a", "id_b"))
+  }
 }

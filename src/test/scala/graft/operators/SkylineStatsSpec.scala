@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 additions: distributed skyline, pooled autocorrelation,
+  * Theil–Sen robust slope, and reciprocal best match. Each verified
+  * against a naive in-memory reference (or a hand-traced answer), plus
+  * the operator's scale contract where it has one.
+  */
+class SkylineStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def naiveSkyline(pts: Seq[(Double, Double)]): Set[(Double, Double)] = {
+    val d = pts.distinct
+    d.filter { case (x, y) =>
+      !d.exists { case (bx, by) =>
+        bx <= x && by >= y && (bx < x || by > y)
+      }
+    }.toSet
+  }
+
+  test("skyline2D hand-traced: dominated ties, duplicate points, equal-x columns") {
+    // (1,5) kills (1,4) (equal x, lower y) and (2,5) (worse x, tied y);
+    // (2,7) and (4,9) survive; (4,9) duplicated twice -> n_rows=2
+    val pts = Seq((1.0, 5.0), (1.0, 4.0), (2.0, 5.0), (2.0, 7.0),
+      (4.0, 9.0), (4.0, 9.0), (3.0, 6.0))
+    val got = Skyline.skyline2D(pts.toDF("x", "y"), "x", "y", buckets = 2)
+      .as[(Double, Double, Long)].collect().toSet
+    assert(got == Set((1.0, 5.0, 1L), (2.0, 7.0, 1L), (4.0, 9.0, 2L)))
+  }
+
+  test("skyline2D property: equals naive dominance filter across bucket counts") {
+    val rnd = new scala.util.Random(8)
+    val pts = Seq.fill(400)((rnd.nextInt(40).toDouble,
+      rnd.nextInt(40).toDouble))
+    val want = naiveSkyline(pts)
+    for (b <- Seq(1, 3, 64)) {
+      val got = Skyline.skyline2D(pts.toDF("x", "y"), "x", "y", buckets = b)
+        .select("x", "y").as[(Double, Double)].collect().toSet
+      assert(got == want, s"buckets=$b: got=${got.size} want=${want.size}")
+    }
+  }
+
+  test("skyline2D: all-identical points and empty input") {
+    val same = Seq.fill(5)((2.0, 3.0)).toDF("x", "y")
+    assert(Skyline.skyline2D(same, "x", "y")
+      .as[(Double, Double, Long)].collect().toSeq == Seq((2.0, 3.0, 5L)))
+    val empty = Seq.empty[(Double, Double)].toDF("x", "y")
+    assert(Skyline.skyline2D(empty, "x", "y").count() == 0)
+  }
+
+  test("pooledAutocorrelation: AR-free alternating series vs exact Pearson") {
+    // series u1: strictly alternating +1/-1 -> acf1 = -1, acf2 = +1;
+    // two users, pairs never cross the user boundary
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val rows = (0 until 8).map(i =>
+      (1L, i.toLong, at(i), "a", if (i % 2 == 0) 1.0 else -1.0)) ++
+      (0 until 8).map(i =>
+        (2L, (100 + i).toLong, at(i), "a", if (i % 2 == 0) 1.0 else -1.0))
+    val df = rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventAnalytics.pooledAutocorrelation(
+      df, "user_id", "event_type", "ts", "event_id", "value")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.length == 1)
+    val (g, n, a1, a2, a3) = got(0)
+    assert(g == "a" && n == 16)
+    assert(a1 == -1.0 && a2 == 1.0 && a3 == -1.0)
+  }
+
+  test("theilSenSlope: exact line recovers slope; outlier point barely moves it") {
+    // y = 2x + 1 for 9 points plus one wild outlier: the pairwise-slope
+    // median stays 2.0 (the mean-based OLS fit would not)
+    val clean = (0 until 9).map(i => ("g1", i.toDouble, 2.0 * i + 1, i.toLong))
+    val df = (clean :+ ("g1", 9.0, 500.0, 9L)).toDF("g", "x", "y", "id")
+    val got = EventAnalytics.theilSenSlope(df, "g", "x", "y", "id")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val (_, nPts, nPairs, slope) = got(0)
+    assert(nPts == 10 && nPairs == 45)
+    assert(slope == 2.0, s"sen_slope=$slope")
+  }
+
+  test("theilSenSlope: oversized group fails loudly per the scale contract") {
+    val big = (0 until 50).map(i => ("g", i.toDouble, i.toDouble, i.toLong))
+      .toDF("g", "x", "y", "id")
+    val e = intercept[IllegalArgumentException] {
+      EventAnalytics.theilSenSlope(big, "g", "x", "y", "id", maxGroupSize = 10)
+    }
+    assert(e.getMessage.contains("maxGroupSize"))
+  }
+
+  test("mutualBestMatch: hub survives one direction but not mutuality") {
+    // b10 is the nearest of BOTH a1 and a2 (a hub); but b10's own best is
+    // a1 only -> (a1,b10) mutual, a2 unmatched. a3/b11 pair up cleanly.
+    val a = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val b = Seq(
+      (10L, Array(1.0f, 0.02f, 0.0f)),
+      (11L, Array(0.0f, 0.1f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mutualBestMatch(a, b)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (3L, 11L)))
+  }
+}
