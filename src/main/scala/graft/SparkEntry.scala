@@ -603,6 +603,29 @@ object SparkEntry {
         .orderBy("group")
     }),
 
+    // ── Spearman rank correlation per group: Pearson over fractional
+    //    mid-ranks (tie-robust monotone association); two group-keyed
+    //    rank windows + one corr partial agg ──
+    "q230_spearman" -> ((s, dir) =>
+      graft.operators.Profiling.spearmanCorr(
+          t(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+          "l_extendedprice")
+        .orderBy("group")),
+
+    // ── isotonic (PAV) calibration of P(lang=en | doc length): scores
+    //    bin distributively, the PAV sweep runs on the ≤bins-row summary
+    //    (model-as-dimension); the fitted step function hash-checks via
+    //    the max-min minimax identity restated in SQL ──
+    "q231_isotonic" -> ((s, dir) =>
+      graft.operators.Profiling.isotonicCalibrate(
+          t(s, dir, "documents")
+            .withColumn("is_en", (col("lang") === "en").cast("int")),
+          "n_chars", "is_en", bins = 50)
+        .select(col("bin"), round(col("lo"), 6).as("lo"),
+          round(col("hi"), 6).as("hi"), col("n"), col("n_pos"),
+          col("raw_rate"), col("calibrated"))
+        .orderBy("bin")),
+
     // ── frequency-ordered dictionary encode (string indexer): fit over
     //    the distinct-term table (rank window runs on |vocab| rows, not
     //    the corpus), transform via broadcast join; OOV well-defined ──
@@ -5101,6 +5124,58 @@ object SparkEntry {
         |  FROM events GROUP BY user_id)
         |SELECT np.g AS "group", np.n_points, s.n_pairs, s.sen_slope
         |FROM np JOIN s USING (g) ORDER BY "group"""".stripMargin,
+    "q230_spearman" ->
+      """WITH r AS (
+        | SELECT l_returnflag AS grp,
+        |  rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |   + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)
+        |     / 2.0 AS rx,
+        |  rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+        |   + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+        |     - 1) / 2.0 AS ry
+        | FROM lineitem)
+        |SELECT grp AS "group", count(*) AS n,
+        | round(corr(rx, ry), 6) AS spearman
+        |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    // the PAV fit restated through the isotonic minimax identity
+    // iso(b) = max_{i<=b} min_{j>=b} mean(i..j) over observed bins —
+    // O(B^3) rows at B=50, trivial for the oracle, impossible at corpus
+    // scale (which is why the operator bins first)
+    "q231_isotonic" ->
+      """WITH params AS (
+        | SELECT min(CAST(n_chars AS DOUBLE)) AS lo,
+        |  greatest(max(CAST(n_chars AS DOUBLE))
+        |   - min(CAST(n_chars AS DOUBLE)),
+        |   2.2250738585072014e-308) AS span
+        | FROM documents),
+        |b AS (
+        | SELECT CAST(least(floor((CAST(n_chars AS DOUBLE) - lo)
+        |    / span * 50), 49) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+        | FROM documents, params GROUP BY 1),
+        |ord AS (SELECT bin, n, pos,
+        |  row_number() OVER (ORDER BY bin) AS r FROM b),
+        |cum AS (SELECT r, bin, n, pos,
+        |  sum(n) OVER (ORDER BY r) AS cn,
+        |  sum(pos) OVER (ORDER BY r) AS cp FROM ord),
+        |means AS (
+        | SELECT i.r AS ri, j.r AS rj,
+        |  (j.cp - (i.cp - i.pos)) * 1.0 / (j.cn - (i.cn - i.n)) AS m
+        | FROM cum i JOIN cum j ON i.r <= j.r),
+        |inner_min AS (
+        | SELECT m.ri, c.r AS rb, min(m.m) AS mn
+        | FROM means m JOIN cum c ON m.ri <= c.r AND m.rj >= c.r
+        | GROUP BY m.ri, c.r),
+        |iso AS (SELECT rb, max(mn) AS cal FROM inner_min GROUP BY rb)
+        |SELECT o.bin,
+        | round(p.lo + o.bin * p.span / 50, 6) AS lo,
+        | round(p.lo + (o.bin + 1) * p.span / 50, 6) AS hi,
+        | o.n, CAST(o.pos AS BIGINT) AS n_pos,
+        | round(o.pos * 1.0 / o.n, 6) AS raw_rate,
+        | round(i.cal, 6) AS calibrated
+        |FROM ord o JOIN iso i ON i.rb = o.r CROSS JOIN params p
+        |ORDER BY o.bin""".stripMargin,
     "q227_dict_encode" ->
       """WITH dict AS (
         | SELECT p_type AS term, count(*) AS n FROM part

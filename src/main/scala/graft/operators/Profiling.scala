@@ -594,4 +594,83 @@ object Profiling {
       .agg(min(col(valueCol)).as("weighted_median"),
         max("_tot").as("total_weight"))
   }
+
+  /** Spearman rank correlation per group: Pearson over fractional
+    * (mid-) ranks, the tie-robust monotone-association measure —
+    * [[correlationMatrix]]'s Pearson answers "linear", this answers
+    * "monotone" (heavy-tailed quality scores, token counts). Fractional
+    * rank = rank() + (ties−1)/2, computed with two group-keyed windows;
+    * ranks then feed one `corr` partial aggregate. All shuffles keyed on
+    * the group. Output: (group, n, spearman rounded 6 dp). */
+  def spearmanCorr(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def fracRank(c: String, out: String)(d: DataFrame): DataFrame = d
+      .withColumn(out,
+        rank().over(Window.partitionBy(groupCol).orderBy(col(c))) +
+          (count(lit(1)).over(Window.partitionBy(groupCol, c)) - 1) / 2.0)
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .transform(fracRank(xCol, "_rx"))
+      .transform(fracRank(yCol, "_ry"))
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("_rx"), col("_ry")), 6).as("spearman"))
+  }
+
+  /** Isotonic (PAV) calibration over binned scores: the monotone
+    * score→probability map that calibration plots want, fitted at scale
+    * the standard way — scores aggregate into `bins` equi-width bins
+    * distributively (each bin: count + positive count), then the
+    * pool-adjacent-violators sweep runs over the ≤`bins`-row summary on
+    * the driver (the model is a dimension, like k-means centroids — the
+    * corpus never moves). The fitted step function is returned as a
+    * per-bin table; joining it back to score rows is a broadcast.
+    * Output: (bin, lo, hi, n, n_pos, raw_rate, calibrated) with
+    * calibrated non-decreasing in bin order; empty bins are skipped
+    * (PAV pools over observed bins). */
+  def isotonicCalibrate(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 100): DataFrame = {
+    require(bins >= 1 && bins <= 4096,
+      s"isotonicCalibrate: bins=$bins outside [1,4096] (bin table must stay driver-sized)")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val base = df.filter(s.isNotNull && y.isNotNull)
+    val Array(lo, hi) = base.agg(min(s), max(s)).collect()(0) match {
+      case r if r.isNullAt(0) => Array(0.0, 1.0)
+      case r => Array(r.getDouble(0), r.getDouble(1))
+    }
+    val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+    val binned = base
+      .withColumn("_b", least(floor((s - lit(lo)) / lit(span) * bins),
+        lit(bins - 1L)).cast("long"))
+      .groupBy("_b")
+      .agg(count(lit(1)).as("n"), sum(y).as("n_pos"))
+      .orderBy("_b")
+      .collect() // ≤ bins rows by construction
+    // PAV: pool adjacent bins while the rate decreases (weighted means)
+    case class Block(b0: Long, b1: Long, n: Double, pos: Double) {
+      def rate: Double = pos / n
+    }
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Block]
+    for (r <- binned) {
+      var blk = Block(r.getLong(0), r.getLong(0),
+        r.getLong(1).toDouble, r.getDouble(2))
+      while (blocks.nonEmpty && blocks.last.rate > blk.rate) {
+        val p = blocks.remove(blocks.length - 1)
+        blk = Block(p.b0, blk.b1, p.n + blk.n, p.pos + blk.pos)
+      }
+      blocks += blk
+    }
+    val fitted = binned.map { r =>
+      val b = r.getLong(0)
+      val cal = blocks.find(k => k.b0 <= b && b <= k.b1).get.rate
+      (b, lo + b * span / bins, lo + (b + 1) * span / bins,
+        r.getLong(1), r.getDouble(2).toLong,
+        BigDecimal(r.getDouble(2) / r.getLong(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(cal).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }.toSeq
+    import df.sparkSession.implicits._
+    fitted.toDF("bin", "lo", "hi", "n", "n_pos", "raw_rate", "calibrated")
+  }
 }

@@ -93,6 +93,41 @@ class SkylineStatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxGroupSize"))
   }
 
+  test("spearmanCorr: monotone-nonlinear is exactly 1; ties use mid-ranks") {
+    // y = x^3 is monotone (spearman 1.0) but not linear (pearson < 1)
+    val mono = (1 to 20).map(i => ("g", i.toDouble, math.pow(i, 3)))
+      .toDF("g", "x", "y")
+    val got = Profiling.spearmanCorr(mono, "g", "x", "y")
+      .as[(String, Long, Double)].collect()(0)
+    assert(got == (("g", 20L, 1.0)))
+    // tie case hand-computed: x = (1,2,2,3), y = (1,3,2,4)
+    // rx = (1, 2.5, 2.5, 4); ry = (1, 3, 2, 4)
+    // cov = 4.5, var rx = 4.5, var ry = 5 -> 4.5/sqrt(22.5) = 0.948683...
+    val ties = Seq(("t", 1.0, 1.0), ("t", 2.0, 3.0), ("t", 2.0, 2.0),
+      ("t", 3.0, 4.0)).toDF("g", "x", "y")
+    val sp = Profiling.spearmanCorr(ties, "g", "x", "y")
+      .as[(String, Long, Double)].collect()(0)._3
+    assert(math.abs(sp - 4.5 / math.sqrt(22.5)) < 1e-6, s"spearman=$sp")
+  }
+
+  test("isotonicCalibrate: PAV pools adjacent violators, output monotone") {
+    // 4 clean bins with rates .0, .5, .25, 1.0 -> PAV pools bins 2,3
+    // (weighted: (2+1)/(4+4) = .375), leaving .0, .375, .375, 1.0
+    val rows =
+      Seq.fill(4)((5.0, 0)) ++                         // bin 0: rate 0
+      (Seq.fill(2)((15.0, 1)) ++ Seq.fill(2)((15.0, 0))) ++ // bin 1: .5
+      (Seq.fill(1)((25.0, 1)) ++ Seq.fill(3)((25.0, 0))) ++ // bin 2: .25
+      Seq.fill(4)((35.0, 1))                           // bin 3: rate 1
+    val df = rows.toDF("score", "y")
+    val got = Profiling.isotonicCalibrate(df, "score", "y", bins = 4)
+      .select("bin", "n", "n_pos", "raw_rate", "calibrated")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._5).toSeq == Seq(0.0, 0.375, 0.375, 1.0))
+    assert(got.map(_._4).toSeq == Seq(0.0, 0.5, 0.25, 1.0))
+    // monotone non-decreasing by construction
+    assert(got.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("mutualBestMatch: hub survives one direction but not mutuality") {
     // b10 is the nearest of BOTH a1 and a2 (a hub); but b10's own best is
     // a1 only -> (a1,b10) mutual, a2 unmatched. a3/b11 pair up cleanly.
