@@ -603,6 +603,20 @@ object SparkEntry {
         .orderBy("group")
     }),
 
+    // ── pairwise Jensen–Shannon divergence between source unigram LMs:
+    //    the symmetric bounded drift MATRIX next to q93's KL(slice‖rest);
+    //    (slice×vocab) grid self-joined on the high-cardinality word ──
+    "q232_js_divergence" -> ((s, dir) =>
+      graft.operators.CorpusStats.jsDivergenceMatrix(
+          t(s, dir, "documents"), "text", "source")
+        .orderBy("slice_a", "slice_b")),
+
+    // ── per-dimension embedding stats (the whitening table): positional
+    //    explode + dim-keyed aggregate, output model-sized ──
+    "q233_embed_dimstats" -> ((s, dir) =>
+      Similarity.dimensionStats(t(s, dir, "embeddings"), "embedding")
+        .orderBy("dim")),
+
     // ── Spearman rank correlation per group: Pearson over fractional
     //    mid-ranks (tie-robust monotone association); two group-keyed
     //    rank windows + one corr partial agg ──
@@ -5124,6 +5138,38 @@ object SparkEntry {
         |  FROM events GROUP BY user_id)
         |SELECT np.g AS "group", np.n_points, s.n_pairs, s.sen_slope
         |FROM np JOIN s USING (g) ORDER BY "group"""".stripMargin,
+    "q232_js_divergence" ->
+      """WITH words AS (
+        | SELECT source AS slice,
+        |  unnest(regexp_split_to_array(lower(trim(text)),'\s+')) AS w
+        | FROM documents),
+        |counts AS (
+        | SELECT slice, w, CAST(count(*) AS DOUBLE) AS c FROM words
+        | WHERE length(w) > 0 GROUP BY slice, w),
+        |totals AS (SELECT slice, sum(c) AS tot FROM counts GROUP BY slice),
+        |corpus AS (SELECT DISTINCT w FROM counts),
+        |grid AS (
+        | SELECT t.slice, co.w, coalesce(c.c, 0) / t.tot AS p
+        | FROM totals t CROSS JOIN corpus co
+        | LEFT JOIN counts c ON c.slice = t.slice AND c.w = co.w)
+        |SELECT a.slice AS slice_a, b.slice AS slice_b,
+        | round(sum(
+        |  (CASE WHEN a.p > 0
+        |    THEN a.p * log2(a.p / ((a.p + b.p) / 2)) ELSE 0 END +
+        |   CASE WHEN b.p > 0
+        |    THEN b.p * log2(b.p / ((a.p + b.p) / 2)) ELSE 0 END) / 2), 6)
+        |  AS jsd
+        |FROM grid a JOIN grid b ON a.w = b.w AND a.slice < b.slice
+        |GROUP BY a.slice, b.slice ORDER BY slice_a, slice_b""".stripMargin,
+    "q233_embed_dimstats" ->
+      """WITH x AS (
+        | SELECT unnest(range(len(embedding))) AS dim,
+        |  unnest(CAST(embedding AS DOUBLE[])) AS x
+        | FROM embeddings)
+        |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+        | round(avg(x), 6) AS mean, round(stddev(x), 6) AS std,
+        | round(min(x), 6) AS min, round(max(x), 6) AS max
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
     "q230_spearman" ->
       """WITH r AS (
         | SELECT l_returnflag AS grp,

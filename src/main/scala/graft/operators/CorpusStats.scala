@@ -155,4 +155,42 @@ object CorpusStats {
           ((col("n") * col("sxx") - col("sx") * col("sx")) *
             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
+
+  /** Pairwise Jensen–Shannon divergence (log₂, so ∈ [0,1]) between the
+    * unigram distributions of every slice pair — [[klDrift]]'s symmetric,
+    * bounded sibling: the drift MATRIX a mixture designer reads to see
+    * which sources are interchangeable and which are a different language
+    * entirely. No smoothing needed: with the mixture m=(p+q)/2, zero-mass
+    * terms drop out natively (p·log(p/m) → 0 as p → 0, and m > 0 whenever
+    * either side has mass).
+    *
+    * Shape: one (slice × vocab) grid like klDrift's (smoothing-free, so
+    * absent words coalesce to 0), self-joined on the word with a
+    * triangular slice guard — the join key is the HIGH-cardinality word,
+    * the pair count is |slices|², and every aggregate is partial. Output:
+    * (slice_a, slice_b, jsd) for a < b, 6 dp. */
+  def jsDivergenceMatrix(docs: DataFrame, textCol: String,
+      sliceCol: String): DataFrame = {
+    val words = docs.select(col(sliceCol).as("slice"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = words.groupBy("slice", "w")
+      .agg(count(lit(1)).cast("double").as("c"))
+    val totals = counts.groupBy("slice").agg(sum("c").as("tot"))
+    val corpus = counts.select("w").distinct()
+    val grid = totals.crossJoin(corpus)
+      .join(counts, Seq("slice", "w"), "left")
+      .select(col("slice"), col("w"),
+        (coalesce(col("c"), lit(0.0)) / col("tot")).as("p"))
+    val a = grid.select(col("slice").as("slice_a"), col("w"),
+      col("p").as("pa"))
+    val b = grid.select(col("slice").as("slice_b"), col("w"),
+      col("p").as("pb"))
+    val mCol = (col("pa") + col("pb")) / 2
+    def term(p: org.apache.spark.sql.Column) =
+      when(p > 0, p * log(2.0, p / mCol)).otherwise(lit(0.0))
+    a.join(b, Seq("w")).filter(col("slice_a") < col("slice_b"))
+      .groupBy("slice_a", "slice_b")
+      .agg(round(sum((term(col("pa")) + term(col("pb"))) / 2), 6).as("jsd"))
+  }
 }

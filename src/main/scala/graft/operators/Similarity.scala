@@ -497,4 +497,21 @@ object Similarity {
       .select(col(idCol).as("id_a"), col("query_id").as("id_b"))
     bestInB.join(bestInA, Seq("id_a", "id_b"))
   }
+
+  /** Per-dimension statistics of an embedding column — the whitening /
+    * normalization table (mean for centering, std for scaling, min/max
+    * for clip audits) every embedding pipeline fits before indexing.
+    * One positional explode + one dim-keyed aggregate with map-side
+    * partials; output is dim-sized (the model, not the corpus). Output:
+    * (dim, n, mean, std, min, max), floats computed in double, 6 dp;
+    * std is the sample standard deviation. */
+  def dimensionStats(emb: DataFrame, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg("x"), 6).as("mean"),
+        round(stddev("x"), 6).as("std"),
+        round(min("x"), 6).as("min"),
+        round(max("x"), 6).as("max"))
 }

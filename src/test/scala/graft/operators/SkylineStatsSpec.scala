@@ -128,6 +128,32 @@ class SkylineStatsSpec extends AnyFunSuite {
     assert(got.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("jsDivergenceMatrix: identical slices give 0, disjoint vocab gives 1") {
+    val docs = Seq(
+      ("a", "x y z"), ("a", "x y"),
+      ("b", "x y z"), ("b", "x y"),   // b identical to a -> jsd 0
+      ("c", "p q r p")                // c disjoint from both -> jsd 1
+    ).toDF("source", "text")
+    val got = CorpusStats.jsDivergenceMatrix(docs, "text", "source")
+      .as[(String, String, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(got(("a", "b")) == 0.0)
+    assert(got(("a", "c")) == 1.0 && got(("b", "c")) == 1.0)
+  }
+
+  test("dimensionStats: hand-computed per-dimension moments") {
+    val emb = Seq(
+      (1L, Array(1.0f, 10.0f)),
+      (2L, Array(3.0f, 10.0f)),
+      (3L, Array(5.0f, 10.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.dimensionStats(emb, "embedding")
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+      .sortBy(_._1)
+    // dim 0: mean 3, sample std 2, min 1, max 5; dim 1: constant 10
+    assert(got(0) == ((0L, 3L, 3.0, 2.0, 1.0, 5.0)))
+    assert(got(1) == ((1L, 3L, 10.0, 0.0, 10.0, 10.0)))
+  }
+
   test("mutualBestMatch: hub survives one direction but not mutuality") {
     // b10 is the nearest of BOTH a1 and a2 (a hub); but b10's own best is
     // a1 only -> (a1,b10) mutual, a2 unmatched. a3/b11 pair up cleanly.

@@ -446,4 +446,48 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") &&
       !plan.contains("CartesianProduct"), s"shuffled/quadratic join:\n$plan")
   }
+
+  test("q224 skyline: no quadratic join anywhere — the sweep is windows " +
+      "plus one broadcast of the bucket table") {
+    val plan = planOf(
+      graft.SparkEntry.queries("q224_pareto_skyline")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"skyline must not pair points quadratically:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket prefix table must broadcast:\n$plan")
+  }
+
+  test("q223 acf: lag windows partition by the series key (never a " +
+      "global single-partition sort)") {
+    val df = graft.SparkEntry.queries("q223_acf")(spark, sf)
+    val plan = planOf(df)
+    // the lag's window spec must lead with the series key — an
+    // unpartitioned spec would print the ORDER column first
+    assert(plan.contains("windowspecdefinition(user_id"),
+      s"acf lag must be keyed by the series column:\n$plan")
+    assert(!plan.contains("windowspecdefinition(ts"),
+      s"unpartitioned (global-sort) window detected:\n$plan")
+  }
+
+  test("q228 target encode: category aggregate broadcasts back; the row " +
+      "scan never shuffles on the category") {
+    val plan = finalPlanOf(
+      graft.SparkEntry.queries("q228_target_encode")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"category aggregate must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"row-side shuffle on the category key:\n$plan")
+  }
+
+  test("q229 adamic-adar: wedge join is an equi-join through the shared " +
+      "neighbour; known-edge exclusion is a real anti-join") {
+    val plan = planOf(
+      graft.SparkEntry.queries("q229_adamic_adar")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge enumeration must stay an equi-join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"known edges must be anti-joined out:\n$plan")
+  }
 }
