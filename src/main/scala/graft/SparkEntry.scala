@@ -2933,7 +2933,7 @@ object SparkEntry {
         col("user_id") === col("cu") && col("cts") >= col("ts") &&
           col("cts") <= col("ts") + expr("INTERVAL 6 HOURS"),
         "left_outer")
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = joined.writeStream.outputMode("append")
           .format("memory").queryName("q189_out")
           .trigger(Trigger.AvailableNow()).start()
