@@ -603,6 +603,38 @@ object SparkEntry {
         .orderBy("group")
     }),
 
+    // ── Borůvka minimum spanning forest: per round each component's
+    //    lightest outgoing edge under a total order (never a cycle),
+    //    merges via the components loop; rows-only (MST is iterative —
+    //    spec checks equality with in-memory Kruskal) ──
+    "q234_boruvka_msf" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .agg(min(col("l_extendedprice")).as("w"))
+      graft.operators.Graphs.boruvkaMsf(edges)
+        .agg(count_distinct(col("component")).as("n_components"),
+          count(lit(1)).as("n_edges"),
+          round(sum("w"), 2).as("total_w"), round(min("w"), 2).as("min_w"),
+          round(max("w"), 2).as("max_w"))
+    }),
+
+    // ── Laplace-mechanism DP count release with content-addressed noise
+    //    (md5 inverse-CDF — no RNG on the cluster, bit-replayable): the
+    //    mechanism itself hash-checks against the oracle ──
+    "q235_dp_counts" -> ((s, dir) =>
+      graft.operators.Profiling.dpNoisyCounts(
+          t(s, dir, "events"), "event_type", epsilon = 0.5, salt = "r8")
+        .orderBy("group")),
+
+    // ── behavioural-pattern novelty curve: fraction of each day's
+    //    event-type trigrams never seen on an earlier day — the drift-
+    //    onset monitor; first-day min + day rollup, all partial aggs ──
+    "q236_pattern_novelty" -> ((s, dir) =>
+      graft.operators.CorpusStats.patternNovelty(
+          t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+        .orderBy("day")),
+
     // ── pairwise Jensen–Shannon divergence between source unigram LMs:
     //    the symmetric bounded drift MATRIX next to q93's KL(slice‖rest);
     //    (slice×vocab) grid self-joined on the high-cardinality word ──
@@ -5138,6 +5170,41 @@ object SparkEntry {
         |  FROM events GROUP BY user_id)
         |SELECT np.g AS "group", np.n_points, s.n_pairs, s.sen_slope
         |FROM np JOIN s USING (g) ORDER BY "group"""".stripMargin,
+    "q235_dp_counts" ->
+      """WITH c AS (
+        | SELECT event_type AS "group", count(*) AS n_true
+        | FROM events GROUP BY event_type),
+        |u AS (
+        | SELECT "group", n_true,
+        |  CAST(CAST('0x' || substring(md5("group" || ':' || 'r8'), 1, 13)
+        |    AS UBIGINT) AS DOUBLE) / 4503599627370496.0 AS uu
+        | FROM c)
+        |SELECT "group", n_true,
+        | round(n_true + (-(1.0 / 0.5)) *
+        |  (CASE WHEN uu - 0.5 < 0 THEN -1.0
+        |        WHEN uu - 0.5 > 0 THEN 1.0 ELSE 0.0 END) *
+        |  ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS n_noisy
+        |FROM u ORDER BY "group"""".stripMargin,
+    "q236_pattern_novelty" ->
+      """WITH seq AS (
+        | SELECT CAST(ts AS DATE) AS day, event_type AS a,
+        |  lead(event_type, 1) OVER w AS b,
+        |  lead(event_type, 2) OVER w AS c
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |pats AS (
+        | SELECT day, a || '>' || b || '>' || c AS pattern FROM seq
+        | WHERE b IS NOT NULL AND c IS NOT NULL),
+        |daily AS (
+        | SELECT day, pattern, count(*) AS n FROM pats GROUP BY 1, 2),
+        |fd AS (SELECT pattern, min(day) AS first_day FROM daily GROUP BY 1)
+        |SELECT d.day, count(*) AS n_patterns,
+        | CAST(sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_new,
+        | round(CAST(sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*), 6) AS novelty
+        |FROM daily d JOIN fd f USING (pattern)
+        |GROUP BY d.day ORDER BY d.day""".stripMargin,
     "q232_js_divergence" ->
       """WITH words AS (
         | SELECT source AS slice,

@@ -61,11 +61,27 @@ object Components {
         .agg(min("component").as("viaEdge"))
       // carry the changed flag through the eager checkpoint so convergence
       // is a cheap scan of materialized partitions, not a second recompute
-      val next = labels.join(viaEdges, Seq("node"), "left")
+      val hooked = labels.join(viaEdges, Seq("node"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("viaEdge"), col("component")))
             .as("component"),
           (col("viaEdge") < col("component")).as("_changed"))
+      // pointer jumping (path doubling) from round 2 on: label(x) :=
+      // label(label(x)). Sound — a label is always a node id inside x's
+      // component (so it IS a key in the table) and labels only ever
+      // tighten toward the component min; composing the map can't cross
+      // components. Turns long-chain graphs (MST component graphs, path
+      // graphs) from O(diameter) rounds into O(log diameter); round 1
+      // skips it because small-diameter graphs (near-dup clusters) have
+      // already converged by then and shouldn't pay the extra join.
+      val next = (if (iter == 0) hooked
+        else hooked
+          .join(hooked.select(col("node").as("component"),
+            col("component").as("_jmp")), Seq("component"), "left")
+          .select(col("node"),
+            coalesce(col("_jmp"), col("component")).as("component"),
+            (col("_changed") || col("_jmp") < col("component"))
+              .as("_changed")))
         .localCheckpoint(true)
       converged = next.filter(col("_changed")).isEmpty
       labels = next.drop("_changed")

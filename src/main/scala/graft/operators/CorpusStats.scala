@@ -156,6 +156,38 @@ object CorpusStats {
             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
 
+  /** Behavioural-pattern novelty curve: per day, what fraction of the
+    * day's event-type trigrams (per-user consecutive windows, the
+    * [[EventAnalytics.eventTrigrams]] pattern unit) had NEVER been seen
+    * on an earlier day — the corpus-freshness / drift-onset signal a
+    * pipeline monitors to notice when yesterday's dedup no longer covers
+    * today's traffic. A pattern's first day comes from one min-aggregate
+    * over the (pattern, day) table; novelty is then a day-keyed rollup.
+    * Shuffles: user-keyed window, pattern-keyed min, day-keyed sum —
+    * all partial-aggregable. Output: (day, n_patterns, n_new, novelty
+    * rounded 6 dp), one row per active day. */
+  def patternNovelty(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val pats = events
+      .select(to_date(col(tsCol)).as("day"), col(typeCol).as("_a"),
+        lead(col(typeCol), 1).over(w).as("_b"),
+        lead(col(typeCol), 2).over(w).as("_c"))
+      .filter(col("_b").isNotNull && col("_c").isNotNull)
+      .select(col("day"),
+        concat_ws(">", col("_a"), col("_b"), col("_c")).as("pattern"))
+    val daily = pats.groupBy("day", "pattern").agg(count(lit(1)).as("n"))
+    val firstDay = daily.groupBy("pattern").agg(min("day").as("first_day"))
+    daily.join(firstDay, Seq("pattern"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_patterns"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .withColumn("novelty",
+        round(col("n_new").cast("double") / col("n_patterns"), 6))
+  }
+
   /** Pairwise Jensen–Shannon divergence (log₂, so ∈ [0,1]) between the
     * unigram distributions of every slice pair — [[klDrift]]'s symmetric,
     * bounded sibling: the drift MATRIX a mixture designer reads to see

@@ -249,6 +249,128 @@ object Graphs {
       .crossJoin(convergedDf)
   }
 
+  /** Borůvka minimum spanning forest over a weighted undirected edge
+    * table `(src, dst, w)`: each round every component picks its
+    * lightest outgoing edge (total order `(w, src, dst)` — ties can't
+    * produce a cycle or nondeterminism), the chosen edges join the
+    * forest, and components merge over the (component-count-sized)
+    * chosen-edge graph. Component count at least halves per round, so
+    * `maxRounds = 20` covers any graph a cluster can hold; per-round
+    * work is one labels⋈edges join + one min-struct aggregate — all
+    * partial-aggregable, lineage checkpointed per round (the
+    * iterative-graph discipline shared with kCorePeel).
+    *
+    * The merge is hybrid, the standard Borůvka practice: while the
+    * chosen-edge graph exceeds `maxLocalMerge` rows it merges with the
+    * distributed [[Components.connectedComponents]] loop; once it fits
+    * (components shrink geometrically, so this is every round but the
+    * first few even at petabyte scale) a driver union-find resolves it
+    * in one pass — ~16 synchronous barriers saved per round on a graph
+    * whose remaining size is megabytes. Long-typed node ids take the
+    * driver path; any other id type always uses the distributed loop.
+    *
+    * Returns the forest edges `(src, dst, w, component)` with the final
+    * component label each edge belongs to — |V| − |components| rows, the
+    * certificate a caller can audit (cycle-free by construction, one
+    * component per input component). */
+  def boruvkaMsf(edges: DataFrame, maxRounds: Int = 20,
+      maxLocalMerge: Long = 2000000L): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 24)
+    val spark = edges.sparkSession
+    // canonical undirected weighted edges, deduped on (src,dst) keeping
+    // the min weight; self-loops dropped
+    val e0 = edges.toDF("src", "dst", "w")
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("w"))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .localCheckpoint(true)
+    var labels = e0.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct().select(col("node"), col("node").as("comp"))
+      .localCheckpoint(true)
+    // the surviving (still cross-component) edge table: an edge that went
+    // intra-component stays intra forever, so each round's filter SHRINKS
+    // the join input — in a connected graph most edges die in 1-2 rounds
+    var eCur = e0
+    var forest: DataFrame = null
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      round += 1
+      val cross = eCur
+        .join(labels.select(col("node").as("src"), col("comp").as("ca")),
+          Seq("src"))
+        .join(labels.select(col("node").as("dst"), col("comp").as("cb")),
+          Seq("dst"))
+        .filter(col("ca") =!= col("cb"))
+        .localCheckpoint(true) // reused: min-edge agg + next round's input
+      if (cross.isEmpty) done = true
+      else {
+        // each component's lightest outgoing edge, from either side; the
+        // struct carries (ca, cb) through the argmin so the merge step
+        // needs NO further join against the labels
+        val perComp = cross
+          .select(explode(array(col("ca"), col("cb"))).as("comp"),
+            struct(col("w"), col("src"), col("dst"),
+              col("ca"), col("cb")).as("e"))
+          .groupBy("comp").agg(min("e").as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"),
+            col("e.w").as("w"), col("e.ca").as("ca"), col("e.cb").as("cb"))
+          .distinct() // the same edge may be two components' minimum
+          .localCheckpoint(true)
+        // plain union: depth is ≤ maxRounds over already-checkpointed
+        // inputs, so no per-round materialization is needed here
+        forest = if (forest == null) perComp.select("src", "dst", "w")
+          else forest.unionByName(perComp.select("src", "dst", "w"))
+        // merge: components over the chosen-edge COMPONENT graph (≤ one
+        // edge per component — tiny relative to the input). Driver
+        // union-find once it fits; distributed loop while it doesn't.
+        val longIds = perComp.schema("ca").dataType ==
+          org.apache.spark.sql.types.LongType
+        val merged: DataFrame =
+          if (longIds && perComp.count() <= maxLocalMerge) {
+            val pairs = perComp.select(col("ca").cast("long"),
+              col("cb").cast("long"))
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            val parent = scala.collection.mutable.Map.empty[Long, Long]
+            def find(x: Long): Long = {
+              val p = parent.getOrElseUpdate(x, x)
+              if (p == x) x else { val r = find(p); parent(x) = r; r }
+            }
+            pairs.foreach { case (a, b) =>
+              val (ra, rb) = (find(a), find(b))
+              if (ra != rb) parent(ra) = rb
+            }
+            // deterministic labels: every member maps to its set's MIN
+            val minOf = scala.collection.mutable.Map.empty[Long, Long]
+            val members = parent.keys.toArray
+            members.foreach { m =>
+              val r = find(m)
+              minOf(r) = math.min(minOf.getOrElse(r, m), m)
+            }
+            import spark.implicits._
+            members.map(m => (m, minOf(find(m)))).toSeq
+              .toDF("node", "component")
+          } else Components.connectedComponents(
+            perComp.select("ca", "cb"), "ca", "cb")
+        labels = labels
+          .join(merged.withColumnRenamed("node", "comp"), Seq("comp"), "left")
+          .select(col("node"),
+            coalesce(col("component"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+        eCur = cross.select("src", "dst", "w")
+      }
+    }
+    if (forest == null) {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Double, Long)].toDF("src", "dst", "w", "component")
+    } else {
+      forest
+        .join(labels.select(col("node").as("src"), col("comp").as("component")),
+          Seq("src"))
+    }
+  }
+
   /** Adamic–Adar link prediction: for every non-adjacent node pair with
     * at least one common neighbour, score = Σ_{z ∈ Γ(a)∩Γ(b)} 1/ln(deg z)
     * — common neighbours weighted by how selective they are (a shared

@@ -595,6 +595,31 @@ object Profiling {
         max("_tot").as("total_weight"))
   }
 
+  /** Differentially-private count release (Laplace mechanism) with
+    * CONTENT-ADDRESSED noise: noise_g = Laplace(sensitivity/ε) drawn by
+    * inverse-CDF from the md5-uniform of `group:salt` — the same
+    * no-RNG-on-the-cluster discipline as every sampler here (a new salt
+    * is a fresh draw; the same salt replays bit-identically, so the
+    * release is auditable and engine-portable). Map-only after one count
+    * aggregate. For a real release drop `n_true` from the projection —
+    * it is returned so calibration tests (and the oracle) can check the
+    * mechanism; the DP guarantee is about `n_noisy` alone.
+    * Output: (group, n_true, n_noisy rounded 6 dp). */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+      salt: String, sensitivity: Double = 1.0): DataFrame = {
+    require(epsilon > 0, s"dpNoisyCounts: epsilon=$epsilon must be > 0")
+    // u in [0,1) from the first 13 hex chars (52 bits — exact in double)
+    val u = conv(substring(md5(concat_ws(":",
+      col("group").cast("string"), lit(salt))), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0) // 2^52
+    val centered = u - 0.5
+    val noise = (-lit(sensitivity / epsilon)) * signum(centered) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("n_noisy", round(col("n_true") + noise, 6))
+  }
+
   /** Spearman rank correlation per group: Pearson over fractional
     * (mid-) ranks, the tie-robust monotone-association measure —
     * [[correlationMatrix]]'s Pearson answers "linear", this answers

@@ -59,6 +59,118 @@ class FeatureEncodingSpec extends AnyFunSuite {
     assert(got == Set((1L, 3L, 1L, s), (2L, 4L, 1L, s)))
   }
 
+  private def kruskal(edges: Seq[(Long, Long, Double)])
+      : Set[(Long, Long, Double)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val mst = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    for (e <- edges.sortBy(t => (t._3, t._1, t._2))) {
+      val (ra, rb) = (find(e._1), find(e._2))
+      if (ra != rb) { parent(ra) = rb; mst += e }
+    }
+    mst.toSet
+  }
+
+  test("boruvkaMsf equals Kruskal on random graphs with unique weights") {
+    val rnd = new scala.util.Random(88)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      // random connected-ish graph + guaranteed unique weights
+      val raw = (for (_ <- 1 to n * 3) yield {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }).distinct.filter(e => e._1 != e._2)
+      val edges = raw.zipWithIndex.map { case ((a, b), i) =>
+        (a, b, 1.0 + ((i * 7919) % 10007).toDouble / 13.0)
+      }
+      val want = kruskal(edges)
+      // both merge paths: driver union-find and the distributed loop
+      for (localBound <- Seq(2000000L, 0L)) {
+        val got = Graphs.boruvkaMsf(edges.toDF("src", "dst", "w"),
+            maxLocalMerge = localBound)
+          .select("src", "dst", "w").as[(Long, Long, Double)]
+          .collect().toSet
+        assert(got == want,
+          s"trial $trial bound $localBound: got ${got.size} want ${want.size}")
+      }
+    }
+  }
+
+  test("boruvkaMsf: tie-heavy graph stays a forest (n_edges = n - components)") {
+    // complete-ish graph where EVERY weight is equal: the (w,src,dst)
+    // total order must still produce an acyclic spanning structure
+    val n = 12
+    val edges = (for (a <- 0L until n; b <- (a + 1) until n)
+      yield (a, b, 5.0)).toDF("src", "dst", "w")
+    val forest = Graphs.boruvkaMsf(edges)
+      .select("src", "dst").as[(Long, Long)].collect()
+    assert(forest.length == n - 1, s"got ${forest.length} edges")
+    // acyclic: union-find over the forest edges never joins joined roots
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- forest) {
+      assert(find(a) != find(b), s"cycle through ($a,$b)")
+      parent(find(a)) = find(b)
+    }
+    // two disjoint cliques -> exactly two trees
+    val twoComp = ((for (a <- 0L until 4; b <- (a + 1) until 4)
+      yield (a, b, 1.0)) ++
+      (for (a <- 10L until 14; b <- (a + 1) until 14)
+        yield (a, b, 1.0))).toDF("src", "dst", "w")
+    val f2 = Graphs.boruvkaMsf(twoComp)
+    assert(f2.count() == 6)
+    assert(f2.select("component").distinct().count() == 2)
+  }
+
+  test("dpNoisyCounts: replayable by salt, fresh by salt, calibrated scale") {
+    val df = (1 to 1000).map(i => ("g" + (i % 4), i)).toDF("g", "v")
+    val a = Profiling.dpNoisyCounts(df, "g", epsilon = 1.0, salt = "s1")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    val b = Profiling.dpNoisyCounts(df, "g", epsilon = 1.0, salt = "s1")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "same salt must replay bit-identically")
+    val c = Profiling.dpNoisyCounts(df, "g", epsilon = 1.0, salt = "s2")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(a.map(_._3).toSeq != c.map(_._3).toSeq,
+      "a fresh salt must be a fresh draw")
+    // Laplace(1/eps=1): |noise| < 14 with overwhelming probability
+    assert(a.forall(r => math.abs(r._3 - r._2) < 14.0))
+    assert(a.map(_._2).toSeq == Seq(250L, 250L, 250L, 250L))
+  }
+
+  test("patternNovelty: day one is all-new; a repeated day adds nothing new") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    def at(d: Int, m: Int) =
+      new java.sql.Timestamp(ts0.getTime + d * 86400000L + m * 60000L)
+    // user 1 repeats the same a>b>c day 1 and day 2; user 2 brings a new
+    // pattern x>y>z on day 2 only
+    val rows =
+      Seq((1L, 1L, at(0, 0), "a"), (1L, 2L, at(0, 1), "b"),
+        (1L, 3L, at(0, 2), "c"),
+        (1L, 4L, at(1, 0), "a"), (1L, 5L, at(1, 1), "b"),
+        (1L, 6L, at(1, 2), "c"),
+        (2L, 7L, at(1, 0), "x"), (2L, 8L, at(1, 1), "y"),
+        (2L, 9L, at(1, 2), "z"))
+    val df = rows.toDF("user_id", "event_id", "ts", "event_type")
+    val got = CorpusStats.patternNovelty(df, "user_id", "ts", "event_type",
+        "event_id")
+      .as[(java.sql.Date, Long, Long, Double)].collect().sortBy(_._1.getTime)
+    // NOTE: user 1's cross-day windows (b,c -> a of day 2 etc.) create
+    // extra patterns dated day 1 (window day = first event's day)
+    assert(got.length == 2)
+    val day1 = got(0); val day2 = got(1)
+    assert(day1._2 == day1._3, "every first-day pattern is new")
+    assert(day2._3 == 1L && day2._2 == 2L,
+      s"day 2: only x>y>z is new, a>b>c repeats: $day2")
+    assert(day2._4 == 0.5)
+  }
+
   test("adamicAdar: hub above maxDeg contributes no wedges") {
     // star: hub 0 connected to 1..5 (deg 5). With maxDeg=4 the hub is
     // dropped as a shared neighbour -> no predictions at all; with the
