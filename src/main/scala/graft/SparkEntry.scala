@@ -619,6 +619,25 @@ object SparkEntry {
           round(max("w"), 2).as("max_w"))
     }),
 
+    // ── strongly connected components (Orzan coloring: trim → forward
+    //    min-color → backward reach within color → peel): directed-cycle
+    //    structure of the alternating-direction part↔supplier graph;
+    //    iterative — rows-only, spec checks ≡ Tarjan ──
+    "q237_scc" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 11 === 0)
+      // alternate direction by orderkey parity so real cycles exist
+      val edges = li.select(
+        when(col("l_orderkey") % 2 === 0, col("l_partkey"))
+          .otherwise(col("l_suppkey") + 1000000L).as("src"),
+        when(col("l_orderkey") % 2 === 0, col("l_suppkey") + 1000000L)
+          .otherwise(col("l_partkey")).as("dst"))
+      graft.operators.Graphs.stronglyConnectedComponents(edges)
+        .groupBy("scc").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("scc_size"))
+        .agg(count(lit(1)).as("n_sccs"))
+        .orderBy("scc_size")
+    }),
+
     // ── Laplace-mechanism DP count release with content-addressed noise
     //    (md5 inverse-CDF — no RNG on the cluster, bit-replayable): the
     //    mechanism itself hash-checks against the oracle ──
@@ -626,6 +645,25 @@ object SparkEntry {
       graft.operators.Profiling.dpNoisyCounts(
           t(s, dir, "events"), "event_type", epsilon = 0.5, salt = "r8")
         .orderBy("group")),
+
+    // ── DP sum release: contributions clipped to [0, clip] (the clip,
+    //    not the data, sets the noise scale), Laplace(clip/ε) content-
+    //    addressed noise — same auditable md5 mechanism as q235 ──
+    "q238_dp_sums" -> ((s, dir) =>
+      graft.operators.Profiling.dpNoisySums(
+          t(s, dir, "events"), "event_type", "value",
+          clip = 50.0, epsilon = 1.0, salt = "r8s")
+        .orderBy("group")),
+
+    // ── exact ROC AUC per slice as the Mann–Whitney U over fractional
+    //    mid-ranks: two slice-keyed windows + one aggregate — one sort,
+    //    never the 10¹⁸-pair join ──
+    "q239_group_auc" -> ((s, dir) =>
+      graft.operators.Profiling.groupAuc(
+          t(s, dir, "events").withColumn("y",
+            (col("user_id") % 2 === 0).cast("int")),
+          "event_type", "value", "y")
+        .orderBy("slice")),
 
     // ── behavioural-pattern novelty curve: fraction of each day's
     //    event-type trigrams never seen on an earlier day — the drift-
@@ -5185,6 +5223,42 @@ object SparkEntry {
         |        WHEN uu - 0.5 > 0 THEN 1.0 ELSE 0.0 END) *
         |  ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS n_noisy
         |FROM u ORDER BY "group"""".stripMargin,
+    "q238_dp_sums" ->
+      """WITH c AS (
+        | SELECT event_type AS "group",
+        |  sum(greatest(least(value, 50.0), 0.0)) AS sum_clipped
+        | FROM events GROUP BY event_type),
+        |u AS (
+        | SELECT "group", sum_clipped,
+        |  CAST(CAST('0x' || substring(md5("group" || ':' || 'r8s'), 1, 13)
+        |    AS UBIGINT) AS DOUBLE) / 4503599627370496.0 AS uu
+        | FROM c)
+        |SELECT "group", round(sum_clipped, 6) AS sum_clipped,
+        | round(sum_clipped + (-(50.0 / 1.0)) *
+        |  (CASE WHEN uu - 0.5 < 0 THEN -1.0
+        |        WHEN uu - 0.5 > 0 THEN 1.0 ELSE 0.0 END) *
+        |  ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS sum_noisy
+        |FROM u ORDER BY "group"""".stripMargin,
+    "q239_group_auc" ->
+      """WITH base AS (
+        | SELECT event_type AS slice, value AS s,
+        |  CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS y
+        | FROM events WHERE value IS NOT NULL),
+        |r AS (
+        | SELECT slice, y,
+        |  rank() OVER (PARTITION BY slice ORDER BY s)
+        |   + (count(*) OVER (PARTITION BY slice, s) - 1) / 2.0 AS rr
+        | FROM base),
+        |agg AS (
+        | SELECT slice, CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST(sum(1 - y) AS BIGINT) AS n_neg,
+        |  sum(CASE WHEN y = 1 THEN rr END) AS rpos
+        | FROM r GROUP BY slice)
+        |SELECT slice, n_pos, n_neg,
+        | CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |  round((rpos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6)
+        | END AS auc
+        |FROM agg ORDER BY slice""".stripMargin,
     "q236_pattern_novelty" ->
       """WITH seq AS (
         | SELECT CAST(ts AS DATE) AS day, event_type AS a,

@@ -371,6 +371,123 @@ object Graphs {
     }
   }
 
+  /** Strongly connected components of a DIRECTED edge table — the
+    * Orzan coloring algorithm, the standard label-propagation SCC for
+    * vertex-centric engines (Tarjan's stack is inherently sequential):
+    * per peel round,
+    *   1. TRIM: nodes with no remaining in-edges or no remaining
+    *      out-edges are singleton SCCs (repeatedly — trimming exposes
+    *      more trims); on DAG-like graphs this alone finishes the job;
+    *   2. COLOR: propagate min node id FORWARD along edges to fixpoint
+    *      — color(v) = the smallest id that reaches v;
+    *   3. BACKWARD REACH: flag the color roots (v = color(v)) and
+    *      propagate the flag BACKWARD along edges restricted to equal
+    *      colors: the flagged set of color c is exactly the SCC of c
+    *      (reaches c forward by coloring, reached from c backward by
+    *      the flag);
+    *   4. peel the found SCCs out of the edge set and repeat.
+    * Every peel removes at least one SCC per color root, so `maxPeels`
+    * bounds rounds; all propagation loops are label-table shuffles with
+    * eager checkpoints (the kCore/components discipline). Returns
+    * (node, scc) with scc = min node id of the component. */
+  def stronglyConnectedComponents(edges: DataFrame, maxPeels: Int = 8,
+      maxPropRounds: Int = 40): DataFrame = {
+    require(maxPeels >= 1 && maxPeels <= 16)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    var result = Seq.empty[(Long, Long)].toDF("node", "scc")
+      .select(col("node").cast(e.schema("src").dataType),
+        col("scc").cast(e.schema("src").dataType))
+    var nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var peel = 0
+    while (peel < maxPeels && !nodes.isEmpty) {
+      peel += 1
+      // 1. trim to exhaustion: anything not on a cycle through both an
+      // in- and an out-edge peels as a singleton
+      var trimmed = true
+      while (trimmed) {
+        val keep = nodes
+          .join(e.select(col("src").as("node")).distinct(), Seq("node"),
+            "left_semi")
+          .join(e.select(col("dst").as("node")).distinct(), Seq("node"),
+            "left_semi")
+          .localCheckpoint(true)
+        val dropped = nodes.join(keep, Seq("node"), "left_anti")
+        trimmed = !dropped.isEmpty
+        if (trimmed) {
+          result = result
+            .unionByName(dropped.select(col("node"), col("node").as("scc")))
+            .localCheckpoint(true)
+          nodes = keep
+          e = e.join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+            .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .select("src", "dst").localCheckpoint(true)
+        }
+      }
+      if (!nodes.isEmpty) {
+        // 2. forward min-color propagation to fixpoint
+        var colors = nodes.select(col("node"), col("node").as("color"))
+          .localCheckpoint(true)
+        var it = 0; var stable = false
+        while (it < maxPropRounds && !stable) {
+          it += 1
+          val inbound = e
+            .join(colors.select(col("node").as("src"), col("color").as("c")),
+              Seq("src"))
+            .groupBy(col("dst").as("node")).agg(min("c").as("inC"))
+          val next = colors.join(inbound, Seq("node"), "left")
+            .select(col("node"),
+              least(col("color"), coalesce(col("inC"), col("color")))
+                .as("color"),
+              (col("inC") < col("color")).as("_chg"))
+            .localCheckpoint(true)
+          stable = next.filter(col("_chg")).isEmpty
+          colors = next.drop("_chg")
+        }
+        // 3. backward flag propagation within equal colors, from roots
+        val colored = e
+          .join(colors.select(col("node").as("src"), col("color").as("cs")),
+            Seq("src"))
+          .join(colors.select(col("node").as("dst"), col("color").as("cd")),
+            Seq("dst"))
+          .filter(col("cs") === col("cd"))
+          .select(col("src"), col("dst"), col("cs").as("color"))
+          .localCheckpoint(true)
+        var flagged = colors.filter(col("node") === col("color"))
+          .select(col("node"), col("color")).localCheckpoint(true)
+        it = 0; stable = false
+        while (it < maxPropRounds && !stable) {
+          it += 1
+          val reach = colored
+            .join(flagged.select(col("node").as("dst"),
+              col("color").as("fc")), Seq("dst"))
+            .filter(col("color") === col("fc"))
+            .select(col("src").as("node"), col("color")).distinct()
+          val grown = flagged.unionByName(reach).distinct()
+            .localCheckpoint(true)
+          stable = grown.count() == flagged.count()
+          flagged = grown
+        }
+        result = result
+          .unionByName(flagged.select(col("node"), col("color").as("scc")))
+          .localCheckpoint(true)
+        // 4. peel
+        nodes = nodes.join(flagged.select("node"), Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        e = e.join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .select("src", "dst").localCheckpoint(true)
+      }
+    }
+    require(nodes.isEmpty,
+      s"stronglyConnectedComponents: not converged within $maxPeels peels")
+    result
+  }
+
   /** Adamic–Adar link prediction: for every non-adjacent node pair with
     * at least one common neighbour, score = Σ_{z ∈ Γ(a)∩Γ(b)} 1/ln(deg z)
     * — common neighbours weighted by how selective they are (a shared

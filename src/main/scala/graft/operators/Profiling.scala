@@ -620,6 +620,54 @@ object Profiling {
       .withColumn("n_noisy", round(col("n_true") + noise, 6))
   }
 
+  /** Differentially-private SUM release: each row's contribution is
+    * CLIPPED to [0, clip] (the standard bounded-sensitivity trick — the
+    * clip bound, not the data, sets the noise scale), then Laplace
+    * noise with scale clip/ε is added per group, content-addressed like
+    * [[dpNoisyCounts]]. Output: (group, sum_clipped, sum_noisy 6 dp);
+    * drop `sum_clipped` for a real release. */
+  def dpNoisySums(df: DataFrame, groupCol: String, valueCol: String,
+      clip: Double, epsilon: Double, salt: String): DataFrame = {
+    require(epsilon > 0 && clip > 0)
+    val u = conv(substring(md5(concat_ws(":",
+      col("group").cast("string"), lit(salt))), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0)
+    val centered = u - 0.5
+    val noise = (-lit(clip / epsilon)) * signum(centered) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    df.groupBy(col(groupCol).as("group"))
+      .agg(sum(greatest(least(col(valueCol), lit(clip)), lit(0.0)))
+        .as("sum_clipped"))
+      .select(col("group"), round(col("sum_clipped"), 6).as("sum_clipped"),
+        round(col("sum_clipped") + noise, 6).as("sum_noisy"))
+  }
+
+  /** ROC AUC per slice for a score column against a binary label,
+    * computed exactly as the Mann–Whitney U statistic over fractional
+    * mid-ranks (the only correct treatment of tied scores):
+    * AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋) where R₊ = sum of positive
+    * ranks. Two slice-keyed windows + one aggregate — no pairwise join,
+    * so a slice with 10⁹ rows costs one sort, not 10¹⁸ pairs. Output:
+    * (slice, n_pos, n_neg, auc 6 dp); slices with one class yield null. */
+  def groupAuc(df: DataFrame, sliceCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val w = Window.partitionBy(sliceCol).orderBy(col(scoreCol))
+    val wt = Window.partitionBy(sliceCol, scoreCol)
+    val y = col(labelCol).cast("int")
+    val ranked = df
+      .filter(col(scoreCol).isNotNull && y.isin(0, 1))
+      .withColumn("_r",
+        rank().over(w) + (count(lit(1)).over(wt) - 1) / 2.0)
+    ranked.groupBy(col(sliceCol).as("slice"))
+      .agg(sum(y).cast("long").as("n_pos"),
+        sum(lit(1) - y).cast("long").as("n_neg"),
+        sum(when(y === 1, col("_r"))).as("_rpos"))
+      .withColumn("auc", when(col("n_pos") > 0 && col("n_neg") > 0,
+        round((col("_rpos") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
+          (col("n_pos") * col("n_neg")), 6)))
+      .drop("_rpos")
+  }
+
   /** Spearman rank correlation per group: Pearson over fractional
     * (mid-) ranks, the tie-robust monotone-association measure —
     * [[correlationMatrix]]'s Pearson answers "linear", this answers

@@ -40,4 +40,16 @@ class ComponentsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 3L, 3L), (10L, 2L, 11L)))
   }
+
+  test("pointer jumping: a 300-node path converges within O(log n) rounds") {
+    // pure min-label propagation needs ~300 rounds here; hooking +
+    // doubling must land the min (node 0) everywhere within 12 — the
+    // worst orientation (min at one END of the path) included
+    val edges = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Components.connectedComponents(edges, "id_a", "id_b",
+        maxIterations = 12)
+      .as[(Long, Long)].collect()
+    assert(got.length == 300 && got.forall(_._2 == 0L),
+      s"labels not converged: ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
 }

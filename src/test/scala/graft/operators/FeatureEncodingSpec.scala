@@ -128,6 +128,78 @@ class FeatureEncodingSpec extends AnyFunSuite {
     assert(f2.select("component").distinct().count() == 2)
   }
 
+  /** Iterative Tarjan (explicit stack — no recursion depth limit). */
+  private def tarjanScc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    for (start <- nodes if !index.contains(start)) {
+      // frames: (node, iterator over successors)
+      val frames = scala.collection.mutable.ArrayBuffer(
+        (start, adj.getOrElse(start, Seq.empty).iterator))
+      index(start) = counter; low(start) = counter; counter += 1
+      stack += start; onStack += start
+      while (frames.nonEmpty) {
+        val (v, it) = frames.last
+        if (it.hasNext) {
+          val w = it.next()
+          if (!index.contains(w)) {
+            index(w) = counter; low(w) = counter; counter += 1
+            stack += w; onStack += w
+            frames += ((w, adj.getOrElse(w, Seq.empty).iterator))
+          } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          frames.remove(frames.length - 1)
+          if (frames.nonEmpty) {
+            val p = frames.last._1
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var w = -1L
+            do {
+              w = stack.remove(stack.length - 1); onStack -= w
+              members += w
+            } while (w != v)
+            val m = members.min
+            members.foreach(comp(_) = m)
+          }
+        }
+      }
+    }
+    comp.toMap
+  }
+
+  test("scc: hand-traced two cycles bridged one-way plus a tail") {
+    // cycle A {1,2,3} -> one-way bridge -> cycle B {10,11}; 20 is a tail
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 10L),
+      (10L, 11L), (11L, 10L), (11L, 20L))
+    val got = Graphs.stronglyConnectedComponents(e.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("scc equals Tarjan on random directed graphs") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val n = 40 + 20 * trial
+      val e = (for (_ <- 1 to n * 2) yield
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val want = tarjanScc(e)
+      val got = Graphs.stronglyConnectedComponents(e.toDF("src", "dst"),
+          maxPeels = 16)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial: ${got.size} vs ${want.size}")
+    }
+  }
+
   test("dpNoisyCounts: replayable by salt, fresh by salt, calibrated scale") {
     val df = (1 to 1000).map(i => ("g" + (i % 4), i)).toDF("g", "v")
     val a = Profiling.dpNoisyCounts(df, "g", epsilon = 1.0, salt = "s1")
@@ -142,6 +214,40 @@ class FeatureEncodingSpec extends AnyFunSuite {
     // Laplace(1/eps=1): |noise| < 14 with overwhelming probability
     assert(a.forall(r => math.abs(r._3 - r._2) < 14.0))
     assert(a.map(_._2).toSeq == Seq(250L, 250L, 250L, 250L))
+  }
+
+  test("groupAuc: perfect separation 1.0, anti-separation 0.0, ties 0.5") {
+    val rows =
+      (1 to 5).map(i => ("sep", i + 10.0, 1)) ++
+        (1 to 5).map(i => ("sep", i.toDouble, 0)) ++     // pos all higher
+        (1 to 5).map(i => ("anti", i.toDouble, 1)) ++
+        (1 to 5).map(i => ("anti", i + 10.0, 0)) ++      // pos all lower
+        (1 to 4).map(_ => ("tie", 7.0, 1)) ++
+        (1 to 4).map(_ => ("tie", 7.0, 0))               // all tied
+    val got = Profiling.groupAuc(rows.toDF("slice", "s", "y"),
+        "slice", "s", "y")
+      .select("slice", "auc").as[(String, Double)].collect().toMap
+    assert(got == Map("sep" -> 1.0, "anti" -> 0.0, "tie" -> 0.5))
+    // single-class slice yields null, not a fabricated number
+    val one = Profiling.groupAuc(
+      Seq(("x", 1.0, 1), ("x", 2.0, 1)).toDF("slice", "s", "y"),
+      "slice", "s", "y").select("auc").collect()(0)
+    assert(one.isNullAt(0))
+  }
+
+  test("dpNoisySums: clipping bounds the release; replay is exact") {
+    val df = Seq(("a", 10.0), ("a", 1000.0), ("b", -5.0), ("b", 20.0))
+      .toDF("g", "v")
+    val got = Profiling.dpNoisySums(df, "g", "v", clip = 50.0,
+        epsilon = 1.0, salt = "z")
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    // a: 10 + min(1000,50) = 60; b: max(-5,0) + 20 = 20
+    assert(got.map(r => (r._1, r._2)).toSeq == Seq(("a", 60.0), ("b", 20.0)))
+    // Laplace(50/1): noise magnitude bounded in practice
+    assert(got.forall(r => math.abs(r._3 - r._2) < 50 * 14))
+    val again = Profiling.dpNoisySums(df, "g", "v", 50.0, 1.0, "z")
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == again.toSeq)
   }
 
   test("patternNovelty: day one is all-new; a repeated day adds nothing new") {
