@@ -646,6 +646,28 @@ object SparkEntry {
           t(s, dir, "events"), "event_type", epsilon = 0.5, salt = "r8")
         .orderBy("group")),
 
+    // ── incremental join maintenance: Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB —
+    //    the maintained view (base join + delta terms, base⋈base never
+    //    recomputed) must hash-equal the full recompute, which is
+    //    exactly what the oracle runs ──
+    "q240_join_ivm" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey",
+        "o_totalprice")
+      val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "o_custkey")
+      val (baseA, deltaA) = (o.filter(col("o_orderkey") % 7 =!= 0),
+        o.filter(col("o_orderkey") % 7 === 0))
+      val (baseB, deltaB) = (c.filter(col("o_custkey") % 5 =!= 0),
+        c.filter(col("o_custkey") % 5 === 0))
+      val view = baseA.join(baseB, Seq("o_custkey"))
+        .unionByName(graft.operators.Maintenance.incrementalJoinDelta(
+          baseA, deltaA, baseB, deltaB, "o_custkey"))
+      view.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ── DP sum release: contributions clipped to [0, clip] (the clip,
     //    not the data, sets the noise scale), Laplace(clip/ε) content-
     //    addressed noise — same auditable md5 mechanism as q235 ──
@@ -5223,6 +5245,13 @@ object SparkEntry {
         |        WHEN uu - 0.5 > 0 THEN 1.0 ELSE 0.0 END) *
         |  ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS n_noisy
         |FROM u ORDER BY "group"""".stripMargin,
+    // the FULL recompute — the identity the delta algebra must match
+    "q240_join_ivm" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+        | CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |   AS BIGINT) AS cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "q238_dp_sums" ->
       """WITH c AS (
         | SELECT event_type AS "group",

@@ -121,4 +121,23 @@ object Maintenance {
           .as("sum"))
       .filter(col("cnt") > 0)
   }
+
+  /** Incremental JOIN maintenance — the insert-delta algebra every
+    * materialized join view needs:
+    *
+    *   Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * Given the BASE snapshots and their insert deltas, returns exactly
+    * the join rows the maintained view must append — the recompute
+    * `(A∪ΔA) ⋈ (B∪ΔB)` never runs (that is the point: at 100 TB the
+    * base⋈base term is the whole job, and it is the term this identity
+    * avoids). Deltas are usually tiny, so both delta-sided joins
+    * broadcast; the one base-sided scan per term is join-key-partitioned
+    * with pushdown intact. Columns: left columns then right columns,
+    * join key once. */
+  def incrementalJoinDelta(baseA: DataFrame, deltaA: DataFrame,
+      baseB: DataFrame, deltaB: DataFrame, key: String): DataFrame =
+    deltaA.join(baseB, Seq(key))
+      .unionByName(baseA.join(deltaB, Seq(key)))
+      .unionByName(deltaA.join(deltaB, Seq(key)))
 }

@@ -216,6 +216,23 @@ class FeatureEncodingSpec extends AnyFunSuite {
     assert(a.map(_._2).toSeq == Seq(250L, 250L, 250L, 250L))
   }
 
+  test("incrementalJoinDelta: view + delta equals the full recompute") {
+    val rnd = new scala.util.Random(5)
+    val a = (1 to 200).map(i => (rnd.nextInt(30).toLong, i))
+    val b = (1 to 80).map(i => (rnd.nextInt(30).toLong, i * 1000))
+    val (baseA, deltaA) = a.partition(_._2 % 3 != 0)
+    val (baseB, deltaB) = b.partition(_._2 % 4 != 0)
+    def df(s: Seq[(Long, Int)], v: String) = s.toDF("k", v)
+    val view = df(baseA, "va").join(df(baseB, "vb"), Seq("k"))
+      .unionByName(Maintenance.incrementalJoinDelta(
+        df(baseA, "va"), df(deltaA, "va"),
+        df(baseB, "vb"), df(deltaB, "vb"), "k"))
+      .as[(Long, Int, Int)].collect().sorted.toSeq
+    val full = df(a, "va").join(df(b, "vb"), Seq("k"))
+      .as[(Long, Int, Int)].collect().sorted.toSeq
+    assert(view == full, s"view ${view.size} vs full ${full.size}")
+  }
+
   test("groupAuc: perfect separation 1.0, anti-separation 0.0, ties 0.5") {
     val rows =
       (1 to 5).map(i => ("sep", i + 10.0, 1)) ++
