@@ -646,6 +646,38 @@ object SparkEntry {
           t(s, dir, "events"), "event_type", epsilon = 0.5, salt = "r8")
         .orderBy("group")),
 
+    // ── GROUPING SETS with grouping_id: the one multi-granularity pass
+    //    (per (flag,status), per flag, grand total) a reporting layer
+    //    wants without three scans; completes q37's rollup family ──
+    "q241_grouping_sets" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.createOrReplaceTempView("q241_lineitem")
+      s.sql(
+        """SELECT l_returnflag AS flag, l_linestatus AS status,
+          |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |    AS BIGINT) AS cents
+          |FROM q241_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |  (l_returnflag), ())
+          |ORDER BY gid, flag NULLS FIRST, status NULLS FIRST""".stripMargin)
+    }),
+
+    // ── GDPR cascade delete (right-to-be-forgotten propagation): one
+    //    broadcast-able forget set anti-joins the fact table; the audit
+    //    proves survivor counts + that derived aggregates rebuilt clean ──
+    "q242_cascade_delete" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val forget = ev.select("user_id").distinct()
+        .filter(col("user_id") % 13 === 0)
+      val survivors = ev.join(forget, Seq("user_id"), "left_anti")
+      survivors.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
     // ── incremental join maintenance: Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB —
     //    the maintained view (base join + delta terms, base⋈base never
     //    recomputed) must hash-equal the full recompute, which is
@@ -5245,6 +5277,22 @@ object SparkEntry {
         |        WHEN uu - 0.5 > 0 THEN 1.0 ELSE 0.0 END) *
         |  ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS n_noisy
         |FROM u ORDER BY "group"""".stripMargin,
+    "q241_grouping_sets" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+        | CASE WHEN l_returnflag IS NULL AND l_linestatus IS NULL THEN 3
+        |      WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS gid,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |   AS BIGINT) AS cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        | (l_returnflag), ())
+        |ORDER BY gid, flag NULLS FIRST, status NULLS FIRST""".stripMargin,
+    "q242_cascade_delete" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id % 13 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the FULL recompute — the identity the delta algebra must match
     "q240_join_ivm" ->
       """SELECT c.c_mktsegment, count(*) AS n,
