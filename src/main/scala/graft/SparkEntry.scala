@@ -646,6 +646,33 @@ object SparkEntry {
           t(s, dir, "events"), "event_type", epsilon = 0.5, salt = "r8")
         .orderBy("group")),
 
+    // ── per-group multi-feature ridge/OLS via the RidgeAgg typed
+    //    Aggregator: the buffer is the (XᵀX, Xᵀy, n, Σy, Σy²) sufficient
+    //    statistics — O(k²) per group per partition on the wire no
+    //    matter the row count; the finish phase solves the k+1 system.
+    //    λ=0 here, so the fit restates as Cramer's rule over plain SQL
+    //    aggregates and the whole solve hash-checks ──
+    "q243_group_ridge" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.udaf
+      import s.implicits._
+      val ridge = udaf(new graft.functions.RidgeAgg(k = 2, lambda = 0.0))
+      t(s, dir, "events")
+        .select(col("event_type"),
+          array(
+            (unix_micros(col("ts")).cast("double") / lit(86400e6)
+              - lit(19700.0)).as("x1"),
+            (col("user_id") % 10).cast("double").as("x2")).as("xs"),
+          col("value").as("y"))
+        .groupBy(col("event_type").as("slice"))
+        .agg(ridge(col("xs"), col("y")).as("fit"))
+        .select(col("slice"), col("fit.n").as("n"),
+          round(element_at(col("fit.coeffs"), 1), 6).as("b1"),
+          round(element_at(col("fit.coeffs"), 2), 6).as("b2"),
+          round(col("fit.intercept"), 6).as("intercept"),
+          round(col("fit.r2"), 6).as("r2"))
+        .orderBy("slice")
+    }),
+
     // ── GROUPING SETS with grouping_id: the one multi-granularity pass
     //    (per (flag,status), per flag, grand total) a reporting layer
     //    wants without three scans; completes q37's rollup family ──
@@ -5277,6 +5304,45 @@ object SparkEntry {
         |        WHEN uu - 0.5 > 0 THEN 1.0 ELSE 0.0 END) *
         |  ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS n_noisy
         |FROM u ORDER BY "group"""".stripMargin,
+    // Cramer's rule over the 3x3 normal equations [x1, x2, 1]·β = y —
+    // the same sufficient statistics RidgeAgg accumulates, restated as
+    // plain aggregates; r² from SSE = Σy² − 2βᵀXᵀy + βᵀXᵀXβ
+    "q243_group_ridge" ->
+      """WITH b AS (
+        | SELECT event_type AS slice,
+        |  CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 - 19700.0 AS x1,
+        |  CAST(user_id % 10 AS DOUBLE) AS x2, value AS y
+        | FROM events),
+        |m AS (
+        | SELECT slice, count(*) AS n,
+        |  sum(x1*x1) AS a, sum(x1*x2) AS bb, sum(x1) AS c,
+        |  sum(x2*x2) AS d, sum(x2) AS e, CAST(count(*) AS DOUBLE) AS f,
+        |  sum(x1*y) AS p, sum(x2*y) AS q, sum(y) AS r,
+        |  sum(y*y) AS syy
+        | FROM b GROUP BY slice),
+        |s AS (
+        | SELECT slice, n, p, q, r, syy, c AS sx1, e AS sx2,
+        |  a*(d*f - e*e) - bb*(bb*f - c*e) + c*(bb*e - c*d) AS det,
+        |  p*(d*f - e*e) - q*(bb*f - c*e) + r*(bb*e - c*d) AS det1,
+        |  a*(q*f - e*r) - p*(bb*f - e*c) + c*(bb*r - q*c) AS det2,
+        |  a*(d*r - q*e) - bb*(bb*r - q*c) + p*(bb*e - d*c) AS det3,
+        |  a, bb, c, d, e, f
+        | FROM m),
+        |fit AS (
+        | SELECT slice, n, det1/det AS b1, det2/det AS b2, det3/det AS b0,
+        |  p, q, r, syy, a, bb, c, d, e, f
+        | FROM s),
+        |metr AS (
+        | SELECT slice, n, b1, b2, b0,
+        |  syy - 2*(b1*p + b2*q + b0*r)
+        |   + (b1*b1*a + b2*b2*d + b0*b0*f
+        |      + 2*b1*b2*bb + 2*b1*b0*c + 2*b2*b0*e) AS sse,
+        |  syy - r*r/n AS sst
+        | FROM fit)
+        |SELECT slice, n, round(b1, 6) AS b1, round(b2, 6) AS b2,
+        | round(b0, 6) AS intercept,
+        | CASE WHEN sst > 0 THEN round(1.0 - sse/sst, 6) END AS r2
+        |FROM metr ORDER BY slice""".stripMargin,
     "q241_grouping_sets" ->
       """SELECT l_returnflag AS flag, l_linestatus AS status,
         | CASE WHEN l_returnflag IS NULL AND l_linestatus IS NULL THEN 3
