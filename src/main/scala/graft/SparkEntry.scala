@@ -646,6 +646,41 @@ object SparkEntry {
           t(s, dir, "events"), "event_type", epsilon = 0.5, salt = "r8")
         .orderBy("group")),
 
+    // ── unpivot (melt): wide measure columns back to tidy (key,
+    //    metric, value) rows — q88's pivot inverse, the reshape pair
+    //    every feature table round-trips through; map-only expand ──
+    "q244_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+          sum(round(col("l_discount") * 100).cast("long")).as("discount_cents"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+      wide.unpivot(Array(col("flag")),
+          Array(col("price_cents"), col("discount_cents"), col("qty")),
+          "metric", "value")
+        .orderBy("flag", "metric")
+    }),
+
+    // ── golden-record survivorship (MDM merge): per entity, each FIELD
+    //    independently takes the latest non-null value by (ts, event_id)
+    //    — one max-struct aggregate per field, no window, no self-join ──
+    "q245_golden_record" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      // treat events as field observations: value observed always,
+      // props observed only when non-empty — fields age independently
+      def latest(c: org.apache.spark.sql.Column) =
+        max(when(c.isNotNull,
+          struct(col("ts"), col("event_id"), c.as("v"))))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_obs"),
+          round(latest(col("value")).getField("v"), 4).as("latest_value"),
+          latest(nullif(col("event_type"), lit("error")))
+            .getField("v").as("latest_type"),
+          unix_micros(max(col("ts"))).as("last_seen_us"))
+        .orderBy("user_id")
+    }),
+
     // ── per-group multi-feature ridge/OLS via the RidgeAgg typed
     //    Aggregator: the buffer is the (XᵀX, Xᵀy, n, Σy, Σy²) sufficient
     //    statistics — O(k²) per group per partition on the wire no
@@ -5304,6 +5339,42 @@ object SparkEntry {
         |        WHEN uu - 0.5 > 0 THEN 1.0 ELSE 0.0 END) *
         |  ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS n_noisy
         |FROM u ORDER BY "group"""".stripMargin,
+    "q244_unpivot" ->
+      """WITH wide AS (
+        | SELECT l_returnflag AS flag,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS price_cents,
+        |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+        |    AS BIGINT) AS discount_cents,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        | FROM lineitem GROUP BY 1)
+        |SELECT flag, 'price_cents' AS metric, price_cents AS value
+        | FROM wide
+        |UNION ALL SELECT flag, 'discount_cents', discount_cents FROM wide
+        |UNION ALL SELECT flag, 'qty', qty FROM wide
+        |ORDER BY flag, metric""".stripMargin,
+    "q245_golden_record" ->
+      """WITH v1 AS (
+        | SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events WHERE value IS NOT NULL),
+        |t1 AS (
+        | SELECT user_id, event_type, row_number() OVER (
+        |   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events WHERE event_type IS NOT NULL
+        |   AND event_type <> 'error'),
+        |base AS (
+        | SELECT user_id, count(*) AS n_obs,
+        |  epoch_us(max(ts)) AS last_seen_us
+        | FROM events GROUP BY user_id)
+        |SELECT b.user_id, b.n_obs, round(v.value, 4) AS latest_value,
+        | t.event_type AS latest_type, b.last_seen_us
+        |FROM base b
+        |LEFT JOIN (SELECT user_id, value FROM v1 WHERE rn = 1) v
+        |  USING (user_id)
+        |LEFT JOIN (SELECT user_id, event_type FROM t1 WHERE rn = 1) t
+        |  USING (user_id)
+        |ORDER BY b.user_id""".stripMargin,
     // Cramer's rule over the 3x3 normal equations [x1, x2, 1]·β = y —
     // the same sufficient statistics RidgeAgg accumulates, restated as
     // plain aggregates; r² from SSE = Σy² − 2βᵀXᵀy + βᵀXᵀXβ

@@ -447,6 +447,21 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), s"shuffled/quadratic join:\n$plan")
   }
 
+  test("q243 ridge: ONE aggregate pass — no join, no window, partial+final " +
+      "HashAggregate pair over the scan") {
+    val plan = finalPlanOf(
+      graft.SparkEntry.queries("q243_group_ridge")(spark, sf))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"normal-equations fit must be a single aggregate pass:\n$plan")
+  }
+
+  test("q240 join IVM: no cartesian/nested-loop anywhere in the delta algebra") {
+    val plan = planOf(graft.SparkEntry.queries("q240_join_ivm")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"delta terms must stay equi-joins:\n$plan")
+  }
+
   test("q224 skyline: no quadratic join anywhere — the sweep is windows " +
       "plus one broadcast of the bucket table") {
     val plan = planOf(
