@@ -646,6 +646,33 @@ object SparkEntry {
           t(s, dir, "events"), "event_type", epsilon = 0.5, salt = "r8")
         .orderBy("group")),
 
+    // ── orthogonal Procrustes alignment: recover the rotation between
+    //    two embedding spaces (old→new model migration). Here space B is
+    //    a planted coordinate permutation of A (orthogonal by
+    //    construction); the audit shows raw vs aligned agreement.
+    //    Driver SVD of the d×d cross-covariance → rows-only ──
+    "q246_procrustes" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings").limit(2000)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("x"))
+      // planted orthogonal map: cyclic shift of coordinates by 1
+      val shifted = emb.select(col("vec_id"),
+        concat(slice(col("x"), 2, 10000), slice(col("x"), 1, 1)).as("y"))
+      val r = Similarity.procrustesRotation(
+        emb.withColumnRenamed("x", "embedding"),
+        shifted.withColumnRenamed("y", "embedding"), "vec_id", "embedding")
+      val aligned = Similarity.applyRotation(emb, "x", r, "x_aligned")
+        .join(shifted, Seq("vec_id"))
+      aligned.agg(count(lit(1)).as("n_pairs"),
+        round(avg(graft.plans.GraftFunctions.cosine_sim(
+          col("x").cast("array<float>"), col("y").cast("array<float>"))), 3)
+          .as("mean_cos_raw"),
+        round(avg(graft.plans.GraftFunctions.cosine_sim(
+          col("x_aligned").cast("array<float>"),
+          col("y").cast("array<float>"))), 3).as("mean_cos_aligned"))
+    }),
+
     // ── unpivot (melt): wide measure columns back to tidy (key,
     //    metric, value) rows — q88's pivot inverse, the reshape pair
     //    every feature table round-trips through; map-only expand ──

@@ -498,6 +498,115 @@ object Similarity {
     bestInB.join(bestInA, Seq("id_a", "id_b"))
   }
 
+  /** Orthogonal Procrustes alignment between two embedding spaces: the
+    * rotation R = U·Vᵀ (from SVD(XᵀY) = U·Σ·Vᵀ) minimising ‖X·R − Y‖²
+    * over orthogonal matrices — how embeddings from an old model version
+    * map into a new model's space so ANN indexes, centroids and
+    * thresholds survive a model upgrade (also the classic bilingual
+    * word-vector alignment).
+    *
+    * Distribution shape: the d×d cross-covariance XᵀY accumulates as ONE
+    * positional-explode aggregate over the paired corpus (d² cells —
+    * model-sized, like the k-means centroid table); the SVD runs on the
+    * driver via two Jacobi eigendecompositions (d ≤ 256 enforced), and
+    * the rotation applies map-only. Pairs join on `idCol`.
+    *
+    * Returns (R, alignment table): `alignProcrustes` gives the rotation
+    * matrix; callers apply it with [[applyRotation]]. */
+  def procrustesRotation(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String): Array[Array[Double]] = {
+    val xa = a.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_x"))
+    val xb = b.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_y"))
+    val paired = xa.join(xb, Seq("_id"))
+    // d×d cross-covariance cells: posexplode both sides once
+    val cells = paired
+      .select(posexplode(col("_x")).as(Seq("i", "xi")), col("_y"))
+      .select(col("i"), col("xi"), posexplode(col("_y")).as(Seq("j", "yj")))
+      .groupBy("i", "j").agg(sum(col("xi") * col("yj")).as("m"))
+      .collect()
+    val d = cells.map(_.getInt(0)).max + 1
+    require(d <= 256, s"procrustes: dim $d > 256 (driver SVD bound)")
+    val m = Array.ofDim[Double](d, d)
+    cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    // SVD via eigendecomposition: MᵀM = V Σ² Vᵀ, U = M V Σ⁻¹; R = U Vᵀ
+    val mtm = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(k => m(k)(i) * m(k)(j)).sum)
+    val (evals, v) = jacobiEigen(mtm)
+    val r = Array.ofDim[Double](d, d)
+    // U column k = M v_k / σ_k; R = Σ_k u_k v_kᵀ
+    for (k <- 0 until d) {
+      val sigma = math.sqrt(math.max(evals(k), 0.0))
+      if (sigma > 1e-12) {
+        val u = Array.tabulate(d)(i =>
+          (0 until d).map(c => m(i)(c) * v(c)(k)).sum / sigma)
+        for (i <- 0 until d; j <- 0 until d) r(i)(j) += u(i) * v(j)(k)
+      }
+    }
+    r
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a small symmetric matrix:
+    * returns (eigenvalues, eigenvector columns). Deterministic sweep
+    * order; converges quadratically — 30 sweeps is far past double
+    * precision for d ≤ 256. */
+  private[operators] def jacobiEigen(sym: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = sym.length
+    val a = sym.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 30 && off > 1e-24) {
+      off = 0.0
+      for (p <- 0 until d - 1; q <- p + 1 until d) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-300) {
+          val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+          val t = math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1)) match {
+              case 0.0 => 1.0 // theta == 0 -> t = 1
+              case x => x
+            }
+          val c = 1 / math.sqrt(t * t + 1); val s = t * c
+          for (i <- 0 until d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+          }
+          for (j <- 0 until d) {
+            val apj = a(p)(j); val aqj = a(q)(j)
+            a(p)(j) = c * apj - s * aqj
+            a(q)(j) = s * apj + c * aqj
+          }
+          for (i <- 0 until d) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Apply a rotation matrix (broadcast as a literal) to an embedding
+    * column, map-only: out_j = Σ_i in_i · R(i)(j). */
+  def applyRotation(df: DataFrame, vecCol: String,
+      r: Array[Array[Double]], outCol: String): DataFrame = {
+    val d = r.length
+    val rot = array((0 until d).map { j =>
+      array((0 until d).map(i => lit(r(i)(j))): _*)
+    }: _*) // rot(j) = column j of R
+    df.withColumn(outCol,
+      transform(rot, colJ =>
+        aggregate(
+          zip_with(col(vecCol).cast("array<double>"), colJ, (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x)))
+  }
+
   /** Per-dimension statistics of an embedding column — the whitening /
     * normalization table (mean for centering, std for scaling, min/max
     * for clip audits) every embedding pipeline fits before indexing.

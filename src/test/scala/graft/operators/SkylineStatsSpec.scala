@@ -128,6 +128,41 @@ class SkylineStatsSpec extends AnyFunSuite {
     assert(got.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("procrustes recovers a planted rotation to machine precision") {
+    val d = 4
+    // planted rotation: product of two Givens rotations (orthogonal)
+    def givens(p: Int, q: Int, th: Double): Array[Array[Double]] = {
+      val g = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+      g(p)(p) = math.cos(th); g(q)(q) = math.cos(th)
+      g(p)(q) = -math.sin(th); g(q)(p) = math.sin(th)
+      g
+    }
+    def matmul(a: Array[Array[Double]], b: Array[Array[Double]]) =
+      Array.tabulate(d, d)((i, j) =>
+        (0 until d).map(k => a(i)(k) * b(k)(j)).sum)
+    val rTrue = matmul(givens(0, 2, 0.7), givens(1, 3, -1.1))
+    val rnd = new scala.util.Random(21)
+    val xs = (1 to 300).map(i =>
+      (i.toLong, Seq.fill(d)(rnd.nextDouble() * 2 - 1)))
+    val ys = xs.map { case (id, x) =>
+      (id, (0 until d).map(j =>
+        (0 until d).map(i => x(i) * rTrue(i)(j)).sum).toSeq)
+    }
+    val a = xs.toDF("vec_id", "embedding")
+    val b = ys.toDF("vec_id", "embedding")
+    val r = Similarity.procrustesRotation(a, b, "vec_id", "embedding")
+    for (i <- 0 until d; j <- 0 until d)
+      assert(math.abs(r(i)(j) - rTrue(i)(j)) < 1e-8,
+        s"R($i)($j)=${r(i)(j)} want ${rTrue(i)(j)}")
+    // applyRotation(x, R) reproduces y
+    val applied = Similarity.applyRotation(a, "embedding", r, "out")
+      .select("vec_id", "out").as[(Long, Seq[Double])].collect().toMap
+    val yMap = ys.toMap
+    assert(applied.forall { case (id, v) =>
+      v.zip(yMap(id)).forall { case (u, w) => math.abs(u - w) < 1e-8 }
+    })
+  }
+
   test("jsDivergenceMatrix: identical slices give 0, disjoint vocab gives 1") {
     val docs = Seq(
       ("a", "x y z"), ("a", "x y"),
