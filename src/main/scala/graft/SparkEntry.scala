@@ -646,6 +646,35 @@ object SparkEntry {
           t(s, dir, "events"), "event_type", epsilon = 0.5, salt = "r8")
         .orderBy("group")),
 
+    // ── distributed PCA: covariance = one posexplode-pair aggregate
+    //    (model-sized), driver Jacobi eigen, map-only score projection;
+    //    the audit shows per-component score variance ≡ eigenvalue.
+    //    Iterative driver eigen → rows-only ──
+    "q247_pca" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val (means, evals, comps) = Similarity.pcaFit(emb, "embedding", 4)
+      val meansLit = array(means.map(lit(_)): _*)
+      val centered = emb.withColumn("_c",
+        zip_with(col("embedding").cast("array<double>"), meansLit,
+          (x, m) => x - m))
+      val scores = Similarity.applyRotation(centered, "_c", comps, "pc")
+      val total = evals.sum
+      val perComp = scores
+        .select(posexplode(col("pc")).as(Seq("component", "score")))
+        .groupBy("component")
+        .agg(round(variance(col("score")), 4).as("score_var"),
+          count(lit(1)).as("n"))
+      val evTable = evals.zipWithIndex
+        .map { case (e, i) => (i, BigDecimal(e).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .toSeq.toDF("component", "eigenvalue")
+      perComp.join(broadcast(evTable), Seq("component"))
+        .select(col("component").cast("long").as("component"), col("n"),
+          col("eigenvalue"), col("score_var"))
+        .orderBy("component")
+    }),
+
     // ── orthogonal Procrustes alignment: recover the rotation between
     //    two embedding spaces (old→new model migration). Here space B is
     //    a planted coordinate permutation of A (orthogonal by

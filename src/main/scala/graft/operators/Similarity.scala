@@ -592,19 +592,73 @@ object Similarity {
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 
-  /** Apply a rotation matrix (broadcast as a literal) to an embedding
-    * column, map-only: out_j = Σ_i in_i · R(i)(j). */
+  /** Apply a (possibly rectangular, dIn×dOut) linear map as a literal,
+    * map-only: out_j = Σ_i in_i · R(i)(j). Square R = rotation;
+    * rectangular R = projection (PCA scores). */
   def applyRotation(df: DataFrame, vecCol: String,
       r: Array[Array[Double]], outCol: String): DataFrame = {
-    val d = r.length
-    val rot = array((0 until d).map { j =>
-      array((0 until d).map(i => lit(r(i)(j))): _*)
+    val dIn = r.length
+    val dOut = r(0).length
+    val rot = array((0 until dOut).map { j =>
+      array((0 until dIn).map(i => lit(r(i)(j))): _*)
     }: _*) // rot(j) = column j of R
     df.withColumn(outCol,
       transform(rot, colJ =>
         aggregate(
           zip_with(col(vecCol).cast("array<double>"), colJ, (x, w) => x * w),
           lit(0.0), (acc, x) => acc + x)))
+  }
+
+  /** Distributed PCA of an embedding column: the d×d covariance
+    * accumulates as ONE posexplode-pair aggregate (model-sized, the
+    * k-means/Procrustes discipline — the corpus never moves); the
+    * eigendecomposition runs driver-side via cyclic Jacobi (d ≤ 256
+    * enforced); components come back sorted by eigenvalue desc with a
+    * deterministic sign convention (largest-|loading| coordinate made
+    * positive, ties to the lower index). Returns (means, eigenvalues,
+    * components) where components(i)(k) = loading of input dim i on
+    * component k — feed it straight to [[applyRotation]] for scores. */
+  def pcaFit(emb: DataFrame, vecCol: String, k: Int)
+      : (Array[Double], Array[Double], Array[Array[Double]]) = {
+    val x = emb.select(col(vecCol).cast("array<double>").as("_x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = x
+      .select(posexplode(col("_x")).as(Seq("i", "xi")), col("_x"))
+      .select(col("i"), col("xi"), posexplode(col("_x")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("sxy"),
+        count(lit(1)).as("_c"))
+      .collect()
+    val sums = x.select(posexplode(col("_x")).as(Seq("i", "xi")))
+      .groupBy("i").agg(sum("xi").as("s"), count(lit(1)).as("n"))
+      .collect()
+    x.unpersist()
+    val d = sums.map(_.getInt(0)).max + 1
+    require(k >= 1 && k <= d && d <= 256,
+      s"pcaFit: k=$k, dim=$d outside bounds (d ≤ 256 driver eigen)")
+    val n = sums(0).getLong(2).toDouble
+    val mean = new Array[Double](d)
+    sums.foreach(r => mean(r.getInt(0)) = r.getDouble(1) / n)
+    val cov = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val (i, j, s) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      val c = (s - n * mean(i) * mean(j)) / (n - 1)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (evals, v) = jacobiEigen(cov)
+    val order = evals.indices.sortBy(i => -evals(i)).take(k)
+    val comps = Array.ofDim[Double](d, k)
+    val outEvals = new Array[Double](k)
+    for ((src, dst) <- order.zipWithIndex) {
+      outEvals(dst) = evals(src)
+      // sign convention: the largest-|loading| coordinate positive
+      val colV = Array.tabulate(d)(i => v(i)(src))
+      val pivot = colV.indices.maxBy(i =>
+        (math.abs(colV(i)), -i)) // ties -> lower index
+      val sgn = if (colV(pivot) < 0) -1.0 else 1.0
+      for (i <- 0 until d) comps(i)(dst) = sgn * colV(i)
+    }
+    (mean, outEvals, comps)
   }
 
   /** Per-dimension statistics of an embedding column — the whitening /

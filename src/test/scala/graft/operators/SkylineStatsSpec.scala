@@ -163,6 +163,37 @@ class SkylineStatsSpec extends AnyFunSuite {
     })
   }
 
+  test("pcaFit: planted 2-factor data — top-2 components carry everything") {
+    val rnd = new scala.util.Random(11)
+    val u = Array(0.6, 0.0, 0.8, 0.0, 0.0) // orthonormal pair
+    val v = Array(0.0, 1.0, 0.0, 0.0, 0.0)
+    val rows = (1 to 400).map { i =>
+      val a = rnd.nextGaussian() * 3; val b = rnd.nextGaussian()
+      (i.toLong, (0 until 5).map(j => a * u(j) + b * v(j)).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (means, evals, comps) = Similarity.pcaFit(df, "embedding", 5)
+    assert(evals(0) > evals(1) && evals(1) > 1e-6,
+      s"expected two real components: ${evals.toSeq}")
+    assert(evals.drop(2).forall(math.abs(_) < 1e-9),
+      s"rank-2 data must have zero tail eigenvalues: ${evals.toSeq}")
+    // score variance per component equals the eigenvalue
+    val meansLit = array(means.map(lit(_)): _*)
+    val centered = df.withColumn("_c",
+      zip_with(col("embedding").cast("array<double>"), meansLit,
+        (x, m) => x - m))
+    val sv = Similarity.applyRotation(centered, "_c", comps, "pc")
+      .select(posexplode(col("pc")).as(Seq("k", "s")))
+      .groupBy("k").agg(variance(col("s")).as("v"))
+      .as[(Int, Double)].collect().toMap
+    for (k <- 0 until 2)
+      assert(math.abs(sv(k) - evals(k)) < 1e-8, s"k=$k ${sv(k)} vs ${evals(k)}")
+    // components are unit-norm and orthogonal
+    def dot(a: Int, b: Int) = (0 until 5).map(i => comps(i)(a) * comps(i)(b)).sum
+    assert(math.abs(dot(0, 0) - 1) < 1e-9 && math.abs(dot(1, 1) - 1) < 1e-9)
+    assert(math.abs(dot(0, 1)) < 1e-9)
+  }
+
   test("jsDivergenceMatrix: identical slices give 0, disjoint vocab gives 1") {
     val docs = Seq(
       ("a", "x y z"), ("a", "x y"),
