@@ -646,6 +646,65 @@ object SparkEntry {
           t(s, dir, "events"), "event_type", epsilon = 0.5, salt = "r8")
         .orderBy("group")),
 
+    // ── streaming CDC apply loop: an ordered changeset stream (update /
+    //    delete / insert micro-batches) folds into a keyed state table
+    //    via foreachBatch + mergeApply — the production materialized-
+    //    table maintenance loop; the final state hash-equals the oracle's
+    //    direct algebra over the full changeset ──
+    "q248_stream_merge_apply" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q248_").toString
+      def stamp(minute: Int): Unit = {
+        val ft = java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + minute * 60000L)
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        try ls.forEach { p =>
+          val mt = java.nio.file.Files.getLastModifiedTime(p).toMillis
+          if (mt > 1700000000000L + (minute - 1) * 60000L + 59000L ||
+            mt < 1700000000000L)
+            java.nio.file.Files.setLastModifiedTime(p, ft)
+        } finally ls.close()
+      }
+      // batch 1: +100 balance updates; batch 2: deletes; batch 3: inserts
+      cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit(false).as("del"),
+          (col("c_acctbal") + 100).as("c_acctbal"), col("c_mktsegment"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      stamp(0)
+      cust.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"), lit(true).as("del"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .coalesce(1).write.mode("append").parquet(tmp)
+      stamp(1)
+      cust.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit(false).as("del"), round(col("c_acctbal") * 2, 2).as("c_acctbal"),
+          lit("NEW").as("c_mktsegment"))
+        .coalesce(1).write.mode("append").parquet(tmp)
+      stamp(2)
+      val schema = s.read.parquet(tmp).schema
+      var state = cust.localCheckpoint(true)
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            state = graft.operators.Maintenance
+              .mergeApply(state, batch, "c_custkey", "del")
+              .localCheckpoint(true)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      state.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ── distributed PCA: covariance = one posexplode-pair aggregate
     //    (model-sized), driver Jacobi eigen, map-only score projection;
     //    the audit shows per-component score variance ≡ eigenvalue.
@@ -5395,6 +5454,23 @@ object SparkEntry {
         |        WHEN uu - 0.5 > 0 THEN 1.0 ELSE 0.0 END) *
         |  ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS n_noisy
         |FROM u ORDER BY "group"""".stripMargin,
+    // the direct algebra over the ordered changeset the stream applied:
+    // updates (%7), then deletes (%11), then inserts (%13 as new keys)
+    "q248_stream_merge_apply" ->
+      """WITH upd AS (
+        | SELECT c_custkey,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+        |       ELSE c_acctbal END AS bal,
+        |  c_mktsegment
+        | FROM customer WHERE c_custkey % 11 <> 0),
+        |ins AS (
+        | SELECT c_custkey + 1000000 AS c_custkey,
+        |  round(c_acctbal * 2, 2) AS bal, 'NEW' AS c_mktsegment
+        | FROM customer WHERE c_custkey % 13 = 0),
+        |fin AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT c_mktsegment, count(*) AS n,
+        | CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM fin GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q244_unpivot" ->
       """WITH wide AS (
         | SELECT l_returnflag AS flag,
