@@ -646,6 +646,62 @@ object SparkEntry {
           t(s, dir, "events"), "event_type", epsilon = 0.5, salt = "r8")
         .orderBy("group")),
 
+    // ── streaming EWMA control chart (transformWithState): per-series
+    //    Welford-EW mean+variance in state, k·σ alerts; the stream runs
+    //    against time-ordered batches and the query itself audits
+    //    stream ≡ batch (same alerts from the one-pass batch fold).
+    //    Recursive recurrence → rows-only ──
+    "q249_stream_control_chart" -> ((s, dir) => {
+      import graft.streaming.ControlChart
+      import s.implicits._
+      val obs = t(s, dir, "events")
+        .select(col("user_id").as("series"), unix_micros(col("ts")).as("ts"),
+          col("event_id"), col("value").as("x"))
+        .as[ControlChart.Obs]
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q249_").toString
+      def stamp(minute: Int): Unit = {
+        val ft = java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + minute * 60000L)
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        try ls.forEach { p =>
+          val mt = java.nio.file.Files.getLastModifiedTime(p).toMillis
+          if (mt > 1700000000000L + (minute - 1) * 60000L + 59000L ||
+            mt < 1700000000000L)
+            java.nio.file.Files.setLastModifiedTime(p, ft)
+        } finally ls.close()
+      }
+      // three time-ordered batches (the chart is order-defined, so batch
+      // boundaries must respect event time — as any log replay does)
+      val cut1 = obs.stat.approxQuantile("ts", Array(0.33), 0.0)(0)
+      val cut2 = obs.stat.approxQuantile("ts", Array(0.66), 0.0)(0)
+      obs.filter(col("ts") <= cut1).coalesce(1)
+        .write.mode("overwrite").parquet(tmp); stamp(0)
+      obs.filter(col("ts") > cut1 && col("ts") <= cut2).coalesce(1)
+        .write.mode("append").parquet(tmp); stamp(1)
+      obs.filter(col("ts") > cut2).coalesce(1)
+        .write.mode("append").parquet(tmp); stamp(2)
+      val schema = s.read.parquet(tmp).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+        .as[ControlChart.Obs]
+      val streamed = withStatePartitions(s, 4) {
+        ControlChart.runChart(stream, alpha = 0.3, k = 3.0, minObs = 5,
+          "q249_alerts")
+      }
+      val batch = ControlChart.batchAlerts(obs, 0.3, 3.0, 5).toDF()
+      val a = streamed.groupBy("series")
+        .agg(count(lit(1)).as("n_alerts_stream"))
+      val b = batch.groupBy("series")
+        .agg(count(lit(1)).as("n_alerts_batch"))
+      a.join(b, Seq("series"), "full_outer")
+        .select(col("series"),
+          coalesce(col("n_alerts_stream"), lit(0L)).as("n_alerts_stream"),
+          coalesce(col("n_alerts_batch"), lit(0L)).as("n_alerts_batch"))
+        .filter(col("n_alerts_stream") > 0 || col("n_alerts_batch") > 0)
+        .orderBy("series")
+    }),
+
     // ── streaming CDC apply loop: an ordered changeset stream (update /
     //    delete / insert micro-batches) folds into a keyed state table
     //    via foreachBatch + mergeApply — the production materialized-
