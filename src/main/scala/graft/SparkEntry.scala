@@ -646,6 +646,71 @@ object SparkEntry {
           t(s, dir, "events"), "event_type", epsilon = 0.5, salt = "r8")
         .orderBy("group")),
 
+    // ── split-conformal prediction intervals: fit per-slice OLS on the
+    //    fit split (RidgeAgg), q̂ = 0.9-quantile of calibration residuals,
+    //    audit marginal coverage on the held-out test split — the
+    //    distribution-free uncertainty wrapper every scored pipeline
+    //    should ship. Residuals rounded to 6 dp before the coverage
+    //    comparison so the boundary is engine-exact ──
+    "q251_conformal" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.udaf
+      val ridge = udaf(new graft.functions.RidgeAgg(k = 2, lambda = 0.0))
+      val base = t(s, dir, "events")
+        .select(col("event_type").as("slice"), col("event_id"),
+          array(
+            (unix_micros(col("ts")).cast("double") / lit(86400e6)
+              - lit(19700.0)),
+            (col("user_id") % 10).cast("double")).as("xs"),
+          col("value").as("y"))
+      val fit = base.filter(col("event_id") % 4 <= 1)
+        .groupBy("slice").agg(ridge(col("xs"), col("y")).as("f"))
+        .select(col("slice"), col("f.coeffs")(0).as("b1"),
+          col("f.coeffs")(1).as("b2"), col("f.intercept").as("b0"))
+      def resid(df: DataFrame) = df.join(broadcast(fit), Seq("slice"))
+        .withColumn("_r", round(abs(col("y") -
+          (col("b1") * col("xs")(0) + col("b2") * col("xs")(1)
+            + col("b0"))), 6))
+      val qhat = resid(base.filter(col("event_id") % 4 === 2))
+        .groupBy("slice")
+        .agg(round(expr("percentile(_r, 0.9)"), 6).as("qhat"))
+      resid(base.filter(col("event_id") % 4 === 3))
+        .join(broadcast(qhat), Seq("slice"))
+        .groupBy("slice")
+        .agg(count(lit(1)).as("n_test"), max("qhat").as("qhat"),
+          round(avg((col("_r") <= col("qhat")).cast("double")), 6)
+            .as("coverage"))
+        .orderBy("slice")
+    }),
+
+    // ── ZCA whitening: W = V·diag(1/√(λ+ε))·Vᵀ from the distributed
+    //    covariance; the query audits itself — the whitened covariance
+    //    must be the identity (diag→1, off-diag→0). Driver eigen →
+    //    rows-only ──
+    "q250_zca_whiten" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (means, w) = Similarity.zcaWhitener(emb, "embedding")
+      val meansLit = array(means.map(lit(_)): _*)
+      val centered = emb.withColumn("_c",
+        zip_with(col("embedding").cast("array<double>"), meansLit,
+          (x, m) => x - m))
+      val white = Similarity.applyRotation(centered, "_c", w, "wv")
+      // whitened covariance cells, audited against the identity
+      val cov = white
+        .select(posexplode(col("wv")).as(Seq("i", "xi")), col("wv"))
+        .select(col("i"), col("xi"),
+          posexplode(col("wv")).as(Seq("j", "xj")))
+        .filter(col("j") >= col("i"))
+        .groupBy("i", "j")
+        .agg((sum(col("xi") * col("xj")) / (count(lit(1)) - 1)).as("cov"))
+      cov.select((col("i") === col("j")).as("diagonal"),
+          when(col("i") === col("j"), abs(col("cov") - 1))
+            .otherwise(abs(col("cov"))).as("err"))
+        .groupBy("diagonal")
+        .agg(count(lit(1)).as("n_cells"),
+          round(max("err"), 6).as("max_abs_err"))
+        .orderBy("diagonal")
+    }),
+
     // ── streaming EWMA control chart (transformWithState): per-series
     //    Welford-EW mean+variance in state, k·σ alerts; the stream runs
     //    against time-ordered batches and the query itself audits
@@ -5563,6 +5628,45 @@ object SparkEntry {
         |LEFT JOIN (SELECT user_id, event_type FROM t1 WHERE rn = 1) t
         |  USING (user_id)
         |ORDER BY b.user_id""".stripMargin,
+    // the q243 Cramer fit restricted to the fit split, then the same
+    // quantile/coverage algebra over the calibration and test splits
+    "q251_conformal" ->
+      """WITH b AS (
+        | SELECT event_type AS slice, event_id,
+        |  CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 - 19700.0 AS x1,
+        |  CAST(user_id % 10 AS DOUBLE) AS x2, value AS y
+        | FROM events),
+        |m AS (
+        | SELECT slice,
+        |  sum(x1*x1) AS a, sum(x1*x2) AS bb, sum(x1) AS c,
+        |  sum(x2*x2) AS d, sum(x2) AS e, CAST(count(*) AS DOUBLE) AS f,
+        |  sum(x1*y) AS p, sum(x2*y) AS q, sum(y) AS r
+        | FROM b WHERE event_id % 4 <= 1 GROUP BY slice),
+        |fit AS (
+        | SELECT slice,
+        |  (p*(d*f - e*e) - q*(bb*f - c*e) + r*(bb*e - c*d))
+        |   / (a*(d*f - e*e) - bb*(bb*f - c*e) + c*(bb*e - c*d)) AS b1,
+        |  (a*(q*f - e*r) - p*(bb*f - e*c) + c*(bb*r - q*c))
+        |   / (a*(d*f - e*e) - bb*(bb*f - c*e) + c*(bb*e - c*d)) AS b2,
+        |  (a*(d*r - q*e) - bb*(bb*r - q*c) + p*(bb*e - d*c))
+        |   / (a*(d*f - e*e) - bb*(bb*f - c*e) + c*(bb*e - c*d)) AS b0
+        | FROM m),
+        |cal AS (
+        | SELECT b.slice,
+        |  round(abs(b.y - (f.b1*b.x1 + f.b2*b.x2 + f.b0)), 6) AS r
+        | FROM b JOIN fit f USING (slice) WHERE b.event_id % 4 = 2),
+        |qh AS (
+        | SELECT slice, round(quantile_cont(r, 0.9), 6) AS qhat
+        | FROM cal GROUP BY slice),
+        |tst AS (
+        | SELECT b.slice,
+        |  round(abs(b.y - (f.b1*b.x1 + f.b2*b.x2 + f.b0)), 6) AS r
+        | FROM b JOIN fit f USING (slice) WHERE b.event_id % 4 = 3)
+        |SELECT t.slice, count(*) AS n_test, max(q.qhat) AS qhat,
+        | round(avg(CASE WHEN t.r <= q.qhat THEN 1.0 ELSE 0.0 END), 6)
+        |  AS coverage
+        |FROM tst t JOIN qh q USING (slice)
+        |GROUP BY t.slice ORDER BY t.slice""".stripMargin,
     // Cramer's rule over the 3x3 normal equations [x1, x2, 1]·β = y —
     // the same sufficient statistics RidgeAgg accumulates, restated as
     // plain aggregates; r² from SSE = Σy² − 2βᵀXᵀy + βᵀXᵀXβ

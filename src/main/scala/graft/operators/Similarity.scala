@@ -661,6 +661,27 @@ object Similarity {
     (mean, outEvals, comps)
   }
 
+  /** ZCA whitening matrix W = V·diag(1/√(λ+ε))·Vᵀ from [[pcaFit]]'s
+    * full eigendecomposition — the symmetric whitener (closest to the
+    * identity, so whitened vectors stay recognisable) that makes the
+    * feature covariance I: the standard preprocessing before cosine
+    * thresholds are compared across corpora. Returns (means, W);
+    * apply with the means subtracted then [[applyRotation]] — all
+    * map-only. */
+  def zcaWhitener(emb: DataFrame, vecCol: String,
+      eps: Double = 1e-6): (Array[Double], Array[Array[Double]]) = {
+    val probe = emb.select(size(col(vecCol)).as("d")).limit(1).collect()
+    val d = probe(0).getInt(0)
+    val (means, evals, comps) = pcaFit(emb, vecCol, d)
+    val w = Array.ofDim[Double](d, d)
+    for (k <- 0 until d) {
+      val s = 1.0 / math.sqrt(math.max(evals(k), 0.0) + eps)
+      for (i <- 0 until d; j <- 0 until d)
+        w(i)(j) += comps(i)(k) * s * comps(j)(k)
+    }
+    (means, w)
+  }
+
   /** Per-dimension statistics of an embedding column — the whitening /
     * normalization table (mean for centering, std for scaling, min/max
     * for clip audits) every embedding pipeline fits before indexing.
