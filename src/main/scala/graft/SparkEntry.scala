@@ -646,6 +646,24 @@ object SparkEntry {
           t(s, dir, "events"), "event_type", epsilon = 0.5, salt = "r8")
         .orderBy("group")),
 
+    // ── corpus taxonomy: HAC dendrogram over the k-means cell centroids
+    //    (model-sized — the corpus never moves); merge steps show which
+    //    cells are near-duplicates of each other vs genuinely distinct.
+    //    Driver clustering of a distributed model → rows-only ──
+    "q252_hac_dendrogram" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansFitDistributed(emb, "embedding",
+        k = 8, iterations = 3)
+      Similarity.hacAverageLinkage(cents.map(_.map(_.toDouble)))
+        .map { case (st, a, b, d, n) =>
+          (st.toLong, a.toLong, b.toLong,
+            BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble, n.toLong)
+        }.toDF("step", "cluster_a", "cluster_b", "distance", "merged_size")
+        .orderBy("step")
+    }),
+
     // ── split-conformal prediction intervals: fit per-slice OLS on the
     //    fit split (RidgeAgg), q̂ = 0.9-quantile of calibration residuals,
     //    audit marginal coverage on the held-out test split — the

@@ -661,6 +661,50 @@ object Similarity {
     (mean, outEvals, comps)
   }
 
+  /** Average-linkage hierarchical agglomerative clustering over a
+    * MODEL-SIZED point set (k-means centroids, label centroids — never
+    * the corpus; `points.length ≤ 4096` enforced): the dendrogram a
+    * corpus taxonomy or dedup-threshold sweep reads. Driver-side O(k³)
+    * worst case — microseconds at the intended scale. Deterministic:
+    * ties on merge distance break to the smaller (minId_a, minId_b).
+    *
+    * Returns merge steps: (step, cluster_a, cluster_b, distance,
+    * merged_size) with cluster ids = the min original index in each
+    * cluster, distances = average pairwise Euclidean between members.
+    */
+  def hacAverageLinkage(points: Array[Array[Double]])
+      : Seq[(Int, Int, Int, Double, Int)] = {
+    val k = points.length
+    require(k >= 2 && k <= 4096, s"hac: $k points outside [2,4096]")
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum)
+    // cluster -> member indices; average linkage via mean pairwise dist
+    var clusters = points.indices.map(i => Vector(i)).toVector
+    val steps = Vector.newBuilder[(Int, Int, Int, Double, Int)]
+    var step = 0
+    while (clusters.length > 1) {
+      var best = (Double.MaxValue, Int.MaxValue, Int.MaxValue, -1, -1)
+      for (i <- clusters.indices; j <- (i + 1) until clusters.length) {
+        val (ci, cj) = (clusters(i), clusters(j))
+        val d = (for (a <- ci; b <- cj) yield dist(points(a), points(b)))
+          .sum / (ci.length * cj.length)
+        val key = (d, math.min(ci.min, cj.min), math.max(ci.min, cj.min))
+        if (key._1 < best._1 || (key._1 == best._1 &&
+          (key._2 < best._2 || (key._2 == best._2 && key._3 < best._3))))
+          best = (key._1, key._2, key._3, i, j)
+      }
+      val (d, _, _, i, j) = best
+      val merged = clusters(i) ++ clusters(j)
+      step += 1
+      val (repA, repB) = (clusters(i).min, clusters(j).min)
+      steps += ((step, math.min(repA, repB), math.max(repA, repB), d,
+        merged.length))
+      clusters = clusters.zipWithIndex
+        .filter { case (_, idx) => idx != i && idx != j }.map(_._1) :+ merged
+    }
+    steps.result()
+  }
+
   /** ZCA whitening matrix W = V·diag(1/√(λ+ε))·Vᵀ from [[pcaFit]]'s
     * full eigendecomposition — the symmetric whitener (closest to the
     * identity, so whitened vectors stay recognisable) that makes the

@@ -163,6 +163,17 @@ class SkylineStatsSpec extends AnyFunSuite {
     })
   }
 
+  test("hacAverageLinkage: hand-traced 1-D dendrogram") {
+    // points 0,1,10,11,40: merges (0,1) d=1, (10,11) d=1 — tie broken to
+    // smaller min id — then {0,1}+{10,11} d=avg(|0-10|,|0-11|,|1-10|,
+    // |1-11|)=10, then +{40} d=avg(40,39,30,29)=34.5
+    val pts = Array(0.0, 1.0, 10.0, 11.0, 40.0).map(Array(_))
+    val got = Similarity.hacAverageLinkage(pts)
+    assert(got == Seq(
+      (1, 0, 1, 1.0, 2), (2, 2, 3, 1.0, 2),
+      (3, 0, 2, 10.0, 4), (4, 0, 4, 34.5, 5)), got.toString)
+  }
+
   test("pcaFit: planted 2-factor data — top-2 components carry everything") {
     val rnd = new scala.util.Random(11)
     val u = Array(0.6, 0.0, 0.8, 0.0, 0.0) // orthonormal pair
