@@ -388,10 +388,18 @@ object Graphs {
     *   4. peel the found SCCs out of the edge set and repeat.
     * Every peel removes at least one SCC per color root, so `maxPeels`
     * bounds rounds; all propagation loops are label-table shuffles with
-    * eager checkpoints (the kCore/components discipline). Returns
-    * (node, scc) with scc = min node id of the component. */
+    * eager checkpoints (the kCore/components discipline).
+    *
+    * Like [[boruvkaMsf]], the loop is hybrid: while the remaining edge
+    * set exceeds `maxLocalEdges` it peels distributively; once the
+    * residue fits (trim + the first peels shrink it geometrically) a
+    * driver Kosaraju pass finishes in one step — the tail of a peel
+    * loop is megabytes, and each distributed peel costs ~30 synchronous
+    * barriers. Long node ids take the driver path; other id types stay
+    * fully distributed. Returns (node, scc) with scc = min node id of
+    * the component. */
   def stronglyConnectedComponents(edges: DataFrame, maxPeels: Int = 8,
-      maxPropRounds: Int = 40): DataFrame = {
+      maxPropRounds: Int = 40, maxLocalEdges: Long = 2000000L): DataFrame = {
     require(maxPeels >= 1 && maxPeels <= 16)
     val spark = edges.sparkSession
     import spark.implicits._
@@ -403,9 +411,27 @@ object Graphs {
     var nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
+    val longIds = e.schema("src").dataType ==
+      org.apache.spark.sql.types.LongType
     var peel = 0
-    while (peel < maxPeels && !nodes.isEmpty) {
+    var localDone = false
+    while (peel < maxPeels && !localDone && !nodes.isEmpty) {
       peel += 1
+      if (longIds && e.count() <= maxLocalEdges) {
+        // driver Kosaraju over the residue (order-of-megabytes by now)
+        val es = e.select(col("src").cast("long"), col("dst").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val isolated = nodes // nodes with no remaining edges still need labels
+          .select(col("node").cast("long")).collect().map(_.getLong(0))
+          .filterNot((es.map(_._1) ++ es.map(_._2)).toSet)
+        val comp = kosarajuScc(es) ++ isolated.map(n => (n, n))
+        result = result.unionByName(
+          comp.toSeq.toDF("node", "scc")
+            .select(col("node").cast(e.schema("src").dataType).as("node"),
+              col("scc").cast(e.schema("src").dataType).as("scc")))
+        nodes = nodes.limit(0).localCheckpoint(true)
+        localDone = true
+      } else {
       // 1. trim to exhaustion: anything not on a cycle through both an
       // in- and an out-edge peels as a singleton
       var trimmed = true
@@ -482,10 +508,58 @@ object Graphs {
           .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
           .select("src", "dst").localCheckpoint(true)
       }
+      }
     }
     require(nodes.isEmpty,
       s"stronglyConnectedComponents: not converged within $maxPeels peels")
     result
+  }
+
+  /** Iterative Kosaraju SCC on a driver-resident edge list: DFS finish
+    * order on G, then DFS on Gᵀ in reverse finish order; each second-pass
+    * tree is one SCC, labelled by its min member. (Deliberately a
+    * DIFFERENT algorithm from the spec's Tarjan reference and the
+    * distributed Orzan loop — three independent implementations must
+    * agree.) */
+  private[operators] def kosarajuScc(
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val fwd = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val rev = edges.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    val visited = scala.collection.mutable.Set.empty[Long]
+    val finish = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (start <- nodes if !visited(start)) {
+      val stack = scala.collection.mutable.ArrayBuffer(
+        (start, fwd.getOrElse(start, Array.empty[Long]).iterator))
+      visited += start
+      while (stack.nonEmpty) {
+        val (v, it) = stack.last
+        if (it.hasNext) {
+          val w = it.next()
+          if (!visited(w)) {
+            visited += w
+            stack += ((w, fwd.getOrElse(w, Array.empty[Long]).iterator))
+          }
+        } else { stack.remove(stack.length - 1); finish += v }
+      }
+    }
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    for (start <- finish.reverseIterator if !comp.contains(start)) {
+      val members = scala.collection.mutable.ArrayBuffer(start)
+      comp(start) = start
+      val stack = scala.collection.mutable.ArrayBuffer(start)
+      while (stack.nonEmpty) {
+        val v = stack.remove(stack.length - 1)
+        rev.getOrElse(v, Array.empty[Long]).foreach { w =>
+          if (!comp.contains(w)) {
+            comp(w) = start; members += w; stack += w
+          }
+        }
+      }
+      val m = members.min
+      members.foreach(comp(_) = m)
+    }
+    comp.toMap
   }
 
   /** Adamic–Adar link prediction: for every non-adjacent node pair with

@@ -179,13 +179,16 @@ class FeatureEncodingSpec extends AnyFunSuite {
     // cycle A {1,2,3} -> one-way bridge -> cycle B {10,11}; 20 is a tail
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 10L),
       (10L, 11L), (11L, 10L), (11L, 20L))
-    val got = Graphs.stronglyConnectedComponents(e.toDF("src", "dst"))
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    for (localBound <- Seq(2000000L, 0L)) {
+      val got = Graphs.stronglyConnectedComponents(e.toDF("src", "dst"),
+          maxLocalEdges = localBound)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L), s"bound=$localBound")
+    }
   }
 
-  test("scc equals Tarjan on random directed graphs") {
+  test("scc equals Tarjan on random directed graphs (both merge paths)") {
     val rnd = new scala.util.Random(17)
     for (trial <- 1 to 3) {
       val n = 40 + 20 * trial
@@ -193,10 +196,15 @@ class FeatureEncodingSpec extends AnyFunSuite {
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter(p => p._1 != p._2).distinct
       val want = tarjanScc(e)
-      val got = Graphs.stronglyConnectedComponents(e.toDF("src", "dst"),
-          maxPeels = 16)
-        .as[(Long, Long)].collect().toMap
-      assert(got == want, s"trial $trial: ${got.size} vs ${want.size}")
+      // driver Kosaraju path AND the fully-distributed Orzan path — three
+      // independently written algorithms must agree
+      for (localBound <- Seq(2000000L, 0L)) {
+        val got = Graphs.stronglyConnectedComponents(e.toDF("src", "dst"),
+            maxPeels = 16, maxLocalEdges = localBound)
+          .as[(Long, Long)].collect().toMap
+        assert(got == want,
+          s"trial $trial bound $localBound: ${got.size} vs ${want.size}")
+      }
     }
   }
 
