@@ -274,7 +274,8 @@ object Graphs {
     * certificate a caller can audit (cycle-free by construction, one
     * component per input component). */
   def boruvkaMsf(edges: DataFrame, maxRounds: Int = 20,
-      maxLocalMerge: Long = 2000000L): DataFrame = {
+      maxLocalMerge: Long = 2000000L,
+      maxLocalEdges: Long = 1000000L): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 24)
     val spark = edges.sparkSession
     // canonical undirected weighted edges, deduped on (src,dst) keeping
@@ -295,8 +296,63 @@ object Graphs {
     var forest: DataFrame = null
     var round = 0
     var done = false
+    val longIds = e0.schema("src").dataType ==
+      org.apache.spark.sql.types.LongType
     while (round < maxRounds && !done) {
       round += 1
+      // driver Kruskal tail, the boruvka analogue of the SCC Kosaraju
+      // pass: the surviving cross-edge set shrinks every round; once it
+      // fits, one union-find sweep replaces the remaining rounds' ~10
+      // barriers each. Both paths spec-pinned ≡ each other and Kruskal.
+      if (longIds && eCur.count() <= maxLocalEdges) {
+        val es = eCur
+          .join(labels.select(col("node").as("src"), col("comp").as("ca")),
+            Seq("src"))
+          .join(labels.select(col("node").as("dst"), col("comp").as("cb")),
+            Seq("dst"))
+          .select(col("src").cast("long"), col("dst").cast("long"),
+            col("w").cast("double"), col("ca").cast("long"),
+            col("cb").cast("long"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getLong(3), r.getLong(4)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        val chosen = Vector.newBuilder[(Long, Long, Double)]
+        // the same (w, src, dst) total order the distributed rounds use
+        es.sortBy(t => (t._3, t._1, t._2)).foreach {
+          case (s0, d0, w0, ca, cb) =>
+            val (ra, rb) = (find(ca), find(cb))
+            if (ra != rb) { parent(ra) = rb; chosen += ((s0, d0, w0)) }
+        }
+        import spark.implicits._
+        forest = {
+          val tail = chosen.result().toDF("src", "dst", "w")
+            .select(col("src").cast(e0.schema("src").dataType).as("src"),
+              col("dst").cast(e0.schema("dst").dataType).as("dst"),
+              col("w").cast(e0.schema("w").dataType).as("w"))
+          if (forest == null) tail else forest.unionByName(tail)
+        }
+        // final labels: comp -> union-find root min; resolve via the
+        // same min-per-set convention as the distributed merge
+        val minOf = scala.collection.mutable.Map.empty[Long, Long]
+        val members = parent.keys.toArray
+        members.foreach { m =>
+          val r = find(m)
+          minOf(r) = math.min(minOf.getOrElse(r, m), m)
+        }
+        val mapping = members.map(m => (m, minOf(find(m)))).toSeq
+          .toDF("comp0", "compNew")
+          .select(col("comp0").cast(e0.schema("src").dataType).as("comp"),
+            col("compNew").cast(e0.schema("src").dataType).as("_new"))
+        labels = labels.join(broadcast(mapping), Seq("comp"), "left")
+          .select(col("node"), coalesce(col("_new"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+        done = true
+      } else {
       val cross = eCur
         .join(labels.select(col("node").as("src"), col("comp").as("ca")),
           Seq("src"))
@@ -359,6 +415,7 @@ object Graphs {
             coalesce(col("component"), col("comp")).as("comp"))
           .localCheckpoint(true)
         eCur = cross.select("src", "dst", "w")
+      }
       }
     }
     if (forest == null) {

@@ -87,14 +87,17 @@ class FeatureEncodingSpec extends AnyFunSuite {
         (a, b, 1.0 + ((i * 7919) % 10007).toDouble / 13.0)
       }
       val want = kruskal(edges)
-      // both merge paths: driver union-find and the distributed loop
-      for (localBound <- Seq(2000000L, 0L)) {
+      // all paths: driver Kruskal tail, driver union-find merge only,
+      // and the fully-distributed loop
+      for ((mergeBound, tailBound) <- Seq(
+        (2000000L, 1000000L), (2000000L, 0L), (0L, 0L))) {
         val got = Graphs.boruvkaMsf(edges.toDF("src", "dst", "w"),
-            maxLocalMerge = localBound)
+            maxLocalMerge = mergeBound, maxLocalEdges = tailBound)
           .select("src", "dst", "w").as[(Long, Long, Double)]
           .collect().toSet
         assert(got == want,
-          s"trial $trial bound $localBound: got ${got.size} want ${want.size}")
+          s"trial $trial bounds ($mergeBound,$tailBound): " +
+            s"got ${got.size} want ${want.size}")
       }
     }
   }
@@ -105,7 +108,9 @@ class FeatureEncodingSpec extends AnyFunSuite {
     val n = 12
     val edges = (for (a <- 0L until n; b <- (a + 1) until n)
       yield (a, b, 5.0)).toDF("src", "dst", "w")
-    val forest = Graphs.boruvkaMsf(edges)
+    // force the DISTRIBUTED rounds — the equal-weight acyclicity of the
+    // per-component argmin is exactly what this test pins
+    val forest = Graphs.boruvkaMsf(edges, maxLocalEdges = 0L)
       .select("src", "dst").as[(Long, Long)].collect()
     assert(forest.length == n - 1, s"got ${forest.length} edges")
     // acyclic: union-find over the forest edges never joins joined roots
