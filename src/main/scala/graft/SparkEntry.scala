@@ -646,6 +646,34 @@ object SparkEntry {
           t(s, dir, "events"), "event_type", epsilon = 0.5, salt = "r8")
         .orderBy("group")),
 
+    // ── rolling OLS slope per series: trailing-10 closed-form regression
+    //    from four windowed frame sums — the drift detector that tells
+    //    "still climbing" from "level shifted"; one series-keyed window ──
+    "q253_rolling_ols" -> ((s, dir) =>
+      graft.operators.EventAnalytics.rollingOlsSlope(
+          t(s, dir, "events").withColumn("x",
+            unix_micros(col("ts")).cast("double") / lit(86400e6)
+              - lit(19700.0)),
+          "user_id", "ts", "event_id", "x", "value", win = 10)
+        .orderBy("series", "event_id")),
+
+    // ── Kaplan–Meier survival curves per cohort: product-limit estimator
+    //    over per-user durations with right-censoring (users who never
+    //    purchased are censored); cumprod as exp(Σ ln), engine-portable ──
+    "q254_kaplan_meier" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("event_type")))
+            .getField("event_type").as("cohort"),
+          datediff(to_date(max(col("ts"))), to_date(min(col("ts"))))
+            .cast("double").as("dur"),
+          max((col("event_type") === "purchase").cast("int")).as("ev"))
+      graft.operators.EventAnalytics.kaplanMeier(
+          perUser, "cohort", "dur", "ev")
+        .orderBy("group", "t")
+    }),
+
     // ── corpus taxonomy: HAC dendrogram over the k-means cell centroids
     //    (model-sized — the corpus never moves); merge steps show which
     //    cells are near-duplicates of each other vs genuinely distinct.
@@ -5646,6 +5674,60 @@ object SparkEntry {
         |LEFT JOIN (SELECT user_id, event_type FROM t1 WHERE rn = 1) t
         |  USING (user_id)
         |ORDER BY b.user_id""".stripMargin,
+    "q253_rolling_ols" ->
+      """WITH b AS (
+        | SELECT user_id AS series, event_id, ts,
+        |  CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 - 19700.0 AS x,
+        |  value AS y
+        | FROM events),
+        |w AS (
+        | SELECT series, event_id,
+        |  count(*) OVER fr AS cnt, sum(x) OVER fr AS sx,
+        |  sum(y) OVER fr AS sy, sum(x*y) OVER fr AS sxy,
+        |  sum(x*x) OVER fr AS sxx
+        | FROM b WINDOW fr AS (PARTITION BY series ORDER BY ts, event_id
+        |   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT series, event_id,
+        | CASE WHEN 10.0*sxx - sx*sx <> 0
+        |  THEN round((10.0*sxy - sx*sy) / (10.0*sxx - sx*sx), 6) END
+        |  AS slope
+        |FROM w WHERE cnt = 10 ORDER BY series, event_id""".stripMargin,
+    "q254_kaplan_meier" ->
+      """WITH firsts AS (
+        | SELECT user_id, event_type AS cohort FROM (
+        |  SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1),
+        |agg AS (
+        | SELECT user_id,
+        |  CAST(date_diff('day', CAST(min(ts) AS DATE),
+        |    CAST(max(ts) AS DATE)) AS DOUBLE) AS dur,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+        | FROM events GROUP BY user_id),
+        |pu AS (
+        | SELECT a.user_id, f.cohort, a.dur, a.ev
+        | FROM agg a JOIN firsts f USING (user_id)),
+        |perT AS (
+        | SELECT cohort AS grp, dur AS t, CAST(sum(ev) AS BIGINT) AS d,
+        |  count(*) AS leaving
+        | FROM pu GROUP BY 1, 2),
+        |r AS (
+        | SELECT grp, t, d, CAST(sum(leaving) OVER (PARTITION BY grp
+        |   ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |   AS BIGINT) AS n_risk
+        | FROM perT),
+        |km AS (
+        | SELECT grp, t, d, n_risk,
+        |  max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER upto AS dead,
+        |  sum(CASE WHEN d < n_risk
+        |    THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) END)
+        |    OVER upto AS lsum
+        | FROM r WINDOW upto AS (PARTITION BY grp ORDER BY t
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT grp AS "group", t, n_risk, d AS n_events,
+        | CASE WHEN dead = 1 THEN 0.0
+        |      ELSE round(exp(coalesce(lsum, 0.0)), 6) END AS survival
+        |FROM km WHERE d > 0 ORDER BY "group", t""".stripMargin,
     // the q243 Cramer fit restricted to the fit split, then the same
     // quantile/coverage algebra over the calibration and test splits
     "q251_conformal" ->

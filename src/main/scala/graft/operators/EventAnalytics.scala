@@ -280,6 +280,69 @@ object EventAnalytics {
         round(corr(col("x"), col("x3")), 4).as("acf3"))
   }
 
+  /** Rolling OLS slope per series: over each trailing window of `win`
+    * observations (ordered by (ts, tie)), the closed-form simple-
+    * regression slope from windowed sufficient statistics
+    * (Σx, Σy, Σxy, Σx² over the frame) — the drift detector that, unlike
+    * a rolling mean, distinguishes "level shifted" from "still climbing".
+    * One series-keyed window, four frame sums, no self-join; emits rows
+    * once the frame is full. Degenerate frames (all x equal) yield null.
+    * Output: (series, tieCol, slope rounded 6 dp). */
+  def rollingOlsSlope(events: DataFrame, seriesCol: String, tsCol: String,
+      tieCol: String, xCol: String, yCol: String, win: Int): DataFrame = {
+    require(win >= 2, s"rollingOlsSlope: win=$win must be >= 2")
+    val w = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(win - 1), Window.currentRow)
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val n = lit(win.toDouble)
+    val denom = n * sum(x * x).over(w) - sum(x).over(w) * sum(x).over(w)
+    events
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .withColumn("_den", denom)
+      .withColumn("slope", when(col("_cnt") === win && col("_den") =!= 0.0,
+        round((n * sum(x * y).over(w) - sum(x).over(w) * sum(y).over(w)) /
+          col("_den"), 6)))
+      .filter(col("_cnt") === win)
+      .select(col(seriesCol).as("series"), col(tieCol), col("slope"))
+  }
+
+  /** Kaplan–Meier product-limit survival estimator per group: at each
+    * distinct event time t, S(t) = Π_{u ≤ t} (1 − d_u/n_u) with d_u =
+    * events at u and n_u = subjects still at risk — the churn /
+    * time-to-event curve, correct under right-censoring (censored
+    * subjects leave the risk set without an event). The cumulative
+    * product runs as exp(Σ ln(·)) over a group-keyed window, so the
+    * whole estimator is two group-keyed windows + one aggregate —
+    * engine-portable and scale-clean (windows over distinct event
+    * times, not subjects). Output: (group, t, n_risk, n_events,
+    * survival rounded 6 dp) at event times only. */
+  def kaplanMeier(subjects: DataFrame, groupCol: String,
+      durationCol: String, eventCol: String): DataFrame = {
+    val perT = subjects
+      .groupBy(col(groupCol).as("group"),
+        col(durationCol).cast("double").as("t"))
+      .agg(sum(col(eventCol).cast("int")).as("d"),
+        count(lit(1)).as("leaving"))
+    val wAfter = Window.partitionBy("group").orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wUpTo = Window.partitionBy("group").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT
+      .withColumn("n_risk", sum("leaving").over(wAfter))
+      // the d = n_risk step (everyone left with an event) zeroes the
+      // curve; handled by flag, not ln(0) — engines disagree on ln(0)
+      .withColumn("_term", when(col("d") < col("n_risk"),
+        log(lit(1.0) - col("d").cast("double") / col("n_risk"))))
+      .withColumn("_dead",
+        max((col("d") === col("n_risk")).cast("int")).over(wUpTo))
+      .withColumn("survival", when(col("_dead") === 1, lit(0.0))
+        .otherwise(round(exp(
+          coalesce(sum("_term").over(wUpTo), lit(0.0))), 6)))
+      .filter(col("d") > 0)
+      .select(col("group"), col("t"), col("n_risk"),
+        col("d").as("n_events"), col("survival"))
+  }
+
   /** Theil–Sen robust slope per group: the median of all pairwise slopes
     * `(y_j − y_i) / (x_j − x_i)` over ordered pairs with distinct x. The
     * pair generation is a group-keyed self-join — O(m²) per group — so the

@@ -163,6 +163,35 @@ class SkylineStatsSpec extends AnyFunSuite {
     })
   }
 
+  test("kaplanMeier: textbook product-limit with censoring and a zero step") {
+    // durations: (1,event) (2,censored) (3,event) (3,event) (4,censored)
+    // t=1: n=5 d=1 -> 0.8; t=3: n=3 d=2 -> 0.8*(1/3); censor times emit
+    // no row but DO shrink the risk set
+    val subj = Seq(("g", 1.0, 1), ("g", 2.0, 0), ("g", 3.0, 1),
+      ("g", 3.0, 1), ("g", 4.0, 0)).toDF("grp", "dur", "ev")
+    val got = EventAnalytics.kaplanMeier(subj, "grp", "dur", "ev")
+      .select("t", "n_risk", "n_events", "survival")
+      .as[(Double, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1.0, 5L, 1L, 0.8), (3.0, 3L, 2L, 0.266667)))
+    // everyone dies at the last event time -> survival exactly 0
+    val dead = Seq(("g", 1.0, 1), ("g", 1.0, 1)).toDF("grp", "dur", "ev")
+    val z = EventAnalytics.kaplanMeier(dead, "grp", "dur", "ev")
+      .select("survival").as[Double].collect()
+    assert(z.toSeq == Seq(0.0))
+  }
+
+  test("rollingOlsSlope: exact line gives the planted slope in every window") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 15).map(i => (1L,
+      new java.sql.Timestamp(ts0.getTime + i * 3600000L), i.toLong,
+      i.toDouble, 2.0 * i + 3.0))
+    val df = rows.toDF("user_id", "ts", "event_id", "x", "value")
+    val got = EventAnalytics.rollingOlsSlope(df, "user_id", "ts",
+        "event_id", "x", "value", win = 10)
+      .select("slope").as[Double].collect()
+    assert(got.length == 6 && got.forall(_ == 2.0), got.toSeq.toString)
+  }
+
   test("hacAverageLinkage: hand-traced 1-D dendrogram") {
     // points 0,1,10,11,40: merges (0,1) d=1, (10,11) d=1 — tie broken to
     // smaller min id — then {0,1}+{10,11} d=avg(|0-10|,|0-11|,|1-10|,
