@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
 
+/** Benchmark main. Two modes:
+  *
+  *   - **fresh-JVM sweep (default for the full run)**: the top-level
+  *     process never builds a SparkSession; it forks one child JVM per
+  *     batch of `SPARK_GRAFT_BATCH` (default 16) queries, each child
+  *     timing its batch in a pristine heap, and merges the children's
+  *     per-query reports. Rounds 7–8 proved that in-JVM fences (GC +
+  *     settle + median-of-3) do NOT isolate a 254-query sweep: disk and
+  *     GC debt accumulated across neighbours billed the persist-heavy
+  *     dedup family 3–9× its isolated cost (BENCH_r08 vs judge re-runs).
+  *     A fresh heap per small batch is the only isolation that held up.
+  *     Opt out with `SPARK_GRAFT_FRESH_JVM=0`.
+  *   - **in-process**: `SPARK_GRAFT_ONLY=q1,q2` subset runs (local
+  *     iteration + what each forked child executes).
+  *
+  * Failure accounting: a query that throws is recorded with its error
+  * string and the harness exits nonzero — a broken query can never
+  * masquerade as a fast success (round-8 `catch { _ => -1L }` bug).
+  * Per-query detail — `{med,min,max}` of three runs plus executor GC ms
+  * and shuffle-spill bytes from a task-metrics listener — lands in
+  * `BENCH_FULL.json` so bimodality and "who paid for GC" are visible;
+  * stdout keeps the driver's one-line contract (median per query).
+  */
 object Bench {
 
   /** The 60 queries visible in round 6's (truncated) bench tail — kept as a
@@ -30,7 +55,51 @@ object Bench {
     "q90_approx_distinct", "q92_inverted_index", "q97_bpe_merges",
     "q99_rrf_fusion", "q9_window_topk")
 
+  /** One query's measurement. Times in seconds; err is None on success
+    * (on error, med/min/max hold the single failing attempt's elapsed). */
+  final case class QResult(name: String, med: Double, min: Double,
+      max: Double, gcMs: Long, spillBytes: Long, err: Option[String])
+
+  private def f3(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val freshJvm = only.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_FRESH_JVM", "1") != "0"
+    val wall0 = System.nanoTime()
+    val results: Seq[QResult] =
+      if (freshJvm) runFreshJvmSweep() else runInProcess(only)
+    val wall = (System.nanoTime() - wall0) / 1e9
+    report(results, wall, freshJvm)
+    if (results.exists(_.err.isDefined)) sys.exit(1)
+  }
+
+  /** The bench surface, plus — under `SPARK_GRAFT_INJECT_FAIL=1` — one
+    * synthetic always-throwing query: the harness's own failure
+    * accounting (err recorded, nonzero exit, child→parent propagation)
+    * must be testable without breaking a real query. */
+  private def allQueries
+      : Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+    SparkEntry.queries.toSeq ++
+      (if (sys.env.contains("SPARK_GRAFT_INJECT_FAIL"))
+        Seq("q_injected_fail" -> ((_: SparkSession, _: String) =>
+          throw new RuntimeException("injected failure for harness test")))
+      else Nil)
+
+  // ───────────────────────── in-process measurement ──────────────────────
+
+  private def runInProcess(only: Set[String]): Seq[QResult] = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -42,75 +111,183 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-query executor GC + spill attribution: task-metrics listener,
+    // snapshot the counters around each query's three runs. Events are
+    // delivered async — the 100 ms fence sleep absorbs the tail.
+    val gcMs = new AtomicLong(0L)
+    val spillBytes = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          gcMs.addAndGet(m.jvmGCTime)
+          spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      }
+    })
+
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case t: Throwable =>
+          Some((t.getClass.getSimpleName + ": " +
+            Option(t.getMessage).getOrElse("")).take(200))
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      dt
+      (dt, err)
     }
 
     // Per-query isolation: a GC + settle fence before each query, then the
-    // MEDIAN of three runs. Round 7 showed the 209-query single-JVM sweep
-    // is noise-dominated without this — a 5k-row bigram count recorded
-    // 7.4 s purely from GC/scheduler debt left by its neighbours. The
-    // median of three discards both the one cold (JIT/codegen/footer-cache)
-    // run and any one stray GC pause; the fence keeps the previous query's
-    // garbage from being billed to this one.
+    // MEDIAN of three runs — discards the one cold (JIT/codegen/footer
+    // cache) run and any one stray GC pause. NOTE (round 9): this fence is
+    // necessary but NOT sufficient across a 254-query sweep; the fresh-JVM
+    // mode above is what isolates the record run.
     def fence(): Unit = {
       spark.catalog.clearCache()
       System.gc()
       Thread.sleep(100)
     }
-    def median3(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
-      val ts = Array(runOnce(fn), runOnce(fn), runOnce(fn)).sorted
-      ts(1)
-    }
 
-    // local iteration aid: SPARK_GRAFT_ONLY=q75_stream_join,q41_stream_agg
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val wall0 = System.nanoTime()
-    val results = SparkEntry.queries
+    val out = allQueries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
         fence()
-        name -> median3(fn)
+        val gc0 = gcMs.get(); val sp0 = spillBytes.get()
+        // SPARK_GRAFT_RUNS=1 for scale rehearsals where a single timing
+        // per query is enough (sf1 sweeps); default median-of-3
+        val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+        val (t1, e1) = runOnce(fn)
+        val runs =
+          if (e1.isDefined) Seq((t1, e1)) // broken: don't pay for more
+          else Seq((t1, e1)) ++ (2 to nRuns).map(_ => runOnce(fn))
+        Thread.sleep(100) // let async task-end events drain
+        val times = runs.map(_._1).sorted
+        QResult(name, times(times.size / 2), times.head, times.last,
+          gcMs.get() - gc0, spillBytes.get() - sp0,
+          runs.flatMap(_._2).headOption)
+      }.toSeq
+    // forked children report to the parent through a TSV side-file
+    sys.env.get("SPARK_GRAFT_OUT").foreach { path =>
+      val rows = out.map { r =>
+        Seq(r.name, f3(r.med), f3(r.min), f3(r.max), r.gcMs.toString,
+          r.spillBytes.toString,
+          r.err.map(_.replaceAll("[\\t\\n\\r]", " ")).getOrElse("-"))
+          .mkString("\t")
       }
-    val wall = (System.nanoTime() - wall0) / 1e9
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        rows.mkString("", "\n", "\n"))
+    }
+    spark.stop()
+    out
+  }
 
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+  // ───────────────────────── fresh-JVM sweep (parent) ────────────────────
+
+  /** Forks one child JVM per batch of queries; each child runs
+    * [[runInProcess]] on its batch (SPARK_GRAFT_ONLY) and reports rows
+    * through a TSV file. Child stdout/stderr go to target/bench-logs/ so
+    * the parent's final JSON line is the only thing on this process's
+    * stdout. A child that dies without reporting marks every unreported
+    * query in its batch as failed — loudly, never silently. */
+  private def runFreshJvmSweep(): Seq[QResult] = {
+    import scala.jdk.CollectionConverters._
+    val names = allQueries.map(_._1)
+    val batchSize = sys.env.getOrElse("SPARK_GRAFT_BATCH", "16").toInt
+      .max(1)
+    val batches = names.grouped(batchSize).toSeq
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val cp = sys.props("java.class.path")
+    val logDir = java.nio.file.Paths.get("target", "bench-logs")
+    java.nio.file.Files.createDirectories(logDir)
+    batches.zipWithIndex.flatMap { case (batch, bi) =>
+      val outFile = java.nio.file.Files.createTempFile(s"bench_b$bi", ".tsv")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_ONLY", batch.mkString(","))
+      pb.environment().put("SPARK_GRAFT_OUT", outFile.toString)
+      pb.environment().put("SPARK_GRAFT_FRESH_JVM", "0")
+      pb.redirectOutput(logDir.resolve(s"batch$bi.out").toFile)
+      pb.redirectErrorStream(true)
+      val rc = pb.start().waitFor()
+      val reported: Map[String, QResult] =
+        (try java.nio.file.Files.readAllLines(outFile).asScala.toSeq
+         catch { case _: Throwable => Seq.empty[String] })
+          .flatMap { line =>
+            line.split("\t", -1) match {
+              case Array(n, med, mn, mx, gc, sp, err) =>
+                Some(QResult(n, med.toDouble, mn.toDouble, mx.toDouble,
+                  gc.toLong, sp.toLong,
+                  if (err == "-") None else Some(err)))
+              case _ => None
+            }
+          }.map(r => r.name -> r).toMap
+      try java.nio.file.Files.deleteIfExists(outFile)
+      catch { case _: Throwable => () }
+      batch.map { n =>
+        reported.getOrElse(n,
+          QResult(n, 0.0, 0.0, 0.0, 0L, 0L,
+            Some(s"child JVM (batch $bi) exited rc=$rc without reporting")))
+      }
+    }
+  }
+
+  // ───────────────────────── reporting ────────────────────────────────────
+
+  private def report(results: Seq[QResult], wall: Double,
+      freshJvm: Boolean): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = sys.env.contains("SPARK_GRAFT_ONLY")
+    val total = results.filter(_.err.isEmpty).map(_.med).sum
     val subsetTotal =
-      results.collect { case (k, v) if SubsetR06(k) => v }.sum
-    // Full per-query detail goes to a file: the driver's log capture keeps
-    // only the last ~2000 chars of stdout, and 200+ queries don't fit.
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      results.filter(r => r.err.isEmpty && SubsetR06(r.name)).map(_.med).sum
+    val nerr = results.count(_.err.isDefined)
+    val qs = results.map(r => "\"" + r.name + "\":" + f3(r.med))
       .mkString("{", ",", "}")
-    val fullJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,""" +
-        s""""subset_r06_total":${f3(subsetTotal)},"wall":${f3(wall)},"sf":"$sfDir"}"""
+    val detail = results.map { r =>
+      val e = r.err.map(m => "\"" + jsonEscape(m) + "\"").getOrElse("null")
+      "\"" + r.name + "\":{\"med\":" + f3(r.med) + ",\"min\":" + f3(r.min) +
+        ",\"max\":" + f3(r.max) + ",\"gc_ms\":" + r.gcMs +
+        ",\"spill_mb\":" + f3(r.spillBytes / 1e6) + ",\"err\":" + e + "}"
+    }.mkString("{", ",", "}")
+    val head = s""""metric":"total","value":${f3(total)},"unit":"sec""""
+    val tail = s""""nq":${results.size},"errors":$nerr,"fresh_jvm":$freshJvm,""" +
+      s""""subset_r06_total":${f3(subsetTotal)},"wall":${f3(wall)},"sf":"$sfDir""""
+    // Full per-query detail goes to a file: the driver's log capture keeps
+    // only the last ~2000 chars of stdout, and 250+ queries don't fit.
     // SPARK_GRAFT_ONLY subset runs are local iteration aids — they must
-    // not clobber the full-sweep record
-    if (only.isEmpty)
+    // not clobber the full-sweep record.
+    if (!only)
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          "BENCH_FULL.json")),
+        s"""{$head,"queries":$qs,"detail":$detail,$tail}""" + "\n")
       catch { case _: Throwable => () }
     // The final stdout line must survive the 2000-char tail (plus sbt's
-    // trailing "[success] ..." line), so cap it and keep the slowest
-    // queries — the informative ones. `nq` = queries actually timed.
+    // trailing "[success] ..." line), so cap it: failures first (they must
+    // never be invisible), then the slowest queries — the informative ones.
     val budget = 1400
     val sb = new StringBuilder
-    for ((k, v) <- results.toSeq.sortBy(-_._2)) {
-      val frag = "\"" + k + "\":" + f3(v)
+    val ordered = results.filter(_.err.isDefined) ++
+      results.filter(_.err.isEmpty).sortBy(-_.med)
+    for (r <- ordered) {
+      val frag = r.err match {
+        case Some(m) => "\"" + r.name + "\":\"ERR " +
+          jsonEscape(m.take(80)) + "\""
+        case None => "\"" + r.name + "\":" + f3(r.med)
+      }
       if (sb.length + frag.length + 1 < budget) {
         if (sb.nonEmpty) sb.append(',')
         sb.append(frag)
       }
     }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{$sb},"nq":${results.size},"subset_r06_total":${f3(subsetTotal)},"wall":${f3(wall)},"sf":"$sfDir"}""")
-    spark.stop()
+    println(s"""{$head,"queries":{$sb},$tail}""")
   }
 }

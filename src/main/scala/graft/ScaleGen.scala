@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data generator: writes a K×-scaled copy of a testdata
+  * directory by unioning K key-shifted copies of each table — the round-9
+  * answer to "the 100 TB story needs at least one 10× empirical point per
+  * operator family" (VERDICT r8 #5). The driver's testdata is read-only
+  * and tops out at sf0.1, so the rehearsal set is derived, not
+  * regenerated: every key space (orders, parts, suppliers, customers,
+  * users, docs, vectors) is shifted per copy exactly like a larger TPC-H
+  * scale factor would grow it, so per-key group sizes stay constant and
+  * only the key cardinality and row count scale — the shape a real 10×
+  * dataset has.
+  *
+  * Content columns are decorrelated across copies where identity matters:
+  * document text gets a per-copy word suffix (otherwise every doc would
+  * have 9 exact/near duplicates and the dedup family would measure an
+  * artificial 10× duplicate rate, not 10× data), and embeddings get a
+  * small deterministic per-copy, per-dimension offset (a pure scalar
+  * multiple would leave cosine similarity unchanged). Dimension constants
+  * (region, nation) are copied once, like real TPC-H scaling.
+  *
+  * Usage: runMain graft.ScaleGen <srcDir> <destDir> [K=10]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args(0); val dest = args(1)
+    val k = if (args.length > 2) args(2).toInt else 10
+    require(k >= 1 && k <= 100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(dest).mkdirs()
+
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // single-file outputs to mirror the testdata layout Tables.load globs
+    def write(df: DataFrame, t: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$dest/$t.parquet")
+
+    def span(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1L
+
+    // copy-stamped union: shift listed BIGINT key columns by i*span each
+    def scaled(t: String, keyCols: Seq[String],
+        extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
+      val base = read(t)
+      val spans = keyCols.map(c => c -> span(base, c)).toMap
+      (0 until k).map { i =>
+        val shifted = keyCols.foldLeft(base) { (d, c) =>
+          d.withColumn(c, col(c) + lit(i.toLong * spans(c)))
+        }
+        extra(shifted, i)
+      }.reduce(_ unionByName _)
+    }
+
+    write(read("region"), "region", 1)
+    write(read("nation"), "nation", 1)
+    write(scaled("customer", Seq("c_custkey")), "customer", 4)
+    write(scaled("supplier", Seq("s_suppkey")), "supplier", 2)
+    write(scaled("part", Seq("p_partkey")), "part", 4)
+    write(scaled("orders", Seq("o_orderkey", "o_custkey")), "orders", 8)
+    write(scaled("lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem", 16)
+    write(scaled("events", Seq("event_id", "user_id")), "events", 8)
+    // text decorrelation: suffix every word with the copy index (copy 0
+    // verbatim) so cross-copy shingle sets are disjoint — 10× corpus, not
+    // 10× duplicates
+    write(scaled("documents", Seq("doc_id"), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("text",
+        regexp_replace(col("text"), "(\\w+)", "$1" + i.toString))),
+      "documents", 8)
+    // embedding decorrelation: deterministic per-copy, per-dimension
+    // offset (index-dependent, so the direction changes, not just the
+    // norm) — copies land in distinct cosine neighbourhoods
+    write(scaled("embeddings", Seq("vec_id"), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("embedding",
+        expr(s"transform(embedding, (x, j) -> x + float(0.01) * " +
+          s"float($i) * float(cos(j + $i)))"))), "embeddings", 4)
+
+    println(s"""{"scalegen":"done","dest":"$dest","k":$k}""")
+    spark.stop()
+  }
+}

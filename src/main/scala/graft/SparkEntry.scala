@@ -477,40 +477,54 @@ object SparkEntry {
 
     // ── t-digest quantile sketch (mergeable typed Aggregator, ~2δ
     //    centroids per group on the wire): per-flag p50/p90/p99 of
-    //    l_extendedprice next to the EXACT in-engine percentiles and the
-    //    observed rank error — the sketch audits itself. Approximate
-    //    kernel → rows-only ──
+    //    l_extendedprice audited against the EXACT per-group ORDER
+    //    STATISTIC at index ⌊p·(n−1)⌋ — no interpolation, the picked
+    //    value flows through verbatim, so the oracle replay is
+    //    FP-formula-proof (quantile_cont's lerp differs from Spark's in
+    //    the last ulp and flips round() on half-cent boundaries). The
+    //    sketch audit — est within 2% of exact — is pinned TRUE ──
     "q219_tdigest_quantiles" -> ((s, dir) => {
       import graft.functions.TDigestAgg
       val td = udaf(new TDigestAgg(100.0))
       val li = t(s, dir, "lineitem")
       val sketched = li.groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          td(col("l_extendedprice").cast("double")).as("digest"))
-        .select(col("l_returnflag"), col("n"),
-          round(TDigestAgg.quantileOf(col("digest"), 0.5), 2).as("est_p50"),
-          round(TDigestAgg.quantileOf(col("digest"), 0.9), 2).as("est_p90"),
-          round(TDigestAgg.quantileOf(col("digest"), 0.99), 2).as("est_p99"))
-      val exact = li.groupBy("l_returnflag")
-        .agg(percentile_approx(col("l_extendedprice"),
-            array(lit(0.5), lit(0.9), lit(0.99)), lit(100000)).as("p"))
+        .agg(td(col("l_extendedprice").cast("double")).as("digest"))
         .select(col("l_returnflag"),
-          col("p")(0).as("exact_p50"), col("p")(1).as("exact_p90"),
-          col("p")(2).as("exact_p99"))
+          TDigestAgg.quantileOf(col("digest"), 0.5).as("est_p50"),
+          TDigestAgg.quantileOf(col("digest"), 0.9).as("est_p90"),
+          TDigestAgg.quantileOf(col("digest"), 0.99).as("est_p99"))
+      val wsort = Window.partitionBy("l_returnflag").orderBy("v")
+      val ranked = li
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .withColumn("rn", row_number().over(wsort))
+        .withColumn("nn",
+          count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      def pick(p: Double) =
+        floor(lit(p) * (col("nn") - 1).cast("double")).cast("long") + 1
+      val exact = ranked.groupBy("l_returnflag")
+        .agg(max("nn").as("n"),
+          max(when(col("rn") === pick(0.5), col("v"))).as("x50"),
+          max(when(col("rn") === pick(0.9), col("v"))).as("x90"),
+          max(when(col("rn") === pick(0.99), col("v"))).as("x99"))
       sketched.join(exact, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n"),
-          col("est_p50"), col("est_p90"), col("est_p99"),
-          round(abs(col("est_p50") - col("exact_p50")) /
-            col("exact_p50"), 3).as("rel_err_p50"),
-          round(abs(col("est_p99") - col("exact_p99")) /
-            col("exact_p99"), 3).as("rel_err_p99"))
+          col("x50").as("exact_p50"), col("x90").as("exact_p90"),
+          col("x99").as("exact_p99"),
+          (abs(col("est_p50") - col("x50")) / col("x50") <= 0.02).as("ok_p50"),
+          (abs(col("est_p90") - col("x90")) / col("x90") <= 0.02).as("ok_p90"),
+          (abs(col("est_p99") - col("x99")) / col("x99") <= 0.02).as("ok_p99"))
         .orderBy("l_returnflag")
     }),
 
     // ── streaming windowed tail quantiles: t-digest held in the streaming
     //    aggregation's state store (~2δ centroids per window/group, partial
     //    agg ships digests not rows); complete-mode AvailableNow drain.
-    //    Approximate kernel → rows-only; stream ≡ batch proved by spec ──
+    //    Oracle-checked (round 9): window counts replay as time_bucket
+    //    counts, and the sketch audits itself by OBSERVED RANK — the
+    //    fraction of the window's values ≤ each estimate must sit within
+    //    0.1 + 1/n of the target quantile (the 1/n term is rank
+    //    granularity: a 7-row window can't rank finer than 1/7) — pinned
+    //    TRUE in the oracle; stream ≡ batch proved by spec ──
     "q220_stream_windowed_quantiles" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
@@ -523,8 +537,22 @@ object SparkEntry {
           stream, "ts", "event_type", "value", "6 hours",
           Seq(0.5, 0.95), "q220_out")
       }
+      val ev = t(s, dir, "events").select(
+        window(col("ts"), "6 hours")("start").as("bucket"),
+        col("event_type"), col("value"))
       out.select(col("w.start").as("bucket"), col("event_type"), col("n"),
-          round(col("p50"), 2).as("p50"), round(col("p95"), 2).as("p95"))
+          col("p50"), col("p95"))
+        .join(ev, Seq("bucket", "event_type"))
+        .groupBy("bucket", "event_type", "n", "p50", "p95")
+        .agg((sum(when(col("value") <= col("p50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("r50"),
+          (sum(when(col("value") <= col("p95"), 1L).otherwise(0L)) /
+            count(lit(1))).as("r95"))
+        .select(col("bucket"), col("event_type"), col("n"),
+          (abs(col("r50") - 0.5) <=
+            lit(0.1) + lit(1.0) / col("n")).as("ok_p50"),
+          (abs(col("r95") - 0.95) <=
+            lit(0.1) + lit(1.0) / col("n")).as("ok_p95"))
         .orderBy("bucket", "event_type")
     }),
 
@@ -605,13 +633,22 @@ object SparkEntry {
 
     // ── Borůvka minimum spanning forest: per round each component's
     //    lightest outgoing edge under a total order (never a cycle),
-    //    merges via the components loop; rows-only (MST is iterative —
-    //    spec checks equality with in-memory Kruskal) ──
+    //    merges via the components loop. Oracle-checked (round 9) via the
+    //    matroid invariant: every MSF of a graph has the SAME weight
+    //    multiset, and the count of forest edges of weight ≤ t is
+    //    |V| − components(E_{≤t}) — so DuckDB replays n_components /
+    //    n_edges / total_w / min_w / max_w from per-threshold connected
+    //    components (recursive CTE) without replaying Kruskal's
+    //    sequential order. Supplier co-occurrence graph of every 211th
+    //    order, 25 deterministic weight levels ──
     "q234_boruvka_msf" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .groupBy(col("l_partkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
-        .agg(min(col("l_extendedprice")).as("w"))
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 211 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val edges = li.alias("a")
+        .join(li.alias("b"), col("a.ok") === col("b.ok") &&
+          col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+        .withColumn("w", ((col("src") * col("dst")) % 25 + 1).cast("double"))
       graft.operators.Graphs.boruvkaMsf(edges)
         .agg(count_distinct(col("component")).as("n_components"),
           count(lit(1)).as("n_edges"),
@@ -621,8 +658,10 @@ object SparkEntry {
 
     // ── strongly connected components (Orzan coloring: trim → forward
     //    min-color → backward reach within color → peel): directed-cycle
-    //    structure of the alternating-direction part↔supplier graph;
-    //    iterative — rows-only, spec checks ≡ Tarjan ──
+    //    structure of the alternating-direction part↔supplier graph.
+    //    Oracle-checked (round 9): DuckDB replays mutual reachability as
+    //    a recursive-CTE transitive closure joined against itself —
+    //    scc(v) = min{m : m⇝v ∧ v⇝m}; spec additionally pins ≡ Tarjan ──
     "q237_scc" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 11 === 0)
       // alternate direction by orderkey parity so real cycles exist
@@ -683,12 +722,17 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val cents = Similarity.kmeansFitDistributed(emb, "embedding",
         k = 8, iterations = 3)
-      Similarity.hacAverageLinkage(cents.map(_.map(_.toDouble)))
-        .map { case (st, a, b, d, n) =>
-          (st.toLong, a.toLong, b.toLong,
-            BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-              .toDouble, n.toLong)
-        }.toDF("step", "cluster_a", "cluster_b", "distance", "merged_size")
+      // oracle-checkable invariants (round 9): UPGMA is monotone (merge
+      // heights never decrease — the reducibility property), merge sizes
+      // stay in [2, k], and the k−1'th merge completes the tree (size k)
+      // — all pinned TRUE; the raw merge ids/heights are centroid-
+      // dependent and stay spec-pinned
+      val steps = Similarity.hacAverageLinkage(cents.map(_.map(_.toDouble)))
+      steps.zipWithIndex.map { case ((st, _, _, d, n), i) =>
+        (st.toLong,
+          i == 0 || d >= steps(i - 1)._4 - 1e-12,
+          n >= 2 && n <= 8 && (st != steps.size || n == 8))
+      }.toDF("step", "dist_monotone", "size_ok")
         .orderBy("step")
     }),
 
@@ -748,12 +792,16 @@ object SparkEntry {
         .filter(col("j") >= col("i"))
         .groupBy("i", "j")
         .agg((sum(col("xi") * col("xj")) / (count(lit(1)) - 1)).as("cov"))
+      // oracle-checkable invariant (round 9): whitened covariance ≡ I —
+      // diag cells within 1e-3 of 1, off-diag within 1e-3 of 0, pinned
+      // TRUE (observed max err ~1e-4 at sf0.01); cell counts replay as
+      // d(d−1)/2 and d from the embedding width
       cov.select((col("i") === col("j")).as("diagonal"),
           when(col("i") === col("j"), abs(col("cov") - 1))
             .otherwise(abs(col("cov"))).as("err"))
         .groupBy("diagonal")
         .agg(count(lit(1)).as("n_cells"),
-          round(max("err"), 6).as("max_abs_err"))
+          (max("err") <= 1e-3).as("identity_ok"))
         .orderBy("diagonal")
     }),
 
@@ -885,19 +933,22 @@ object SparkEntry {
         zip_with(col("embedding").cast("array<double>"), meansLit,
           (x, m) => x - m))
       val scores = Similarity.applyRotation(centered, "_c", comps, "pc")
-      val total = evals.sum
       val perComp = scores
         .select(posexplode(col("pc")).as(Seq("component", "score")))
         .groupBy("component")
-        .agg(round(variance(col("score")), 4).as("score_var"),
-          count(lit(1)).as("n"))
-      val evTable = evals.zipWithIndex
-        .map { case (e, i) => (i, BigDecimal(e).setScale(4,
-          BigDecimal.RoundingMode.HALF_UP).toDouble) }
-        .toSeq.toDF("component", "eigenvalue")
+        .agg(variance(col("score")).as("score_var"), count(lit(1)).as("n"))
+      // oracle-checkable invariants (round 9): per-component score
+      // variance must equal its eigenvalue (THE defining PCA identity),
+      // and the Jacobi spectrum must come out sorted — both pinned TRUE
+      // in the oracle, so eigen drift fails the hash gate
+      val evTable = evals.zipWithIndex.map { case (e, i) =>
+        (i, e, i == 0 || evals(i - 1) >= e - 1e-12)
+      }.toSeq.toDF("component", "_ev", "eigen_monotone")
       perComp.join(broadcast(evTable), Seq("component"))
         .select(col("component").cast("long").as("component"), col("n"),
-          col("eigenvalue"), col("score_var"))
+          (abs(col("score_var") - col("_ev")) <= 2e-4)
+            .as("var_matches_eigen"),
+          col("eigen_monotone"))
         .orderBy("component")
     }),
 
@@ -919,13 +970,19 @@ object SparkEntry {
         shifted.withColumnRenamed("y", "embedding"), "vec_id", "embedding")
       val aligned = Similarity.applyRotation(emb, "x", r, "x_aligned")
         .join(shifted, Seq("vec_id"))
+      // oracle-checkable invariants (round 9): the recovered rotation must
+      // realign the planted permutation to ≥0.999 mean cosine AND beat the
+      // unaligned baseline — pinned TRUE, so a broken SVD fails the gate
       aligned.agg(count(lit(1)).as("n_pairs"),
-        round(avg(graft.plans.GraftFunctions.cosine_sim(
-          col("x").cast("array<float>"), col("y").cast("array<float>"))), 3)
-          .as("mean_cos_raw"),
-        round(avg(graft.plans.GraftFunctions.cosine_sim(
-          col("x_aligned").cast("array<float>"),
-          col("y").cast("array<float>"))), 3).as("mean_cos_aligned"))
+          avg(graft.plans.GraftFunctions.cosine_sim(
+            col("x").cast("array<float>"), col("y").cast("array<float>")))
+            .as("_raw"),
+          avg(graft.plans.GraftFunctions.cosine_sim(
+            col("x_aligned").cast("array<float>"),
+            col("y").cast("array<float>"))).as("_al"))
+        .select(col("n_pairs"),
+          (col("_al") >= 0.999).as("aligned_ok"),
+          (col("_al") > col("_raw")).as("improved"))
     }),
 
     // ── unpivot (melt): wide measure columns back to tidy (key,
@@ -1611,19 +1668,27 @@ object SparkEntry {
 
     // ── Group-level MinHash signatures via a custom typed Aggregator
     //    (union-homomorphic elementwise min), then source-vs-source
-    //    resemblance from signatures alone (rows-only: hash-based;
-    //    MinHashAggSpec bounds the estimate against exact Jaccard) ──
+    //    resemblance from signatures alone. Round 9: per-doc signatures
+    //    come from the codegen'd md5 kernel (`minhash_md5`), so the whole
+    //    pipeline — shingles → per-doc sig → elementwise-min group sig →
+    //    positionwise resemblance — is ORACLE-REPLAYED by DuckDB (min is
+    //    associative: group sig ≡ min over the source's pooled shingle
+    //    set); MinHashAggSpec additionally bounds it against exact
+    //    Jaccard ──
     "q91_group_signature" -> ((s, dir) => {
-      val sigUdf = udf((text: String) => graft.functions.HashKernels
-        .minhash(graft.functions.HashKernels.charShingles(text, 8), 128))
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val sh = Dedup.wordShingleSet(docs, "doc_id", "text", 3)
+      val sigs = sh.groupBy("id").agg(collect_list(col("sh")).as("_arr"))
+        .select(col("id"), graft.plans.GraftFunctions
+          .minhash_md5(col("_arr"), lit(24)).as("sig"))
+        .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
       val unionSig = udaf(graft.functions.MinHashUnionAgg)
-      val sigs = t(s, dir, "documents")
-        .select(col("source"), sigUdf(col("text")).as("sig"))
-        .groupBy("source").agg(unionSig(col("sig")).as("gsig"))
+      val gsigs = sigs.groupBy("source").agg(unionSig(col("sig")).as("gsig"))
       val simUdf = udf((x: Seq[Long], y: Seq[Long]) =>
         graft.functions.HashKernels.signatureSimilarity(x, y))
-      val a = sigs.select(col("source").as("src_a"), col("gsig").as("sig_a"))
-      val b = sigs.select(col("source").as("src_b"), col("gsig").as("sig_b"))
+      val a = gsigs.select(col("source").as("src_a"), col("gsig").as("sig_a"))
+      val b = gsigs.select(col("source").as("src_b"), col("gsig").as("sig_b"))
       a.crossJoin(b).filter(col("src_a") < col("src_b"))
         .select(col("src_a"), col("src_b"),
           round(simUdf(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
@@ -1650,14 +1715,19 @@ object SparkEntry {
         .orderBy(col("key_rows").desc, col("key"))
     }),
 
-    // ── Approximate distinct (HLL++) per group, rows-only: sketch
-    //    estimates are engine-specific; ProfilingSpec bounds the error
-    //    against the exact count ──
+    // ── Approximate distinct (HLL++) per group. The raw sketch estimate
+    //    is engine-specific, so the oracle-checked output is the exact
+    //    count plus a self-audit: |approx − exact|/exact < 5% must hold
+    //    (HLL++ at default rsd=5% — the oracle pins the column TRUE, so
+    //    a drifting sketch fails the hash gate loudly) ──
     "q90_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey").as("approx_parts"),
           count_distinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts") < 0.05).as("within_5pct"))
         .orderBy("l_returnflag")
     }),
 
@@ -4908,6 +4978,39 @@ object SparkEntry {
         | CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
         | CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
         |FROM events GROUP BY 1 ORDER BY dow""".stripMargin,
+    // exact distinct per group; the within_5pct audit column is pinned
+    // TRUE — Spark's HLL++ drifting past 5% relative error fails the hash
+    "q90_approx_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | TRUE AS within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // group MinHash signature replay: min is associative, so the typed
+    // Aggregator's elementwise-min over per-doc md5 signatures equals the
+    // per-(source,h) min over the source's pooled distinct shingle set
+    "q91_group_signature" ->
+      """WITH toks AS (
+        | SELECT doc_id, source, list_filter(
+        |   regexp_split_to_array(lower(trim(text)), '\s+'),
+        |   t -> len(t) > 0) AS ts
+        | FROM documents),
+        |sh AS (
+        | SELECT DISTINCT source, sh FROM (
+        |  SELECT source, unnest(list_transform(range(1, len(ts) - 1),
+        |    i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+        |  FROM toks WHERE len(ts) >= 3)),
+        |gs AS (
+        | SELECT source, h, min(CAST('0x' ||
+        |   substring(md5(h::VARCHAR || ':' || sh), 1, 15) AS UBIGINT)) AS mv
+        | FROM sh CROSS JOIN (SELECT unnest(range(0, 24)) AS h) hh
+        | GROUP BY source, h),
+        |pairs AS (
+        | SELECT a.source AS src_a, b.source AS src_b,
+        |  sum(CASE WHEN a.mv = b.mv THEN 1.0 ELSE 0.0 END) / 24.0 AS sim
+        | FROM gs a JOIN gs b ON a.h = b.h AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT src_a, src_b, round(sim, 4) AS est_jaccard
+        |FROM pairs ORDER BY src_a, src_b""".stripMargin,
     "q89_skew_report" ->
       """WITH counts AS (
         | SELECT CAST(l_partkey AS VARCHAR) AS key,
@@ -5606,6 +5709,208 @@ object SparkEntry {
         |  FROM events GROUP BY user_id)
         |SELECT np.g AS "group", np.n_points, s.n_pairs, s.sen_slope
         |FROM np JOIN s USING (g) ORDER BY "group"""".stripMargin,
+    // PCA invariants pinned TRUE: score variance ≡ eigenvalue per
+    // component, spectrum sorted; n and component ids replay exactly
+    "q247_pca" ->
+      """SELECT CAST(c AS BIGINT) AS component,
+        | (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n,
+        | TRUE AS var_matches_eigen, TRUE AS eigen_monotone
+        |FROM (SELECT unnest(range(0, 4)) AS c) ORDER BY component""".stripMargin,
+    // Procrustes invariants pinned TRUE: planted permutation realigned to
+    // ≥0.999 mean cosine and strictly better than unaligned
+    "q246_procrustes" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_pairs, TRUE AS aligned_ok,
+        | TRUE AS improved
+        |FROM embeddings""".stripMargin,
+    // ZCA invariant pinned TRUE: whitened covariance ≡ identity; cell
+    // counts replay from the embedding width d as d(d−1)/2 and d
+    "q250_zca_whiten" ->
+      """WITH dd AS (SELECT min(len(embedding)) AS d FROM embeddings)
+        |SELECT FALSE AS diagonal,
+        | CAST(d * (d - 1) // 2 AS BIGINT) AS n_cells, TRUE AS identity_ok
+        |FROM dd
+        |UNION ALL
+        |SELECT TRUE, CAST(d AS BIGINT), TRUE FROM dd
+        |ORDER BY diagonal""".stripMargin,
+    // UPGMA invariants pinned TRUE: monotone merge heights, size
+    // bookkeeping, k−1 merges completing the tree
+    "q252_hac_dendrogram" ->
+      """SELECT CAST(s AS BIGINT) AS step, TRUE AS dist_monotone,
+        | TRUE AS size_ok
+        |FROM (SELECT unnest(range(1, 8)) AS s) ORDER BY step""".stripMargin,
+    // exact EWMA control-chart replay: the per-series recurrence steps
+    // through a lockstep recursive CTE in the SAME double arithmetic and
+    // operation order as the fold (note (1 - 0.3), never the literal 0.7
+    // — they differ in the last ulp), so alert counts are bit-exact; the
+    // query's own stream-vs-batch comparison rides on top
+    "q249_stream_control_chart" ->
+      """WITH RECURSIVE
+        |o AS (
+        | SELECT user_id AS series, epoch_us(ts) AS t, event_id,
+        |  value AS x,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS rn
+        | FROM events),
+        |chart AS (
+        | SELECT series, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS n,
+        |  CAST(0.0 AS DOUBLE) AS ewma, CAST(0.0 AS DOUBLE) AS ewvar,
+        |  CAST(0 AS BIGINT) AS alerts
+        | FROM (SELECT DISTINCT series FROM o)
+        | UNION ALL
+        | SELECT c.series, o.rn, c.n + 1,
+        |  CASE WHEN c.n = 0 THEN o.x
+        |       ELSE c.ewma + 0.3 * (o.x - c.ewma) END,
+        |  CASE WHEN c.n = 0 THEN 0.0
+        |       ELSE (1 - 0.3) * (c.ewvar +
+        |         0.3 * (o.x - c.ewma) * (o.x - c.ewma)) END,
+        |  c.alerts + CASE WHEN c.n >= 5 AND
+        |    (o.x - c.ewma) * (o.x - c.ewma) > 3.0 * 3.0 * c.ewvar
+        |    THEN 1 ELSE 0 END
+        | FROM chart c JOIN o ON o.series = c.series AND o.rn = c.rn + 1),
+        |fin AS (
+        | SELECT series, arg_max(alerts, rn) AS na FROM chart GROUP BY series)
+        |SELECT series, na AS n_alerts_stream, na AS n_alerts_batch
+        |FROM fin WHERE na > 0 ORDER BY series""".stripMargin,
+    // full jackknife replay in DuckDB's float32 arithmetic (REAL ops stay
+    // REAL): float mean/stddev/threshold, per-position gap statistic over
+    // the sorted value sequence (lead/lag), tail-extended flags as two
+    // cumulative window maxima, failsafe at > n/2 — bit-exact against the
+    // typed Aggregator (verified all 1963 sf0.01 groups incl. float cols)
+    "q27_jackknife_full" ->
+      """WITH s AS (
+        | SELECT l_partkey, CAST(l_extendedprice AS FLOAT) AS v
+        | FROM lineitem),
+        |g AS (
+        | SELECT l_partkey, CAST(count(*) AS INT) AS n,
+        |  min(v) AS mn, max(v) AS mx,
+        |  CAST(CAST(sum(CAST(v AS DOUBLE)) AS FLOAT) /
+        |    CAST(count(*) AS FLOAT) AS FLOAT) AS mean
+        | FROM s GROUP BY l_partkey HAVING count(*) >= 20),
+        |d AS (
+        | SELECT s.l_partkey, s.v, g.n, g.mean, g.mx, g.mn,
+        |  lead(s.v) OVER w AS nv, lag(s.v) OVER w AS pv
+        | FROM s JOIN g USING (l_partkey)
+        | WINDOW w AS (PARTITION BY s.l_partkey ORDER BY s.v)),
+        |st AS (
+        | SELECT l_partkey,
+        |  CAST(sqrt(sum(POWER(v - mean, 2)) / CAST(max(n) AS FLOAT))
+        |    AS FLOAT) AS sstd,
+        |  CAST((0.95 * sqrt(CAST(max(n) AS DOUBLE)) + 0.2) *
+        |    ((max(mx) - max(mn)) / CAST(50 AS FLOAT)) AS FLOAT) AS threshold
+        | FROM d GROUP BY l_partkey),
+        |cs AS (
+        | SELECT d.*, st.sstd, st.threshold,
+        |  CASE WHEN v < mean THEN CAST((nv - v) * (mean - v) AS DOUBLE)
+        |       WHEN v > mean THEN CAST((v - pv) * (v - mean) AS DOUBLE)
+        |       ELSE 0.0 END / CAST(sstd AS DOUBLE) AS c
+        | FROM d JOIN st USING (l_partkey)),
+        |fl AS (
+        | SELECT *, (c > CAST(threshold AS DOUBLE)) AS base,
+        |  coalesce(max(CASE WHEN c > CAST(threshold AS DOUBLE) AND v < mean
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY l_partkey ORDER BY v
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) = 1
+        |    AS ext_low,
+        |  coalesce(max(CASE WHEN c > CAST(threshold AS DOUBLE) AND v > mean
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY l_partkey ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+        |    AS ext_high
+        | FROM cs),
+        |res AS (
+        | SELECT l_partkey, max(n) AS n, max(mean) AS mean,
+        |  max(sstd) AS sstd, max(threshold) AS threshold,
+        |  sum(CASE WHEN base OR ext_low OR ext_high THEN 1 ELSE 0 END)
+        |    AS raw_out
+        | FROM fl GROUP BY l_partkey)
+        |SELECT l_partkey, n, mean, sstd AS "stdDev", threshold,
+        | CAST(CASE WHEN raw_out > n // 2 THEN 0 ELSE raw_out END AS INT)
+        |   AS n_outliers,
+        | (raw_out > n // 2) AS "triggerFailsafe"
+        |FROM res WHERE threshold > 0 ORDER BY l_partkey""".stripMargin,
+    // exact order-statistic percentiles (index ⌊p·(n−1)⌋, no lerp — the
+    // picked value is verbatim); the t-digest audit columns pinned TRUE
+    "q219_tdigest_quantiles" ->
+      """WITH r AS (
+        | SELECT l_returnflag, l_extendedprice AS v,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS nn
+        | FROM lineitem)
+        |SELECT l_returnflag, CAST(max(nn) AS BIGINT) AS n,
+        | max(CASE WHEN rn = floor(0.5 * (nn - 1)) + 1 THEN v END)
+        |   AS exact_p50,
+        | max(CASE WHEN rn = floor(0.9 * (nn - 1)) + 1 THEN v END)
+        |   AS exact_p90,
+        | max(CASE WHEN rn = floor(0.99 * (nn - 1)) + 1 THEN v END)
+        |   AS exact_p99,
+        | TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // stream window counts replay as time_bucket; the observed-rank
+    // audits of the state-store t-digest estimates are pinned TRUE
+    "q220_stream_windowed_quantiles" ->
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket, event_type,
+        | CAST(count(*) AS BIGINT) AS n, TRUE AS ok_p50, TRUE AS ok_p95
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    // Borůvka MSF replay via the matroid invariant: all MSFs share the
+    // weight multiset, and #forest edges with weight ≤ t is
+    // |V| − components(E_{≤t}); per-threshold components come from one
+    // recursive-CTE min-label closure (m ≤ node pruning: a label larger
+    // than any node it visits can never be a component minimum)
+    "q234_boruvka_msf" ->
+      """WITH RECURSIVE
+        |li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+        |       WHERE l_orderkey % 211 = 0),
+        |base AS (
+        | SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        | FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |we AS (SELECT src, dst,
+        |        CAST((src * dst) % 25 + 1 AS DOUBLE) AS w FROM base),
+        |sym AS (SELECT src, dst, w FROM we
+        |        UNION ALL SELECT dst, src, w FROM we),
+        |nodes AS (SELECT DISTINCT src AS node FROM sym),
+        |th AS (SELECT DISTINCT w AS t FROM we),
+        |reach AS (
+        | SELECT t, node, node AS m FROM nodes CROSS JOIN th
+        | UNION
+        | SELECT r.t, s.dst AS node, r.m
+        | FROM reach r JOIN sym s ON s.src = r.node AND s.w <= r.t
+        | WHERE r.m <= s.dst),
+        |comp AS (SELECT t, node, min(m) AS c FROM reach GROUP BY t, node),
+        |cc AS (SELECT t, count(DISTINCT c) AS nc FROM comp GROUP BY t),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |seq AS (SELECT t, nc, lag(nc) OVER (ORDER BY t) AS prev FROM cc),
+        |ed AS (SELECT t,
+        |        coalesce(prev, (SELECT n FROM nn)) - nc AS ne FROM seq)
+        |SELECT
+        | (SELECT min(nc) FROM cc) AS n_components,
+        | CAST((SELECT sum(ne) FROM ed) AS BIGINT) AS n_edges,
+        | round((SELECT sum(t * ne) FROM ed), 2) AS total_w,
+        | round((SELECT min(t) FROM ed WHERE ne > 0), 2) AS min_w,
+        | round((SELECT max(t) FROM ed WHERE ne > 0), 2) AS max_w""".stripMargin,
+    // SCC replay: recursive-CTE transitive closure joined against itself
+    // — scc(v) = min{m : m reaches v and v reaches m}
+    "q237_scc" ->
+      """WITH RECURSIVE
+        |e0 AS (
+        | SELECT DISTINCT
+        |  CASE WHEN l_orderkey % 2 = 0 THEN l_partkey
+        |       ELSE l_suppkey + 1000000 END AS src,
+        |  CASE WHEN l_orderkey % 2 = 0 THEN l_suppkey + 1000000
+        |       ELSE l_partkey END AS dst
+        | FROM lineitem WHERE l_orderkey % 11 = 0),
+        |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |reach AS (
+        | SELECT node AS a, node AS b FROM nodes
+        | UNION
+        | SELECT r.a, e.dst AS b FROM reach r JOIN e ON e.src = r.b),
+        |scc AS (
+        | SELECT r1.a AS node, min(r1.b) AS scc
+        | FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        | GROUP BY r1.a),
+        |sz AS (SELECT scc, count(*) AS sz FROM scc GROUP BY scc)
+        |SELECT sz AS scc_size, CAST(count(*) AS BIGINT) AS n_sccs
+        |FROM sz GROUP BY sz ORDER BY scc_size""".stripMargin,
     "q235_dp_counts" ->
       """WITH c AS (
         | SELECT event_type AS "group", count(*) AS n_true

@@ -23,6 +23,22 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graphs {
 
+  /** Union-find `find` with two-pass path compression, iterative on
+    * purpose: the driver tails ([[boruvkaMsf]]'s Kruskal pass and merge
+    * step) run at the `maxLocalEdges`/`maxLocalMerge` bounds (1–2M
+    * entries), where a recursive find on an adversarial parent chain
+    * would overflow the driver stack. Pass 1 walks to the root; pass 2
+    * re-walks pointing every visited node at it. */
+  private[operators] def ufFind(
+      parent: scala.collection.mutable.Map[Long, Long], x: Long): Long = {
+    parent.getOrElseUpdate(x, x)
+    var r = x
+    while (parent(r) != r) r = parent(r)
+    var c = x
+    while (c != r) { val n = parent(c); parent(c) = r; c = n }
+    r
+  }
+
   /** Symmetrise + dedup an edge list: returns both directions of each
     * distinct undirected {src, dst} pair, self-loops dropped. */
   def symmetrize(edges: DataFrame): DataFrame = {
@@ -206,8 +222,14 @@ object Graphs {
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("src").as("node"))
-        .agg(max(struct(col("cnt"), (-col("label")).as("_nl"))).as("_m"))
-        .select(col("node"), (-col("_m._nl")).as("label"))
+        // negation-free tie-break: min over (-cnt, label) = most frequent
+        // label, ties to the SMALLEST label. Negating `cnt` (always a
+        // count) instead of `label` keeps string/any-typed node ids
+        // working — negating a string label casts to null (non-ANSI) and
+        // silently collapses every label.
+        .agg(min(struct((-col("cnt")).as("_nc"), col("label").as("_l")))
+          .as("_m"))
+        .select(col("node"), col("_m._l").as("label"))
         .localCheckpoint(true)
     }
     labels
@@ -317,10 +339,7 @@ object Graphs {
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
             r.getLong(3), r.getLong(4)))
         val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          val p = parent.getOrElseUpdate(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
-        }
+        def find(x: Long): Long = ufFind(parent, x)
         val chosen = Vector.newBuilder[(Long, Long, Double)]
         // the same (w, src, dst) total order the distributed rounds use
         es.sortBy(t => (t._3, t._1, t._2)).foreach {
@@ -389,10 +408,7 @@ object Graphs {
               col("cb").cast("long"))
               .collect().map(r => (r.getLong(0), r.getLong(1)))
             val parent = scala.collection.mutable.Map.empty[Long, Long]
-            def find(x: Long): Long = {
-              val p = parent.getOrElseUpdate(x, x)
-              if (p == x) x else { val r = find(p); parent(x) = r; r }
-            }
+            def find(x: Long): Long = ufFind(parent, x)
             pairs.foreach { case (a, b) =>
               val (ra, rb) = (find(a), find(b))
               if (ra != rb) parent(ra) = rb
@@ -531,6 +547,12 @@ object Graphs {
           stable = next.filter(col("_chg")).isEmpty
           colors = next.drop("_chg")
         }
+        // a non-fixpoint coloring silently splits SCCs (a node the min id
+        // hasn't reached yet keeps a wrong color and the backward pass
+        // flags only a subset) — fail loudly instead of returning them
+        require(stable, s"stronglyConnectedComponents: forward coloring " +
+          s"did not reach a fixpoint within maxPropRounds=$maxPropRounds " +
+          "rounds; raise maxPropRounds (graph diameter exceeds it)")
         // 3. backward flag propagation within equal colors, from roots
         val colored = e
           .join(colors.select(col("node").as("src"), col("color").as("cs")),
@@ -555,6 +577,9 @@ object Graphs {
           stable = grown.count() == flagged.count()
           flagged = grown
         }
+        require(stable, s"stronglyConnectedComponents: backward reach " +
+          s"did not reach a fixpoint within maxPropRounds=$maxPropRounds " +
+          "rounds; raise maxPropRounds (SCC-internal distance exceeds it)")
         result = result
           .unionByName(flagged.select(col("node"), col("color").as("scc")))
           .localCheckpoint(true)

@@ -17,10 +17,15 @@ import org.apache.spark.sql.streaming._
   *   ewvar   = (1−α)·(ewvar + α·dev²)
   *
   * Determinism: within a micro-batch the rows of one key are sorted by
-  * (ts, event_id) before folding — streaming iterators carry no order —
-  * so a stream split across ANY batch boundaries emits exactly the
-  * alerts the single-pass batch recurrence does (the spec proves the
-  * stream ≡ batch identity). State is 3 doubles + a long per series;
+  * (ts, event_id) before folding — streaming iterators carry no order.
+  * PRECONDITION: micro-batches must PARTITION each series' stream in
+  * (ts, event_id) order — no batch may deliver an event older than one
+  * a previous batch already folded into the state (the EW recurrence is
+  * order-defined and cannot retract). Under that precondition the
+  * stream emits exactly the alerts the single-pass batch recurrence
+  * does, wherever the batch boundaries fall (the spec proves the
+  * stream ≡ batch identity; q249 mtime-stamps its source files to
+  * satisfy the precondition). State is 3 doubles + a long per series;
   * shuffles carry only each batch.
   */
 object ControlChart {

@@ -88,9 +88,26 @@ object StreamingSketches {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val base = stream.sparkSession.table(queryName)
-    quantiles.foldLeft(base) { (df, p) =>
-      df.withColumn(s"p${math.round(p * 100)}",
-        TDigestAgg.quantileOf(col("digest"), p))
+    // collision-free column names: integral percents stay `p95`-style;
+    // fractional ones carry the decimals after an underscore (0.999 →
+    // `p99_9`, 0.995 → `p99_5`, 0.005 → `p0_5`). The old
+    // round(p*100) scheme mapped 0.995/0.999/1.0 all to "p100" and the
+    // foldLeft silently overwrote one requested quantile with another.
+    val names = quantiles.map { p =>
+      val bp = math.round(p * 10000)
+      if (bp % 100 == 0) s"p${bp / 100}"
+      else {
+        val frac = (bp % 100).toInt
+        val fracStr =
+          if (frac % 10 == 0) (frac / 10).toString else f"$frac%02d"
+        s"p${bp / 100}_$fracStr"
+      }
+    }
+    require(names.distinct.size == names.size,
+      s"windowedQuantilesStream: quantiles $quantiles yield colliding " +
+        s"column names $names — quantiles must differ at 4 decimal places")
+    quantiles.zip(names).foldLeft(base) { case (df, (p, name)) =>
+      df.withColumn(name, TDigestAgg.quantileOf(col("digest"), p))
     }.drop("digest")
   }
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-9 hardening: iterative union-find under adversarial chains at the
+  * driver-tail bounds, SCC loud non-convergence, and label propagation
+  * over non-numeric node ids. */
+class Round9Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("ufFind survives a 1M-element adversarial parent chain (the " +
+    "maxLocalEdges bound) and fully compresses the path") {
+    val n = 1000000
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    // worst case a recursive find could meet at the driver-tail bound:
+    // one chain 0 -> 1 -> ... -> n, find(0) must not blow the stack
+    var i = 0L
+    while (i < n) { parent(i) = i + 1; i += 1 }
+    parent(n.toLong) = n.toLong
+    assert(Graphs.ufFind(parent, 0L) == n.toLong)
+    // two-pass compression: every chain member now points at the root
+    assert(parent(0L) == n.toLong && parent(n / 2L) == n.toLong)
+    // and a later find is O(1)
+    assert(Graphs.ufFind(parent, 1L) == n.toLong)
+  }
+
+  test("boruvkaMsf: driver Kruskal tail on a long path (deep union-find " +
+    "chains) equals the distributed answer") {
+    val m = 3000
+    val edges = (0L until m).map(i => (i, i + 1, 1.0 + (i % 7))).toDF("src", "dst", "w")
+    // path graph: the MSF is the whole path, one component
+    val local = Graphs.boruvkaMsf(edges, maxLocalEdges = 10000000L)
+    val dist = Graphs.boruvkaMsf(edges, maxLocalEdges = 0L, maxLocalMerge = 0L)
+    assert(local.count() == m && dist.count() == m)
+    assert(local.select("component").distinct().as[Long].collect().toSeq == Seq(0L))
+    val lw = local.agg(sum("w")).head().getDouble(0)
+    val dw = dist.agg(sum("w")).head().getDouble(0)
+    assert(math.abs(lw - dw) < 1e-9)
+  }
+
+  test("scc: distributed path fails loudly when maxPropRounds is below " +
+    "the graph diameter instead of splitting an SCC") {
+    // string ids force the distributed Orzan path; a 6-cycle needs ~5
+    // forward rounds for the min id to wrap around
+    val cyc = (0 until 6).map(i => (s"n$i", s"n${(i + 1) % 6}")).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.stronglyConnectedComponents(cyc, maxPropRounds = 2).count()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+    // with enough rounds the same graph is one SCC labelled by min id
+    val ok = Graphs.stronglyConnectedComponents(cyc, maxPropRounds = 40)
+      .as[(String, String)].collect().toMap
+    assert(ok.size == 6 && ok.values.toSet == Set("n0"))
+  }
+
+  test("labelPropagation: string node ids settle per-clique on the " +
+    "lexicographically smallest label (no arithmetic-negation cast)") {
+    val k1 = Seq("apple", "berry", "cherry")
+    val k2 = Seq("xray", "yam", "zeta")
+    def clique(vs: Seq[String]) =
+      for (a <- vs; b <- vs if a < b) yield (a, b)
+    val e = (clique(k1) ++ clique(k2)).toDF("src", "dst")
+    val got = Graphs.labelPropagation(e, rounds = 4)
+      .as[(String, String)].collect().toMap
+    assert(got.filter(_._1.head <= 'c').values.toSet == Set("apple"))
+    assert(got.filter(_._1.head >= 'x').values.toSet == Set("xray"))
+  }
+
+  test("labelPropagation: numeric ids keep the old max-count/min-label " +
+    "semantics (q222 oracle unchanged)") {
+    // two bridged triangles, same fixture family as the hand trace
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("src", "dst")
+    val got = Graphs.labelPropagation(e, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // every node ends with a label drawn from the graph; deterministic
+    val again = Graphs.labelPropagation(e, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == again && got.size == 6)
+    assert(got.values.toSet.subsetOf(Set(1L, 2L, 3L, 4L, 5L, 6L)))
+  }
+}

@@ -99,4 +99,75 @@ class WsAdapterSpec extends AnyFunSuite {
       assert(new java.io.File(landing).list().toSeq == Seq("page-00000.json"))
     } finally server.stop(0)
   }
+
+  /** DiGIR-shape fixture: paged XML envelopes with repeated <record>
+    * elements and an END_OF_RECORDS diagnostic on the final page. */
+  private def withXmlServer[A](f: String => A): A = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/digir", { exchange =>
+      val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+      val params = q.split("&").filter(_.contains("="))
+        .map { kv => val a = kv.split("=", 2); a(0) -> a(1) }.toMap
+      val startAt = params.getOrElse("startAt", "0").toInt
+      val n = params.getOrElse("maxResults", "10").toInt
+      val page = records.slice(startAt, startAt + n)
+      val end = startAt + page.size >= records.size
+      def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      val recs = page.map { m =>
+        "  <record>\n" + m.map { case (k, v) =>
+          s"    <$k>${esc(v)}</$k>"
+        }.mkString("\n") + "\n  </record>"
+      }.mkString("\n")
+      val body =
+        s"""<?xml version="1.0" encoding="UTF-8"?>
+           |<response xmlns="http://digir.net/schema/protocol/2003/1.0">
+           |<content>
+           |$recs
+           |</content>
+           |<diagnostics>
+           |  <diagnostic code="END_OF_RECORDS">$end</diagnostic>
+           |</diagnostics>
+           |</response>""".stripMargin
+      val bytes = body.getBytes("UTF-8")
+      exchange.getResponseHeaders.add("Content-Type", "text/xml")
+      exchange.sendResponseHeaders(200, bytes.length)
+      val os = exchange.getResponseBody
+      try os.write(bytes) finally os.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/digir")
+    finally server.stop(0)
+  }
+
+  test("XML page verb: DiGIR-shape envelopes land, END_OF_RECORDS stops " +
+    "the scan, and the SAME S2 tail canonicalises, miscs, and keys") {
+    withXmlServer { base =>
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_digir").toString
+      val df = WsAdapter.loadXml(spark, base, landing, "dr56",
+        uniqueTerms = Seq("occurrenceID"), pageSize = 10)
+      // 25 records over maxResults 10 → 3 envelopes; the third carries
+      // END_OF_RECORDS=true, so NO fourth (empty-page) request is needed
+      val files = new java.io.File(landing).list().sorted
+      assert(files.toSeq == Seq("page-00000.xml", "page-00001.xml",
+        "page-00002.xml"))
+      assert(df.count() == 25)
+      // identical tail behaviour to the JSON verb: header canonicalised,
+      // unmapped column folded into miscProperties, deterministic identity
+      assert(df.columns.contains("scientificName"))
+      assert(!df.columns.contains("customField"))
+      val m = df.filter(col("occurrenceID") === "ws7")
+        .select("miscProperties").as[Map[String, String]].head()
+      assert(m == Map("customField" -> "extra7"))
+      assert(df.select("rowKey").as[String].collect()
+        .forall(_.startsWith("dr56|")))
+      // verb-independence: the JSON verb over the same logical records
+      // produces the same canonical rows (keys differ only by resource)
+      val again = WsAdapter.loadLandingXml(spark, landing, "dr56",
+        Seq("occurrenceID"))
+      assert(again.select("rowKey").as[String].collect().sorted.toSeq ==
+        df.select("rowKey").as[String].collect().sorted.toSeq)
+    }
+  }
 }

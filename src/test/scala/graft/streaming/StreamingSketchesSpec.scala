@@ -67,4 +67,31 @@ class StreamingSketchesSpec extends AnyFunSuite {
       assert(math.abs(rank(p95) - 0.95) < 0.015, s"h=$h g=$g p95 rank=${rank(p95)}")
     }
   }
+
+  test("windowed quantile columns are collision-free: 0.995/0.999/1.0 get " +
+    "distinct names and colliding requests fail loudly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def mkStream() = {
+      val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+      in.addData((1 to 50).map(i =>
+        (new java.sql.Timestamp(1700000000L * 1000L), "g", i.toDouble)))
+      in.toDF().toDF("ts", "g", "v")
+    }
+    val got = graft.streaming.StreamingSketches
+      .windowedQuantilesStream(mkStream(), "ts", "g", "v", "1 hour",
+        Seq(0.5, 0.995, 0.999, 1.0), "t_td_names")
+    // old round(p*100) naming mapped 0.995/0.999/1.0 ALL to "p100"
+    val cols = got.columns.toSet
+    assert(Set("p50", "p99_5", "p99_9", "p100").subsetOf(cols), cols)
+    val r = got.select("p50", "p99_5", "p99_9", "p100")
+      .as[(Double, Double, Double, Double)].head()
+    assert(r._1 <= r._2 && r._2 <= r._3 && r._3 <= r._4)
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingSketches.windowedQuantilesStream(
+        mkStream(), "ts", "g", "v", "1 hour",
+        Seq(0.995, 0.99501), "t_td_clash")
+    }
+    assert(ex.getMessage.contains("colliding"))
+  }
 }
