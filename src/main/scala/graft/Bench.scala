@@ -216,7 +216,19 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_FRESH_JVM", "0")
       pb.redirectOutput(logDir.resolve(s"batch$bi.out").toFile)
       pb.redirectErrorStream(true)
-      val rc = pb.start().waitFor()
+      // scale-rehearsal guard: a hidden superlinearity at 10× must cost
+      // minutes, not hours — a timed-out batch is killed and its
+      // unreported queries surface as loud failures (default: no limit)
+      val timeoutSec =
+        sys.env.get("SPARK_GRAFT_BATCH_TIMEOUT_SEC").map(_.toLong)
+      val proc = pb.start()
+      val rc = timeoutSec match {
+        case Some(t) =>
+          if (proc.waitFor(t, java.util.concurrent.TimeUnit.SECONDS))
+            proc.exitValue()
+          else { proc.destroyForcibly(); proc.waitFor(); -9 }
+        case None => proc.waitFor()
+      }
       val reported: Map[String, QResult] =
         (try java.nio.file.Files.readAllLines(outFile).asScala.toSeq
          catch { case _: Throwable => Seq.empty[String] })

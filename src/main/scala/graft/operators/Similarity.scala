@@ -25,17 +25,28 @@ object Similarity {
   }
 
   /** Exact top-k by cosine for each query vector.
-    * `queries` must be small (it is broadcast). Output: (query_id, id, cosine, rank). */
+    * `queries` must be small (it is broadcast). Output: (query_id, id, cosine, rank).
+    *
+    * The n_corpus × n_queries scored stream is pruned by the
+    * [[graft.plans.TopKPerGroup]] physical operator BEFORE the shuffle —
+    * each partition ships ≤ k rows per query instead of its whole scored
+    * slice. The window form shuffled (and spilled) the full cross
+    * product: 100M scored rows / 9.5 GB spill on the 10× rehearsal for
+    * the mutual-best-match query, vs ≤ k·partitions rows per query here.
+    * Tie-break (cosine desc, corpusId asc) is identical, so output —
+    * and the q31 oracle — are unchanged. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col(queryId), col(corpusId),
         cosineCol(corpus)(col(corpusVec), col(queryVec)).as("cosine"))
+    val pruned = graft.plans.TopKOps.topKPerGroup(scored,
+      Seq(col(queryId)), Seq(col("cosine").desc, col(corpusId).asc), k)
+    // rank over the pruned set (≤ k rows per query) — same total order
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    pruned.withColumn("rank", row_number().over(w))
   }
 
   /** k-means centroid training on a bounded corpus sample (Lloyd

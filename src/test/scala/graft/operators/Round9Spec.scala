@@ -69,6 +69,43 @@ class Round9Spec extends AnyFunSuite {
     assert(got.filter(_._1.head >= 'x').values.toSet == Set("xray"))
   }
 
+  test("editDistanceSelfJoin ≡ naive within-block scan on random strings " +
+    "(substitutions, insertions, deletions, cross-block separation)") {
+    // deterministic corpus: base words plus planted 1-2-edit variants,
+    // including INDELS (the case naive segment blocking misses)
+    val base = Seq("kangaroo", "wallabye", "platypus", "echidnaz",
+      "wombatty", "dingodog")
+    val rows = base.zipWithIndex.flatMap { case (w, i) =>
+      val blk = i % 2
+      Seq(
+        (i * 10L + 0, blk, w),
+        (i * 10L + 1, blk, w.updated(2, 'x')),                    // 1 sub
+        (i * 10L + 2, blk, w.substring(1)),                       // 1 del
+        (i * 10L + 3, blk, "q" + w),                              // 1 ins
+        (i * 10L + 4, blk, w.updated(1, 'y').updated(5, 'z')),    // 2 subs
+        (i * 10L + 5, (blk + 1) % 2, w))                          // other block
+    }
+    val df = rows.toDF("id", "blk", "name")
+    val fast = RecordLinkage
+      .editDistanceSelfJoin(df, "id", "name", tau = 2, Seq("blk"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val naive = (for {
+      (ia, ba, na) <- rows; (ib, bb, nb) <- rows
+      if ia < ib && ba == bb &&
+        graft.functions.HashKernels.levenshteinWithin(na, nb, 2)
+    } yield (ia, ib)).toSet
+    assert(fast == naive, s"missing=${naive -- fast} extra=${fast -- naive}")
+    assert(naive.nonEmpty)
+    // the cost-chooser's two paths are row-identical on the same input
+    val naivePath = RecordLinkage.blockedEditDistancePairs(df, "id",
+      "name", 2, Seq("blk"), maxNaiveBlock = 1000000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val deletePath = RecordLinkage.blockedEditDistancePairs(df, "id",
+      "name", 2, Seq("blk"), maxNaiveBlock = 0L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(naivePath == naive && deletePath == naive)
+  }
+
   test("labelPropagation: numeric ids keep the old max-count/min-label " +
     "semantics (q222 oracle unchanged)") {
     // two bridged triangles, same fixture family as the hand trace
