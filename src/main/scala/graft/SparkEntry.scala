@@ -822,6 +822,7 @@ object SparkEntry {
         .select(col("user_id").as("series"), unix_micros(col("ts")).as("ts"),
           col("event_id"), col("value").as("x"))
         .as[ControlChart.Obs]
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_q249_").toString
       def stamp(minute: Int): Unit = {
@@ -837,8 +838,8 @@ object SparkEntry {
       }
       // three time-ordered batches (the chart is order-defined, so batch
       // boundaries must respect event time — as any log replay does)
-      val cut1 = obs.stat.approxQuantile("ts", Array(0.33), 0.0)(0)
-      val cut2 = obs.stat.approxQuantile("ts", Array(0.66), 0.0)(0)
+      val cuts = obs.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+      val cut1 = cuts(0); val cut2 = cuts(1)
       obs.filter(col("ts") <= cut1).coalesce(1)
         .write.mode("overwrite").parquet(tmp); stamp(0)
       obs.filter(col("ts") > cut1 && col("ts") <= cut2).coalesce(1)
@@ -2198,24 +2199,17 @@ object SparkEntry {
 
     // ── Codegen'd Jaro–Winkler scored against DuckDB's built-in: blocked
     //    per-nation name-pair counts ──
-    // blocking contract: Jaro–Winkler pair scoring is quadratic WITHIN
-    // each block by definition — the block key is the caller's scale
-    // lever (every production linkage system documents this recall-for-
-    // cost tradeoff; the 10× rehearsal measured the in-block pair scan
-    // growing with Σ block², linear in pair count at ~80M codegen'd JW
-    // pairs/s — the plan is sound, the key choice is the contract)
+    // cost-chosen high-threshold JW pairs (round 9): small blocks keep
+    // the plain scan; large uniform-length blocks take the LOSSLESS
+    // sorted-character deletion-variant candidates (JW ≥ 0.96 on
+    // equal-length strings forces ≥ L−1 shared character occurrences —
+    // derivation in RecordLinkage.jaroWinklerPairs). Row-identical
+    // either way (spec-pinned), all-pairs oracle unchanged
     "q106_jaro_winkler" -> ((s, dir) => {
-      graft.plans.GraftFunctions.register(s)
-      val c = t(s, dir, "customer")
-      val a = c.select(col("c_nationkey").as("nk"),
-        col("c_custkey").as("ck_a"), col("c_name").as("name_a"))
-      val b = c.select(col("c_nationkey").as("nk"),
-        col("c_custkey").as("ck_b"), col("c_name").as("name_b"))
-      a.join(b, Seq("nk"))
-        .filter(col("ck_a") < col("ck_b") &&
-          round(graft.plans.GraftFunctions
-            .jaro_winkler(col("name_a"), col("name_b")), 6) >= 0.96)
-        .groupBy(col("nk").as("nationkey"))
+      graft.operators.RecordLinkage.jaroWinklerPairs(
+          t(s, dir, "customer"), "c_custkey", "c_name", threshold = 0.96,
+          blockCols = Seq("c_nationkey"))
+        .groupBy(col("c_nationkey").as("nationkey"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("nationkey")
     }),
@@ -2240,16 +2234,11 @@ object SparkEntry {
     // ── Entity resolution end-to-end: block by nation → Jaro–Winkler
     //    candidate scoring → connected-components clustering ──
     "q108_entity_resolution" -> ((s, dir) => {
-      graft.plans.GraftFunctions.register(s)
-      val c = t(s, dir, "customer")
-      val a = c.select(col("c_nationkey").as("nk"),
-        col("c_custkey").as("id_a"), col("c_name").as("name_a"))
-      val b = c.select(col("c_nationkey").as("nk"),
-        col("c_custkey").as("id_b"), col("c_name").as("name_b"))
-      val pairs = a.join(b, Seq("nk"))
-        .filter(col("id_a") < col("id_b") &&
-          round(graft.plans.GraftFunctions
-            .jaro_winkler(col("name_a"), col("name_b")), 6) >= 0.98)
+      // at 0.98 the lossless candidate rule degenerates to sorted-
+      // character EQUALITY (δ = 0) — see q106's chooser note
+      val pairs = graft.operators.RecordLinkage.jaroWinklerPairs(
+          t(s, dir, "customer"), "c_custkey", "c_name", threshold = 0.98,
+          blockCols = Seq("c_nationkey"))
         .select("id_a", "id_b")
       Components.connectedComponents(pairs, "id_a", "id_b")
         .groupBy(col("component").as("cluster"))

@@ -104,16 +104,25 @@ object RecordLinkage {
       if (s == null) Array.empty[Long] else deletionVariantHashes(s, tau))
     val within = udf((a: String, b: String) =>
       graft.functions.HashKernels.levenshteinWithin(a, b, tau))
+    repCollapsedPairs(df, idCol, strCol, blockCols, variants,
+      (a, b) => within(a, b))
+  }
+
+  /** The shared candidate skeleton: rep-collapse (the boundedSelfPairs
+    * move — the variant join runs over DISTINCT (block, string), so
+    * duplicate-heavy corpora don't square every bucket), candidates from
+    * the (block, variant-hash) equi-join, exact `verify` on rep pairs
+    * only, then expansion back to id pairs through two string equi-joins;
+    * same-string pairs (verify(s,s) must hold for any reflexive
+    * predicate) come from the exact self-join. */
+  private def repCollapsedPairs(df: DataFrame, idCol: String,
+      strCol: String, blockCols: Seq[String],
+      variants: org.apache.spark.sql.expressions.UserDefinedFunction,
+      verify: (Column, Column) => Column): DataFrame = {
     val blk = blockCols.map(col)
     val rows = df
       .select(blk :+ col(idCol).as("_id") :+ col(strCol).as("_s"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // rep-collapse (the boundedSelfPairs move): the variant join runs
-    // over DISTINCT (block, string) — duplicate-heavy corpora would
-    // otherwise multiply every variant bucket by the dup count and the
-    // join by its square. Same-string pairs (ed = 0 ≤ τ) come from the
-    // exact self-join; cross-string rep pairs expand back through two
-    // equi-joins on the string.
     val reps = rows.select(blk :+ col("_s"): _*).distinct()
       .withColumn("_v", explode(variants(col("_s"))))
     val repPairs = reps
@@ -123,7 +132,7 @@ object RecordLinkage {
       .filter(col("_sa") < col("_sb"))
       .select(blk ++ Seq(col("_sa"), col("_sb")): _*)
       .distinct() // the same rep pair can meet in many variant buckets
-      .filter(within(col("_sa"), col("_sb")))
+      .filter(verify(col("_sa"), col("_sb")))
     val cross = repPairs
       .join(rows.select(blk :+ col("_s").as("_sa") :+
         col("_id").as("_ia"): _*), blockCols :+ "_sa")
@@ -133,9 +142,74 @@ object RecordLinkage {
         greatest(col("_ia"), col("_ib")).as("id_b")): _*)
     val sameString = rows
       .join(rows.withColumnRenamed("_id", "_ib"), blockCols :+ "_s")
-      .filter(col("_id") < col("_ib"))
+      .filter(col("_id") < col("_ib") && verify(col("_s"), col("_s")))
       .select(blk ++ Seq(col("_id").as("id_a"), col("_ib").as("id_b")): _*)
     cross.unionByName(sameString)
+  }
+
+  /** Exact high-threshold Jaro–Winkler self-join with LOSSLESS
+    * candidate generation for uniform-length corpora — the scale path
+    * for the q106/q108 family, whose within-block scan is otherwise
+    * quadratic in block population.
+    *
+    * Derivation (each step an upper bound, so candidates can only be a
+    * superset): with the standard p = 0.1, ℓ ≤ 4 boost,
+    * JW ≥ t ⟹ Jaro J ≥ (t − 0.4)/0.6; for two strings of equal length
+    * L, J ≤ (2m/L + 1)/3, so m ≥ ⌈(3J₀ − 1)·L/2⌉ matched characters;
+    * Jaro matches are injective over occurrences, so the character
+    * MULTISETS share ≥ m occurrences; each side therefore differs from
+    * the shared multiset by δ = L − m deletions — i.e. the pairs'
+    * SORTED character strings share a common ≤δ-deletion variant.
+    * Candidates are the (block, sorted-variant-hash) equi-join; every
+    * candidate is verified with the exact Jaro–Winkler at the query's
+    * round(·, 6) convention, so the output is row-for-row the
+    * within-block scan's (spec-pinned). At t = 0.96, L = 18: δ = 1 (19
+    * keys/row); at t = 0.98: δ = 0 (sorted-string equality).
+    *
+    * Falls back to the plain scan when the largest block is small
+    * (≤ maxNaiveBlock — small blocks beat candidate overhead), when
+    * lengths are not uniform (the m bound needs one L), or when the
+    * threshold is too low for a usable δ (> maxDelta). */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
+      threshold: Double, blockCols: Seq[String],
+      maxNaiveBlock: Long = 2000L, maxDelta: Int = 2): DataFrame = {
+    require(threshold > 0.7 && threshold <= 1.0, "high-threshold operator")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val verify = (a: Column, b: Column) =>
+      round(graft.plans.GraftFunctions.jaro_winkler(a, b), 6) >= threshold
+    val blk = blockCols.map(col)
+    val stats = df.agg(min(length(col(strCol))).as("mn"),
+      max(length(col(strCol))).as("mx")).head()
+    val uniform = !stats.isNullAt(0) && stats.getInt(0) == stats.getInt(1)
+    val maxBlock = df.groupBy(blk: _*)
+      .agg(count(lit(1)).as("_c")).agg(max("_c")).head().getLong(0)
+    // 1e-6 margin: the verify compares round(jw, 6) ≥ t, which admits
+    // true JW down to t − 5e-7 — the bound must cover those pairs too
+    val j0 = (threshold - 1e-6 - 0.4) / 0.6
+    val delta = if (!uniform) Int.MaxValue else {
+      val L = stats.getInt(0)
+      L - math.ceil((3.0 * j0 - 1.0) * L / 2.0).toInt
+    }
+    if (maxBlock <= maxNaiveBlock || delta > maxDelta || delta < 0) {
+      val a = df.select(blk :+ col(idCol).as("id_a") :+
+        col(strCol).as("_sa"): _*)
+      val b = df.select(blk :+ col(idCol).as("id_b") :+
+        col(strCol).as("_sb"): _*)
+      a.join(b, blockCols)
+        .filter(col("id_a") < col("id_b") && verify(col("_sa"), col("_sb")))
+        .select(blk ++ Seq(col("id_a"), col("id_b")): _*)
+    } else {
+      val d = delta
+      val variants = udf((s: String) =>
+        if (s == null) Array.empty[Long]
+        else {
+          val sorted = new String(s.toCharArray.sorted)
+          if (d == 0)
+            Array(graft.functions.HashKernels.hash64(sorted))
+          else deletionVariantHashes(sorted, d)
+        })
+      repCollapsedPairs(df, idCol, strCol, blockCols, variants, verify)
+    }
   }
 
   /** Cost-chosen exact blocked edit-distance pairs — the NameMatcher-

@@ -106,6 +106,48 @@ class Round9Spec extends AnyFunSuite {
     assert(naivePath == naive && deletePath == naive)
   }
 
+  test("jaroWinklerPairs: lossless sorted-variant candidates ≡ the " +
+    "within-block scan (substitutions, transpositions, near-threshold)") {
+    graft.plans.GraftFunctions.register(spark)
+    // uniform length 10, planted high-JW variants: transposition (equal
+    // multisets), single substitution (m = 9 — right at the bound), and
+    // unrelated strings below the threshold
+    val base = Seq("kookaburra", "bandicoota", "cassowarie", "perenties",
+      "quokkaquol").map(_.take(10).padTo(10, 'x'))
+    val rows = base.zipWithIndex.flatMap { case (w, i) =>
+      val blk = i % 2
+      val tr = (w.substring(0, 3) + w(4) + w(3) + w.substring(5)).take(10)
+      Seq(
+        (i * 10L + 0, blk, w),
+        (i * 10L + 1, blk, tr),                   // adjacent transposition
+        (i * 10L + 2, blk, w.updated(7, 'z')),    // tail substitution
+        (i * 10L + 3, blk, w.reverse),            // same multiset, low JW
+        (i * 10L + 4, (blk + 1) % 2, w))          // other block
+    }
+    val df = rows.toDF("id", "blk", "name")
+    def run(naiveMax: Long) = RecordLinkage.jaroWinklerPairs(
+        df, "id", "name", threshold = 0.96, Seq("blk"),
+        maxNaiveBlock = naiveMax)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val naive = run(1000000L)
+    val fast = run(0L)
+    assert(fast == naive, s"missing=${naive -- fast} extra=${fast -- naive}")
+    assert(naive.nonEmpty)
+    // sanity: the scan agrees with a driver-side JW filter
+    import org.apache.spark.sql.functions.{col, round => rnd}
+    val ref = (for {
+      (ia, ba, na) <- rows; (ib, bb, nb) <- rows
+      if ia < ib && ba == bb
+    } yield ((ia, ib), (na, nb))).toMap
+    val refPairs = df.sparkSession.createDataFrame(
+        ref.toSeq.map { case ((ia, ib), (na, nb)) => (ia, ib, na, nb) })
+      .toDF("ia", "ib", "na", "nb")
+      .filter(rnd(graft.plans.GraftFunctions.jaro_winkler(
+        col("na"), col("nb")), 6) >= 0.96)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(naive == refPairs)
+  }
+
   test("labelPropagation: numeric ids keep the old max-count/min-label " +
     "semantics (q222 oracle unchanged)") {
     // two bridged triangles, same fixture family as the hand trace

@@ -22,10 +22,14 @@ def canon(v):
 
 def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
+    import os as _os
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # testdata tables are single files; derived rehearsal sets
+        # (graft.ScaleGen) write multi-file directories — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if _os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     import glob, os
