@@ -31,6 +31,7 @@ object Cli {
       |              <previousParquet> <outParquet>
       |  explain     <queryName> <sfDir>
       |  curate      <corpusParquet> <benchmarkParquet> <outParquet>
+      |  compact     <tableDir> <targetBytes>
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -96,6 +97,14 @@ object Cli {
           spark.read.parquet(in), spark.read.parquet(benchPath),
           "doc_id", "text", "n_chars", minQuality = 150)
         .write.mode("overwrite").parquet(out)
+    case "compact" :: tableDir :: target :: Nil =>
+      // serving-path table maintenance: plan → rewrite → atomic swap
+      // (reference: the post-load SOLR commit/optimise step,
+      // index/SolrIndexDAO.scala:509-575)
+      operators.Maintenance.compactTable(spark, tableDir, target.toLong)
+        .collect().foreach(r => println(
+          s"${r.get(0)}\tbin=${r.get(1)}\tfiles_in=${r.get(2)}" +
+            s"\tbytes_in=${r.get(3)}\tout=${r.get(4)}"))
     case "explain" :: name :: sfDir :: Nil =>
       val df = SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(s"unknown query: $name"))
@@ -133,5 +142,5 @@ object Cli {
   private val verbs = Set("load-dwca", "load-csv", "process", "sample",
     "index", "facet", "export-dwca", "export-avro", "delete-keys",
     "duplicates", "duplicates-incr", "rename-column", "delete-column",
-    "explain", "curate")
+    "explain", "curate", "compact")
 }

@@ -45,17 +45,37 @@ object ScaleGen {
       df.repartition(parts).write.mode("overwrite")
         .parquet(s"$dest/$t.parquet")
 
-    def span(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head().getLong(0) + 1L
+    def span(t: String, c: String): Long =
+      read(t).agg(max(col(c))).head().getLong(0) + 1L
 
-    // copy-stamped union: shift listed BIGINT key columns by i*span each
+    // One span per KEY DOMAIN, always measured on the domain's OWNING
+    // table (custkey from customer, orderkey from orders, …): shifting a
+    // foreign-key column by its own observed max would break referential
+    // integrity whenever the max PK value happens to be unreferenced
+    // (e.g. o_custkey's max < customer's max ⇒ copy-1 orders would point
+    // below copy-1 customers). PKs and FKs of the same domain must move
+    // by the SAME stride.
+    val domainSpan: Map[String, Long] = Map(
+      "custkey" -> span("customer", "c_custkey"),
+      "suppkey" -> span("supplier", "s_suppkey"),
+      "partkey" -> span("part", "p_partkey"),
+      "orderkey" -> span("orders", "o_orderkey"),
+      "event_id" -> span("events", "event_id"),
+      "user_id" -> span("events", "user_id"),
+      "doc_id" -> span("documents", "doc_id"),
+      "vec_id" -> span("embeddings", "vec_id"))
+    def domainOf(c: String): String =
+      domainSpan.keys.find(c.endsWith(_)).getOrElse(
+        sys.error(s"no key domain for column $c"))
+
+    // copy-stamped union: shift listed BIGINT key columns by i*span of
+    // their DOMAIN each
     def scaled(t: String, keyCols: Seq[String],
         extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
       val base = read(t)
-      val spans = keyCols.map(c => c -> span(base, c)).toMap
       (0 until k).map { i =>
         val shifted = keyCols.foldLeft(base) { (d, c) =>
-          d.withColumn(c, col(c) + lit(i.toLong * spans(c)))
+          d.withColumn(c, col(c) + lit(i.toLong * domainSpan(domainOf(c))))
         }
         extra(shifted, i)
       }.reduce(_ unionByName _)

@@ -528,11 +528,17 @@ object Graphs {
         }
       }
       if (!nodes.isEmpty) {
-        // 2. forward min-color propagation to fixpoint
+        // 2. forward min-color propagation to fixpoint. Round budget is
+        // ADAPTIVE (round 10): maxPropRounds is the expected-diameter
+        // budget, but a graph one hop deeper than expected should cost
+        // one more barrier, not a caller retry — propagation continues
+        // to a 16× hard cap and only THEN fails loudly (the cap keeps a
+        // pathological million-hop chain from spinning barriers forever).
+        val hardCap = maxPropRounds.toLong * 16
         var colors = nodes.select(col("node"), col("node").as("color"))
           .localCheckpoint(true)
         var it = 0; var stable = false
-        while (it < maxPropRounds && !stable) {
+        while (it < hardCap && !stable) {
           it += 1
           val inbound = e
             .join(colors.select(col("node").as("src"), col("color").as("c")),
@@ -551,8 +557,8 @@ object Graphs {
         // hasn't reached yet keeps a wrong color and the backward pass
         // flags only a subset) — fail loudly instead of returning them
         require(stable, s"stronglyConnectedComponents: forward coloring " +
-          s"did not reach a fixpoint within maxPropRounds=$maxPropRounds " +
-          "rounds; raise maxPropRounds (graph diameter exceeds it)")
+          s"did not reach a fixpoint within 16×maxPropRounds=$hardCap " +
+          "rounds; raise maxPropRounds (graph diameter vastly exceeds it)")
         // 3. backward flag propagation within equal colors, from roots
         val colored = e
           .join(colors.select(col("node").as("src"), col("color").as("cs")),
@@ -565,7 +571,7 @@ object Graphs {
         var flagged = colors.filter(col("node") === col("color"))
           .select(col("node"), col("color")).localCheckpoint(true)
         it = 0; stable = false
-        while (it < maxPropRounds && !stable) {
+        while (it < hardCap && !stable) {
           it += 1
           val reach = colored
             .join(flagged.select(col("node").as("dst"),
@@ -578,8 +584,9 @@ object Graphs {
           flagged = grown
         }
         require(stable, s"stronglyConnectedComponents: backward reach " +
-          s"did not reach a fixpoint within maxPropRounds=$maxPropRounds " +
-          "rounds; raise maxPropRounds (SCC-internal distance exceeds it)")
+          s"did not reach a fixpoint within 16×maxPropRounds=$hardCap " +
+          "rounds; raise maxPropRounds (SCC-internal distance vastly " +
+          "exceeds it)")
         result = result
           .unionByName(flagged.select(col("node"), col("color").as("scc")))
           .localCheckpoint(true)

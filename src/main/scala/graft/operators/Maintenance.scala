@@ -46,6 +46,105 @@ object Maintenance {
       .drop("_cum")
   }
 
+  /** EXECUTE a compaction: plan ([[compactionPlan]]) → rewrite → atomic
+    * swap, against a real parquet table directory — the serving-path
+    * analogue of the reference's index optimise step (SOLR
+    * commit+optimise after heavy writes, `index/SolrIndexDAO.scala`
+    * 509-575): many small per-load files become ~targetBytes files
+    * without a reader ever seeing a half-compacted table.
+    *
+    * Layout: a flat parquet dir, or one level of hive-style `k=v`
+    * partition subdirectories (each partition compacts independently —
+    * exactly the plan's grouping). Mechanics:
+    *
+    *   1. REWRITE into a sibling staging dir: each multi-file bin is
+    *      read and written back as one file; singleton bins hard-copy
+    *      byte-identically (no decode cost for already-right-sized
+    *      files). The live dir is untouched throughout.
+    *   2. ATOMIC SWAP: `tableDir` → `tableDir.compact-old` →  staging
+    *      renamed in — two same-filesystem directory renames, each
+    *      atomic, then the old dir is deleted. A crash between the
+    *      renames leaves BOTH complete copies on disk (the staging and
+    *      the `.compact-old` snapshot) — recoverable, never a torn mix
+    *      of old and new files.
+    *
+    * Returns the executed plan: (partition, bin, n_files_in, bytes_in,
+    * out_file). Driver-side work is file LISTINGS only; the data moves
+    * through one distributed read+write per multi-file bin. */
+  def compactTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, targetBytes: Long): DataFrame = {
+    import java.io.File
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = new File(tableDir)
+    require(root.isDirectory, s"$tableDir is not a directory")
+    val partDirs: Seq[(String, File)] = {
+      val subs = Option(root.listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.isDirectory && f.getName.contains("=")).toSeq
+      if (subs.nonEmpty) subs.map(d => d.getName -> d).sortBy(_._1)
+      else Seq("" -> root)
+    }
+    def parquetFiles(d: File): Seq[File] =
+      Option(d.listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName).toSeq
+    val listing = partDirs.flatMap { case (p, d) =>
+      parquetFiles(d).map(f => (p, f.getAbsolutePath, f.length()))
+    }
+    require(listing.nonEmpty, s"$tableDir holds no parquet files")
+    import spark.implicits._
+    val plan = compactionPlan(listing.toDF("pt", "path", "bytes"),
+        "pt", "path", "bytes", targetBytes)
+      .select("partition", "bin", "path", "size_bytes")
+      .as[(String, Long, String, Long)].collect()
+    val stage = new File(tableDir + ".compact-tmp")
+    deleteRecursively(stage)
+    val summary = plan.groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1)
+      .map { case ((part, bin), rows) =>
+        val partStage = if (part.isEmpty) stage else new File(stage, part)
+        partStage.mkdirs()
+        val out = new File(partStage, f"compacted-$bin%05d.parquet")
+        val paths = rows.map(_._3)
+        if (paths.size == 1)
+          Files.copy(Paths.get(paths.head), out.toPath,
+            StandardCopyOption.COPY_ATTRIBUTES)
+        else {
+          val tmp = new File(stage, s".rewrite-${part.hashCode}-$bin")
+          spark.read.parquet(paths: _*).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+          val written = parquetFiles(tmp)
+          require(written.size == 1, s"expected one rewritten file in $tmp")
+          Files.move(written.head.toPath, out.toPath)
+          deleteRecursively(tmp)
+        }
+        (part, bin, paths.size.toLong, rows.map(_._4).sum, out.getName)
+      }
+    // table-level markers (_SUCCESS etc.) survive the swap verbatim
+    partDirs.foreach { case (part, d) =>
+      Option(d.listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.isFile && !f.getName.endsWith(".parquet"))
+        .foreach { f =>
+          val partStage = if (part.isEmpty) stage else new File(stage, part)
+          partStage.mkdirs()
+          Files.copy(f.toPath, new File(partStage, f.getName).toPath)
+        }
+    }
+    val old = new File(tableDir + ".compact-old")
+    deleteRecursively(old)
+    Files.move(root.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(stage.toPath, root.toPath, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+    summary.toSeq
+      .toDF("partition", "bin", "n_files_in", "bytes_in", "out_file")
+      .orderBy("partition", "bin")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Snapshot diff between two corpus versions keyed by `idCol`: each id
     * is classified `added` / `removed` / `changed` / `unchanged` by
     * content hash of `contentCol`. The audit step between ingests —

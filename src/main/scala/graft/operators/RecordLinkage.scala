@@ -57,6 +57,111 @@ object RecordLinkage {
           .otherwise(lit("nonmatch")))
   }
 
+  /** Exact agreement-pattern pair counts via COUNT ALGEBRA — the
+    * Fellegi–Sunter aggregate without materializing a single pair, the
+    * scale-out replacement for the quadratic blocked pair scan when only
+    * pattern/decision statistics are needed (m/u estimation, threshold
+    * tuning, decision counts — the classic uses of the model).
+    *
+    * Identity: within a block, the number of pairs agreeing on EVERY
+    * field of a subset S is A_S = Σ_g C(n_g, 2) over the value groups g
+    * of (block, fields∈S) with all S-values non-null (a null never
+    * agrees, matching [[fellegiSunter]]); the number agreeing on EXACTLY
+    * pattern P is then the Möbius sum Σ_{S ⊇ P} (−1)^{|S∖P|} A_S. Each
+    * A_S is one hash aggregate over the input — 2^k aggregates total
+    * (k = |fields| ≤ 8 by contract), all submitted as ONE union job, so
+    * the cost is linear in rows × 2^k instead of Σ block². The Möbius
+    * inversion runs on the driver over 2^k scalars.
+    *
+    * Output: one row per agreement pattern — (`pattern` as a k-char
+    * '1'/'0' string in field order, `weight` = the same left-fold of
+    * agree/disagree doubles the pair scan computes, rounded to 4,
+    * `n_pairs`). Σ n_pairs = Σ_blocks C(n_block, 2) exactly.
+    */
+  def fellegiSunterPatternCounts(df: DataFrame, blockCol: String,
+      fields: Seq[FieldParams]): DataFrame = {
+    require(fields.nonEmpty && fields.size <= 8,
+      "1..8 comparison fields (2^k aggregates)")
+    val k = fields.size
+    val nSubsets = 1 << k
+    val norm = df.select(col(blockCol).as("_blk") +: fields.map(f =>
+        lower(trim(col(f.name).cast("string"))).as(f.name)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aS: Array[Long] =
+      try {
+        val perSubset = (0 until nSubsets).map { s =>
+          val cs = (0 until k).filter(i => ((s >> i) & 1) == 1)
+            .map(i => fields(i).name)
+          val filtered =
+            if (cs.isEmpty) norm
+            else norm.filter(cs.map(c => col(c).isNotNull).reduce(_ && _))
+          filtered.groupBy(("_blk" +: cs).map(col): _*)
+            .agg(count(lit(1)).as("_n"))
+            .agg(coalesce(sum(expr("_n * (_n - 1) DIV 2")), lit(0L))
+              .as("_p"))
+            .select(lit(s).as("_s"), col("_p").cast("long").as("_p"))
+        }
+        val rows = perSubset.reduce(_ unionByName _).collect()
+        val arr = new Array[Long](nSubsets)
+        rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+        arr
+      } finally norm.unpersist(blocking = false)
+    // Möbius over the subset lattice: exact(P) = Σ_{S⊇P} (−1)^{|S∖P|} A_S
+    val spark = df.sparkSession
+    import spark.implicits._
+    (0 until nSubsets).map { p =>
+      val rest = ~p & (nSubsets - 1)
+      var sub = rest
+      var tot = 0L
+      var going = true
+      while (going) {
+        val sign = if (java.lang.Integer.bitCount(sub) % 2 == 0) 1L else -1L
+        tot += sign * aS(p | sub)
+        if (sub == 0) going = false else sub = (sub - 1) & rest
+      }
+      val pattern = (0 until k).map(i =>
+        if (((p >> i) & 1) == 1) '1' else '0').mkString
+      // the SAME left-fold the pair scan's reduce(_ + _) evaluates, so
+      // the rounded doubles are bit-identical between the two paths
+      val weight = fields.zipWithIndex.foldLeft(0.0) { case (acc, (f, i)) =>
+        acc + (if (((p >> i) & 1) == 1) f.agreeWeight else f.disagreeWeight)
+      }
+      (pattern, BigDecimal(weight).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, tot)
+    }.toDF("pattern", "weight", "n_pairs")
+  }
+
+  /** Decision-level Fellegi–Sunter statistics — (decision, n_pairs,
+    * min_w, max_w) — with the [[blockedEditDistancePairs]]-style cost
+    * chooser: small largest-blocks keep the exact pair scan (the pairs
+    * are cheap and the scan shares the join's codegen), larger blocks
+    * switch to [[fellegiSunterPatternCounts]], whose cost is linear in
+    * rows instead of Σ block². Both paths are exact and produce
+    * identical rows (spec-pinned), so the choice is invisible to
+    * callers — the q148 contract at any scale. */
+  def fellegiSunterDecisionStats(df: DataFrame, idCol: String,
+      blockCol: String, fields: Seq[FieldParams], tUpper: Double,
+      tLower: Double, maxNaiveBlock: Long = 2000L): DataFrame = {
+    val decided = (w: Column) =>
+      when(w > tUpper, lit("match"))
+        .when(w > tLower, lit("possible"))
+        .otherwise(lit("nonmatch"))
+    val maxBlock = maxBlockPopulation(df, Seq(blockCol))
+    if (maxBlock <= maxNaiveBlock)
+      fellegiSunter(df, idCol, blockCol, fields, tUpper, tLower)
+        .groupBy("decision")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("weight")).as("min_w"), max(col("weight")).as("max_w"))
+        .orderBy("decision")
+    else
+      fellegiSunterPatternCounts(df, blockCol, fields)
+        .filter(col("n_pairs") > 0)
+        .groupBy(decided(col("weight")).as("decision"))
+        .agg(sum(col("n_pairs")).as("n_pairs"),
+          min(col("weight")).as("min_w"), max(col("weight")).as("max_w"))
+        .orderBy("decision")
+  }
+
   /** All distinct ≤`tau`-deletion variants of `s`, as 64-bit hashes
     * (hash collisions only ADD candidates — the exact verify removes
     * them). Variant count is bounded by Σ_{k≤tau} C(|s|, k) — 172 for an
@@ -114,7 +219,15 @@ object RecordLinkage {
     * the (block, variant-hash) equi-join, exact `verify` on rep pairs
     * only, then expansion back to id pairs through two string equi-joins;
     * same-string pairs (verify(s,s) must hold for any reflexive
-    * predicate) come from the exact self-join. */
+    * predicate) come from the exact self-join.
+    *
+    * Storage contract: `rows` is persisted (three downstream reads — two
+    * expansion joins plus the same-string self-join — would otherwise
+    * re-scan the input) and stays persisted while the returned lazy
+    * DataFrame is alive. One-shot drivers get cleanup at session end;
+    * long-lived JVMs must bracket the call in [[CacheScope.scoped]]
+    * (see [[editDistanceSelfJoinScoped]]), exactly like the
+    * Dedup/Similarity operators with internal persists. */
   private def repCollapsedPairs(df: DataFrame, idCol: String,
       strCol: String, blockCols: Seq[String],
       variants: org.apache.spark.sql.expressions.UserDefinedFunction,
@@ -181,8 +294,7 @@ object RecordLinkage {
     val stats = df.agg(min(length(col(strCol))).as("mn"),
       max(length(col(strCol))).as("mx")).head()
     val uniform = !stats.isNullAt(0) && stats.getInt(0) == stats.getInt(1)
-    val maxBlock = df.groupBy(blk: _*)
-      .agg(count(lit(1)).as("_c")).agg(max("_c")).head().getLong(0)
+    val maxBlock = maxBlockPopulation(df, blockCols)
     // 1e-6 margin: the verify compares round(jw, 6) ≥ t, which admits
     // true JW down to t − 5e-7 — the bound must cover those pairs too
     val j0 = (threshold - 1e-6 - 0.4) / 0.6
@@ -221,11 +333,19 @@ object RecordLinkage {
     * neighborhoods take over (measured 15.7 s vs 92 s quadratic on the
     * 10× rehearsal's 6000-row blocks). Both paths are exact and
     * identical row-for-row, so the result is scale-stable. */
+  /** Largest block population, 0 on an empty input (max over zero rows is
+    * NULL — a bare getLong would NPE instead of choosing the trivially
+    * correct empty-result path). */
+  private def maxBlockPopulation(df: DataFrame,
+      blockCols: Seq[String]): Long =
+    df.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+      .agg(coalesce(max("_c"), lit(0L))).head().getLong(0)
+
   def blockedEditDistancePairs(df: DataFrame, idCol: String,
       strCol: String, tau: Int, blockCols: Seq[String],
       maxNaiveBlock: Long = 2000L): DataFrame = {
-    val maxBlock = df.groupBy(blockCols.map(col): _*)
-      .agg(count(lit(1)).as("_c")).agg(max("_c")).head().getLong(0)
+    val maxBlock = maxBlockPopulation(df, blockCols)
     if (maxBlock <= maxNaiveBlock) {
       val within = udf((a: String, b: String) =>
         graft.functions.HashKernels.levenshteinWithin(a, b, tau))
@@ -239,4 +359,23 @@ object RecordLinkage {
         .select(blk ++ Seq(col("id_a"), col("id_b")): _*)
     } else editDistanceSelfJoin(df, idCol, strCol, tau, blockCols)
   }
+
+  /** [[editDistanceSelfJoin]] under [[CacheScope.scoped]] storage
+    * discipline — releases the internal `rows` persist once `use`
+    * returns (long-lived-JVM entry point). */
+  def editDistanceSelfJoinScoped[T](df: DataFrame, idCol: String,
+      strCol: String, tau: Int, blockCols: Seq[String])(
+      use: DataFrame => T): T =
+    CacheScope.scoped(df.sparkSession)(
+      editDistanceSelfJoin(df, idCol, strCol, tau, blockCols))(use)
+
+  /** [[jaroWinklerPairs]] under [[CacheScope.scoped]] storage
+    * discipline. */
+  def jaroWinklerPairsScoped[T](df: DataFrame, idCol: String,
+      strCol: String, threshold: Double, blockCols: Seq[String],
+      maxNaiveBlock: Long = 2000L, maxDelta: Int = 2)(
+      use: DataFrame => T): T =
+    CacheScope.scoped(df.sparkSession)(
+      jaroWinklerPairs(df, idCol, strCol, threshold, blockCols,
+        maxNaiveBlock, maxDelta))(use)
 }

@@ -164,6 +164,24 @@ object Similarity {
     emb.withColumn("cell", assignUdf(col(vecCol)))
   }
 
+  /** The query→probed-cells expansion shared by [[ivfTopK]] and
+    * [[batchIvfTopK]] — each query explodes to its `nprobe`
+    * nearest-centroid cells (ties keep centroid-index order; stable
+    * sort). Public so audits can re-derive the exact probe set an ANN
+    * query used and assert the result is the TRUE top-k within it. All
+    * the query's columns pass through, plus `cell`. */
+  def probeCells(queries: DataFrame, queryVec: String,
+      centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(centroids)
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val va = v.toArray
+      bc.value.indices
+        .map(c => c -> graft.functions.HashKernels.cosine(va, bc.value(c)))
+        .sortBy(-_._2).take(nprobe).map(_._1)
+    }
+    queries.withColumn("cell", explode(probeUdf(col(queryVec))))
+  }
+
   /** IVF top-k: probe only each query's `nprobe` nearest centroid cells.
     * At scale the corpus is pre-partitioned by cell (one-time shuffle,
     * amortised over all queries); each query touches nprobe/numCells of
@@ -175,15 +193,7 @@ object Similarity {
     val centroids = trainCentroids(corpus, corpusVec, numCells,
       iterations, corpusId)
     val celled = cellAssignment(corpus, corpusVec, centroids)
-    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
-    val probeUdf = udf { (v: Seq[Float]) =>
-      val va = v.toArray
-      bc.value.indices
-        .map(c => c -> graft.functions.HashKernels.cosine(va, bc.value(c)))
-        .sortBy(-_._2).take(nprobe).map(_._1)
-    }
-    val probes = queries.select(col(queryId), col(queryVec),
-      explode(probeUdf(col(queryVec))).as("cell"))
+    val probes = probeCells(queries, queryVec, centroids, nprobe)
     val scored = celled.join(broadcast(probes), Seq("cell"))
       .select(col(queryId), col(corpusId),
         cosineCol(corpus)(col(corpusVec), col(queryVec)).as("cosine"))
@@ -226,15 +236,7 @@ object Similarity {
       .withColumn("_blk",
         pmod(xxhash64(col(corpusId)), rCol.cast("long")).cast("int"))
       .drop("_cn")
-    val bc = spark.sparkContext.broadcast(centroids)
-    val probeUdf = udf { (v: Seq[Float]) =>
-      val va = v.toArray
-      bc.value.indices
-        .map(c => c -> graft.functions.HashKernels.cosine(va, bc.value(c)))
-        .sortBy(-_._2).take(nprobe).map(_._1)
-    }
-    val probes = queries.select(col(queryId), col(queryVec),
-      explode(probeUdf(col(queryVec))).as("cell"))
+    val probes = probeCells(queries, queryVec, centroids, nprobe)
     val probesBlocked = probes.join(broadcast(cellCounts), Seq("cell"))
       .withColumn("_blk", explode(sequence(lit(0), rCol - 1)))
       .drop("_cn")
@@ -247,6 +249,97 @@ object Similarity {
       .orderBy(col("cosine").desc, col(corpusId).asc)
     pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** The IVF contract's ground truth: the EXACT ranked top-k restricted
+    * to each query's probed cells (same deterministic centroid training
+    * and probe derivation as [[ivfTopK]]/[[batchIvfTopK]], so the probe
+    * set is identical by construction). The SELECTION path is chosen to
+    * be independent of the operator under audit: `viaWindow = true`
+    * ranks with a raw window (audits [[batchIvfTopK]]'s
+    * TopKPerGroup+sub-block pruning), `viaWindow = false` prunes through
+    * [[graft.plans.TopKOps.topKPerGroup]] (audits [[ivfTopK]]'s window).
+    * A scoring, pruning, blocking, or tie-break bug in the audited
+    * operator therefore cannot also hide here. `queries` must be small
+    * (broadcast) — audits run on a query slice. */
+  def ivfWithinProbesReference(corpus: DataFrame, queries: DataFrame,
+      k: Int, numCells: Int = 64, nprobe: Int = 8, iterations: Int = 2,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      viaWindow: Boolean = true): DataFrame = {
+    val centroids = trainCentroids(corpus, corpusVec, numCells,
+      iterations, corpusId)
+    val celled = cellAssignment(corpus, corpusVec, centroids)
+    val probes = probeCells(queries, queryVec, centroids, nprobe)
+    val scored = celled.join(broadcast(probes), Seq("cell"))
+      .select(col(queryId), col(corpusId),
+        cosineCol(corpus)(col(corpusVec), col(queryVec)).as("cosine"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    if (viaWindow)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    else
+      graft.plans.TopKOps.topKPerGroup(scored, Seq(col(queryId)),
+          Seq(col("cosine").desc, col(corpusId).asc), k)
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Row-level equality audit of two ranked result sets: per query,
+    * (queryIdCol, n_results, exact_match) where exact_match holds iff
+    * both sides return the SAME (item, rank) rows. The ANN oracle gate:
+    * `a` = the operator under audit, `b` = an independently-derived
+    * reference ranking. */
+  def rankedResultsMatch(a: DataFrame, b: DataFrame, queryIdCol: String,
+      itemIdCol: String): DataFrame = {
+    val matched = a.select(col(queryIdCol), col(itemIdCol), col("rank"))
+      .join(b.select(col(queryIdCol), col(itemIdCol), col("rank")),
+        Seq(queryIdCol, itemIdCol, "rank"))
+      .groupBy(queryIdCol).agg(count(lit(1)).as("_n_match"))
+    a.groupBy(queryIdCol).agg(count(lit(1)).as("n_results"))
+      .join(b.groupBy(queryIdCol).agg(count(lit(1)).as("_n_b")),
+        Seq(queryIdCol))
+      .join(matched, Seq(queryIdCol), "left")
+      .select(col(queryIdCol), col("n_results"),
+        (col("n_results") === col("_n_b") &&
+          coalesce(col("_n_match"), lit(0L)) === col("n_results"))
+          .as("exact_match"))
+  }
+
+  /** Per-query recall audit of an ANN result against an exact ranking of
+    * the same queries — the round-10 move that turns the ANN family from
+    * rows-only into oracle-gated: the approximate result's ids are
+    * centroid-dependent (not SQL-replayable), but "the ANN list covers
+    * ≥ minRecall of the EXACT top-k" is a boolean any engine replays as
+    * TRUE. Output one row per query: (queryIdCol, n_results,
+    * recall_ok) — n_results is the ANN row count (deterministic), and a
+    * broken index/centroid/scoring path flips recall_ok and fails the
+    * hash gate. Both inputs need (queryIdCol, itemIdCol) columns. */
+  def annRecallAudit(ann: DataFrame, exact: DataFrame, queryIdCol: String,
+      itemIdCol: String, minRecall: Double): DataFrame = {
+    val hits = ann.select(col(queryIdCol), col(itemIdCol))
+      .join(exact.select(col(queryIdCol), col(itemIdCol)),
+        Seq(queryIdCol, itemIdCol))
+      .groupBy(queryIdCol).agg(count(lit(1)).as("_hit"))
+    val exn = exact.groupBy(queryIdCol).agg(count(lit(1)).as("_exn"))
+    ann.groupBy(queryIdCol).agg(count(lit(1)).as("n_results"))
+      .join(exn, Seq(queryIdCol))
+      .join(hits, Seq(queryIdCol), "left")
+      .select(col(queryIdCol), col("n_results"),
+        (coalesce(col("_hit"), lit(0L)).cast("double") / col("_exn")
+          >= minRecall).as("recall_ok"))
+  }
+
+  /** [[batchIvfTopK]] under [[CacheScope.scoped]] storage discipline:
+    * the internal cell-assignment persist (and anything nested) is
+    * released once `use` returns — the long-lived-JVM entry point; the
+    * one-shot driver contract can keep calling [[batchIvfTopK]]. */
+  def batchIvfTopKScoped[T](corpus: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int = 64, nprobe: Int = 8, iterations: Int = 2,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      maxBlockRows: Int = 100000)(use: DataFrame => T): T =
+    CacheScope.scoped(corpus.sparkSession)(
+      batchIvfTopK(corpus, queries, k, numCells, nprobe, iterations,
+        corpusId, corpusVec, queryId, queryVec, maxBlockRows))(use)
 
   /** Per-label elementwise mean of an embedding column, in long format
     * (label, pos, mean) — class centroids for classifier probes, cluster

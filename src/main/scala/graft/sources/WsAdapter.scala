@@ -112,8 +112,6 @@ object WsAdapter {
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("page-") && f.getName.endsWith(".xml"))
       .foreach(_.delete())
-    val recordOpen = ("<" + java.util.regex.Pattern.quote(recordTag) +
-      "[\\s>/]").r
     val endOfRecords =
       "code\\s*=\\s*\"END_OF_RECORDS\"\\s*>\\s*true".r
     var startAt = 0
@@ -128,7 +126,7 @@ object WsAdapter {
         s"$baseUrl?startAt=$startAt&maxResults=$pageSize").toURL
       val in = url.openStream()
       val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val nRecords = recordOpen.findAllMatchIn(body).size
+      val nRecords = countRecordElements(body, recordTag)
       if (nRecords == 0) done = true
       else {
         java.nio.file.Files.writeString(
@@ -139,6 +137,39 @@ object WsAdapter {
       }
     }
     pages
+  }
+
+  /** Record count of one envelope by actual ELEMENT count — `startAt`
+    * advances by this, so it must match what the rowTag scan will later
+    * read. A regex over the raw text overcounts whenever `<recordTag…>`
+    * appears inside CDATA, comments, or attribute values, silently
+    * skipping real records on the next page; a DOM walk counts only true
+    * elements (matched on local name, so namespace prefixes don't hide
+    * records). Malformed XML throws — a broken envelope must fail the
+    * load loudly, not advance the cursor by a guess. DTD processing is
+    * disabled (no external-entity fetches from untrusted envelopes). */
+  private[sources] def countRecordElements(body: String,
+      recordTag: String): Int = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(true)
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl",
+      true)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
+    val doc = f.newDocumentBuilder().parse(
+      new org.xml.sax.InputSource(new java.io.StringReader(body)))
+    def walk(n: org.w3c.dom.Node): Int = {
+      val self = n.getNodeType == org.w3c.dom.Node.ELEMENT_NODE && {
+        val local = Option(n.getLocalName).getOrElse(n.getNodeName)
+        local == recordTag
+      }
+      var cnt = if (self) 1 else 0
+      val kids = n.getChildNodes
+      var i = 0
+      while (i < kids.getLength) { cnt += walk(kids.item(i)); i += 1 }
+      cnt
+    }
+    walk(doc.getDocumentElement)
   }
 
   /** Fetch + load over the XML verb: envelopes land as files, Spark's

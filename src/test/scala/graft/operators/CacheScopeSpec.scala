@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Storage discipline: a scoped pipeline run must leave the session's
@@ -57,5 +58,55 @@ class CacheScopeSpec extends AnyFunSuite {
     }
     assert(ex.getMessage == "caller failure")
     assert((sc.getPersistentRDDs.keySet.toSet -- before).isEmpty)
+  }
+
+  // every heavy Dedup/Similarity/RecordLinkage entry point's scoped
+  // variant must (a) produce rows and (b) leave zero leaked RDDs —
+  // the round-10 extension of the curateCorpusScoped discipline
+  test("scoped variants of the persist-heavy operators leak nothing") {
+    val sc = spark.sparkContext
+    val docs = (1L to 40L).map { i =>
+      val text =
+        if (i % 2 == 0) s"shared near duplicate content block ${i / 2} " * 4
+        else s"unique text $i with words ${i * 3} ${i * 5} ${i * 7} " * 3
+      (i, text)
+    }.toDF("doc_id", "text")
+    val emb = (1L to 60L).map { i =>
+      (i, Array.tabulate(8)(j =>
+        (math.sin(i * 0.37 + j) + (if (i % 5 == 0) 0.0 else i * 0.01))
+          .toFloat))
+    }.toDF("vec_id", "embedding")
+    val names = (1L to 50L).map(i =>
+      (i, (i % 4).toInt, s"name${i % 9}x")).toDF("id", "blk", "nm")
+    val queries = emb.limit(3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+    def assertScoped[T](label: String)(run: (org.apache.spark.sql.DataFrame => Long) => Long): Unit = {
+      spark.catalog.clearCache()
+      val before = sc.getPersistentRDDs.keySet
+      val n = run(_.count())
+      assert(n >= 0, label)
+      val leaked = sc.getPersistentRDDs.keySet.toSet -- before
+      assert(leaked.isEmpty, s"$label leaked RDDs: $leaked")
+    }
+
+    assertScoped("minhashLshPairsScoped")(use =>
+      Dedup.minhashLshPairsScoped(docs, "doc_id", "text",
+        jaccardThreshold = 0.5)(use))
+    assertScoped("dedupClustersScoped")(use =>
+      Dedup.dedupClustersScoped(docs, "doc_id", "text", n = 8,
+        threshold = 0.5)(use))
+    assertScoped("semanticDedupScoped")(use =>
+      Dedup.semanticDedupScoped(emb, "vec_id", "embedding", numCells = 2,
+        threshold = 0.9)(use))
+    assertScoped("batchIvfTopKScoped")(use =>
+      Similarity.batchIvfTopKScoped(emb, queries, k = 3, numCells = 2,
+        nprobe = 2)(use))
+    assertScoped("editDistanceSelfJoinScoped")(use =>
+      RecordLinkage.editDistanceSelfJoinScoped(names, "id", "nm", 1,
+        Seq("blk"))(use))
+    assertScoped("jaroWinklerPairsScoped")(use =>
+      RecordLinkage.jaroWinklerPairsScoped(names, "id", "nm", 0.96,
+        Seq("blk"), maxNaiveBlock = 1L)(use))
   }
 }

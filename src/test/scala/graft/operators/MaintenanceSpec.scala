@@ -80,4 +80,67 @@ class MaintenanceSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
     assert(got == Seq(("k2", 1L, 6.0), ("k3", 1L, 7.0), ("k4", 1L, 9.0)))
   }
+
+  test("compactTable executes plan -> rewrite -> atomic swap on a real " +
+    "multi-small-file table: fewer files, identical rows, markers kept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_")
+      .resolve("tbl").toString
+    // 12 tiny files via 12 single-row writes — the many-small-per-load
+    // shape the reference's optimise step exists for
+    val rows = (1L to 12L).map(i => (i, s"doc $i payload ${"x" * 50}"))
+    rows.foreach { case (id, txt) =>
+      Seq((id, txt)).toDF("id", "text").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = parquetFiles().length
+    assert(before >= 12)
+    val hadSuccess = new java.io.File(dir, "_SUCCESS").exists()
+    val summary = Maintenance
+      .compactTable(spark, dir, targetBytes = 1L << 40) // one bin
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    assert(summary.map(_._3).sum == before, "plan must cover every file")
+    val after = parquetFiles()
+    assert(after.length == 1, s"expected one compacted file, got " +
+      after.map(_.getName).mkString(","))
+    assert(after.head.getName.startsWith("compacted-"))
+    // no staging or old-snapshot residue
+    assert(!new java.io.File(dir + ".compact-tmp").exists())
+    assert(!new java.io.File(dir + ".compact-old").exists())
+    // rows survive byte-for-byte as a multiset
+    val got = spark.read.parquet(dir).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == rows)
+    if (hadSuccess) assert(new java.io.File(dir, "_SUCCESS").exists())
+  }
+
+  test("compactTable compacts hive-partitioned subdirs independently " +
+    "and singleton bins copy byte-identically") {
+    val root = java.nio.file.Files.createTempDirectory("graft_compact2_")
+      .resolve("tbl")
+    java.nio.file.Files.createDirectories(root)
+    val dir = root.toString
+    // partition a: 3 small files; partition b: 1 file (singleton copy)
+    (1L to 3L).foreach { i =>
+      Seq((i, "a")).toDF("id", "part").drop("part").coalesce(1)
+        .write.mode("append").parquet(s"$dir/part=a")
+    }
+    Seq((99L)).toDF("id").coalesce(1)
+      .write.mode("append").parquet(s"$dir/part=b")
+    val bBytes = new java.io.File(s"$dir/part=b").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val summary = Maintenance.compactTable(spark, dir, 1L << 40)
+      .as[(String, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(summary == Map("part=a" -> 3L, "part=b" -> 1L))
+    def files(p: String) = new java.io.File(s"$dir/part=$p").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files("a").length == 1 && files("b").length == 1)
+    // the singleton was copied, not re-encoded: byte length unchanged
+    assert(files("b").head.length() == bBytes)
+    val ids = spark.read.parquet(dir).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 99L))
+  }
 }

@@ -54,4 +54,60 @@ class RecordLinkageSpec extends AnyFunSuite {
     val expect = math.log((1 - 0.9) / (1 - 0.1)) / math.log(2.0) + 2.0
     assert(math.abs(w - expect) < 1e-3)
   }
+
+  // a mid-size corpus with nulls, duplicate values, and uneven blocks —
+  // the count-algebra estimator must reproduce the pair scan EXACTLY
+  private def muCorpus = {
+    def city(i: Long) =
+      if (i % 13 == 0) null else s"city${i % 7}"
+    def zip(i: Long) =
+      if (i % 17 == 0) null else s"zip${i % 5}"
+    def street(i: Long) = s"st${i % 3}"
+    (1L to 400L).map(i =>
+      (i, (i % 6).toInt, city(i), zip(i), street(i)))
+      .toDF("id", "blk", "city", "zip", "street")
+  }
+
+  test("count-algebra pattern counts ≡ pair-scan pattern counts, " +
+    "nulls and duplicate values included") {
+    val f3 = FieldParams("street", 0.7, 0.3)
+    val fields = Seq(f1, f2, f3)
+    // ground truth from the materialized pairs: bucket by rounded weight
+    // (weights are in bijection with patterns for these params)
+    val pairs = RecordLinkage.fellegiSunter(muCorpus, "id", "blk",
+        fields, 100.0, -100.0)
+      .groupBy("weight").count()
+      .as[(Double, Long)].collect().toMap
+    val est = RecordLinkage.fellegiSunterPatternCounts(muCorpus, "blk",
+        fields)
+      .select("weight", "n_pairs").as[(Double, Long)].collect()
+      .groupBy(_._1).map { case (w, rs) => w -> rs.map(_._2).sum }
+    assert(est.filter(_._2 > 0) == pairs,
+      s"estimator ${est.filter(_._2 > 0)} vs pair scan $pairs")
+    // completeness: Σ n_pairs over patterns = Σ_blocks C(n,2)
+    val n = muCorpus.groupBy("blk").count().as[(Int, Long)].collect()
+      .map { case (_, c) => c * (c - 1) / 2 }.sum
+    assert(est.values.sum == n)
+  }
+
+  test("decision stats: estimator path ≡ pair-scan path row-for-row") {
+    val fields = Seq(f1, f2, FieldParams("street", 0.7, 0.3))
+    def stats(maxNaive: Long) =
+      RecordLinkage.fellegiSunterDecisionStats(muCorpus, "id", "blk",
+          fields, tUpper = 3.0, tLower = 0.0, maxNaiveBlock = maxNaive)
+        .as[(String, Long, Double, Double)].collect().toSeq
+    val viaPairs = stats(maxNaive = 100000L) // largest block ≪ ⇒ scan
+    val viaCounts = stats(maxNaive = 1L)     // force the estimator
+    assert(viaPairs.nonEmpty && viaPairs == viaCounts)
+  }
+
+  test("empty input: decision stats and pair joins return empty, not NPE") {
+    val empty = muCorpus.filter($"id" < 0)
+    assert(RecordLinkage.fellegiSunterDecisionStats(empty, "id", "blk",
+      Seq(f1, f2), 3.0, 0.0).count() == 0)
+    assert(RecordLinkage.jaroWinklerPairs(empty, "id", "city", 0.96,
+      Seq("blk")).count() == 0)
+    assert(RecordLinkage.blockedEditDistancePairs(empty, "id", "city", 2,
+      Seq("blk")).count() == 0)
+  }
 }

@@ -41,19 +41,35 @@ class Round9Spec extends AnyFunSuite {
     assert(math.abs(lw - dw) < 1e-9)
   }
 
-  test("scc: distributed path fails loudly when maxPropRounds is below " +
-    "the graph diameter instead of splitting an SCC") {
-    // string ids force the distributed Orzan path; a 6-cycle needs ~5
-    // forward rounds for the min id to wrap around
+  test("scc: round budget is adaptive — a graph deeper than " +
+    "maxPropRounds converges within the 16x hard cap; only a diameter " +
+    "beyond the cap fails loudly") {
+    // string ids force the distributed Orzan path; a 6-cycle needs ~6
+    // forward rounds for the min id to wrap around — more than the
+    // caller's budget of 2, within its 16x headroom (round 10: one extra
+    // hop costs one extra barrier, not a caller retry)
     val cyc = (0 until 6).map(i => (s"n$i", s"n${(i + 1) % 6}")).toDF("src", "dst")
-    val ex = intercept[IllegalArgumentException] {
-      Graphs.stronglyConnectedComponents(cyc, maxPropRounds = 2).count()
-    }
-    assert(ex.getMessage.contains("fixpoint"))
-    // with enough rounds the same graph is one SCC labelled by min id
-    val ok = Graphs.stronglyConnectedComponents(cyc, maxPropRounds = 40)
+    val ok = Graphs.stronglyConnectedComponents(cyc, maxPropRounds = 2)
       .as[(String, String)].collect().toMap
     assert(ok.size == 6 && ok.values.toSet == Set("n0"))
+    // a diameter beyond the hard cap still fails loudly rather than
+    // silently splitting the SCC: 40-cycle vs cap 16x1
+    val deep = (0 until 40).map(i => (s"n$i", s"n${(i + 1) % 40}"))
+      .toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.stronglyConnectedComponents(deep, maxPropRounds = 1).count()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+  }
+
+  test("scc: a >40-diameter cycle converges with DEFAULT parameters — " +
+    "no caller tuning (round-10 adaptive budget)") {
+    val n = 41 // one past the old maxPropRounds=40 hard wall
+    val cyc = (0 until n).map(i => (s"v${"%02d".format(i)}",
+      s"v${"%02d".format((i + 1) % n)}")).toDF("src", "dst")
+    val got = Graphs.stronglyConnectedComponents(cyc)
+      .as[(String, String)].collect().toMap
+    assert(got.size == n && got.values.toSet == Set("v00"))
   }
 
   test("labelPropagation: string node ids settle per-clique on the " +

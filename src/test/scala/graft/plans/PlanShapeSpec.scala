@@ -437,12 +437,15 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"quadratic join in:\n$plan")
   }
 
-  test("q218 k-means: centroid join-back broadcasts; no shuffled join " +
-      "against the corpus") {
+  test("q218 k-means: the centroid table broadcast-expands the corpus " +
+      "in ONE pass; no shuffled or driver-sized join against the corpus") {
     val plan = planOf(
       graft.SparkEntry.queries("q218_kmeans_cells")(spark, sf))
-    assert(plan.contains("BroadcastHashJoin"),
-      s"centroid table must broadcast:\n$plan")
+    // round 10: the audit is a broadcast cross-expand (k rows per
+    // vector) folded by a partial aggregate — the only join over the
+    // corpus is the broadcast nested-loop expand of the k-row table
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid table must broadcast-expand:\n$plan")
     assert(!plan.contains("SortMergeJoin") &&
       !plan.contains("CartesianProduct"), s"shuffled/quadratic join:\n$plan")
   }

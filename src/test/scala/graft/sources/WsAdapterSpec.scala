@@ -170,4 +170,32 @@ class WsAdapterSpec extends AnyFunSuite {
         df.select("rowKey").as[String].collect().sorted.toSeq)
     }
   }
+
+  test("XML record count is element-true: <record…> inside CDATA, " +
+    "comments, and attribute values must NOT advance the page cursor") {
+    val body =
+      """<?xml version="1.0"?>
+        |<response xmlns="http://example.org/ns">
+        | <!-- commented out: <record><f>x</f></record> -->
+        | <content note="literal &lt;record&gt; in an attribute">
+        |  <record><f><![CDATA[a <record> tag inside CDATA]]></f></record>
+        |  <record><f>plain</f></record>
+        | </content>
+        | <diagnostics>mentions record-like text but no element</diagnostics>
+        |</response>""".stripMargin
+    assert(WsAdapter.countRecordElements(body, "record") == 2)
+    // namespace prefixes must not hide records from the count
+    val prefixed =
+      """<d:response xmlns:d="http://example.org/d">
+        | <d:record><d:f>1</d:f></d:record>
+        | <d:record><d:f>2</d:f></d:record>
+        | <d:record><d:f>3</d:f></d:record>
+        |</d:response>""".stripMargin
+    assert(WsAdapter.countRecordElements(prefixed, "record") == 3)
+    // malformed envelopes fail loudly instead of guessing a cursor delta
+    intercept[Exception] {
+      WsAdapter.countRecordElements("<response><record></response>",
+        "record")
+    }
+  }
 }
