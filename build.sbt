@@ -34,3 +34,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Scale-correctness gate: derive a 10x dataset, run the 12-query
+// representative oracle subset at that scale, replay in DuckDB
+// (graft.ScaleCheck). Companion of `sbt test` for 10x behaviour.
+addCommandAlias("scaleCheck", "Compile/runMain graft.ScaleCheck")

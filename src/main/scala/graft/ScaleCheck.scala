@@ -1,0 +1,57 @@
+package graft
+
+/** One-command scale-correctness gate — `sbt scaleCheck`:
+  *
+  *   1. derive a k× (default 10×) dataset from the sf0.1 testdata with
+  *      [[ScaleGen]] (skipped if the derived set already exists under
+  *      tmp/ — delete it to force a fresh derivation),
+  *   2. run the 12-query representative oracle subset through
+  *      [[Verify]] AT the derived scale,
+  *   3. replay each oracle in DuckDB over the same derived tables via
+  *      tools/selfcheck.py and exit nonzero on any mismatch.
+  *
+  * Round 9 proved scale correctness by hand exactly once (12 queries at
+  * sf1, green); as a task the gate can't rot between rehearsals — any
+  * operator change that breaks 10× behaviour fails `sbt scaleCheck`
+  * the same way `sbt test` fails on a unit regression.
+  *
+  * Usage: runMain graft.ScaleCheck [srcDir=/root/testdata/sf0.1] [k=10]
+  */
+object ScaleCheck {
+
+  /** The representative subset: one query per operator family (facet
+    * aggregation, anti-join, window top-k, keyed lookup, edit-distance
+    * linkage, HLL audit, heavy hitters, incremental-dedup splice,
+    * t-digest audit, Borůvka invariants, sessionization, label
+    * propagation), chosen so every DuckDB oracle stays feasible at 10×.
+    */
+  val Subset: Seq[String] = Seq(
+    "q1_agg", "q7_anti_join", "q9_window_topk", "q24_keyed_lookup",
+    "q36_blocked_levenshtein", "q64_sessionize", "q90_approx_distinct",
+    "q101_heavy_hitters", "q129_incremental_dedup",
+    "q219_tdigest_quantiles", "q222_label_propagation",
+    "q234_boruvka_msf")
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val k = if (args.length > 1) args(1).toInt else 10
+    val dest = s"tmp/scalecheck_${k}x"
+    val out = s"tmp/scalecheck_${k}x_out"
+    if (!new java.io.File(s"$dest/lineitem.parquet").exists()) {
+      println(s"[scalecheck] deriving ${k}x dataset at $dest ...")
+      ScaleGen.main(Array(src, dest, k.toString))
+    } else
+      println(s"[scalecheck] reusing derived dataset at $dest")
+    println(s"[scalecheck] running ${Subset.size}-query subset at ${k}x ...")
+    Verify.main((Seq(dest, out) ++ Subset).toArray)
+    val pb = new ProcessBuilder(("python3" :: "tools/selfcheck.py" ::
+      dest :: out :: Subset.mkString(",") :: Nil): _*)
+    pb.inheritIO()
+    val rc = pb.start().waitFor()
+    if (rc != 0) {
+      System.err.println(s"[scalecheck] FAILED (selfcheck rc=$rc)")
+      sys.exit(rc)
+    }
+    println(s"""{"scalecheck":"pass","k":$k,"queries":${Subset.size}}""")
+  }
+}

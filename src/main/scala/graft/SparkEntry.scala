@@ -3034,6 +3034,33 @@ object SparkEntry {
         tLower = 0.0)
     }),
 
+    // ── UNSUPERVISED Fellegi–Sunter m/u estimation (Winkler EM) over
+    //    the count-algebra sufficient statistics: 2^k pattern counts
+    //    (the same linear aggregates as q148's estimator) are all EM
+    //    touches — model fitting without labels or materialized pairs.
+    //    Fitted values are data-dependent; the audited contract is not:
+    //    EM converged, the canonical match class dominates mean
+    //    agreement, prevalence is a proper probability, log-likelihood
+    //    is finite-negative (monotonicity is require()d inside EM) ──
+    "q255_fs_em_estimation" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").as("id"), col("c_nationkey").as("blk"),
+        col("c_mktsegment").as("segment"),
+        (abs(floor(col("c_acctbal"))).cast("long") % 100)
+          .cast("string").as("area"),
+        (col("c_acctbal") > 0).cast("string").as("bal_pos"))
+      val n = cust.count()
+      val fit = graft.operators.RecordLinkage.fellegiSunterEM(
+        cust, "blk", Seq("segment", "area", "bal_pos"))
+      Seq((n, fit.converged,
+        fit.fields.map(_.m).sum >= fit.fields.map(_.u).sum,
+        fit.p > 0.0 && fit.p < 1.0,
+        fit.logLikelihood < 0.0 && !fit.logLikelihood.isNaN))
+        .toDF("n_rows", "converged", "match_class_dominates",
+          "p_in_range", "loglik_finite_neg")
+    }),
+
     // ── image near-dup pairs by perceptual hash: REAL PNG decode →
     //    dHash → banded Hamming join. Oracle-gated since round 10: the
     //    generator plants exactly the even/odd near-dup pairs (shared
@@ -6827,6 +6854,13 @@ object SparkEntry {
         |WHERE a.o_orderkey % 2 = 0 AND a.o_orderkey <= 300
         | AND b.o_orderkey <= 300
         |ORDER BY id_a, id_b""".stripMargin,
+    // EM contract pinned TRUE: convergence, canonical class order,
+    // proper prevalence, finite-negative log-likelihood; n replays
+    "q255_fs_em_estimation" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS converged,
+        | TRUE AS match_class_dominates, TRUE AS p_in_range,
+        | TRUE AS loglik_finite_neg
+        |FROM customer""".stripMargin,
     // full md5 replay of the cross-corpus banding (q201's algebra at
     // 4-word shingles / 16 hashes / 4 rows per band) + exact Jaccard
     "q139_cross_dedup" ->

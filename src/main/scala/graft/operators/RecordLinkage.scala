@@ -80,18 +80,41 @@ object RecordLinkage {
     */
   def fellegiSunterPatternCounts(df: DataFrame, blockCol: String,
       fields: Seq[FieldParams]): DataFrame = {
-    require(fields.nonEmpty && fields.size <= 8,
-      "1..8 comparison fields (2^k aggregates)")
     val k = fields.size
+    val exact = patternCountsRaw(df, blockCol, fields.map(_.name))
+    val spark = df.sparkSession
+    import spark.implicits._
+    (0 until (1 << k)).map { p =>
+      val pattern = (0 until k).map(i =>
+        if (((p >> i) & 1) == 1) '1' else '0').mkString
+      // the SAME left-fold the pair scan's reduce(_ + _) evaluates, so
+      // the rounded doubles are bit-identical between the two paths
+      val weight = fields.zipWithIndex.foldLeft(0.0) { case (acc, (f, i)) =>
+        acc + (if (((p >> i) & 1) == 1) f.agreeWeight else f.disagreeWeight)
+      }
+      (pattern, BigDecimal(weight).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, exact(p))
+    }.toDF("pattern", "weight", "n_pairs")
+  }
+
+  /** The count-algebra core shared by [[fellegiSunterPatternCounts]] and
+    * [[fellegiSunterEM]]: exact per-pattern pair counts (index = field
+    * bitmask, bit i set ⟺ the pair agrees on field i), derived from 2^k
+    * subset aggregates + driver Möbius inversion. */
+  private def patternCountsRaw(df: DataFrame, blockCol: String,
+      fieldNames: Seq[String]): Array[Long] = {
+    require(fieldNames.nonEmpty && fieldNames.size <= 8,
+      "1..8 comparison fields (2^k aggregates)")
+    val k = fieldNames.size
     val nSubsets = 1 << k
-    val norm = df.select(col(blockCol).as("_blk") +: fields.map(f =>
-        lower(trim(col(f.name).cast("string"))).as(f.name)): _*)
+    val norm = df.select(col(blockCol).as("_blk") +: fieldNames.map(f =>
+        lower(trim(col(f).cast("string"))).as(f)): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aS: Array[Long] =
       try {
         val perSubset = (0 until nSubsets).map { s =>
           val cs = (0 until k).filter(i => ((s >> i) & 1) == 1)
-            .map(i => fields(i).name)
+            .map(fieldNames)
           val filtered =
             if (cs.isEmpty) norm
             else norm.filter(cs.map(c => col(c).isNotNull).reduce(_ && _))
@@ -107,9 +130,7 @@ object RecordLinkage {
         arr
       } finally norm.unpersist(blocking = false)
     // Möbius over the subset lattice: exact(P) = Σ_{S⊇P} (−1)^{|S∖P|} A_S
-    val spark = df.sparkSession
-    import spark.implicits._
-    (0 until nSubsets).map { p =>
+    Array.tabulate(nSubsets) { p =>
       val rest = ~p & (nSubsets - 1)
       var sub = rest
       var tot = 0L
@@ -119,16 +140,117 @@ object RecordLinkage {
         tot += sign * aS(p | sub)
         if (sub == 0) going = false else sub = (sub - 1) & rest
       }
-      val pattern = (0 until k).map(i =>
-        if (((p >> i) & 1) == 1) '1' else '0').mkString
-      // the SAME left-fold the pair scan's reduce(_ + _) evaluates, so
-      // the rounded doubles are bit-identical between the two paths
-      val weight = fields.zipWithIndex.foldLeft(0.0) { case (acc, (f, i)) =>
-        acc + (if (((p >> i) & 1) == 1) f.agreeWeight else f.disagreeWeight)
+      tot
+    }
+  }
+
+  /** Result of unsupervised m/u estimation: match prevalence `p`,
+    * per-field fitted [[FieldParams]] (same order as the input names),
+    * the final observed-data log-likelihood, and iterations used. */
+  final case class EmFit(p: Double, fields: Seq[FieldParams],
+      logLikelihood: Double, iterations: Int, converged: Boolean)
+
+  /** UNSUPERVISED Fellegi–Sunter parameter estimation — Winkler's EM
+    * over agreement patterns (the method every production linker uses to
+    * get m/u without labelled pairs), run on the COUNT-ALGEBRA
+    * sufficient statistics: the 2^k exact pattern counts from
+    * [[fellegiSunterPatternCounts]]'s core are all EM ever touches, so
+    * the distributed work is the same 2^k linear aggregates and the EM
+    * loop itself is driver math over 2^k scalars per iteration —
+    * unsupervised model fitting at 100 TB without materializing one
+    * pair.
+    *
+    * Model: pairs are a two-class mixture; within a class, field
+    * agreements are independent (the standard FS conditional-
+    * independence assumption), so P(pattern | class) factorizes over
+    * m_f / u_f. E-step: class responsibility per PATTERN (not per
+    * pair — patterns are sufficient); M-step: closed-form p, m_f, u_f
+    * from responsibility-weighted counts. Parameters are clamped to
+    * (ε, 1−ε) so a degenerate field cannot produce ±∞ weights.
+    * Observed-data log-likelihood is non-decreasing (spec-pinned); the
+    * loop stops when the per-iteration gain falls below
+    * `tol · (|loglik| + 1)` — a RELATIVE ftol, because on data with no
+    * real duplicate structure EM creeps along a likelihood ridge by
+    * ~1e-8 nats/iteration indefinitely and an absolute cutoff never
+    * fires — or at `maxIter`. */
+  def fellegiSunterEM(df: DataFrame, blockCol: String,
+      fieldNames: Seq[String], maxIter: Int = 200, tol: Double = 1e-10,
+      initP: Double = 0.1, initM: Double = 0.9,
+      initU: Double = 0.1): EmFit = {
+    val k = fieldNames.size
+    val counts = patternCountsRaw(df, blockCol, fieldNames)
+      .map(_.toDouble)
+    val total = counts.sum
+    require(total > 0, "no pairs in any block — nothing to fit")
+    val eps = 1e-6
+    def clamp(x: Double) = math.min(1 - eps, math.max(eps, x))
+    var p = clamp(initP)
+    var m = Array.fill(k)(clamp(initM))
+    var u = Array.fill(k)(clamp(initU))
+    def patternProb(pat: Int, probs: Array[Double]): Double = {
+      var acc = 1.0
+      var i = 0
+      while (i < k) {
+        acc *= (if (((pat >> i) & 1) == 1) probs(i) else 1 - probs(i))
+        i += 1
       }
-      (pattern, BigDecimal(weight).setScale(4,
-        BigDecimal.RoundingMode.HALF_UP).toDouble, tot)
-    }.toDF("pattern", "weight", "n_pairs")
+      acc
+    }
+    def logLik(): Double = {
+      var ll = 0.0
+      var pat = 0
+      while (pat < counts.length) {
+        if (counts(pat) > 0)
+          ll += counts(pat) * math.log(
+            p * patternProb(pat, m) + (1 - p) * patternProb(pat, u))
+        pat += 1
+      }
+      ll
+    }
+    var ll = logLik()
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      it += 1
+      // E-step: responsibility per pattern
+      val g = Array.tabulate(counts.length) { pat =>
+        val pm = p * patternProb(pat, m)
+        val pu = (1 - p) * patternProb(pat, u)
+        pm / (pm + pu)
+      }
+      // M-step: closed form from responsibility-weighted pattern counts
+      val wMatch = (0 until counts.length)
+        .map(pat => g(pat) * counts(pat)).sum
+      val wNon = total - wMatch
+      p = clamp(wMatch / total)
+      m = Array.tabulate(k) { f =>
+        clamp((0 until counts.length)
+          .filter(pat => ((pat >> f) & 1) == 1)
+          .map(pat => g(pat) * counts(pat)).sum / wMatch)
+      }
+      u = Array.tabulate(k) { f =>
+        clamp((0 until counts.length)
+          .filter(pat => ((pat >> f) & 1) == 1)
+          .map(pat => (1 - g(pat)) * counts(pat)).sum / wNon)
+      }
+      val next = logLik()
+      // EM guarantees monotone observed-data likelihood; clamping can
+      // cost at most ~eps — tolerate that numeric edge, nothing more
+      require(next >= ll - 1e-6,
+        s"EM log-likelihood decreased: $ll -> $next")
+      converged = next - ll < tol * (math.abs(next) + 1.0)
+      ll = next
+    }
+    // EM label-switching: the mixture is symmetric under (match ↔
+    // nonmatch) swap — canonicalize so the MATCH class is the one whose
+    // mean agreement rate is higher, the FS convention (m > u on
+    // discriminating fields)
+    if (m.sum < u.sum) {
+      val t = m; m = u; u = t
+      p = 1 - p
+    }
+    EmFit(p, fieldNames.indices.map(i =>
+      FieldParams(fieldNames(i), m(i), u(i))), ll, it, converged)
   }
 
   /** Decision-level Fellegi–Sunter statistics — (decision, n_pairs,

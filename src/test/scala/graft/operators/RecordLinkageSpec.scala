@@ -101,6 +101,51 @@ class RecordLinkageSpec extends AnyFunSuite {
     assert(viaPairs.nonEmpty && viaPairs == viaCounts)
   }
 
+  test("EM m/u estimation recovers a planted mixture from the " +
+    "count-algebra sufficient statistics") {
+    // 80 entities x 3 copies in 4 blocks, THREE comparison fields —
+    // the classic FS identifiability floor (2^k patterns must exceed
+    // the 2k+1 free parameters, so k >= 3; with k = 2 the mixture has
+    // a continuum of ML solutions and EM legitimately lands elsewhere).
+    // Same-entity pairs (the planted matches) agree on all three;
+    // different-entity pairs never agree on name and collide on
+    // city/zip at ~1/7 and ~1/5 (moduli coprime with the 4-block
+    // split, so every block sees all values).
+    val rows = for {
+      e <- 0 until 80
+      c <- 0 until 3
+    } yield (e.toLong * 10 + c, e % 4, s"name$e", s"city${e % 7}",
+      s"zip${e % 5}")
+    val df = rows.toDF("id", "blk", "nm", "city", "zip")
+    val fit = RecordLinkage.fellegiSunterEM(df, "blk",
+      Seq("nm", "city", "zip"), maxIter = 500)
+    assert(fit.converged, s"EM did not converge: $fit")
+    val m = fit.fields.map(f => f.name -> f.m).toMap
+    val u = fit.fields.map(f => f.name -> f.u).toMap
+    assert(m("nm") > 0.9 && u("nm") < 0.05, s"name m/u off: $fit")
+    assert(m("city") > 0.9, s"city m off: $fit")
+    assert(u("city") > 0.05 && u("city") < 0.3, s"city u off: $fit")
+    assert(m("zip") > 0.9, s"zip m off: $fit")
+    assert(u("zip") > 0.1 && u("zip") < 0.35, s"zip u off: $fit")
+    // prevalence ~ planted match share: 80 entities x C(3,2) = 240
+    // match pairs of 4 x C(60,2) = 7080 total
+    val expectP = 240.0 / (4 * 60L * 59 / 2)
+    assert(math.abs(fit.p - expectP) < 0.05, s"p=${fit.p} vs $expectP")
+    assert(fit.logLikelihood < 0 && !fit.logLikelihood.isNaN)
+  }
+
+  test("EM tolerates a degenerate always-agree field via clamping " +
+    "(no NaN, no infinite weights)") {
+    val rows = (1L to 60L).map(i => (i, (i % 3).toInt, "constant",
+      s"v${i % 7}"))
+    val df = rows.toDF("id", "blk", "k", "v")
+    val fit = RecordLinkage.fellegiSunterEM(df, "blk", Seq("k", "v"))
+    assert(fit.fields.forall(f =>
+      !f.agreeWeight.isNaN && !f.agreeWeight.isInfinite &&
+        !f.disagreeWeight.isNaN && !f.disagreeWeight.isInfinite))
+    assert(!fit.logLikelihood.isNaN)
+  }
+
   test("empty input: decision stats and pair joins return empty, not NPE") {
     val empty = muCorpus.filter($"id" < 0)
     assert(RecordLinkage.fellegiSunterDecisionStats(empty, "id", "blk",
