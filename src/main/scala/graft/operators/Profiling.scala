@@ -8,34 +8,36 @@ import org.apache.spark.sql.functions._
   * and min/max, in long format — the `ANALYZE TABLE`-style summary a
   * pipeline runs before trusting a new 100 TB drop.
   *
-  * ONE scan: every per-column aggregate lands in a single `agg` (Spark
-  * computes them all in one pass with partial aggregation), and the 1-row
-  * result is unpivoted with `stack` — never one scan per column, never a
-  * self-union of aggregate branches (each branch would re-run the scan).
-  * Exact `count(DISTINCT x)` per column expands the aggregate to
-  * one `Expand` node (the standard multi-distinct plan); swap for
-  * `approx_count_distinct` when estimates suffice at scale.
+  * Physical shape (round 10): ONE COLUMN-PRUNED SCAN PER COLUMN, each a
+  * two-level hash aggregate — group by the column's value (map-side
+  * partial collapses each partition to its distinct values), then fold
+  * the value-count table into (nulls, distinct, min, max). The previous
+  * all-in-one-agg form looked cheaper (one scan) but planned
+  * catastrophically: c exact `count(DISTINCT)`s expand every row c+1×,
+  * and string-typed min/max buffers are ineligible for HashAggregate,
+  * so Spark SORT-aggregated the (c+1)·n expanded stream twice — 8.1 s
+  * vs 1.4 s at sf0.1 for three lineitem columns. Per-column scans read
+  * the SAME total bytes from columnar storage (each scan prunes to
+  * exactly one column), stay hash-aggregated end-to-end (any
+  * SortAggregate fallback touches only the distinct-value table), and
+  * n_rows falls out of each column's Σcount for free.
   */
 object Profiling {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column")
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        count_distinct(col(c)).as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    val agged = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map { c =>
-      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`"
-    }.mkString(", ")
-    agged.select(col("n_rows"),
-        expr(s"stack(${cols.size}, $stackArgs) AS " +
-          "(col_name, n_null, n_distinct, min_str, max_str)"))
-      .select("col_name", "n_rows", "n_null", "n_distinct",
-        "min_str", "max_str")
+    cols.map { c =>
+      df.groupBy(col(c).as("_v")).agg(count(lit(1)).as("_n"))
+        .agg(
+          coalesce(sum("_n"), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("_v").isNull, col("_n"))), lit(0L))
+            .as("n_null"),
+          count(when(col("_v").isNotNull, lit(1))).as("n_distinct"),
+          min(col("_v")).cast("string").as("min_str"),
+          max(col("_v")).cast("string").as("max_str"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+    }.reduce(_ unionByName _)
   }
 
   /** Deterministic Poisson bootstrap — confidence intervals for corpus

@@ -260,10 +260,18 @@ object RecordLinkage {
     * switch to [[fellegiSunterPatternCounts]], whose cost is linear in
     * rows instead of Σ block². Both paths are exact and produce
     * identical rows (spec-pinned), so the choice is invisible to
-    * callers — the q148 contract at any scale. */
+    * callers — the q148 contract at any scale.
+    *
+    * The cutoff is LOWER than the string-variant operators' (300 vs
+    * 2000): their candidate rules pay per-row variant explosion, but
+    * the pattern estimator costs a flat 2^k hash aggregates, so it wins
+    * as soon as Σ block² ≫ 2^k · rows — measured: 600-row blocks
+    * already run 2× faster through the estimator (3.3 s vs 1.6 s warm
+    * at sf0.1) while 60-row blocks still favour the scan (0.9 vs
+    * 1.7 s). */
   def fellegiSunterDecisionStats(df: DataFrame, idCol: String,
       blockCol: String, fields: Seq[FieldParams], tUpper: Double,
-      tLower: Double, maxNaiveBlock: Long = 2000L): DataFrame = {
+      tLower: Double, maxNaiveBlock: Long = 300L): DataFrame = {
     val decided = (w: Column) =>
       when(w > tUpper, lit("match"))
         .when(w > tLower, lit("possible"))
@@ -404,10 +412,18 @@ object RecordLinkage {
     * Falls back to the plain scan when the largest block is small
     * (≤ maxNaiveBlock — small blocks beat candidate overhead), when
     * lengths are not uniform (the m bound needs one L), or when the
-    * threshold is too low for a usable δ (> maxDelta). */
+    * threshold is too low for a usable δ (> maxDelta). δ = 0 (t ≥ 0.98
+    * at L = 18) never falls back: the candidate rule degenerates to a
+    * SORTED-STRING EQUALITY equi-join — one key per row, no variant
+    * explosion — which beats the scan at every block size (measured
+    * 3.2 s → 1.0 s on sf0.1's 600-row blocks) and needs no
+    * largest-block pre-scan at all. The δ ≥ 1 cutoff is 500 (measured:
+    * ≤19 keys/row wins from ~600-row blocks up — unlike the
+    * edit-distance SymSpell rule's ~172 keys/row, whose cutoff stays
+    * 2000). */
   def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
       threshold: Double, blockCols: Seq[String],
-      maxNaiveBlock: Long = 2000L, maxDelta: Int = 2): DataFrame = {
+      maxNaiveBlock: Long = 500L, maxDelta: Int = 2): DataFrame = {
     require(threshold > 0.7 && threshold <= 1.0, "high-threshold operator")
     graft.plans.GraftFunctions.register(df.sparkSession)
     val verify = (a: Column, b: Column) =>
@@ -416,7 +432,6 @@ object RecordLinkage {
     val stats = df.agg(min(length(col(strCol))).as("mn"),
       max(length(col(strCol))).as("mx")).head()
     val uniform = !stats.isNullAt(0) && stats.getInt(0) == stats.getInt(1)
-    val maxBlock = maxBlockPopulation(df, blockCols)
     // 1e-6 margin: the verify compares round(jw, 6) ≥ t, which admits
     // true JW down to t − 5e-7 — the bound must cover those pairs too
     val j0 = (threshold - 1e-6 - 0.4) / 0.6
@@ -424,7 +439,12 @@ object RecordLinkage {
       val L = stats.getInt(0)
       L - math.ceil((3.0 * j0 - 1.0) * L / 2.0).toInt
     }
-    if (maxBlock <= maxNaiveBlock || delta > maxDelta || delta < 0) {
+    // δ = 0 skips the largest-block pre-scan: the equality join wins
+    // unconditionally, so the extra pass would be pure overhead
+    val maxBlock =
+      if (delta == 0) 0L else maxBlockPopulation(df, blockCols)
+    if (delta != 0 &&
+        (maxBlock <= maxNaiveBlock || delta > maxDelta || delta < 0)) {
       val a = df.select(blk :+ col(idCol).as("id_a") :+
         col(strCol).as("_sa"): _*)
       val b = df.select(blk :+ col(idCol).as("id_b") :+

@@ -498,6 +498,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"row-side shuffle on the category key:\n$plan")
   }
 
+  test("q79 profile: per-column hash aggregates — no Expand, no " +
+      "corpus-wide SortAggregate (the multi-distinct expand form sorted " +
+      "(c+1)·n wide rows twice: 8.1 s vs 0.8 s at sf0.1)") {
+    val plan = planOf(graft.SparkEntry.queries("q79_profile")(spark, sf))
+    assert(!plan.contains("Expand"),
+      s"profile must not multi-distinct-expand the corpus:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"value grouping must hash-aggregate:\n$plan")
+  }
+
   test("q229 adamic-adar: wedge join is an equi-join through the shared " +
       "neighbour; known-edge exclusion is a real anti-join") {
     val plan = planOf(
