@@ -21,14 +21,18 @@ object ScaleCheck {
 
   /** The representative subset: one query per operator family (facet
     * aggregation, anti-join, window top-k, keyed lookup, edit-distance
-    * linkage, HLL audit, heavy hitters, incremental-dedup splice,
-    * t-digest audit, Borůvka invariants, sessionization, label
-    * propagation), chosen so every DuckDB oracle stays feasible at 10×.
-    */
+    * linkage, HLL audit, count-min frequency sketch, incremental-dedup
+    * splice, t-digest audit, Borůvka invariants, sessionization, label
+    * propagation), chosen so every DuckDB oracle stays feasible at 10×
+    * AND non-degenerate there (q101 heavy-hitters was swapped out: the
+    * rehearsal data's per-copy word decorrelation fragments every word
+    * below the n/k threshold, so both engines agree on an EMPTY result —
+    * a vacuous row; the count-min matrix keeps all 256 content-addressed
+    * cells populated at any scale). */
   val Subset: Seq[String] = Seq(
     "q1_agg", "q7_anti_join", "q9_window_topk", "q24_keyed_lookup",
     "q36_blocked_levenshtein", "q64_sessionize", "q90_approx_distinct",
-    "q101_heavy_hitters", "q129_incremental_dedup",
+    "q129_incremental_dedup", "q147_count_min",
     "q219_tdigest_quantiles", "q222_label_propagation",
     "q234_boruvka_msf")
 

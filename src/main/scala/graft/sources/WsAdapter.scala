@@ -86,6 +86,91 @@ object WsAdapter {
     DwcSource.fromRaw(asStrings, dataResourceUid, uniqueTerms)
   }
 
+  // ── cursor page verb (continuation-token APIs) ─────────────────────────
+  //
+  // The third pagination shape among the reference's loaders: media/API
+  // registries (`load/FlickrLoader.scala`'s page loop, modern REST
+  // services generally) hand back an OPAQUE continuation token instead of
+  // honouring offsets — the client must echo it to get the next page, and
+  // offset arithmetic is meaningless. Envelope: `{"records": [...],
+  // "nextCursor": "…"|null}`; same adapter story — land raw envelopes,
+  // the Spark tail takes over.
+
+  /** Fetch all cursor-paged envelopes to `landingDir/page-NNNNN.json`;
+    * returns the page count. `GET <base>?maxResults=M[&cursor=T]`; the
+    * scan ends on an empty/missing `records` array or a null/absent
+    * `nextCursor` (that page's records still land). A server that echoes
+    * a cursor it already served is refused loudly — an opaque-token loop
+    * would otherwise spin to maxPages re-landing the same page. */
+  def fetchPagesCursor(baseUrl: String, landingDir: String,
+      pageSize: Int = 1000, maxPages: Int = 100000): Int = {
+    require(pageSize > 0, "pageSize must be positive")
+    val dir = new java.io.File(landingDir)
+    dir.mkdirs()
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("page-") && f.getName.endsWith(".json"))
+      .foreach(_.delete())
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val seen = new java.util.HashSet[String]()
+    var cursor: Option[String] = None
+    var pages = 0
+    var done = false
+    while (!done) {
+      if (pages >= maxPages)
+        throw new IllegalStateException(
+          s"$baseUrl returned $maxPages non-empty cursor pages; raise " +
+            "maxPages if the resource is really that large")
+      val url = java.net.URI.create(baseUrl + s"?maxResults=$pageSize" +
+        cursor.map(c => "&cursor=" + java.net.URLEncoder.encode(c,
+          java.nio.charset.StandardCharsets.UTF_8)).getOrElse("")).toURL
+      val in = url.openStream()
+      val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val root = mapper.readTree(body)
+      val recs = root.path("records")
+      if (!recs.isArray || recs.size() == 0) done = true
+      else {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(landingDir, f"page-$pages%05d.json"), body)
+        pages += 1
+        val nc = root.path("nextCursor")
+        if (nc.isMissingNode || nc.isNull || nc.asText().isEmpty)
+          done = true
+        else {
+          val token = nc.asText()
+          if (!seen.add(token))
+            throw new IllegalStateException(
+              s"$baseUrl repeated continuation token '$token' — refusing " +
+                "to loop on an opaque cursor")
+          cursor = Some(token)
+        }
+      }
+    }
+    pages
+  }
+
+  /** Fetch + load over the cursor verb — identical S2 tail; only the
+    * paging handshake differs. */
+  def loadCursor(spark: SparkSession, baseUrl: String, landingDir: String,
+      dataResourceUid: String, uniqueTerms: Seq[String],
+      pageSize: Int = 1000): DataFrame = {
+    val pages = fetchPagesCursor(baseUrl, landingDir, pageSize)
+    require(pages > 0, s"$baseUrl returned no records")
+    loadLandingCursor(spark, landingDir, dataResourceUid, uniqueTerms)
+  }
+
+  /** The Spark-side half of the cursor verb: envelopes → explode the
+    * records array → the same cast-to-string S2 tail. */
+  def loadLandingCursor(spark: SparkSession, landingDir: String,
+      dataResourceUid: String, uniqueTerms: Seq[String]): DataFrame = {
+    val raw = spark.read.option("multiLine", "true")
+      .json(s"$landingDir/page-*.json")
+      .select(explode(col("records")).as("_r"))
+      .select(col("_r.*"))
+    val asStrings = raw.select(
+      raw.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
+    DwcSource.fromRaw(asStrings, dataResourceUid, uniqueTerms)
+  }
+
   // ── XML page verb (DiGIR/BioCASe-shape envelopes) ──────────────────────
   //
   // The reference's DiGIR/BioCASe/Morphbank loaders page XML envelopes

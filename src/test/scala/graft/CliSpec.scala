@@ -73,4 +73,20 @@ class CliSpec extends AnyFunSuite {
     assert(dup1.count() == 4) // t1 kept from prev, t2 freshly clustered
     assert(dup1.filter($"taxonGuid" === "t2").count() == 2)
   }
+
+  test("compact verb executes the maintenance swap through the CLI") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cli_compact")
+      .resolve("tbl").toString
+    (1L to 6L).foreach { i =>
+      Seq((i, s"row$i")).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    def nFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(nFiles() >= 6)
+    Cli.run(spark, Seq("compact", dir, (1L << 40).toString))
+    assert(nFiles() == 1)
+    assert(spark.read.parquet(dir).count() == 6)
+  }
 }

@@ -171,6 +171,88 @@ class WsAdapterSpec extends AnyFunSuite {
     }
   }
 
+  /** Continuation-token fixture: same 25 records behind opaque cursors
+    * ("tok-K" for the page starting at record K) — offsets are ignored,
+    * exactly like a real token-paged API. `loopForever = true` makes the
+    * server echo the SAME token on every page (the pathological server
+    * the loop guard exists for). */
+  private def withCursorServer[A](loopForever: Boolean = false)(
+      f: String => A): A = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api", { exchange =>
+      val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+      val params = q.split("&").filter(_.contains("="))
+        .map { kv => val a = kv.split("=", 2); a(0) -> a(1) }.toMap
+      val n = params.getOrElse("maxResults", "10").toInt
+      val start = params.get("cursor")
+        .map(_.stripPrefix("tok-").toInt).getOrElse(0)
+      val page = records.slice(start, start + n)
+      def jstr(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
+      val recJson = page.map(m =>
+        m.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+          .mkString("{", ",", "}")).mkString("[", ",", "]")
+      val next =
+        if (loopForever) jstr(params.getOrElse("cursor", "tok-0"))
+        else if (start + n < records.size) jstr(s"tok-${start + n}")
+        else "null"
+      val body = s"""{"records": $recJson, "nextCursor": $next}"""
+      val bytes = body.getBytes("UTF-8")
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, bytes.length)
+      val os = exchange.getResponseBody
+      try os.write(bytes) finally os.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/api")
+    finally server.stop(0)
+  }
+
+  test("cursor page verb: opaque continuation tokens page the scan, " +
+    "null cursor ends it, and the SAME S2 tail canonicalises") {
+    withCursorServer() { base =>
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_cursor").toString
+      val df = WsAdapter.loadCursor(spark, base, landing, "dr57",
+        uniqueTerms = Seq("occurrenceID"), pageSize = 10)
+      // 25 records over maxResults 10 → 3 envelopes; the third carries
+      // nextCursor null, so no fourth request happens
+      val files = new java.io.File(landing).list().sorted
+      assert(files.toSeq == Seq("page-00000.json", "page-00001.json",
+        "page-00002.json"))
+      assert(df.count() == 25)
+      assert(df.columns.contains("scientificName"))
+      assert(!df.columns.contains("customField"))
+      val m = df.filter(col("occurrenceID") === "ws7")
+        .select("miscProperties").as[Map[String, String]].head()
+      assert(m == Map("customField" -> "extra7"))
+      assert(df.select("rowKey").as[String].collect()
+        .forall(_.startsWith("dr57|")))
+      // verb-independence: the offset verb over the same logical records
+      // produces the same canonical content
+      withServer { offsetBase =>
+        val landing2 = java.nio.file.Files
+          .createTempDirectory("graft_cursor_cmp").toString
+        val viaOffset = WsAdapter.load(spark, offsetBase, landing2, "dr57",
+          Seq("occurrenceID"), pageSize = 10)
+        assert(viaOffset.select("rowKey").as[String].collect().sorted.toSeq
+          == df.select("rowKey").as[String].collect().sorted.toSeq)
+      }
+    }
+  }
+
+  test("cursor loop guard: a server that echoes the same token is " +
+    "refused loudly instead of re-landing the same page forever") {
+    withCursorServer(loopForever = true) { base =>
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_cursor_loop").toString
+      val ex = intercept[IllegalStateException] {
+        WsAdapter.fetchPagesCursor(base, landing, pageSize = 10)
+      }
+      assert(ex.getMessage.contains("repeated continuation token"))
+    }
+  }
+
   test("XML record count is element-true: <record…> inside CDATA, " +
     "comments, and attribute values must NOT advance the page cursor") {
     val body =
