@@ -81,7 +81,7 @@ object ProfileStages {
     def time(name: String)(df: => DataFrame): Unit = {
       def run(): Long = df
         .select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("h"))
-        .agg(bit_xor(col("h"))).head().getLong(0)
+        .agg(coalesce(bit_xor(col("h")), lit(0L))).head().getLong(0)
       run() // warm
       val t0 = System.nanoTime()
       run()

@@ -46,7 +46,7 @@ object ScaleGen {
         .parquet(s"$dest/$t.parquet")
 
     def span(t: String, c: String): Long =
-      read(t).agg(max(col(c))).head().getLong(0) + 1L
+      read(t).agg(coalesce(max(col(c)), lit(0L))).head().getLong(0) + 1L
 
     // One span per KEY DOMAIN, always measured on the domain's OWNING
     // table (custkey from customer, orderkey from orders, …): shifting a

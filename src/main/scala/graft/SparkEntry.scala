@@ -3953,9 +3953,11 @@ object SparkEntry {
     "q209_partition_pruning" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_part_")
         .toString
-      t(s, dir, "documents").write.mode("overwrite")
+      val docs = t(s, dir, "documents")
+      docs.write.mode("overwrite")
         .partitionBy("lang").parquet(tmp)
-      s.read.parquet(tmp)
+      // explicit schema: a zero-row write leaves no footer to infer from
+      s.read.schema(docs.schema).parquet(tmp)
         .filter(col("lang") === "de")
         .groupBy("source").agg(count(lit(1)).as("n"),
           sum("n_chars").as("chars"))
@@ -4000,9 +4002,13 @@ object SparkEntry {
       val enriched = graft.processors.Processors.enrich(loaded)
       val index = graft.index.IndexSupport.project(enriched,
         miscKeys = Seq("sourceSystem", "account_d"))
+      // explicit misc list (the aggregate below names these columns, so
+      // the schema must not depend on what a possibly-empty load
+      // discovers); the miscFields=Nil discovery path is pinned by
+      // MiscPropertiesSpec
       val dl = graft.index.Serving.download(index,
         loaded.select("rowKey"), fields = Seq("id"), qaFields = Nil,
-        includeMisc = true, miscFields = Nil)
+        includeMisc = true, miscFields = Seq("sourceSystem", "account_d"))
       dl.groupBy(col("misc_sourceSystem").as("source_system"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("misc_account_d").cast("double")), 2).as("bal"))
@@ -4033,6 +4039,31 @@ object SparkEntry {
           round(sum(col("x.latitude")), 2).as("lat_sum"),
           round(sum(col("x.longitude")), 2).as("lon_sum"))
         .orderBy("ym")
+    }),
+
+    // ── CUPED variance-reduced A/B readout (Deng et al., WSDM 2013):
+    //    units = per-user (pre-period spend, experiment-period spend),
+    //    deterministic md5 arm split, θ = cov/var pooled, adjusted
+    //    effect + ρ² variance removed — one groupBy(user) + one moment
+    //    aggregate, closed form; the oracle restates every sum. Means
+    //    deliberately NOT reported: money/2^a·5^b-count quotients sit on
+    //    round-half boundaries (salt chosen so arm counts at sf0.01/0.1
+    //    all carry a prime factor > 5 → non-terminating quotients) ──
+    "q256_cuped" -> ((s, dir) => {
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      val units = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          coalesce(sum(when(col("ts") < cutoff, col("value"))), lit(0.0))
+            .as("x_pre"),
+          coalesce(sum(when(col("ts") >= cutoff, col("value"))), lit(0.0))
+            .as("y_exp"))
+        .withColumn("arm", when(substring(md5(concat(
+            col("user_id").cast("string"), lit(":exp2"))), 1, 1) >= "8",
+          lit("b")).otherwise(lit("a")))
+      graft.operators.Profiling.cuped(units, "arm", "b", "x_pre", "y_exp")
+        .select("n_a", "n_b", "theta", "effect_raw", "effect_cuped",
+          "rho_sq")
     })
   )
 
@@ -8310,7 +8341,40 @@ object SparkEntry {
         |   AS n_pre_schema,
         | coalesce(sum(CASE WHEN doc_id % 2 = 1
         |   THEN n_chars % 100 ELSE 0 END), 0)::BIGINT AS quality_sum
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q256_cuped" ->
+      """WITH units AS (
+        | SELECT user_id,
+        |  coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+        |    THEN value END), 0) AS x,
+        |  coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+        |    THEN value END), 0) AS y,
+        |  CASE WHEN substr(md5(user_id::VARCHAR || ':exp2'), 1, 1) >= '8'
+        |    THEN 'b' ELSE 'a' END AS arm
+        | FROM events GROUP BY user_id),
+        |m AS (
+        | SELECT
+        |  sum(CASE WHEN arm = 'a' THEN 1.0 ELSE 0 END) AS na,
+        |  sum(CASE WHEN arm = 'b' THEN 1.0 ELSE 0 END) AS nb,
+        |  sum(CASE WHEN arm = 'a' THEN x ELSE 0 END) AS sxa,
+        |  sum(CASE WHEN arm = 'b' THEN x ELSE 0 END) AS sxb,
+        |  sum(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS sya,
+        |  sum(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS syb,
+        |  sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        | FROM units),
+        |d AS (
+        | SELECT na, nb, sxa, sxb, sya, syb,
+        |  (na+nb)*sxy - (sxa+sxb)*(sya+syb) AS cov_xy,
+        |  (na+nb)*sxx - (sxa+sxb)*(sxa+sxb) AS var_x,
+        |  (na+nb)*syy - (sya+syb)*(sya+syb) AS var_y
+        | FROM m)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        | round(cov_xy/var_x, 6) AS theta,
+        | round(syb/nb - sya/na, 6) AS effect_raw,
+        | round(syb/nb - sya/na
+        |   - cov_xy/var_x * (sxb/nb - sxa/na), 6) AS effect_cuped,
+        | round(cov_xy*cov_xy/(var_x*var_y), 6) AS rho_sq
+        |FROM d""".stripMargin
   )
 
   /** Shared winnowing restatement (k = 8, w = 4) over an input relation

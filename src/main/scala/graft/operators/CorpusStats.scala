@@ -32,7 +32,8 @@ object CorpusStats {
     val totals = counts.groupBy("slice").agg(sum("c").as("tot"))
     val corpus = counts.groupBy("w").agg(sum("c").as("call"))
     val vocabSize = corpus.count().toDouble
-    val grandTotal = totals.agg(sum("tot")).head().getDouble(0)
+    val grandTotal = totals.agg(coalesce(sum("tot"), lit(0.0)))
+      .head().getDouble(0)
     // (slice × vocab) grid: every slice scores every vocab word, so the
     // smoothing mass is identical across slices
     val grid = totals.crossJoin(corpus)
@@ -100,10 +101,11 @@ object CorpusStats {
         .wordBigrams(col("ws"))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
-    val n = unigrams.agg(sum("cw")).head().getLong(0).toDouble
+    val n = unigrams.agg(coalesce(sum("cw"), lit(0L)))
+      .head().getLong(0).toDouble
     val nBigrams = toks
       .select(greatest(size(col("ws")) - 1, lit(0)).cast("long").as("nb"))
-      .agg(sum("nb")).head().getLong(0).toDouble
+      .agg(coalesce(sum("nb"), lit(0L))).head().getLong(0).toDouble
     val joined = bigrams
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .withColumn("w2", substring_index(col("bigram"), " ", -1))

@@ -48,7 +48,10 @@ object JoinStats {
       .select(inner(col("sa"), col("sb")).as("est"))
       .crossJoin(exact)
       .select(col("est"), col("exact"),
-        round((col("est") - col("exact")).cast("double") / col("exact"), 6)
+        // empty join (exact = 0) → rel_err undefined, not a div-by-zero
+        when(col("exact") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("est") - col("exact")).cast("double") / col("exact"), 6))
           .as("rel_err"))
   }
 }

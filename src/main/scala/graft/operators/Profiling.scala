@@ -197,21 +197,27 @@ object Profiling {
       .na.drop(cols)
     val aggs =
       Seq(count(lit(1)).cast("double").as("n")) ++
-        cols.map(c => sum(col(c)).as(s"s_$c")) ++
-        cols.map(c => sum(col(c) * col(c)).as(s"ss_$c")) ++
+        cols.map(c => coalesce(sum(col(c)), lit(0.0)).as(s"s_$c")) ++
+        cols.map(c =>
+          coalesce(sum(col(c) * col(c)), lit(0.0)).as(s"ss_$c")) ++
         (for (i <- cols.indices; j <- cols.indices if i < j)
-          yield sum(col(cols(i)) * col(cols(j)))
+          yield coalesce(sum(col(cols(i)) * col(cols(j))), lit(0.0))
             .as(s"sp_${cols(i)}_${cols(j)}"))
     val row = clean.agg(aggs.head, aggs.tail: _*).head()
     def d(name: String) = row.getDouble(row.fieldIndex(name))
     val n = d("n")
+    // a zero-variance column (constant, or n ≤ 1) has no defined
+    // correlation — emit NULL, matching SQL's corr() on the same input
     val pairs = for (i <- cols.indices; j <- cols.indices if i < j) yield {
       val (a, b) = (cols(i), cols(j))
       val cov = n * d(s"sp_${a}_$b") - d(s"s_$a") * d(s"s_$b")
       val va = n * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")
       val vb = n * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b")
-      (a, b, BigDecimal(cov / math.sqrt(va * vb))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val corr: Option[Double] =
+        if (va <= 0.0 || vb <= 0.0) None
+        else Some(BigDecimal(cov / math.sqrt(va * vb))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (a, b, corr)
     }
     pairs.toDF("col_a", "col_b", "corr")
   }
@@ -747,5 +753,59 @@ object Profiling {
     }.toSeq
     import df.sparkSession.implicits._
     fitted.toDF("bin", "lo", "hi", "n", "n_pos", "raw_rate", "calibrated")
+  }
+
+  /** CUPED variance-reduced treatment-effect estimate (Deng, Xu, Kohavi
+    * & Walker, WSDM 2013) — the standard controlled-experiment readout
+    * when a pre-period covariate exists: with per-unit pre-period metric
+    * X and experiment metric Y, fit θ = cov(X,Y)/var(X) POOLED across
+    * arms, adjust Ŷ = Y − θ·(X − E[X]), and report the adjusted arm
+    * difference. Squared correlation ρ² is the variance removed.
+    *
+    * `units` must be ONE ROW PER EXPERIMENT UNIT with an `armCol` of two
+    * values; everything reduces to a single moment aggregate
+    * (n, Σx, Σy, Σxy, Σx², Σy² per arm — map-side partial, no
+    * data-sized shuffle), and the estimator is closed-form over those
+    * twelve scalars: effect_cuped = effect_raw − θ·(E[X|b] − E[X|a]).
+    * Scan-bound at any corpus size.
+    *
+    * Output (one row): n_a, n_b, mean_y_a, mean_y_b, theta, effect_raw,
+    * effect_cuped, rho_sq — 6 dp. Requires both arms present and
+    * var(X) > 0 (a constant covariate has nothing to remove). */
+  def cuped(units: DataFrame, armCol: String, armB: String,
+      preCol: String, metricCol: String): DataFrame = {
+    val x = col(preCol).cast("double")
+    val y = col(metricCol).cast("double")
+    val isB = (col(armCol) === armB).cast("double")
+    val isA = lit(1.0) - isB
+    val m = units.agg(
+      sum(isA).as("na"), sum(isB).as("nb"),
+      sum(isA * x).as("sxa"), sum(isB * x).as("sxb"),
+      sum(isA * y).as("sya"), sum(isB * y).as("syb"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val n = col("na") + col("nb")
+    val sx = col("sxa") + col("sxb")
+    val sy = col("sya") + col("syb")
+    val covXY = n * col("sxy") - sx * sy
+    val varX = n * col("sxx") - sx * sx
+    val varY = n * col("syy") - sy * sy
+    // a missing arm or constant covariate leaves the estimator undefined
+    // — NULL out instead of an ANSI divide-by-zero (empty deltas happen)
+    def guarded(c: Column): Column =
+      when(col("na") > 0 && col("nb") > 0 && varX > 0 && varY > 0,
+        round(c, 6)).otherwise(lit(null).cast("double"))
+    val theta = covXY / varX
+    val effectRaw = col("syb") / col("nb") - col("sya") / col("na")
+    val effectCuped = effectRaw -
+      theta * (col("sxb") / col("nb") - col("sxa") / col("na"))
+    m.select(
+        coalesce(col("na"), lit(0.0)).cast("long").as("n_a"),
+        coalesce(col("nb"), lit(0.0)).cast("long").as("n_b"),
+        guarded(col("sya") / col("na")).as("mean_y_a"),
+        guarded(col("syb") / col("nb")).as("mean_y_b"),
+        guarded(theta).as("theta"),
+        guarded(effectRaw).as("effect_raw"),
+        guarded(effectCuped).as("effect_cuped"),
+        guarded(covXY * covXY / (varX * varY)).as("rho_sq"))
   }
 }

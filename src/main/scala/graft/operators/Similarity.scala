@@ -819,6 +819,8 @@ object Similarity {
   def zcaWhitener(emb: DataFrame, vecCol: String,
       eps: Double = 1e-6): (Array[Double], Array[Array[Double]]) = {
     val probe = emb.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(probe.nonEmpty,
+      "zcaWhitener needs at least one embedding row to fit on")
     val d = probe(0).getInt(0)
     val (means, evals, comps) = pcaFit(emb, vecCol, d)
     val w = Array.ofDim[Double](d, d)

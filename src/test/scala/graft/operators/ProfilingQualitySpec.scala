@@ -217,4 +217,38 @@ class ProfilingQualitySpec extends AnyFunSuite {
       .as[(String, Long, Double, Double)].collect()
     assert(rows.toSeq == Seq(("a", 1L, 0.25, 0.25), ("b", 3L, 1.0, 0.25)))
   }
+
+  test("cuped: hand-traced moments, θ, adjusted effect, ρ²") {
+    // n=4, Σx=10, Σy=22, Σxy=67, Σx²=30, Σy²=150
+    // cov=4·67−220=48, varX=4·30−100=20 → θ=2.4
+    // effect_raw = 8−3 = 5; E[X|b]−E[X|a] = 2 → effect_cuped = 0.2
+    // ρ² = 48²/(20·116) = 0.993103448…
+    val units = Seq(("a", 1.0, 2.0), ("a", 2.0, 4.0),
+        ("b", 3.0, 7.0), ("b", 4.0, 9.0))
+      .toDF("arm", "x", "y")
+    val got = Profiling.cuped(units, "arm", "b", "x", "y")
+      .select("n_a", "n_b", "theta", "effect_raw", "effect_cuped", "rho_sq")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(got == ((2L, 2L, 2.4, 5.0, 0.2, 0.993103)))
+  }
+
+  test("cuped: a perfectly predictive covariate removes the whole effect") {
+    // y = 2x with no treatment signal → ρ² = 1, adjusted effect 0
+    val units = Seq(("a", 1.0, 2.0), ("a", 2.0, 4.0),
+        ("b", 3.0, 6.0), ("b", 4.0, 8.0))
+      .toDF("arm", "x", "y")
+    val got = Profiling.cuped(units, "arm", "b", "x", "y")
+      .select("theta", "effect_raw", "effect_cuped", "rho_sq")
+      .as[(Double, Double, Double, Double)].head()
+    assert(got == ((2.0, 4.0, 0.0, 1.0)))
+  }
+
+  test("cuped: empty input and single-arm input degrade to NULLs") {
+    val empty = Seq.empty[(String, Double, Double)].toDF("arm", "x", "y")
+    val r0 = Profiling.cuped(empty, "arm", "b", "x", "y").head()
+    assert(r0.getLong(0) == 0L && r0.getLong(1) == 0L && r0.isNullAt(4))
+    val oneArm = Seq(("a", 1.0, 2.0), ("a", 2.0, 5.0)).toDF("arm", "x", "y")
+    val r1 = Profiling.cuped(oneArm, "arm", "b", "x", "y").head()
+    assert(r1.getLong(0) == 2L && r1.getLong(1) == 0L && r1.isNullAt(4))
+  }
 }
