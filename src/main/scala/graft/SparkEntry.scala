@@ -887,8 +887,11 @@ object SparkEntry {
       }
       // three time-ordered batches (the chart is order-defined, so batch
       // boundaries must respect event time — as any log replay does)
+      // empty input → approxQuantile returns no cuts; degenerate bounds
+      // still produce three (empty) time-ordered batches
       val cuts = obs.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
-      val cut1 = cuts(0); val cut2 = cuts(1)
+      val cut1 = if (cuts.nonEmpty) cuts(0) else 0.0
+      val cut2 = if (cuts.length > 1) cuts(1) else cut1
       obs.filter(col("ts") <= cut1).coalesce(1)
         .write.mode("overwrite").parquet(tmp); stamp(0)
       obs.filter(col("ts") > cut1 && col("ts") <= cut2).coalesce(1)

@@ -19,9 +19,9 @@ import scala.util.{Failure, Success, Try}
   * frames mid-pipeline, and an operator that NPEs on one empty delta kills
   * a whole nightly run.
   *
-  * Streaming entries (`readStream` against the dir) are exercised on empty
-  * input by their own suites; here we keep to batch entries so the battery
-  * stays fast enough to run per-commit.
+  * Streaming entries (`readStream` against the dir, AvailableNow) are
+  * included: an empty source is the "no new delta tonight" case, and the
+  * stream must drain and stop cleanly.
   */
 class EmptyInputSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -40,8 +40,12 @@ class EmptyInputSpec extends AnyFunSuite {
     dir
   }
 
-  /** Streaming entries need a running micro-batch engine and have their own
-    * empty-input coverage in streaming suites; identified by name. */
+  /** Streaming entries run their micro-batch engine to completion inside
+    * the query function (AvailableNow against the dir), so they join the
+    * battery like any batch entry — an empty source directory is exactly
+    * the "no new delta tonight" production case and the stream must drain
+    * and stop, not hang or throw. Identified by name so a failure reads
+    * as streaming at a glance. */
   private val streaming: Set[String] = SparkEntry.queries.keySet
     .filter(n => n.contains("stream") || n.contains("tws_"))
 
@@ -72,8 +76,9 @@ class EmptyInputSpec extends AnyFunSuite {
     found
   }
 
-  for (name <- SparkEntry.queries.keys.toSeq.sorted if !streaming(name))
-    test(s"empty input: $name") {
+  for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+    val label = if (streaming(name)) "empty input (streaming)" else "empty input"
+    test(s"$label: $name") {
       Try(SparkEntry.queries(name)(spark, emptyDir).collect()) match {
         case Success(_) => // empty (or constant) result — fine
         case Failure(e) if accidental(e) =>
@@ -85,4 +90,5 @@ class EmptyInputSpec extends AnyFunSuite {
             s"(${e.getClass.getName}): ${e.getMessage}", e)
       }
     }
+  }
 }
