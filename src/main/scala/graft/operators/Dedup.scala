@@ -376,17 +376,34 @@ object Dedup {
       .filter(col("_rn") <= col("setSize") -
         ceil(lit(threshold) * col("setSize")).cast("int") + 1)
       .filter(col("df") >= 2)
-      .select(col("id"), col("setSize"), col("shingle"))
+      .select(col("id"), col("setSize"), col("shingle"),
+        col("_rn").as("pos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = prefixes.select(col("shingle"), col("id").as("id_a"),
-      col("setSize").as("size_a"))
+      col("setSize").as("size_a"), col("pos").as("pos_a"))
     val b = prefixes.select(col("shingle"), col("id").as("id_b"),
-      col("setSize").as("size_b"))
+      col("setSize").as("size_b"), col("pos").as("pos_b"))
+    // PPJoin positional filter (Xiao et al. 2008): J ≥ t needs overlap
+    // O ≥ t/(1+t)·(|A|+|B|); at the FIRST common shingle (positions
+    // pa, pb under the global order) every other common shingle sits
+    // after both, so O ≤ 1 + min(|A|−pa, |B|−pb). A true pair always
+    // passes at its first common meeting, and the `distinct` below ORs
+    // over meetings, so pruning each meeting by the bound is LOSSLESS —
+    // while the candidate blow-up on hot prefix shingles (pairs grow
+    // quadratically in shingle df as the corpus scales) collapses to
+    // the meetings whose suffixes could still reach the overlap. The
+    // 1e-9 slack makes float rounding err toward KEEPING a candidate
+    // (the exact-verify join owns precision).
+    val overlapNeeded =
+      lit(threshold / (1.0 + threshold)) *
+        (col("size_a") + col("size_b")) - lit(1e-9)
     val candidates = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b") &&
         col("size_b") >= lit(threshold) * col("size_a") &&
-        col("size_a") >= lit(threshold) * col("size_b"))
+        col("size_a") >= lit(threshold) * col("size_b") &&
+        (lit(1) + least(col("size_a") - col("pos_a"),
+          col("size_b") - col("pos_b"))) >= overlapNeeded)
       .select("id_a", "id_b").distinct()
 
     // verify candidates with the exact set Jaccard

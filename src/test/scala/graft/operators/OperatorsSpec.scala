@@ -263,4 +263,41 @@ class OperatorsSpec extends AnyFunSuite {
       n = 4, threshold = 0.5)
     assert(j.isEmpty)
   }
+
+  test("ngramJaccardPairs ≡ brute force (prefix + positional filters lossless)") {
+    // deterministic corpus with planted near-dups at every band of the
+    // similarity range: shared stems with growing mutations, plus exact
+    // twins and unrelated noise — exercises length, prefix, and
+    // positional pruning paths
+    val stem = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = (0 until 40).map { i =>
+      val text = i % 4 match {
+        case 0 => stem + s" extra$i"                        // near-exact
+        case 1 => stem.replace(s"w${i % 30 + 1}", s"m$i")   // one mutation
+        case 2 => (1 to 30).map(j => s"n${i}_$j").mkString(" ") // noise
+        case 3 => stem.split(" ").drop(i % 12).mkString(" ") // truncations
+      }
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      val fast = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 5, threshold = t)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val sh = docs.select(col("doc_id"),
+        udf((s: String) => graft.functions.HashKernels
+          .charShinglesHashed(s, 5)).apply(col("text")).as("sh"))
+      val brute = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          udf((x: Seq[Long], y: Seq[Long]) => graft.functions.HashKernels
+            .jaccardLong(x, y)).apply(col("sh_a"), col("sh_b"))
+            .as("jaccard"))
+        .filter(col("jaccard") >= t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(brute.nonEmpty, s"degenerate fixture at t=$t")
+      assert(fast == brute, s"threshold $t")
+    }
+  }
 }
