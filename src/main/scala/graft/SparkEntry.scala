@@ -4067,6 +4067,27 @@ object SparkEntry {
       graft.operators.Profiling.cuped(units, "arm", "b", "x_pre", "y_exp")
         .select("n_a", "n_b", "theta", "effect_raw", "effect_cuped",
           "rho_sq")
+    }),
+
+    // ── experiment health + difference-in-differences over the same
+    //    md5-split panel as q256: sample-ratio-mismatch χ² against the
+    //    designed 50/50 (a flagged split invalidates every downstream
+    //    metric) and the parallel-trends DiD estimate — one moment
+    //    aggregate, closed form, oracle restates every sum ──
+    "q257_experiment_did" -> ((s, dir) => {
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      val units = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          coalesce(sum(when(col("ts") < cutoff, col("value"))), lit(0.0))
+            .as("x_pre"),
+          coalesce(sum(when(col("ts") >= cutoff, col("value"))), lit(0.0))
+            .as("y_exp"))
+        .withColumn("arm", when(substring(md5(concat(
+            col("user_id").cast("string"), lit(":exp2"))), 1, 1) >= "8",
+          lit("b")).otherwise(lit("a")))
+      graft.operators.Profiling.didHealth(
+        units, "arm", "b", "x_pre", "y_exp")
     })
   )
 
@@ -8377,6 +8398,39 @@ object SparkEntry {
         | round(syb/nb - sya/na
         |   - cov_xy/var_x * (sxb/nb - sxa/na), 6) AS effect_cuped,
         | round(cov_xy*cov_xy/(var_x*var_y), 6) AS rho_sq
+        |FROM d""".stripMargin,
+    "q257_experiment_did" ->
+      """WITH units AS (
+        | SELECT user_id,
+        |  coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+        |    THEN value END), 0) AS x,
+        |  coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+        |    THEN value END), 0) AS y,
+        |  CASE WHEN substr(md5(user_id::VARCHAR || ':exp2'), 1, 1) >= '8'
+        |    THEN 'b' ELSE 'a' END AS arm
+        | FROM events GROUP BY user_id),
+        |m AS (
+        | SELECT
+        |  sum(CASE WHEN arm = 'a' THEN 1.0 ELSE 0 END) AS na,
+        |  sum(CASE WHEN arm = 'b' THEN 1.0 ELSE 0 END) AS nb,
+        |  sum(CASE WHEN arm = 'a' THEN x ELSE 0 END) AS sxa,
+        |  sum(CASE WHEN arm = 'b' THEN x ELSE 0 END) AS sxb,
+        |  sum(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS sya,
+        |  sum(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS syb
+        | FROM units),
+        |d AS (
+        | SELECT na, nb,
+        |  (nb - (na+nb)*0.5)*(nb - (na+nb)*0.5)/((na+nb)*0.5)
+        |   + (na - (na+nb)*0.5)*(na - (na+nb)*0.5)/((na+nb)*0.5) AS chi2,
+        |  sya/na - sxa/na AS delta_a,
+        |  syb/nb - sxb/nb AS delta_b
+        | FROM m)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        | round(chi2, 6) AS srm_chi2,
+        | chi2 <= 3.841 AS srm_ok,
+        | round(delta_a, 6) AS delta_a,
+        | round(delta_b, 6) AS delta_b,
+        | round(delta_b - delta_a, 6) AS did
         |FROM d""".stripMargin
   )
 

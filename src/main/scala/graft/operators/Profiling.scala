@@ -808,4 +808,53 @@ object Profiling {
         guarded(effectCuped).as("effect_cuped"),
         guarded(covXY * covXY / (varX * varY)).as("rho_sq"))
   }
+
+  /** The other two standard A/B readouts next to [[cuped]], from the same
+    * one-row moment aggregate:
+    *
+    *   - **Sample-ratio mismatch** (the #1 experiment health check): χ² of
+    *     the observed arm counts against the expected B fraction,
+    *     `srm_ok = χ² ≤ 3.841` (95th percentile of χ²₁ — a flagged split
+    *     means randomization is broken and every downstream metric is
+    *     suspect).
+    *   - **Difference-in-differences** over a pre/post panel:
+    *     did = (E[Y|b] − E[Y|a]) − (E[X|b] − E[X|a]) — the parallel-trends
+    *     estimator that removes any fixed arm-level offset the
+    *     randomization failed to balance.
+    *
+    * `units` is one row per unit (as in [[cuped]]); X = pre-period
+    * metric, Y = post-period metric. One scan, map-side partials, six
+    * scalars, closed form. NULL-degrades when an arm is missing. */
+  def didHealth(units: DataFrame, armCol: String, armB: String,
+      preCol: String, postCol: String,
+      expectedB: Double = 0.5): DataFrame = {
+    require(expectedB > 0 && expectedB < 1, "0 < expectedB < 1")
+    val x = col(preCol).cast("double")
+    val y = col(postCol).cast("double")
+    val isB = (col(armCol) === armB).cast("double")
+    val isA = lit(1.0) - isB
+    val m = units.agg(
+      sum(isA).as("na"), sum(isB).as("nb"),
+      sum(isA * x).as("sxa"), sum(isB * x).as("sxb"),
+      sum(isA * y).as("sya"), sum(isB * y).as("syb"))
+    val n = col("na") + col("nb")
+    val eb = n * expectedB
+    val ea = n * (1.0 - expectedB)
+    val chi2 = (col("nb") - eb) * (col("nb") - eb) / eb +
+      (col("na") - ea) * (col("na") - ea) / ea
+    val deltaA = col("sya") / col("na") - col("sxa") / col("na")
+    val deltaB = col("syb") / col("nb") - col("sxb") / col("nb")
+    def guarded(c: Column): Column =
+      when(col("na") > 0 && col("nb") > 0, round(c, 6))
+        .otherwise(lit(null).cast("double"))
+    m.select(
+      coalesce(col("na"), lit(0.0)).cast("long").as("n_a"),
+      coalesce(col("nb"), lit(0.0)).cast("long").as("n_b"),
+      guarded(chi2).as("srm_chi2"),
+      when(col("na") > 0 && col("nb") > 0, chi2 <= 3.841)
+        .otherwise(lit(null).cast("boolean")).as("srm_ok"),
+      guarded(deltaA).as("delta_a"),
+      guarded(deltaB).as("delta_b"),
+      guarded(deltaB - deltaA).as("did"))
+  }
 }

@@ -243,6 +243,26 @@ class ProfilingQualitySpec extends AnyFunSuite {
     assert(got == ((2.0, 4.0, 0.0, 1.0)))
   }
 
+  test("didHealth: hand-traced SRM χ² and DiD") {
+    // balanced split → χ² = 0; Δa = 3−1.5 = 1.5, Δb = 8−3.5 = 4.5 → did 3
+    val units = Seq(("a", 1.0, 2.0), ("a", 2.0, 4.0),
+        ("b", 3.0, 7.0), ("b", 4.0, 9.0))
+      .toDF("arm", "x", "y")
+    val got = Profiling.didHealth(units, "arm", "b", "x", "y")
+      .select("n_a", "n_b", "srm_chi2", "srm_ok", "delta_a", "delta_b",
+        "did")
+      .as[(Long, Long, Double, Boolean, Double, Double, Double)].head()
+    assert(got == ((2L, 2L, 0.0, true, 1.5, 4.5, 3.0)))
+  }
+
+  test("didHealth: a 9:1 split trips the SRM flag (χ² = 6.4 > 3.841)") {
+    val units = ((1 to 9).map(i => ("b", i.toDouble, i.toDouble)) :+
+        (("a", 1.0, 1.0))).toDF("arm", "x", "y")
+    val got = Profiling.didHealth(units, "arm", "b", "x", "y")
+      .select("srm_chi2", "srm_ok").as[(Double, Boolean)].head()
+    assert(got == ((6.4, false)))
+  }
+
   test("cuped: empty input and single-arm input degrade to NULLs") {
     val empty = Seq.empty[(String, Double, Double)].toDF("arm", "x", "y")
     val r0 = Profiling.cuped(empty, "arm", "b", "x", "y").head()
