@@ -67,7 +67,54 @@ object Bench {
     * the discarded numbers stay on the record. */
   final case class QResult(name: String, med: Double, min: Double,
       max: Double, gcMs: Long, spillBytes: Long, err: Option[String],
-      contended: Boolean = false, attempts: Seq[Double] = Nil)
+      contended: Boolean = false, attempts: Seq[Double] = Nil,
+      baseMed: Option[Double] = None)
+
+  /** Per-child-JVM load evidence: 1-min loadavg at batch start/end and
+    * the child's own process CPU seconds. Emitted as a `batches` array in
+    * BENCH_FULL.json so a contended sweep is LABELLED by data — the
+    * round-10 adjudication gap (judge vs builder numbers diverged 1.5×
+    * with no machine-load evidence on the record). */
+  final case class BatchMeta(tag: String, queries: Seq[String],
+      wallSec: Double, cpuSec: Double, load1Start: Double,
+      load1End: Double)
+
+  private val batchMetas =
+    scala.collection.mutable.ListBuffer.empty[BatchMeta]
+
+  /** 1-min loadavg from /proc/loadavg; -1 where unreadable (non-Linux). */
+  private def load1(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** This JVM's total process CPU seconds (for the child meta report). */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
+  /** Per-query meds of the LAST COMMITTED clean record (BENCH_FULL.json
+    * at process start, before this run overwrites it). The uniform-
+    * contention test compares each fresh row against these: sustained
+    * co-tenant load inflates min together with med, so the med≫min ratio
+    * test can never fire (round-10 q195: 71.5 s med, 37.6 s min, same
+    * code committed clean at 6.1 s — no flag). Override the path with
+    * SPARK_GRAFT_BASELINE; absent/unreadable → empty map (no new flags,
+    * detector degrades to the ratio+GC tests). */
+  private lazy val committedMeds: Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_FULL.json")
+    try {
+      val text = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path))
+      // the detail map pins each med: "qNN_name":{"med":1.234,...
+      val re = """"([^"]+)":\{"med":([0-9.eE+-]+)""".r
+      re.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+  }
 
   private def f3(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -81,6 +128,30 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
+    // probe child: run the serving-latency probe alone, report through
+    // the TSV side-channel file, and exit — keeps the parent's
+    // fresh-JVM isolation contract (the parent never builds a session)
+    if (sys.env.contains("SPARK_GRAFT_PROBE")) {
+      val sfDir =
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft_probe_wh")
+            .toString)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "1000").toInt
+      val json = ServingProbe.run(spark, sfDir, n)
+      sys.env.get("SPARK_GRAFT_OUT").foreach(p =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json))
+      spark.stop()
+      return
+    }
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
@@ -178,14 +249,16 @@ object Bench {
           gcMs.get() - gc0, spillBytes.get() - sp0,
           runs.flatMap(_._2).headOption)
       }.toSeq
-    // forked children report to the parent through a TSV side-file
+    // forked children report to the parent through a TSV side-file; the
+    // trailing #meta line carries the child's own CPU seconds + loadavg
+    // so the parent can label contended batches with load evidence
     sys.env.get("SPARK_GRAFT_OUT").foreach { path =>
       val rows = out.map { r =>
         Seq(r.name, f3(r.med), f3(r.min), f3(r.max), r.gcMs.toString,
           r.spillBytes.toString,
           r.err.map(_.replaceAll("[\\t\\n\\r]", " ")).getOrElse("-"))
           .mkString("\t")
-      }
+      } :+ Seq("#meta", f3(processCpuSec()), f3(load1())).mkString("\t")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
         rows.mkString("", "\n", "\n"))
     }
@@ -229,7 +302,38 @@ object Bench {
               Some(s"child JVM (batch $bi) exited without reporting")))
         }
     }
+    // full sweeps also record the serving-latency probe (own child JVM);
+    // a probe failure must never fail the sweep — it reports as absent
+    if (sweepOnly.isEmpty &&
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_SKIP", "0") != "1")
+      try probeJson = Some(forkProbe(logDir))
+      catch { case _: Throwable => () }
     selfHeal(initial, logDir, timeoutSec)
+  }
+
+  /** JSON from the serving-probe child (full sweeps only). */
+  @volatile private var probeJson: Option[String] = None
+
+  /** Fork the serving-probe child JVM, return its JSON fragment. */
+  private def forkProbe(logDir: java.nio.file.Path): String = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val outFile = java.nio.file.Files.createTempFile("bench_probe", ".json")
+    val pb = new ProcessBuilder((Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava)
+    pb.environment().put("SPARK_GRAFT_PROBE", "1")
+    pb.environment().put("SPARK_GRAFT_OUT", outFile.toString)
+    pb.redirectOutput(logDir.resolve("probe.out").toFile)
+    pb.redirectErrorStream(true)
+    pb.start().waitFor()
+    val json = java.nio.file.Files.readString(outFile).trim
+    java.nio.file.Files.deleteIfExists(outFile)
+    require(json.startsWith("{"), s"probe reported no JSON: '$json'")
+    json
   }
 
   /** Fork one child JVM for `batch`, collect its TSV report. */
@@ -252,6 +356,8 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_FRESH_JVM", "0")
     pb.redirectOutput(logDir.resolve(s"$tag.out").toFile)
     pb.redirectErrorStream(true)
+    val loadBefore = load1()
+    val wall0 = System.nanoTime()
     val proc = pb.start()
     timeoutSec match {
       case Some(t) =>
@@ -260,18 +366,32 @@ object Bench {
         }
       case None => proc.waitFor()
     }
-    val reported: Map[String, QResult] =
-      (try java.nio.file.Files.readAllLines(outFile).asScala.toSeq
-       catch { case _: Throwable => Seq.empty[String] })
-        .flatMap { line =>
-          line.split("\t", -1) match {
-            case Array(n, med, mn, mx, gc, sp, err) =>
-              Some(QResult(n, med.toDouble, mn.toDouble, mx.toDouble,
-                gc.toLong, sp.toLong,
-                if (err == "-") None else Some(err)))
-            case _ => None
-          }
-        }.map(r => r.name -> r).toMap
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val lines =
+      try java.nio.file.Files.readAllLines(outFile).asScala.toSeq
+      catch { case _: Throwable => Seq.empty[String] }
+    val meta = lines.collectFirst {
+      case l if l.startsWith("#meta\t") =>
+        l.split("\t", -1) match {
+          case Array(_, cpu, l1) =>
+            BatchMeta(tag, batch, wallSec, cpu.toDouble, loadBefore,
+              l1.toDouble)
+          case _ => BatchMeta(tag, batch, wallSec, -1.0, loadBefore, -1.0)
+        }
+    }.getOrElse(
+      BatchMeta(tag, batch, wallSec, -1.0, loadBefore, load1()))
+    batchMetas.synchronized { batchMetas += meta }
+    val reported: Map[String, QResult] = lines
+      .filterNot(_.startsWith("#"))
+      .flatMap { line =>
+        line.split("\t", -1) match {
+          case Array(n, med, mn, mx, gc, sp, err) =>
+            Some(QResult(n, med.toDouble, mn.toDouble, mx.toDouble,
+              gc.toLong, sp.toLong,
+              if (err == "-") None else Some(err)))
+          case _ => None
+        }
+      }.map(r => r.name -> r).toMap
     try java.nio.file.Files.deleteIfExists(outFile)
     catch { case _: Throwable => () }
     reported
@@ -291,7 +411,16 @@ object Bench {
   /** First-attempt contention test. med ≫ min needs an absolute floor
     * (sub-second queries jitter 2× from cold caches alone); the GC rule
     * fires when task-summed GC exceeds ~half the query's total CPU
-    * budget (med · cpus), with floors so small queries can't trip it. */
+    * budget (med · cpus), with floors so small queries can't trip it.
+    *
+    * Third test (round 11): UNIFORM contention — sustained co-tenant
+    * load inflates min together with med, so neither ratio nor GC can
+    * fire (proven blind spot: r10 driver q195 at 71.5 s med / 37.6 s min
+    * vs the same code's committed 6.1 s). A row whose med exceeds 2.5×
+    * the last committed clean record ([[committedMeds]]) is suspect
+    * regardless of med/min shape, with a 0.5 s absolute floor so
+    * sub-second rows can't trip on jitter, and a 0.2 s baseline floor so
+    * noise-dominated tiny baselines don't amplify. */
   private def looksContended(r: QResult): Boolean = {
     // harness test hook (like SPARK_GRAFT_INJECT_FAIL): treat every
     // FIRST-round success as contended so the retry path is exercisable
@@ -299,10 +428,13 @@ object Bench {
     if (sys.env.contains("SPARK_GRAFT_FORCE_CONTENDED"))
       return r.err.isEmpty && r.attempts.isEmpty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toDouble
+    val vsCommitted = committedMeds.get(r.name).exists(b =>
+      b >= 0.2 && r.med > 2.5 * b && r.med - b > 0.5)
     r.err.isEmpty && (
       (r.med > 2 * r.min && r.med - r.min > 0.3) ||
       (r.med > 1.0 && r.gcMs > 5000 &&
-        r.gcMs > 0.5 * cpus * r.med * 1000))
+        r.gcMs > 0.5 * cpus * r.med * 1000) ||
+      vsCommitted)
   }
 
   /** Re-run contended rows in fresh JVMs — up to SPARK_GRAFT_RETRY_ROUNDS
@@ -338,7 +470,8 @@ object Bench {
       val as = attempts(first.name)
       if (as.size == 1) first
       else as.minBy(_.med)
-        .copy(contended = true, attempts = as.map(_.med))
+        .copy(contended = true, attempts = as.map(_.med),
+          baseMed = committedMeds.get(first.name))
     }
   }
 
@@ -358,7 +491,8 @@ object Bench {
       val e = r.err.map(m => "\"" + jsonEscape(m) + "\"").getOrElse("null")
       val cont = if (r.contended)
         ",\"contended\":true,\"attempts\":[" +
-          r.attempts.map(f3).mkString(",") + "]"
+          r.attempts.map(f3).mkString(",") + "]" +
+          r.baseMed.map(b => ",\"base_med\":" + f3(b)).getOrElse("")
       else ""
       "\"" + r.name + "\":{\"med\":" + f3(r.med) + ",\"min\":" + f3(r.min) +
         ",\"max\":" + f3(r.max) + ",\"gc_ms\":" + r.gcMs +
@@ -368,17 +502,28 @@ object Bench {
     val head = s""""metric":"total","value":${f3(total)},"unit":"sec""""
     val nContended = results.count(_.contended)
     val tail = s""""nq":${results.size},"errors":$nerr,"fresh_jvm":$freshJvm,""" +
-      s""""contended":$nContended,""" +
+      s""""contended":$nContended,"load1":${f3(load1())},""" +
       s""""subset_r06_total":${f3(subsetTotal)},"wall":${f3(wall)},"sf":"$sfDir""""
     // Full per-query detail goes to a file: the driver's log capture keeps
     // only the last ~2000 chars of stdout, and 250+ queries don't fit.
     // SPARK_GRAFT_ONLY subset runs are local iteration aids — they must
     // not clobber the full-sweep record.
+    val batchesJson = batchMetas.synchronized {
+      batchMetas.map { b =>
+        s"""{"tag":"${b.tag}","wall":${f3(b.wallSec)},""" +
+          s""""cpu_sec":${f3(b.cpuSec)},""" +
+          s""""load1_start":${f3(b.load1Start)},""" +
+          s""""load1_end":${f3(b.load1End)},""" +
+          b.queries.map("\"" + _ + "\"").mkString("\"queries\":[", ",", "]}")
+      }.mkString("[", ",", "]")
+    }
     if (!only)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
           "BENCH_FULL.json")),
-        s"""{$head,"queries":$qs,"detail":$detail,$tail}""" + "\n")
+        s"""{$head,"queries":$qs,"detail":$detail,""" +
+          probeJson.map(p => s""""serving_probe":$p,""").getOrElse("") +
+          s""""batches":$batchesJson,$tail}""" + "\n")
       catch { case _: Throwable => () }
     // The final stdout line must survive the 2000-char tail (plus sbt's
     // trailing "[success] ..." line), so cap it: failures first (they must

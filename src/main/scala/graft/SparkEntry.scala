@@ -441,20 +441,22 @@ object SparkEntry {
         .orderBy("img_id")
     }),
 
-    // ── REAL video decode (F14 closed): AVI/MJPEG payloads — header-only
-    //    metadata scan, idx1-seek stride sampling, genuine JPEG pixel
-    //    decode per selected frame (rows-only: no SQL video codec) ──
+    // ── AVI/MJPEG container walk, hash-gated (round 11): planted frame
+    //    payloads whose bytes are SQL-derivable from the doc key, so the
+    //    idx1-seek STRIDE SELECTION and the exact chunk extraction
+    //    (RIFF even-padding stripped — odd payload lengths on purpose)
+    //    both gate against a DuckDB md5 replay. Pixel decode stays
+    //    covered by q43/q213/q215 (codec floor) ──
     "q214_video_mjpeg" -> ((s, dir) => {
       import graft.multimodal.Multimodal
-      val vids = Multimodal.withGeneratedVideoColumn(
-        t(s, dir, "documents").select("doc_id").limit(200), "doc_id")
-      Multimodal.sampleAviFrames(vids, "video", stride = 2)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_frames"),
-          max("frameIndex").as("max_idx"),
-          max("frameWidth").as("frame_w"),
-          round(avg(element_at(col("frameFeatures"), 1)), 4).as("mean_r"))
-        .orderBy("doc_id")
+      val vids = Multimodal.withPlantedVideoColumn(
+        t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") < 200), "doc_id")
+      Multimodal.sampledFrameMd5s(vids, "video", stride = 2)
+        .select(col("doc_id"), col("frameIndex").as("frame_idx"),
+          col("frameLen").cast("long").as("frame_len"),
+          col("frameMd5").as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
     }),
 
     // ── video near-dup by temporal perceptual signature: majority-voted
@@ -473,21 +475,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // ── muxed A/V demux: ONE binary column (interleaved MJPEG + PCM in
-    //    a real AVI) feeds the audio feature kernel AND the frame
-    //    sampler — container demux in-engine, map-only (rows-only) ──
+    // ── muxed A/V demux, hash-gated (round 11): ONE binary column
+    //    (interleaved planted MJPEG + printable-byte PCM in a real AVI)
+    //    walked once — per-stream byte md5s and counts replay in the
+    //    DuckDB oracle, so the 00dc/01wb interleave reassembly is gated
+    //    end-to-end. The feature-kernel path over demuxed audio stays
+    //    covered by q117/q188 (codec floor) ──
     "q217_av_demux" -> ((s, dir) => {
       import graft.multimodal.Multimodal
-      val av = Multimodal.withGeneratedAvColumn(
-        t(s, dir, "documents").select("doc_id").limit(200), "doc_id")
-      val frames = Multimodal.sampleAviFrames(av, "av", stride = 1)
-        .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
-      av.select(col("doc_id"),
-          Multimodal.demuxedAudioFeatures(col("av")).as("af"))
+      val av = Multimodal.withPlantedAvColumn(
+        t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") < 200), "doc_id")
+      av.select(col("doc_id"), Multimodal.demuxStreamMd5s(col("av")).as("d"))
         .select(col("doc_id"),
-          round(element_at(col("af"), 1), 4).as("audio_s"),
-          round(element_at(col("af"), 2), 4).as("audio_rms"))
-        .join(frames, Seq("doc_id"))
+          col("d._1").cast("long").as("n_frames"),
+          col("d._2").as("video_md5"),
+          col("d._3").cast("long").as("n_samples"),
+          col("d._4").as("audio_md5"))
         .orderBy("doc_id")
     }),
 
@@ -4105,7 +4109,94 @@ object SparkEntry {
   private def fsLit(x: Double): String =
     "%.16e".formatLocal(java.util.Locale.ROOT, x)
 
+  /** q97/q100 oracle: the FULL BPE training loop replayed in DuckDB as a
+    * chained (non-recursive) CTE pipeline. Symbol sequences are encoded
+    * as `|s1||s2||s3|` strings: wrapping every symbol in its own `|…|`
+    * makes pair boundaries explicit, so a plain left-to-right
+    * non-overlapping `replace('|l||r|' → '|lr|')` is EXACTLY
+    * [[graft.operators.Bpe.mergeOnce]] (adjacent matches share no
+    * characters — the naive space-joined encoding would lose the second
+    * of two back-to-back pairs to the consumed separator). Per merge
+    * rank: pair counts from the unnested symbol lists, argmax with the
+    * trainer's (-count, left, right) tie-break, one replace pass.
+    *
+    * Every stage is `MATERIALIZED`: the v-chain is referenced twice per
+    * rank, and DuckDB 1.0 would otherwise inline the reference tree
+    * exponentially (2^12 copies of the word scan — measured: hangs).
+    * The q100 encode tail is NPASS chained lowest-rank-applicable
+    * passes rather than a recursive CTE — DuckDB 1.0's recursive terms
+    * read MATERIALIZED CTEs as empty (observed, silently) — and
+    * NPASS = 10 exceeds the corpus's max word length (8), which bounds
+    * [[graft.operators.Bpe.encodeWord]]'s iteration count (every pass
+    * shortens a word's symbol sequence by at least one). */
+  private def bpeOracleStages(numMerges: Int): Seq[String] = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[String]
+    stages += """wc AS MATERIALIZED (
+      | SELECT item AS word, count(*) AS cnt FROM (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+      |   AS item FROM documents)
+      | WHERE length(item) > 0 GROUP BY item)""".stripMargin
+    stages += """v0 AS MATERIALIZED (
+      | SELECT '|' || array_to_string(string_split(word, ''), '||')
+      |  || '||</w>|' AS enc, cnt FROM wc)""".stripMargin
+    for (k <- 0 until numMerges) {
+      stages += s"""p$k AS MATERIALIZED (
+        | SELECT l, r, sum(cnt) AS c FROM (
+        |  SELECT syms[CAST(g AS INTEGER)] AS l,
+        |   syms[CAST(g AS INTEGER)+1] AS r, cnt
+        |  FROM (SELECT string_split(substr(enc, 2, length(enc)-2), '||')
+        |     AS syms, cnt FROM v$k),
+        |   unnest(generate_series(1, CAST(len(syms)-1 AS BIGINT))) AS t(g))
+        | GROUP BY l, r)""".stripMargin
+      stages += s"""b$k AS MATERIALIZED (
+        | SELECT l, r FROM p$k ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+      stages += s"""v${k + 1} AS MATERIALIZED (
+        | SELECT replace(enc, '|'||b.l||'||'||b.r||'|',
+        |   '|'||b.l||b.r||'|') AS enc, cnt FROM v$k, b$k b)""".stripMargin
+    }
+    stages.toSeq
+  }
+
+  private def bpeMergesOracle(numMerges: Int): String = {
+    val union = (0 until numMerges)
+      .map(k => s"SELECT $k AS rank, l AS left, r AS right FROM b$k")
+      .mkString("\nUNION ALL ")
+    "WITH " + bpeOracleStages(numMerges).mkString(",\n") +
+      s"\nSELECT * FROM ($union) ORDER BY rank"
+  }
+
+  private def bpeEncodeOracle(numMerges: Int, nPass: Int): String = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[String]
+    stages ++= bpeOracleStages(numMerges)
+    stages += "merges AS MATERIALIZED (" +
+      (0 until numMerges)
+        .map(k => s"SELECT $k AS rank, l, r FROM b$k")
+        .mkString(" UNION ALL ") + ")"
+    stages += """e0 AS MATERIALIZED (
+      | SELECT word, '|' || array_to_string(string_split(word, ''), '||')
+      |  || '||</w>|' AS enc, cnt FROM wc)""".stripMargin
+    for (k <- 0 until nPass) {
+      stages += s"""e${k + 1} AS MATERIALIZED (
+        | SELECT e.word,
+        |  CASE WHEN b.l IS NULL THEN e.enc
+        |   ELSE replace(e.enc, '|'||b.l||'||'||b.r||'|',
+        |     '|'||b.l||b.r||'|') END AS enc, e.cnt
+        | FROM e$k e LEFT JOIN LATERAL (
+        |  SELECT m.l, m.r FROM merges m
+        |  WHERE position('|'||m.l||'||'||m.r||'|' IN e.enc) > 0
+        |  ORDER BY m.rank LIMIT 1) b ON true)""".stripMargin
+    }
+    "WITH " + stages.mkString(",\n") +
+      s"""
+      |SELECT token, CAST(sum(cnt) AS BIGINT) AS total FROM (
+      | SELECT unnest(string_split(substr(enc, 2, length(enc)-2), '||'))
+      |   AS token, cnt FROM e$nPass) t
+      |GROUP BY token ORDER BY total DESC, token LIMIT 40""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q97_bpe_merges" -> bpeMergesOracle(12),
+    "q100_bpe_encode" -> bpeEncodeOracle(12, 10),
     "q123_permutation_test" ->
       """WITH r AS (
         | SELECT doc_id, source = 'src2' AS isA,
@@ -6909,6 +7000,47 @@ object SparkEntry {
         |WHERE a.o_orderkey % 2 = 0 AND a.o_orderkey <= 300
         | AND b.o_orderkey <= 300
         |ORDER BY id_a, id_b""".stripMargin,
+    // planted-payload container walks (round 11): every stream byte is
+    // derivable from the doc key, so the md5s replay exactly — see the
+    // generator contract in multimodal/Multimodal.scala
+    "q214_video_mjpeg" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |f AS (
+        | SELECT doc_id, CAST(g AS INTEGER) AS frame_idx,
+        |  40 + (CAST(g AS INTEGER) % 7) AS flen
+        | FROM d, unnest(generate_series(0, (doc_id % 5) + 2, 2)) AS t(g))
+        |SELECT doc_id, frame_idx, CAST(flen AS BIGINT) AS frame_len,
+        | md5('F' || doc_id || ':' || frame_idx || ':' ||
+        |   repeat('x', flen - length('F' || doc_id || ':' || frame_idx
+        |     || ':'))) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "q217_av_demux" ->
+      """WITH d AS (
+        | SELECT doc_id, (doc_id % 4) + 2 AS n
+        | FROM documents WHERE doc_id < 200),
+        |fr AS (
+        | SELECT doc_id, CAST(g AS INTEGER) AS i,
+        |  'F' || doc_id || ':' || CAST(g AS INTEGER) || ':' AS head,
+        |  40 + (CAST(g AS INTEGER) % 7) AS flen
+        | FROM d, unnest(generate_series(0, n - 1)) AS t(g)),
+        |v AS (
+        | SELECT doc_id, count(*) AS n_frames,
+        |  md5(string_agg(head || repeat('x', flen - length(head)), ''
+        |    ORDER BY i)) AS video_md5
+        | FROM fr GROUP BY doc_id),
+        |au AS (
+        | SELECT doc_id, count(*) AS n_samples,
+        |  md5(string_agg(chr(65 + CAST((doc_id + j) % 26 AS INTEGER)) ||
+        |    chr(48 + CAST((doc_id + j) % 10 AS INTEGER)), ''
+        |    ORDER BY j)) AS audio_md5
+        | FROM (SELECT doc_id, CAST(g AS BIGINT) AS j FROM d,
+        |   unnest(generate_series(0, CAST(n * 80 - 1 AS BIGINT))) AS t(g))
+        | GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(v.n_frames AS BIGINT) AS n_frames,
+        | v.video_md5, CAST(au.n_samples AS BIGINT) AS n_samples,
+        | au.audio_md5
+        |FROM d JOIN v USING (doc_id) JOIN au USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // EM contract pinned TRUE: convergence, canonical class order,
     // proper prevalence, finite-negative log-likelihood; n replays
     "q255_fs_em_estimation" ->
@@ -7065,23 +7197,29 @@ object SparkEntry {
         | FROM c)
         |SELECT col_a, col_b, corr FROM (
         | SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-        |  round((n*sqp - sq*sp)/sqrt((n*sqq - sq*sq)*(n*spp - sp*sp)), 6)
-        |   AS corr FROM m
+        |  CASE WHEN n*sqq - sq*sq > 0 AND n*spp - sp*sp > 0 THEN
+        |   round((n*sqp - sq*sp)/sqrt((n*sqq - sq*sq)*(n*spp - sp*sp)), 6)
+        |  END AS corr FROM m
         | UNION ALL SELECT 'l_quantity', 'l_discount',
-        |  round((n*sqd - sq*sd)/sqrt((n*sqq - sq*sq)*(n*sdd - sd*sd)), 6)
-        |  FROM m
+        |  CASE WHEN n*sqq - sq*sq > 0 AND n*sdd - sd*sd > 0 THEN
+        |   round((n*sqd - sq*sd)/sqrt((n*sqq - sq*sq)*(n*sdd - sd*sd)), 6)
+        |  END FROM m
         | UNION ALL SELECT 'l_quantity', 'l_tax',
-        |  round((n*sqt - sq*st)/sqrt((n*sqq - sq*sq)*(n*stt - st*st)), 6)
-        |  FROM m
+        |  CASE WHEN n*sqq - sq*sq > 0 AND n*stt - st*st > 0 THEN
+        |   round((n*sqt - sq*st)/sqrt((n*sqq - sq*sq)*(n*stt - st*st)), 6)
+        |  END FROM m
         | UNION ALL SELECT 'l_extendedprice', 'l_discount',
-        |  round((n*spd - sp*sd)/sqrt((n*spp - sp*sp)*(n*sdd - sd*sd)), 6)
-        |  FROM m
+        |  CASE WHEN n*spp - sp*sp > 0 AND n*sdd - sd*sd > 0 THEN
+        |   round((n*spd - sp*sd)/sqrt((n*spp - sp*sp)*(n*sdd - sd*sd)), 6)
+        |  END FROM m
         | UNION ALL SELECT 'l_extendedprice', 'l_tax',
-        |  round((n*spt - sp*st)/sqrt((n*spp - sp*sp)*(n*stt - st*st)), 6)
-        |  FROM m
+        |  CASE WHEN n*spp - sp*sp > 0 AND n*stt - st*st > 0 THEN
+        |   round((n*spt - sp*st)/sqrt((n*spp - sp*sp)*(n*stt - st*st)), 6)
+        |  END FROM m
         | UNION ALL SELECT 'l_discount', 'l_tax',
-        |  round((n*sdt - sd*st)/sqrt((n*sdd - sd*sd)*(n*stt - st*st)), 6)
-        |  FROM m)
+        |  CASE WHEN n*sdd - sd*sd > 0 AND n*stt - st*st > 0 THEN
+        |   round((n*sdt - sd*st)/sqrt((n*sdd - sd*sd)*(n*stt - st*st)), 6)
+        |  END FROM m)
         |ORDER BY col_a, col_b""".stripMargin,
     "q154_ks_test" ->
       """WITH pv AS (
@@ -8393,11 +8531,15 @@ object SparkEntry {
         |  (na+nb)*syy - (sya+syb)*(sya+syb) AS var_y
         | FROM m)
         |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
-        | round(cov_xy/var_x, 6) AS theta,
-        | round(syb/nb - sya/na, 6) AS effect_raw,
-        | round(syb/nb - sya/na
-        |   - cov_xy/var_x * (sxb/nb - sxa/na), 6) AS effect_cuped,
-        | round(cov_xy*cov_xy/(var_x*var_y), 6) AS rho_sq
+        | CASE WHEN na > 0 AND nb > 0 AND var_x > 0
+        |   THEN round(cov_xy/var_x, 6) END AS theta,
+        | CASE WHEN na > 0 AND nb > 0
+        |   THEN round(syb/nb - sya/na, 6) END AS effect_raw,
+        | CASE WHEN na > 0 AND nb > 0 AND var_x > 0
+        |   THEN round(syb/nb - sya/na
+        |     - cov_xy/var_x * (sxb/nb - sxa/na), 6) END AS effect_cuped,
+        | CASE WHEN na > 0 AND nb > 0 AND var_x > 0 AND var_y > 0
+        |   THEN round(cov_xy*cov_xy/(var_x*var_y), 6) END AS rho_sq
         |FROM d""".stripMargin,
     "q257_experiment_did" ->
       """WITH units AS (
@@ -8426,11 +8568,14 @@ object SparkEntry {
         |  syb/nb - sxb/nb AS delta_b
         | FROM m)
         |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
-        | round(chi2, 6) AS srm_chi2,
-        | chi2 <= 3.841 AS srm_ok,
-        | round(delta_a, 6) AS delta_a,
-        | round(delta_b, 6) AS delta_b,
-        | round(delta_b - delta_a, 6) AS did
+        | CASE WHEN na + nb > 0 THEN round(chi2, 6) END AS srm_chi2,
+        | CASE WHEN na + nb > 0 THEN chi2 <= 3.841 END AS srm_ok,
+        | CASE WHEN na > 0 AND nb > 0
+        |   THEN round(delta_a, 6) END AS delta_a,
+        | CASE WHEN na > 0 AND nb > 0
+        |   THEN round(delta_b, 6) END AS delta_b,
+        | CASE WHEN na > 0 AND nb > 0
+        |   THEN round(delta_b - delta_a, 6) END AS did
         |FROM d""".stripMargin
   )
 

@@ -344,6 +344,102 @@ object Multimodal {
       }
     }.apply(bytesCol)
 
+  // ── planted-payload container fixtures (round 11, q214/q217) ────────
+  //
+  // The container WALK (AVI header parse, idx1 seek, stride sampling,
+  // 00dc/01wb demux interleave) is hash-gated end-to-end by planting
+  // stream bytes a SQL oracle can derive from the row key: frame i of id
+  // is the ASCII "F<id>:<i>:" padded with 'x' to 40+(i%7) bytes (odd
+  // lengths on purpose — they exercise the RIFF even-padding strip), and
+  // PCM sample j is the 16-bit value whose little-endian bytes are the
+  // two printable chars (65+(id+j)%26, 48+(id+j)%10). The container
+  // remains a REAL AVI; only payloads are planted. Pixel/sample DECODE
+  // stays covered by the q42/q43/q213 family — these fixtures gate the
+  // byte-exactness of the walk itself.
+
+  /** Frame i's planted payload for id (ASCII, SQL-derivable). */
+  def plantedFrameBytes(id: Long, i: Int): Array[Byte] = {
+    val head = s"F$id:$i:"
+    val len = 40 + (i % 7)
+    (head + "x" * (len - head.length)).getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  /** Planted PCM track for id: both bytes of every sample printable. */
+  def plantedSamples(id: Long, n: Int): Array[Short] =
+    Array.tabulate(n) { j =>
+      val lo = 65 + ((id + j) % 26).toInt
+      val hi = 48 + ((id + j) % 10).toInt
+      ((hi << 8) | lo).toShort
+    }
+
+  /** Video-only AVI with planted frame payloads: (id%5)+3 frames. */
+  def withPlantedVideoColumn(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val n = (id % 5).toInt + 3
+      VideoCodec.encodeAvi(
+        (0 until n).map(i => plantedFrameBytes(id, i)), 16, 12, 10)
+    }
+    df.withColumn("video", gen(col(idCol).cast("long")))
+  }
+
+  /** Muxed A/V AVI with planted payloads: (id%4)+2 frames, 80 planted
+    * PCM samples per frame period. */
+  def withPlantedAvColumn(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val n = (id % 4).toInt + 2
+      VideoCodec.encodeAviAv(
+        (0 until n).map(i => plantedFrameBytes(id, i)),
+        plantedSamples(id, n * 80), 16, 12, 10, 8000)
+    }
+    df.withColumn("av", gen(col(idCol).cast("long")))
+  }
+
+  private def md5Hex(md: java.security.MessageDigest): String =
+    md.digest().map(b => f"$b%02x").mkString
+
+  /** One row per `stride`-sampled frame with the frame payload's length
+    * and md5 — the q214 hash-gate: idx1-seek stride selection AND exact
+    * chunk extraction (even-padding stripped) both show in the hash. */
+  def sampledFrameMd5s(df: DataFrame, bytesCol: String,
+      stride: Int): DataFrame = {
+    val sampler = udf { (b: Array[Byte]) =>
+      VideoCodec.sampleFrameBytes(b, stride).map { case (idx, fb) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(fb)
+        (idx, fb.length, md5Hex(md))
+      }
+    }
+    df.withColumn("_f", explode(sampler(col(bytesCol))))
+      .withColumn("frameIndex", col("_f._1"))
+      .withColumn("frameLen", col("_f._2"))
+      .withColumn("frameMd5", col("_f._3"))
+      .drop("_f")
+  }
+
+  /** Whole-container demux digest: (n_frames, md5 of the concatenated
+    * frame payloads in index order, n_samples, md5 of the little-endian
+    * PCM byte stream) — the q217 hash-gate over BOTH streams of a muxed
+    * payload. Null md5s when the respective stream is absent. */
+  def demuxStreamMd5s(bytesCol: Column): Column =
+    udf { (b: Array[Byte]) =>
+      val frames = VideoCodec.sampleFrameBytes(b, 1)
+      val vmd = java.security.MessageDigest.getInstance("MD5")
+      frames.foreach { case (_, fb) => vmd.update(fb) }
+      val vMd5 = if (frames.isEmpty) null else md5Hex(vmd)
+      val (nSamples, aMd5) = VideoCodec.demuxAudio(b) match {
+        case Some((_, samples)) =>
+          val amd = java.security.MessageDigest.getInstance("MD5")
+          val bytes = java.nio.ByteBuffer.allocate(samples.length * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          samples.foreach(bytes.putShort)
+          amd.update(bytes.array())
+          (samples.length, md5Hex(amd))
+        case None => (0, null)
+      }
+      (frames.size, vMd5, nSamples, aMd5)
+    }.apply(bytesCol)
+
   /** Attach a REAL AVI/MJPEG payload where consecutive ids share a source
     * clip: seed = id/2, odd ids re-encode with a small black patch burned
     * into frame 0 — a near-duplicate video corpus for temporal-signature

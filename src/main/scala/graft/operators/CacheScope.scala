@@ -37,4 +37,50 @@ object CacheScope {
       }
     }
   }
+
+  /** Self-releasing variant for LAZY entry points that persist internals:
+    * the returned DataFrame carries an `observe` marker, and a one-shot
+    * [[org.apache.spark.sql.util.QueryExecutionListener]] unpersists
+    * `caches` the first time any action drives a plan containing that
+    * marker (success OR failure). The caller's first materialization
+    * still reads the caches warm; afterwards the session holds no leaked
+    * storage — the long-lived-JVM contract the plain (non-`*Scoped`)
+    * linkage entry points promise.
+    *
+    * Re-materializing the returned frame after the first action
+    * recomputes the released internals (correct, just cold); callers
+    * that drive a result repeatedly should bracket with [[scoped]]
+    * instead. The listener matches the exact marker name in the analyzed
+    * plan, so unrelated queries on the session never trigger an early
+    * release. */
+  def releaseOnFirstMaterialization(result: DataFrame,
+      caches: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val spark = result.sparkSession
+    val marker = "graft_release_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val observed = result.observe(marker,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+    val listener = new QueryExecutionListener {
+      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def hasMarker(qe: QueryExecution): Boolean =
+        qe.analyzed.collectFirst {
+          case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+              if c.name == marker => c
+        }.nonEmpty
+      private def maybeRelease(qe: QueryExecution): Unit =
+        if (hasMarker(qe) && done.compareAndSet(false, true)) {
+          caches.foreach(_.unpersist(blocking = false))
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+    observed
+  }
 }

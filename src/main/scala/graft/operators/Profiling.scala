@@ -770,8 +770,10 @@ object Profiling {
     * Scan-bound at any corpus size.
     *
     * Output (one row): n_a, n_b, mean_y_a, mean_y_b, theta, effect_raw,
-    * effect_cuped, rho_sq — 6 dp. Requires both arms present and
-    * var(X) > 0 (a constant covariate has nothing to remove). */
+    * effect_cuped, rho_sq — 6 dp. Each output NULLs only on what it
+    * needs: means/effect_raw require both arms, theta/effect_cuped
+    * additionally var(X) > 0 (a constant covariate has nothing to
+    * remove), rho_sq additionally var(Y) > 0. */
   def cuped(units: DataFrame, armCol: String, armB: String,
       preCol: String, metricCol: String): DataFrame = {
     val x = col(preCol).cast("double")
@@ -789,11 +791,12 @@ object Profiling {
     val covXY = n * col("sxy") - sx * sy
     val varX = n * col("sxx") - sx * sx
     val varY = n * col("syy") - sy * sy
-    // a missing arm or constant covariate leaves the estimator undefined
-    // — NULL out instead of an ANSI divide-by-zero (empty deltas happen)
-    def guarded(c: Column): Column =
-      when(col("na") > 0 && col("nb") > 0 && varX > 0 && varY > 0,
-        round(c, 6)).otherwise(lit(null).cast("double"))
+    // each output NULLs only on what IT needs: means/effect_raw need
+    // both arms; theta/effect_cuped additionally var(X)>0; rho_sq
+    // additionally var(Y)>0 — a constant metric still has defined means
+    val arms = col("na") > 0 && col("nb") > 0
+    def guard(cond: Column)(c: Column): Column =
+      when(cond, round(c, 6)).otherwise(lit(null).cast("double"))
     val theta = covXY / varX
     val effectRaw = col("syb") / col("nb") - col("sya") / col("na")
     val effectCuped = effectRaw -
@@ -801,12 +804,13 @@ object Profiling {
     m.select(
         coalesce(col("na"), lit(0.0)).cast("long").as("n_a"),
         coalesce(col("nb"), lit(0.0)).cast("long").as("n_b"),
-        guarded(col("sya") / col("na")).as("mean_y_a"),
-        guarded(col("syb") / col("nb")).as("mean_y_b"),
-        guarded(theta).as("theta"),
-        guarded(effectRaw).as("effect_raw"),
-        guarded(effectCuped).as("effect_cuped"),
-        guarded(covXY * covXY / (varX * varY)).as("rho_sq"))
+        guard(arms)(col("sya") / col("na")).as("mean_y_a"),
+        guard(arms)(col("syb") / col("nb")).as("mean_y_b"),
+        guard(arms && varX > 0)(theta).as("theta"),
+        guard(arms)(effectRaw).as("effect_raw"),
+        guard(arms && varX > 0)(effectCuped).as("effect_cuped"),
+        guard(arms && varX > 0 && varY > 0)(covXY * covXY / (varX * varY))
+          .as("rho_sq"))
   }
 
   /** The other two standard A/B readouts next to [[cuped]], from the same
@@ -847,11 +851,16 @@ object Profiling {
     def guarded(c: Column): Column =
       when(col("na") > 0 && col("nb") > 0, round(c, 6))
         .otherwise(lit(null).cast("double"))
+    // SRM is defined (and maximally alarming, χ² = n) for a fully
+    // one-sided split — that's the exact failure it exists to flag, so
+    // it only NULLs on a truly empty experiment
+    val anyUnit = coalesce(n, lit(0.0)) > 0
     m.select(
       coalesce(col("na"), lit(0.0)).cast("long").as("n_a"),
       coalesce(col("nb"), lit(0.0)).cast("long").as("n_b"),
-      guarded(chi2).as("srm_chi2"),
-      when(col("na") > 0 && col("nb") > 0, chi2 <= 3.841)
+      when(anyUnit, round(chi2, 6)).otherwise(lit(null).cast("double"))
+        .as("srm_chi2"),
+      when(anyUnit, chi2 <= 3.841)
         .otherwise(lit(null).cast("boolean")).as("srm_ok"),
       guarded(deltaA).as("delta_a"),
       guarded(deltaB).as("delta_b"),

@@ -353,11 +353,13 @@ object RecordLinkage {
     *
     * Storage contract: `rows` is persisted (three downstream reads — two
     * expansion joins plus the same-string self-join — would otherwise
-    * re-scan the input) and stays persisted while the returned lazy
-    * DataFrame is alive. One-shot drivers get cleanup at session end;
-    * long-lived JVMs must bracket the call in [[CacheScope.scoped]]
-    * (see [[editDistanceSelfJoinScoped]]), exactly like the
-    * Dedup/Similarity operators with internal persists. */
+    * re-scan the input) and is AUTO-RELEASED on the first action that
+    * drives the returned frame
+    * ([[CacheScope.releaseOnFirstMaterialization]]) — the plain entry
+    * points no longer leak storage into a long-lived JVM. Callers that
+    * materialize the result repeatedly should bracket with
+    * [[CacheScope.scoped]] (see [[editDistanceSelfJoinScoped]]) to keep
+    * the cache warm across actions. */
   private def repCollapsedPairs(df: DataFrame, idCol: String,
       strCol: String, blockCols: Seq[String],
       variants: org.apache.spark.sql.expressions.UserDefinedFunction,
@@ -387,7 +389,8 @@ object RecordLinkage {
       .join(rows.withColumnRenamed("_id", "_ib"), blockCols :+ "_s")
       .filter(col("_id") < col("_ib") && verify(col("_s"), col("_s")))
       .select(blk ++ Seq(col("_id").as("id_a"), col("_ib").as("id_b")): _*)
-    cross.unionByName(sameString)
+    CacheScope.releaseOnFirstMaterialization(
+      cross.unionByName(sameString), Seq(rows))
   }
 
   /** Exact high-threshold Jaro–Winkler self-join with LOSSLESS

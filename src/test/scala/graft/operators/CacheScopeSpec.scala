@@ -109,4 +109,44 @@ class CacheScopeSpec extends AnyFunSuite {
       RecordLinkage.jaroWinklerPairsScoped(names, "id", "nm", 0.96,
         Seq("blk"), maxNaiveBlock = 1L)(use))
   }
+
+  // round-11: the PLAIN linkage entry points self-release their internal
+  // `rows` persist on the first action that drives the result (observe
+  // marker + one-shot QueryExecutionListener) — no CacheScope bracket
+  // needed, no storage accumulates in a long-lived JVM. The release is
+  // listener-bus-async, so the assertion polls.
+  test("plain linkage entry points release their persist on first " +
+    "materialization") {
+    val sc = spark.sparkContext
+
+    def awaitRelease(label: String,
+        before: scala.collection.Set[Int]): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      var leaked = sc.getPersistentRDDs.keySet.toSet -- before
+      while (leaked.nonEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+        leaked = sc.getPersistentRDDs.keySet.toSet -- before
+      }
+      assert(leaked.isEmpty, s"$label leaked persistent RDDs: $leaked")
+    }
+
+    // 9-char uniform names: editDistance always takes the candidate
+    // skeleton; JW at 0.99 hits the delta=0 sorted-equality branch of
+    // the same skeleton — both paths create the internal persist
+    val names = (1L to 60L).map(i =>
+      (i, (i % 4).toInt, s"nm${i % 9}xyzpad")).toDF("id", "blk", "nm")
+
+    spark.catalog.clearCache()
+    val before1 = sc.getPersistentRDDs.keySet
+    val ed = RecordLinkage.editDistanceSelfJoin(
+      names, "id", "nm", 1, Seq("blk"))
+    assert(ed.count() >= 0)
+    awaitRelease("editDistanceSelfJoin", before1)
+
+    val before2 = sc.getPersistentRDDs.keySet
+    val jw = RecordLinkage.jaroWinklerPairs(
+      names, "id", "nm", 0.99, Seq("blk"))
+    assert(jw.count() >= 0)
+    awaitRelease("jaroWinklerPairs", before2)
+  }
 }

@@ -271,4 +271,41 @@ class ProfilingQualitySpec extends AnyFunSuite {
     val r1 = Profiling.cuped(oneArm, "arm", "b", "x", "y").head()
     assert(r1.getLong(0) == 2L && r1.getLong(1) == 0L && r1.isNullAt(4))
   }
+
+  // round-11 guard refinement: each output NULLs only on what IT needs
+  test("cuped: constant metric (var Y = 0) still reports means, " +
+    "effect and theta — only rho_sq is undefined") {
+    val units = Seq(("a", 1.0, 5.0), ("a", 2.0, 5.0),
+        ("b", 3.0, 5.0), ("b", 4.0, 5.0)).toDF("arm", "x", "y")
+    val r = Profiling.cuped(units, "arm", "b", "x", "y").head()
+    def d(n: String) = r.getDouble(r.fieldIndex(n))
+    assert(d("mean_y_a") == 5.0 && d("mean_y_b") == 5.0)
+    assert(d("effect_raw") == 0.0 && d("theta") == 0.0 &&
+      d("effect_cuped") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("rho_sq")))
+  }
+
+  test("cuped: constant covariate (var X = 0) still reports means and " +
+    "raw effect — theta/effect_cuped/rho_sq are undefined") {
+    val units = Seq(("a", 1.0, 2.0), ("a", 1.0, 4.0),
+        ("b", 1.0, 7.0), ("b", 1.0, 9.0)).toDF("arm", "x", "y")
+    val r = Profiling.cuped(units, "arm", "b", "x", "y").head()
+    def d(n: String) = r.getDouble(r.fieldIndex(n))
+    assert(d("mean_y_a") == 3.0 && d("mean_y_b") == 8.0 &&
+      d("effect_raw") == 5.0)
+    Seq("theta", "effect_cuped", "rho_sq").foreach(n =>
+      assert(r.isNullAt(r.fieldIndex(n)), s"$n should be NULL"))
+  }
+
+  test("didHealth: a fully one-sided split reports chi2 = n and " +
+    "srm_ok = false — the exact failure SRM exists to flag") {
+    val units = (1 to 8).map(i => ("b", i.toDouble, i.toDouble))
+      .toDF("arm", "x", "y")
+    val r = Profiling.didHealth(units, "arm", "b", "x", "y").head()
+    assert(r.getDouble(r.fieldIndex("srm_chi2")) == 8.0)
+    assert(!r.getBoolean(r.fieldIndex("srm_ok")))
+    // per-arm deltas still need both arms
+    Seq("delta_a", "delta_b", "did").foreach(n =>
+      assert(r.isNullAt(r.fieldIndex(n)), s"$n should be NULL"))
+  }
 }

@@ -30,6 +30,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map("k1" -> "b", "k2" -> "c"))
   }
 
+  // round-11 (q248 contract): foreachBatch is AT-LEAST-ONCE — a crash
+  // after the merge side effect but before the offset commit replays the
+  // micro-batch on restart. The CDC loop survives because mergeApply is
+  // IDEMPOTENT (re-upserting the same rows and re-deleting absent keys
+  // are both no-ops), so the kill+restart run's final state must be
+  // byte-identical to the clean run's. The spec forces the replay for
+  // real: same checkpoint, crash injected after applying batch 1.
+  test("CDC mergeApply loop: micro-batch replay after kill+restart " +
+    "leaves the final state identical (idempotent merge)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-cdc-replay").toString
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    val base = Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "A"),
+      (4L, 40.0, "C")).toDF("k", "bal", "seg")
+    // three ordered changesets: update k=1, delete k=2, insert k=9
+    Seq((1L, false, 11.0, "A")).toDF("k", "del", "bal", "seg")
+      .coalesce(1).write.parquet(s"$dir/c0")
+    Seq((2L, true, 0.0, "B")).toDF("k", "del", "bal", "seg")
+      .coalesce(1).write.parquet(s"$dir/c1")
+    Seq((9L, false, 90.0, "Z")).toDF("k", "del", "bal", "seg")
+      .coalesce(1).write.parquet(s"$dir/c2")
+    val files = (0 to 2).map { i =>
+      new java.io.File(s"$dir/c$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+    }
+    val flat = Files.createTempDirectory("graft-cdc-flat").toString
+    files.zipWithIndex.foreach { case (f, i) =>
+      val t = java.nio.file.Paths.get(s"$flat/change$i.parquet")
+      java.nio.file.Files.copy(f.toPath, t)
+      java.nio.file.Files.setLastModifiedTime(t,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val schema = Seq((0L, false, 0.0, "")).toDF("k", "del", "bal", "seg")
+      .schema
+
+    def runLoop(checkpoint: String,
+        crashAfterBatch: Option[Long]): (DataFrame, Seq[Long]) = {
+      var state = base.localCheckpoint(true)
+      val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var crashed = false
+      def start() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(flat)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (!batch.isEmpty) {
+            // side effect FIRST, crash BEFORE the offset commit — the
+            // exact at-least-once window the contract covers
+            state = graft.operators.Maintenance
+              .mergeApply(state, batch, "k", "del").localCheckpoint(true)
+            applied += id
+            if (!crashed && crashAfterBatch.contains(id)) {
+              crashed = true
+              throw new RuntimeException("injected crash after merge")
+            }
+          }
+          ()
+        }.start()
+      try start().awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming
+          .StreamingQueryException => // injected crash — restart
+        start().awaitTermination()
+      }
+      (state, applied.toSeq)
+    }
+
+    val (clean, cleanIds) =
+      runLoop(Files.createTempDirectory("ck-clean").toString, None)
+    val (replayed, replayIds) = runLoop(ckpt, Some(1L))
+    assert(cleanIds == Seq(0L, 1L, 2L))
+    // the crash really forced a replay: batch 1 applied twice
+    assert(replayIds == Seq(0L, 1L, 1L, 2L),
+      s"expected batch 1 replay, got $replayIds")
+    def canon(df: DataFrame) =
+      df.orderBy("k").as[(Long, Double, String)].collect().toSeq
+    assert(canon(replayed) == canon(clean))
+    assert(canon(clean) == Seq((1L, 11.0, "A"), (3L, 30.0, "A"),
+      (4L, 40.0, "C"), (9L, 90.0, "Z")))
+  }
+
   test("streaming windowed counts equal batch computation") {
     val landing = Files.createTempDirectory("graft-ev").toString
     val events = (0 until 100).map(i =>
