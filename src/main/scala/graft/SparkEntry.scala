@@ -1441,26 +1441,36 @@ object SparkEntry {
     // ── Multimodal: binary payload → stub decode → features (rows-only) ──
     "q42_multimodal_features" -> ((s, dir) => {
       import graft.multimodal.Multimodal
-      // REAL path: PNG payloads encoded per id, ImageIO-decoded, channel
-      // means + luma histogram measured from actual pixels
-      val withImg = Multimodal.withGeneratedImageColumn(
+      // REAL path: PNG payloads ImageIO-encoded/-decoded per id, channel
+      // means measured from actual pixels. Hash-gated (round 11) via
+      // planted pixel structure: each channel sum has a closed form the
+      // DuckDB oracle recomputes over generate_series, and the float32
+      // mean replays as REAL division — PNG encode→decode→feature
+      // arithmetic gated end-to-end, per channel (catches R/B swaps)
+      val withImg = Multimodal.withPlantedImageColumn(
         t(s, dir, "documents").select("doc_id"), "doc_id")
       withImg
         .withColumn("features", Multimodal.decodedImageFeatures(col("image")))
         .select(col("doc_id"), col("imageMeta.width").as("width"),
           col("imageMeta.height").as("height"),
-          round(element_at(col("features"), 1), 4).as("mean_r"),
+          element_at(col("features"), 1).as("mean_r"),
+          element_at(col("features"), 2).as("mean_g"),
+          element_at(col("features"), 3).as("mean_b"),
           size(col("features")).as("dim"))
         .orderBy("doc_id")
     }),
 
     // ── Multimodal: REAL frame sampling — PNG-stream payloads split on
-    //    signature boundaries, every 2nd frame decoded and measured ──
+    //    signature boundaries, every 2nd frame decoded and measured.
+    //    Hash-gated (round 11): planted per-frame pixel structure makes
+    //    the sampled-frame count, max index AND the mean decoded red
+    //    channel all SQL-derivable ──
     "q43_frame_sample" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       val gen = udf((id: Long) =>
-        Multimodal.syntheticPngStream(id, (id % 5).toInt + 2, 8, 6))
-      val withVideo = t(s, dir, "documents").select("doc_id").limit(100)
+        Multimodal.plantedPngStream(id, (id % 5).toInt + 2))
+      val withVideo = t(s, dir, "documents").select("doc_id")
+        .orderBy("doc_id").limit(100)
         .withColumn("video", gen(col("doc_id").cast("long")))
       Multimodal.samplePngFrames(withVideo, "video", stride = 2)
         .groupBy("doc_id").agg(count(lit(1)).as("n_frames"),
@@ -2540,17 +2550,21 @@ object SparkEntry {
     //    work is not SQL-expressible) ──
     "q117_audio_features" -> ((s, dir) => {
       import graft.multimodal.Multimodal
-      val withAudio = Multimodal.withGeneratedAudioColumn(
+      // Hash-gated (round 11) via a planted square wave: rms = A/32768
+      // exactly (Σv² = n·A², integer-exact in double), zcr =
+      // ⌊(n−1)/HP⌋/n, duration = n/8000 — WAV encode→parse→feature
+      // arithmetic gated end-to-end, plus the decimate-by-2 byte length
+      val withAudio = Multimodal.withPlantedToneColumn(
         t(s, dir, "documents").select("doc_id"), "doc_id")
       withAudio
         .withColumn("features", Multimodal.decodedAudioFeatures(col("audio")))
         .withColumn("half", Multimodal.decodedDecimate(col("audio"), 2))
         .select(col("doc_id"),
           col("audioMeta.sampleRate").as("rate"),
-          round(element_at(col("features"), 1), 4).as("duration_s"),
-          round(element_at(col("features"), 2), 4).as("rms"),
-          round(element_at(col("features"), 3), 4).as("zcr"),
-          length(col("half")).as("half_bytes"))
+          element_at(col("features"), 1).as("duration_s"),
+          element_at(col("features"), 2).as("rms"),
+          element_at(col("features"), 3).as("zcr"),
+          length(col("half")).cast("long").as("half_bytes"))
         .orderBy("doc_id")
     }),
 
@@ -3579,9 +3593,17 @@ object SparkEntry {
     //    Round7Spec pins the DSP with closed-form tones ──
     "q188_audio_fingerprint" -> ((s, dir) => {
       import graft.multimodal.Multimodal
+      // Hash-gated (round 11) on planted twin-pair tones: the Hann+FFT
+      // Haitsma–Kalker path is fully real; the PLANTED structure pins
+      // every output — n_words = ⌊(n−1024)/512⌋ (frame walk), ber vs the
+      // exactly-halved re-master ≡ 0.0 (power-of-two scaling preserves
+      // each band-energy-difference sign bitwise through the linear
+      // FFT), and matched_next gates both robustness (even ids match
+      // their 2×-amplitude twin) and discriminability (odd ids don't
+      // match the next base wave)
       val docs = t(s, dir, "documents").select("doc_id")
         .filter(col("doc_id") < 24)
-      val fps = Multimodal.withGeneratedAudioColumn(docs, "doc_id")
+      val fps = Multimodal.withPlantedTonePairColumn(docs, "doc_id")
         .withColumn("fp", Multimodal.decodedFingerprint(col("audio")))
         .withColumn("fp_scaled", Multimodal.decodedFingerprint(
           Multimodal.scaledAudio(col("audio"), 1, 2)))
@@ -3590,10 +3612,10 @@ object SparkEntry {
         col("fp").as("fp_next"))
       fps.join(next, Seq("doc_id"))
         .select(col("doc_id"), size(col("fp")).as("n_words"),
-          round(Multimodal.fingerprintBer(col("fp"), col("fp_scaled")), 4)
+          Multimodal.fingerprintBer(col("fp"), col("fp_scaled"))
             .as("ber_scaled"),
-          round(Multimodal.fingerprintBer(col("fp"), col("fp_next")), 4)
-            .as("ber_next"))
+          (Multimodal.fingerprintBer(col("fp"), col("fp_next")) < 0.2)
+            .as("matched_next"))
         .orderBy("doc_id")
     }),
 
@@ -7041,6 +7063,107 @@ object SparkEntry {
         | au.audio_md5
         |FROM d JOIN v USING (doc_id) JOIN au USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // planted-PIXEL decode gates (round 11): channel sums of the planted
+    // raster replay over generate_series; float32 means replay as REAL
+    // division (REAL ops stay REAL in DuckDB — the q27 precedent)
+    "q42_multimodal_features" ->
+      """WITH d AS (
+        | SELECT doc_id, (doc_id % 13) + 8 AS w, (doc_id % 7) + 6 AS h
+        | FROM documents),
+        |px AS (
+        | SELECT d.doc_id, d.w, d.h, CAST(x.g AS BIGINT) AS x,
+        |  CAST(y.g AS BIGINT) AS y
+        | FROM d, unnest(generate_series(0, d.w - 1)) AS x(g),
+        |      unnest(generate_series(0, d.h - 1)) AS y(g)),
+        |s AS (
+        | SELECT doc_id, max(w) AS w, max(h) AS h,
+        |  sum((doc_id + x + y) % 256) AS sr,
+        |  sum((3 * doc_id + 2 * x + y) % 256) AS sg,
+        |  sum((7 * doc_id + x + 3 * y) % 256) AS sb
+        | FROM px GROUP BY doc_id)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        | CAST(sr AS FLOAT) / CAST(w * h * 255 AS FLOAT) AS mean_r,
+        | CAST(sg AS FLOAT) / CAST(w * h * 255 AS FLOAT) AS mean_g,
+        | CAST(sb AS FLOAT) / CAST(w * h * 255 AS FLOAT) AS mean_b,
+        | CAST(11 AS INT) AS dim
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // planted per-frame pixels: sampled indices from the stride walk,
+    // per-frame float32 means, double average like Spark's avg(FLOAT)
+    "q43_frame_sample" ->
+      """WITH d AS (
+        | SELECT doc_id, (doc_id % 5) + 2 AS k
+        | FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100)),
+        |f AS (
+        | SELECT doc_id, CAST(g AS INTEGER) AS f
+        | FROM d, unnest(generate_series(0, k - 1, 2)) AS t(g)),
+        |px AS (
+        | SELECT f.doc_id, f.f, CAST(x.g AS BIGINT) AS x,
+        |  CAST(y.g AS BIGINT) AS y
+        | FROM f, unnest(generate_series(0, 7)) AS x(g),
+        |      unnest(generate_series(0, 5)) AS y(g)),
+        |fm AS (
+        | SELECT doc_id, f,
+        |  CAST(sum((doc_id + 97 * (f + 1) + x + y) % 256) AS FLOAT) /
+        |    CAST(12240 AS FLOAT) AS mr
+        | FROM px GROUP BY doc_id, f)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        | CAST(max(f) AS INT) AS max_idx,
+        | ROUND(AVG(CAST(mr AS DOUBLE)), 4) AS mean_r
+        |FROM fm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // planted square wave: rms = A/32768 exactly (Σv² = n·A² is
+    // integer-exact in double, sqrt of a perfect square is exact),
+    // zcr = ⌊(n−1)/HP⌋/n, decimated WAV = 44-byte header + n bytes
+    "q117_audio_features" ->
+      """WITH p AS (
+        | SELECT doc_id, ((doc_id % 11) + 4) * 400 AS n,
+        |  ((doc_id % 9) + 1) * 1000 AS a, (doc_id % 7) + 2 AS hp
+        | FROM documents)
+        |SELECT doc_id, CAST(8000 AS INT) AS rate,
+        | CAST(n AS DOUBLE) / 8000 AS duration_s,
+        | CAST(a AS DOUBLE) / 32768 AS rms,
+        | CAST((n - 1) // hp AS DOUBLE) / CAST(n AS DOUBLE) AS zcr,
+        | CAST(44 + n AS BIGINT) AS half_bytes
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // planted twin-pair tones: frame-walk word count, bitwise-invariant
+    // fingerprint under exact power-of-two re-mastering (ber ≡ 0), and
+    // the even/odd match pattern — robustness AND discriminability
+    "q188_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+        |p AS (
+        | SELECT a.doc_id FROM d a JOIN d b ON b.doc_id = a.doc_id + 1)
+        |SELECT doc_id,
+        | CAST(((doc_id // 2) % 7 + 4) * 2 - 2 AS INT) AS n_words,
+        | CAST(0.0 AS DOUBLE) AS ber_scaled,
+        | doc_id % 2 = 0 AS matched_next
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // derivative-ladder geometry: Math.round(dim · target/maxside)
+    // replayed in float32 (floor(x + 0.5f) with REAL-only arithmetic)
+    "q213_thumbnails" ->
+      """WITH d AS (
+        | SELECT o_orderkey AS img_id, (o_orderkey % 13) + 8 AS w,
+        |  (o_orderkey % 7) + 6 AS h
+        | FROM orders WHERE o_orderkey <= 2000),
+        |m AS (SELECT img_id, w, h, GREATEST(w, h) AS mx FROM d)
+        |SELECT img_id,
+        | GREATEST(1, CAST(floor(CAST(w AS FLOAT) *
+        |   (CAST(100 AS FLOAT) / CAST(mx AS FLOAT)) +
+        |   CAST(0.5 AS FLOAT)) AS INT)) AS thumb_w,
+        | GREATEST(1, CAST(floor(CAST(h AS FLOAT) *
+        |   (CAST(100 AS FLOAT) / CAST(mx AS FLOAT)) +
+        |   CAST(0.5 AS FLOAT)) AS INT)) AS thumb_h,
+        | GREATEST(1, CAST(floor(CAST(w AS FLOAT) *
+        |   (CAST(314 AS FLOAT) / CAST(mx AS FLOAT)) +
+        |   CAST(0.5 AS FLOAT)) AS INT)) AS small_w,
+        | GREATEST(1, CAST(floor(CAST(h AS FLOAT) *
+        |   (CAST(314 AS FLOAT) / CAST(mx AS FLOAT)) +
+        |   CAST(0.5 AS FLOAT)) AS INT)) AS small_h,
+        | GREATEST(1, CAST(floor(CAST(w AS FLOAT) *
+        |   (CAST(650 AS FLOAT) / CAST(mx AS FLOAT)) +
+        |   CAST(0.5 AS FLOAT)) AS INT)) AS large_w,
+        | GREATEST(1, CAST(floor(CAST(h AS FLOAT) *
+        |   (CAST(650 AS FLOAT) / CAST(mx AS FLOAT)) +
+        |   CAST(0.5 AS FLOAT)) AS INT)) AS large_h
+        |FROM m ORDER BY img_id""".stripMargin,
     // EM contract pinned TRUE: convergence, canonical class order,
     // proper prevalence, finite-negative log-likelihood; n replays
     "q255_fs_em_estimation" ->

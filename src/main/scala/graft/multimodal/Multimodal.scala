@@ -468,6 +468,126 @@ object Multimodal {
     df.withColumn("video", gen(col(idCol).cast("long")))
   }
 
+  // ── planted-PIXEL / planted-TONE fixtures (round 11, q42/q43/q117/
+  //    q188) — the decode-tier analogue of the q214/q217 container
+  //    fixtures above. The codec paths stay fully REAL (ImageIO PNG
+  //    encode→decode, byte-accurate WAV encode→parse, Hann+FFT
+  //    fingerprints); only the CONTENT is planted so every feature the
+  //    kernels extract has a closed form a SQL oracle recomputes
+  //    independently:
+  //      image pixel (x,y): r=(id+x+y)%256, g=(3id+2x+y)%256,
+  //        b=(7id+x+3y)%256  ⇒ channel sums are double sums over
+  //        generate_series, and float32 means replay as REAL division
+  //      audio: a square wave (amp A=((id%9)+1)*1000, half-period
+  //        HP=(id%7)+2) ⇒ rms=A/32768 exactly (Σv²=nA², integer-exact in
+  //        double), zcr=⌊(n−1)/HP⌋/n, and amplitude scaling by exact
+  //        powers of two preserves every fingerprint bit (IEEE scaling
+  //        by 2^k commutes with rounding through the linear FFT) ──────
+
+  /** Planted structured raster: every channel of pixel (x,y) is a
+    * closed-form function of (id, x, y) — see section note. */
+  def plantedRaster(id: Long, w: Int, h: Int): ImageCodec.Raster = {
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id + x + y) % 256).toInt
+        val g = ((3 * id + 2 * x + y) % 256).toInt
+        val b = ((7 * id + x + 3 * y) % 256).toInt
+        px(y * w + x) = 0xFF000000 | (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    ImageCodec.Raster(w, h, px)
+  }
+
+  /** REAL PNG payload with planted pixels: dims (id%13)+8 × (id%7)+6
+    * like [[withGeneratedImageColumn]], channel values SQL-derivable. */
+  def withPlantedImageColumn(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val w = (id % 13).toInt + 8
+      val h = (id % 7).toInt + 6
+      ImageCodec.encodePng(plantedRaster(id, w, h))
+    }
+    df.withColumn("image", gen(col(idCol).cast("long")))
+      .withColumn("imageMeta", struct(
+        lit("image/png").as("format"),
+        ((col(idCol).cast("long") % 13) + 8).cast("int").as("width"),
+        ((col(idCol).cast("long") % 7) + 6).cast("int").as("height"),
+        lit(3).as("channels")))
+  }
+
+  /** PNG-stream payload of `n` planted 8×6 frames; frame f plants with
+    * effective id `id + 97·(f+1)` so frames differ but stay derivable. */
+  def plantedPngStream(id: Long, n: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < n) {
+      bos.write(ImageCodec.encodePng(plantedRaster(id + 97L * (f + 1), 8, 6)))
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Planted square-wave PCM: +A for the first HP samples of each
+    * period, −A for the next HP (A and n even ⇒ exact under ÷2). */
+  def plantedSquareSamples(id: Long, n: Int): Array[Short] = {
+    val a = ((id % 9) + 1).toInt * 1000
+    val hp = (id % 7).toInt + 2
+    Array.tabulate(n)(i => (if ((i / hp) % 2 == 0) a else -a).toShort)
+  }
+
+  /** REAL WAV payload with a planted square wave; n=((id%11)+4)·400
+    * samples at 8 kHz like [[withGeneratedAudioColumn]]. */
+  def withPlantedToneColumn(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val n = ((id % 11) + 4).toInt * 400
+      AudioCodec.encodeWav(plantedSquareSamples(id, n), 8000)
+    }
+    df.withColumn("audio", gen(col(idCol).cast("long")))
+      .withColumn("audioMeta", struct(
+        lit("audio/wav").as("format"),
+        lit(8000).as("sampleRate"),
+        (((col(idCol).cast("long") % 11) + 4) * 400).cast("int")
+          .as("nSamples")))
+  }
+
+  /** FREQUENCY-HOPPING square wave for the fingerprint fixture: a
+    * stationary tone is hop-periodic, so the time-differential
+    * Haitsma–Kalker words degenerate to all-zero (every clip "matches"
+    * every clip). Hopping the half-period per 512-sample block —
+    * hp(block) = ((block+id) % 6) + 2, fundamentals 571–2000 Hz, all
+    * inside the 300–2000 Hz band ladder — moves real spectral mass
+    * between bands every frame (measured: non-twin BER ≥ 0.44, twin
+    * BER ≡ 0 across the whole q188 domain). Amplitude is a constant
+    * even value ⇒ exact under ÷2 and safe under ×2 (2·3600 < 32768). */
+  def plantedHoppingSamples(id: Long, n: Int): Array[Short] = {
+    val a0 = ((id % 9) + 1).toInt * 400
+    Array.tabulate(n) { i =>
+      val hp = (((i / 512) + id) % 6).toInt + 2
+      (if (((i % 512) / hp) % 2 == 0) a0 else -a0).toShort
+    }
+  }
+
+  /** Twin-pair tone corpus for fingerprint robustness/discriminability:
+    * ids 2k and 2k+1 share the base-k hopping wave, the odd twin at
+    * exactly 2× amplitude (power-of-two scaling through the linear FFT
+    * preserves every band-energy-difference sign ⇒ identical fingerprint
+    * bits); different bases are different hop sequences (BER ≈ 0.5).
+    * n = ((base%7)+4)·1024 keeps ≥ 6 words per clip so BER is smooth. */
+  def withPlantedTonePairColumn(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val base = id / 2
+      val n = ((base % 7) + 4).toInt * 1024
+      val s = plantedHoppingSamples(base, n)
+      val out = if (id % 2 == 1) s.map(v => (v * 2).toShort) else s
+      AudioCodec.encodeWav(out, 8000)
+    }
+    df.withColumn("audio", gen(col(idCol).cast("long")))
+  }
+
   /** Attach a deterministic fake binary payload + metadata to a DataFrame —
     * kept for payload-agnostic plumbing tests (e.g. frame sampling, where
     * a real video codec is genuinely absent from the JDK). */
