@@ -36,9 +36,36 @@ object ScaleCheck {
     "q219_tdigest_quantiles", "q222_label_propagation",
     "q234_boruvka_msf")
 
+  /** At k ≥ 100 two ORACLES (not operators) become infeasible and are
+    * swapped for same-family stand-ins whose replays stay linear
+    * (measured on the derived 100× set, 8 DuckDB threads):
+    *
+    *   - q36 → q120: the q36 oracle is the literal quadratic pair scan —
+    *     Σ_b C(n_b, 2) levenshtein() calls, ~45G at 100× (450M already
+    *     dominated the 10× gate at ~23 min) — while the Spark side stays
+    *     subquadratic via the SymSpell deletion-variant join. q120
+    *     (sorted-neighborhood linkage) has window-bounded fan-out
+    *     (≤3 pairs/row): 78 s at 100×.
+    *   - q234 → q177: the q234 oracle is a WITH RECURSIVE transitive
+    *     closure per weight threshold (killed at 28 CPU-min at 100×);
+    *     the Borůvka operator itself iterates bounded pointer-jumping
+    *     rounds. q177 (portable-md5 MinHash LSH) replays the FULL
+    *     banding + exact-Jaccard verify in DuckDB — the dedup
+    *     centerpiece hash-gated at 100×: 117 s, 25,582 rows.
+    *
+    * Both swapped-out queries keep their oracle gates at 10×/30× and are
+    * still MEASURED (perf) at 100× in the heavy-10 sweep (SURVEY §9.4). */
+  def subsetFor(k: Int): Seq[String] =
+    if (k >= 100) Subset.map {
+      case "q36_blocked_levenshtein" => "q120_sorted_neighborhood"
+      case "q234_boruvka_msf" => "q177_minhash_portable"
+      case q => q
+    } else Subset
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val k = if (args.length > 1) args(1).toInt else 10
+    val Subset = subsetFor(k)
     val dest = s"tmp/scalecheck_${k}x"
     val out = s"tmp/scalecheck_${k}x_out"
     if (!new java.io.File(s"$dest/lineitem.parquet").exists()) {
