@@ -15,12 +15,31 @@ import org.apache.spark.sql.functions._
   * dataset has.
   *
   * Content columns are decorrelated across copies where identity matters:
-  * document text gets a per-copy word suffix (otherwise every doc would
-  * have 9 exact/near duplicates and the dedup family would measure an
-  * artificial 10× duplicate rate, not 10× data), and embeddings get a
-  * small deterministic per-copy, per-dimension offset (a pure scalar
-  * multiple would leave cosine similarity unchanged). Dimension constants
-  * (region, nation) are copied once, like real TPC-H scaling.
+  *
+  *   - document text is Caesar-shifted per copy (`translate` over both
+  *     alphabets, copy 0 verbatim). Round 9's word-suffix decorrelation
+  *     was enough for WORD-token operators but not CHARACTER-shingle
+  *     ones: a word's inner trigrams survive any affix, so cross-copy
+  *     twins still shared most char 3-grams and every doc gained ~k
+  *     candidate pairs at k× — the verify stage then paid k² per base
+  *     doc (the 100× sweep's n-gram-family blow-up). A per-copy char
+  *     substitution changes every letter trigram while preserving
+  *     within-copy near-dup structure exactly (the map is injective on
+  *     letters), so k× data means k× candidates, like real growth.
+  *   - customer names are re-derived from the SHIFTED key
+  *     (`Customer#%09d`, exactly the TPC-H generator's rule — copy 0 is
+  *     byte-identical). Key-shifting alone kept c_name constant across
+  *     copies, so at k× every name formed a k-clique and the linkage
+  *     family (q36/q106/q108/q148) measured an artificial quadratic
+  *     duplicate rate: at 100×, 15k names × C(100,2) pairs each. Real
+  *     TPC-H at a larger SF grows the name space with the key space;
+  *     near-pairs then come from digit-neighbour structure, which is the
+  *     honest edit-distance workload.
+  *   - embeddings get a small deterministic per-copy, per-dimension
+  *     offset (a pure scalar multiple would leave cosine unchanged).
+  *
+  * Dimension constants (region, nation) are copied once, like real
+  * TPC-H scaling.
   *
   * Usage: runMain graft.ScaleGen <srcDir> <destDir> [K=10]
   */
@@ -83,20 +102,32 @@ object ScaleGen {
 
     write(read("region"), "region", 1)
     write(read("nation"), "nation", 1)
-    write(scaled("customer", Seq("c_custkey")), "customer", 4)
+    // name re-derived from the shifted key (the TPC-H generator's own
+    // rule; copy 0 byte-identical) — see the decorrelation note above
+    write(scaled("customer", Seq("c_custkey"), (d, _) =>
+      d.withColumn("c_name",
+        format_string("Customer#%09d", col("c_custkey")))),
+      "customer", 4)
     write(scaled("supplier", Seq("s_suppkey")), "supplier", 2)
     write(scaled("part", Seq("p_partkey")), "part", 4)
     write(scaled("orders", Seq("o_orderkey", "o_custkey")), "orders", 8)
     write(scaled("lineitem",
       Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem", 16)
     write(scaled("events", Seq("event_id", "user_id")), "events", 8)
-    // text decorrelation: suffix every word with the copy index (copy 0
-    // verbatim) so cross-copy shingle sets are disjoint — 10× corpus, not
-    // 10× duplicates
+    // text decorrelation: per-copy Caesar shift (copy 0 verbatim) — every
+    // letter trigram changes across copies while within-copy near-dup
+    // structure is preserved exactly; see the decorrelation note above
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
     write(scaled("documents", Seq("doc_id"), (d, i) =>
       if (i == 0) d
-      else d.withColumn("text",
-        regexp_replace(col("text"), "(\\w+)", "$1" + i.toString))),
+      else {
+        val s = i % 25 + 1
+        val from = lower + upper
+        val to = lower.drop(s) + lower.take(s) +
+          upper.drop(s) + upper.take(s)
+        d.withColumn("text", translate(col("text"), from, to))
+      }),
       "documents", 8)
     // embedding decorrelation: deterministic per-copy, per-dimension
     // offset (index-dependent, so the direction changes, not just the

@@ -1863,7 +1863,14 @@ object SparkEntry {
     "q90_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+        // rsd sized to the contract, not left at the 0.05 default: the
+        // default's 1σ error IS 5%, so the within-5% claim fails ~1/3 of
+        // the time once cardinality leaves the small-range regime (first
+        // seen at the 100× gate: 2M distinct parts, realized error >5%).
+        // rsd=0.01 holds the 5% bound with 5σ margin at any cardinality
+        // for a 4 KB register array — the sketch-sizing discipline a
+        // 100 TB run needs anyway.
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
           count_distinct(col("l_partkey")).as("exact_parts"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts")).cast("double") /
