@@ -47,7 +47,6 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src = args(0); val dest = args(1)
     val k = if (args.length > 2) args(2).toInt else 10
-    require(k >= 1 && k <= 100)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,6 +55,17 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    derive(spark, src, dest, k)
+    println(s"""{"scalegen":"done","dest":"$dest","k":$k}""")
+    spark.stop()
+  }
+
+  /** Derivation body, session-agnostic so the fidelity properties are
+    * spec-testable (the spec derives a small k into a temp dir on the
+    * shared test session). */
+  def derive(spark: SparkSession, src: String, dest: String,
+      k: Int): Unit = {
+    require(k >= 1 && k <= 100)
     new java.io.File(dest).mkdirs()
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
@@ -137,8 +147,5 @@ object ScaleGen {
       else d.withColumn("embedding",
         expr(s"transform(embedding, (x, j) -> x + float(0.01) * " +
           s"float($i) * float(cos(j + $i)))"))), "embeddings", 4)
-
-    println(s"""{"scalegen":"done","dest":"$dest","k":$k}""")
-    spark.stop()
   }
 }
