@@ -106,13 +106,32 @@ object Bench {
     * detector degrades to the ratio+GC tests). */
   private lazy val committedMeds: Map[String, Double] = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_FULL.json")
+    try parseCommittedMeds(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path)))
+    catch { case _: Throwable => Map.empty }
+  }
+
+  /** Parse the committed record's per-query meds out of a BENCH_FULL.json
+    * text — a REAL JSON parse (Jackson, already on the classpath via
+    * Spark), not the round-11 regex: any drift in the detail format now
+    * yields an empty map that the record makes VISIBLE (the emitted
+    * `baseline_rows` field — a silently-empty baseline was the uniform-
+    * contention detector's last blind spot). Returns empty on any parse
+    * failure or when `detail` is absent/not an object. */
+  private[graft] def parseCommittedMeds(text: String): Map[String, Double] = {
     try {
-      val text = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(path))
-      // the detail map pins each med: "qNN_name":{"med":1.234,...
-      val re = """"([^"]+)":\{"med":([0-9.eE+-]+)""".r
-      re.findAllMatchIn(text)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(text)
+      val detail = root.path("detail")
+      if (!detail.isObject) Map.empty
+      else {
+        val b = Map.newBuilder[String, Double]
+        detail.fields().forEachRemaining { e =>
+          val med = e.getValue.path("med")
+          if (med.isNumber) b += e.getKey -> med.asDouble()
+        }
+        b.result()
+      }
     } catch { case _: Throwable => Map.empty }
   }
 
@@ -182,10 +201,10 @@ object Bench {
   private def runInProcess(only: Set[String]): Seq[QResult] = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    // scale rehearsals size shuffles to the DATA (see Verify): partition
-    // count per core is only right at the record SF
-    val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // shuffles sized to the DATA ([[Tuning]]): derived from sfDir bytes,
+    // env override wins — partition count per core is only right at the
+    // record SF
+    val shufflePartitions = Tuning.shufflePartitions(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -312,14 +331,38 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_PROBE_SKIP", "0") != "1")
       try probeJson = Some(forkProbe(logDir))
       catch { case _: Throwable => () }
+    // round-12 (VERDICT r11 item 6): optional MULTI-SCALE probe —
+    // SPARK_GRAFT_PROBE_DIRS names extra data dirs (the 10×/100×
+    // rehearsal sets); each gets its own probe child, and the set lands
+    // under "serving_probe_scales" keyed by dir so the S10 flatness
+    // contract (bucket-pruned p99 near-flat across decades while the
+    // plain layout degrades) is measured data, not a design claim.
+    if (sweepOnly.isEmpty)
+      sys.env.get("SPARK_GRAFT_PROBE_DIRS").foreach { dirs =>
+        val entries = dirs.split(",").map(_.trim).filter(_.nonEmpty)
+          .zipWithIndex.flatMap { case (d, i) =>
+            try Some("\"" + jsonEscape(d) + "\":" +
+              forkProbe(logDir, Some(d), s"probe_scale$i"))
+            catch { case _: Throwable => None }
+          }
+        if (entries.nonEmpty)
+          probeScalesJson = Some(entries.mkString("{", ",", "}"))
+      }
     selfHeal(initial, logDir, timeoutSec)
   }
 
   /** JSON from the serving-probe child (full sweeps only). */
   @volatile private var probeJson: Option[String] = None
 
-  /** Fork the serving-probe child JVM, return its JSON fragment. */
-  private def forkProbe(logDir: java.nio.file.Path): String = {
+  /** JSON map dir → probe stats for the multi-scale probe, if run. */
+  @volatile private var probeScalesJson: Option[String] = None
+
+  /** Fork the serving-probe child JVM, return its JSON fragment.
+    * `sfDirOverride` points the child at a different data dir (the
+    * multi-scale probe); default is the sweep's own SF dir. */
+  private def forkProbe(logDir: java.nio.file.Path,
+      sfDirOverride: Option[String] = None,
+      tag: String = "probe"): String = {
     import scala.jdk.CollectionConverters._
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
@@ -331,7 +374,9 @@ object Bench {
       Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava)
     pb.environment().put("SPARK_GRAFT_PROBE", "1")
     pb.environment().put("SPARK_GRAFT_OUT", outFile.toString)
-    pb.redirectOutput(logDir.resolve("probe.out").toFile)
+    sfDirOverride.foreach(d =>
+      pb.environment().put("SPARK_GRAFT_SF_DIR", d))
+    pb.redirectOutput(logDir.resolve(s"$tag.out").toFile)
     pb.redirectErrorStream(true)
     pb.start().waitFor()
     val json = java.nio.file.Files.readString(outFile).trim
@@ -507,6 +552,7 @@ object Bench {
     val nContended = results.count(_.contended)
     val tail = s""""nq":${results.size},"errors":$nerr,"fresh_jvm":$freshJvm,""" +
       s""""contended":$nContended,"load1":${f3(load1())},""" +
+      s""""baseline_rows":${committedMeds.size},""" +
       s""""subset_r06_total":${f3(subsetTotal)},"wall":${f3(wall)},"sf":"$sfDir""""
     // Full per-query detail goes to a file: the driver's log capture keeps
     // only the last ~2000 chars of stdout, and 250+ queries don't fit.
@@ -527,6 +573,8 @@ object Bench {
           "BENCH_FULL.json")),
         s"""{$head,"queries":$qs,"detail":$detail,""" +
           probeJson.map(p => s""""serving_probe":$p,""").getOrElse("") +
+          probeScalesJson.map(p =>
+            s""""serving_probe_scales":$p,""").getOrElse("") +
           s""""batches":$batchesJson,$tail}""" + "\n")
       catch { case _: Throwable => () }
     // The final stdout line must survive the 2000-char tail (plus sbt's

@@ -23,18 +23,23 @@ object ScaleCheck {
     * aggregation, anti-join, window top-k, keyed lookup, edit-distance
     * linkage, HLL audit, count-min frequency sketch, incremental-dedup
     * splice, t-digest audit, Borůvka invariants, sessionization, label
-    * propagation), chosen so every DuckDB oracle stays feasible at 10×
-    * AND non-degenerate there (q101 heavy-hitters was swapped out: the
+    * propagation — widened in round 12 with the four families the gate
+    * had not yet represented: graph traversal q173 BFS, streaming
+    * session assembly q182, time-range window analytics q86, and the
+    * end-to-end curation capstone q65, all with linear-feasible DuckDB
+    * replays), chosen so every oracle stays feasible at 10× AND
+    * non-degenerate there (q101 heavy-hitters was swapped out: the
     * rehearsal data's per-copy word decorrelation fragments every word
     * below the n/k threshold, so both engines agree on an EMPTY result —
     * a vacuous row; the count-min matrix keeps all 256 content-addressed
     * cells populated at any scale). */
   val Subset: Seq[String] = Seq(
     "q1_agg", "q7_anti_join", "q9_window_topk", "q24_keyed_lookup",
-    "q36_blocked_levenshtein", "q64_sessionize", "q90_approx_distinct",
-    "q129_incremental_dedup", "q147_count_min",
-    "q219_tdigest_quantiles", "q222_label_propagation",
-    "q234_boruvka_msf")
+    "q36_blocked_levenshtein", "q64_sessionize", "q65_curate_corpus",
+    "q86_rolling_time", "q90_approx_distinct",
+    "q129_incremental_dedup", "q147_count_min", "q173_bfs_hops",
+    "q182_stream_sessions", "q219_tdigest_quantiles",
+    "q222_label_propagation", "q234_boruvka_msf")
 
   /** At k ≥ 100 two ORACLES (not operators) become infeasible and are
     * swapped for same-family stand-ins whose replays stay linear
@@ -65,7 +70,7 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val k = if (args.length > 1) args(1).toInt else 10
-    val Subset = subsetFor(k)
+    val subset = subsetFor(k)
     val dest = s"tmp/scalecheck_${k}x"
     val out = s"tmp/scalecheck_${k}x_out"
     if (!new java.io.File(s"$dest/lineitem.parquet").exists()) {
@@ -73,16 +78,16 @@ object ScaleCheck {
       ScaleGen.main(Array(src, dest, k.toString))
     } else
       println(s"[scalecheck] reusing derived dataset at $dest")
-    println(s"[scalecheck] running ${Subset.size}-query subset at ${k}x ...")
-    Verify.main((Seq(dest, out) ++ Subset).toArray)
+    println(s"[scalecheck] running ${subset.size}-query subset at ${k}x ...")
+    Verify.main((Seq(dest, out) ++ subset).toArray)
     val pb = new ProcessBuilder(("python3" :: "tools/selfcheck.py" ::
-      dest :: out :: Subset.mkString(",") :: Nil): _*)
+      dest :: out :: subset.mkString(",") :: Nil): _*)
     pb.inheritIO()
     val rc = pb.start().waitFor()
     if (rc != 0) {
       System.err.println(s"[scalecheck] FAILED (selfcheck rc=$rc)")
       sys.exit(rc)
     }
-    println(s"""{"scalecheck":"pass","k":$k,"queries":${Subset.size}}""")
+    println(s"""{"scalecheck":"pass","k":$k,"queries":${subset.size}}""")
   }
 }

@@ -60,6 +60,33 @@ object ScaleGen {
     spark.stop()
   }
 
+  /** Multipliers coprime to 26 — the valid `a` values of the affine
+    * letter cipher x → (a·x + b) mod 26. */
+  private val AffineA = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Per-copy injective letter map for the text decorrelation, as the
+    * (from, to) argument pair of `translate` over both alphabets. Copy
+    * `i` reads through the affine cipher x → (a·x + b) mod 26 with
+    * (a, b) = (AffineA(i / 26), i mod 26) — 12 × 26 = 312 pairwise-
+    * distinct injective maps (distinct (a, b) mod 26 ⇒ distinct
+    * functions), so every pair of copies up to k = 312 sees different
+    * ciphertext. The round-11 Caesar family had only 25 distinct shifts:
+    * at k ≥ 27 copies i and i+25 got byte-identical text, re-planting
+    * the exact cross-copy twins the decorrelation exists to remove.
+    * i = 0 maps to (a, b) = (1, 0) = identity, consistent with the
+    * copy-0-verbatim contract (the caller skips i = 0 anyway). */
+  private[graft] def affineMap(i: Int): (String, String) = {
+    require(i >= 0 && i < AffineA.size * 26,
+      s"affine cipher family exhausted at copy $i (max ${AffineA.size * 26})")
+    val a = AffineA(i / 26)
+    val b = i % 26
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val perm = (0 until 26).map(x => (a * x + b) % 26)
+    val toLower = perm.map(p => ('a' + p).toChar).mkString
+    val toUpper = perm.map(p => ('A' + p).toChar).mkString
+    (lower + lower.toUpperCase, toLower + toUpper)
+  }
+
   /** Derivation body, session-agnostic so the fidelity properties are
     * spec-testable (the spec derives a small k into a temp dir on the
     * shared test session). */
@@ -124,18 +151,15 @@ object ScaleGen {
     write(scaled("lineitem",
       Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem", 16)
     write(scaled("events", Seq("event_id", "user_id")), "events", 8)
-    // text decorrelation: per-copy Caesar shift (copy 0 verbatim) — every
-    // letter trigram changes across copies while within-copy near-dup
-    // structure is preserved exactly; see the decorrelation note above
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val upper = lower.toUpperCase
+    // text decorrelation: per-copy AFFINE letter cipher (copy 0
+    // verbatim) — every letter trigram changes across copies while
+    // within-copy near-dup structure is preserved exactly (the map is
+    // injective on letters); see [[affineMap]] for why the round-11
+    // Caesar family (25 distinct shifts) was not enough
     write(scaled("documents", Seq("doc_id"), (d, i) =>
       if (i == 0) d
       else {
-        val s = i % 25 + 1
-        val from = lower + upper
-        val to = lower.drop(s) + lower.take(s) +
-          upper.drop(s) + upper.take(s)
+        val (from, to) = affineMap(i)
         d.withColumn("text", translate(col("text"), from, to))
       }),
       "documents", 8)

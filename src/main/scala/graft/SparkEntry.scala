@@ -1858,8 +1858,9 @@ object SparkEntry {
     // ── Approximate distinct (HLL++) per group. The raw sketch estimate
     //    is engine-specific, so the oracle-checked output is the exact
     //    count plus a self-audit: |approx − exact|/exact < 5% must hold
-    //    (HLL++ at default rsd=5% — the oracle pins the column TRUE, so
-    //    a drifting sketch fails the hash gate loudly) ──
+    //    (HLL++ sized at rsd=0.01 — 5σ margin on the 5% contract at any
+    //    cardinality; the oracle pins the column TRUE, so a drifting
+    //    sketch fails the hash gate loudly) ──
     "q90_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -2951,9 +2952,25 @@ object SparkEntry {
     //    greedy cluster kernel has no SQL restatement) ──
     "q129_incremental_dedup" -> ((s, dir) => {
       val k = col("o_orderkey")
+      // quarter of the table: the gate needs the code path + determinism,
+      // not volume (the full-volume kernel is benched via q36/q51)
+      val orders = t(s, dir, "orders").filter(k % 4 === 0)
+      // Taxon cardinality grows WITH the record count (the reference's
+      // real growth mode — more records means more taxa, per
+      // tool/DuplicationDetection.scala:428-452 blocking — not deeper
+      // blocks): a constant modulus made every block k× deeper at k×
+      // scale, so the exact-duplicate kernel inspected ~k² within-block
+      // pairs and the scale table measured the FIXTURE, not the operator
+      // (SURVEY §9.4, q129's ×21 at 100×). The step rule holds per-taxon
+      // depth near its sf0.1 value and leaves every sf ≤ 0.1 gate
+      // unchanged at the historic 40 (count < 60000 ⇒ factor 1); day and
+      // cell stay fixed — calendars and coordinate grids don't grow with
+      // volume. The oracle replays the same rule from the same count.
+      val nRecs = orders.count()
+      val taxa = 40L * math.max(1L, math.floor(nRecs / 30000.0).toLong)
       def recsOf(df: DataFrame) = df.select(
         k.cast("string").as("rowKey"),
-        concat(lit("t"), (k % 40).cast("string")).as("taxonGuid"),
+        concat(lit("t"), (k % taxa).cast("string")).as("taxonGuid"),
         lit("2000").as("year"), lit("06").as("month"),
         ((k % 28) + 1).cast("string").as("day"),
         concat(lit("-35."), (k % 10).cast("string")).as("lat"),
@@ -2962,9 +2979,6 @@ object SparkEntry {
         lit(null).cast("string").as("recordNumber"),
         lit(null).cast("string").as("catalogueNumber"),
         concat(lit("dr"), (k % 3).cast("string")).as("druid"))
-      // quarter of the table: the gate needs the code path + determinism,
-      // not volume (the full-volume kernel is benched via q36/q51)
-      val orders = t(s, dir, "orders").filter(k % 4 === 0)
       val prev = graft.operators.DuplicationDetection.findDuplicates(
         s, recsOf(orders.filter(k % 97 =!= 0)))
       val changed = orders.filter(k % 97 === 0)
@@ -6068,9 +6082,14 @@ object SparkEntry {
     // representative — and the incremental splice must equal the full
     // recompute (its documented contract), which is what this checks
     "q129_incremental_dedup" ->
-      """WITH o AS (
+      """WITH m AS (
+        | SELECT 40 * greatest(1, CAST(floor(count(*) / 30000.0) AS BIGINT))
+        |   AS tmod
+        | FROM orders WHERE o_orderkey % 4 = 0),
+        |o AS (
         | SELECT CAST(o_orderkey AS VARCHAR) AS rowKey,
-        |  't' || CAST(o_orderkey % 40 AS VARCHAR) AS taxonGuid,
+        |  't' || CAST(o_orderkey % (SELECT tmod FROM m) AS VARCHAR)
+        |    AS taxonGuid,
         |  CAST(o_orderkey % 28 + 1 AS VARCHAR) AS dy,
         |  o_orderkey % 10 AS d,
         |  'dr' || CAST(o_orderkey % 3 AS VARCHAR) AS druid

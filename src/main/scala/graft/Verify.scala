@@ -9,14 +9,11 @@ object Verify {
     // optional extra args: restrict to the named queries (local iteration)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Shuffle parallelism must scale with DATA, not cores: at sf0.1 one
-    // partition per core is right, but a 100× rehearsal through the same
-    // session config makes every shuffle partition 100× the intended
-    // size and wide-row sorts die acquiring pages (the 100× sweep's
-    // SparkOutOfMemoryError class). Rehearsals override via env; AQE
-    // coalesces small stages back down so a high count costs nothing.
-    val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Shuffle parallelism sized to the DATA, not cores ([[Tuning]]):
+    // derived from sfDir's on-disk bytes so scale rehearsals need no
+    // hand-tuned knob; env override still wins, AQE coalesces small
+    // stages back down so a high count costs nothing.
+    val shufflePartitions = Tuning.shufflePartitions(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)

@@ -48,11 +48,14 @@ object CacheScope {
     * linkage entry points promise.
     *
     * Re-materializing the returned frame after the first action
-    * recomputes the released internals (correct, just cold); callers
-    * that drive a result repeatedly should bracket with [[scoped]]
-    * instead. The listener matches the exact marker name in the analyzed
-    * plan, so unrelated queries on the session never trigger an early
-    * release. */
+    * recomputes the released internals (correct, just cold) — and since
+    * the listener already knows, the SECOND materialization logs a
+    * one-shot WARN pointing at the `*Scoped` form, so the footgun is
+    * loud instead of a silent slowdown; callers that drive a result
+    * repeatedly should bracket with [[scoped]] instead. The listener
+    * matches the exact marker name in the analyzed plan, so unrelated
+    * queries on the session never trigger an early release or a false
+    * warning. */
   def releaseOnFirstMaterialization(result: DataFrame,
       caches: Seq[DataFrame]): DataFrame = {
     import org.apache.spark.sql.execution.QueryExecution
@@ -64,23 +67,40 @@ object CacheScope {
       org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("rows"))
     val listener = new QueryExecutionListener {
-      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // 0 = caches warm, 1 = released, 2 = recompute warned + detached
+      private val state = new java.util.concurrent.atomic.AtomicInteger(0)
       private def hasMarker(qe: QueryExecution): Boolean =
         qe.analyzed.collectFirst {
           case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
               if c.name == marker => c
         }.nonEmpty
-      private def maybeRelease(qe: QueryExecution): Unit =
-        if (hasMarker(qe) && done.compareAndSet(false, true)) {
-          caches.foreach(_.unpersist(blocking = false))
-          spark.listenerManager.unregister(this)
+      private def advance(qe: QueryExecution): Unit =
+        if (hasMarker(qe)) {
+          if (state.compareAndSet(0, 1))
+            caches.foreach(_.unpersist(blocking = false))
+          else if (state.compareAndSet(1, 2)) {
+            recomputeWarnSink(
+              "second materialization of a releaseOnFirstMaterialization " +
+                "result recomputed its released internals cold; bracket " +
+                "repeated consumption with the *Scoped entry point or " +
+                "CacheScope.scoped instead")
+            spark.listenerManager.unregister(this)
+          }
         }
       override def onSuccess(funcName: String, qe: QueryExecution,
-          durationNs: Long): Unit = maybeRelease(qe)
+          durationNs: Long): Unit = advance(qe)
       override def onFailure(funcName: String, qe: QueryExecution,
-          exception: Exception): Unit = maybeRelease(qe)
+          exception: Exception): Unit = advance(qe)
     }
     spark.listenerManager.register(listener)
     observed
   }
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(CacheScope.getClass)
+
+  /** Where the one-shot recompute warning goes — a WARN log in
+    * production; specs swap it to count invocations. */
+  private[graft] var recomputeWarnSink: String => Unit =
+    msg => log.warn(msg)
 }

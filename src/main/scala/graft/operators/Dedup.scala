@@ -797,14 +797,39 @@ object Dedup {
     * ground truth — the tuning table that picks an LSH operating point on
     * the S-curve (more rows per band ⇒ fewer, purer candidates). Output:
     * one row per setting (rows_per_band, n_bands, n_cand, tp, fn,
-    * precision, recall). */
+    * precision, recall).
+    *
+    * **Scale shape (cost-chooser past `maxExactDocs`).** The exact
+    * ground-truth side is a PPJoin over the full corpus — fine while the
+    * corpus fits the bound, but at 100× (500k docs) it was the round-11
+    * sweep's one `weak` plan: 318 GB of spill computing truth nobody
+    * needs in full to TUNE a banding. Past `maxExactDocs` documents the
+    * sweep evaluates on a deterministic hash sample of the corpus
+    * (portable md5 on the id, salted, so the sample is reproducible on
+    * any engine and independent of the signature hashes): truth,
+    * signatures and candidates are all computed within the sample, so
+    * every output column keeps its meaning — precision/recall become
+    * sample ESTIMATES of the operating point. Confidence: recall is a
+    * binomial proportion over the sampled truth pairs, so its standard
+    * error is √(r(1−r)/n_truth) ≤ 1/(2√n_truth) — with the default bound
+    * the sample keeps thousands of truth pairs and the 95% CI stays
+    * within a few points, which is the resolution a banding decision
+    * needs (adjacent S-curve operating points differ by tens of points).
+    * Doc-sampling keeps frac² of truth pairs; both engines replaying the
+    * same sample agree exactly, so the sf0.1 oracle row is untouched
+    * (5k docs ≪ the bound ⇒ full path). */
   def lshBandingSweep(docs: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, numHashes: Int = 12,
       rowsPerBandOptions: Seq[Int] = Seq(2, 3, 4, 6),
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxExactDocs: Long = 150000L): DataFrame = {
     require(rowsPerBandOptions.nonEmpty &&
       rowsPerBandOptions.forall(r => numHashes % r == 0))
-    val sh = wordShingleSet(docs, idCol, textCol, shingleWords)
+    require(maxExactDocs >= 1, "maxExactDocs must be positive")
+    val nDocs = docs.count()
+    val evalDocs =
+      if (nDocs <= maxExactDocs) docs
+      else sweepSample(docs, idCol, maxExactDocs, nDocs)
+    val sh = wordShingleSet(evalDocs, idCol, textCol, shingleWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = signaturesPortable(sh, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -826,6 +851,22 @@ object Dedup {
           round(col("tp").cast("double") / col("n_cand"), 6).as("precision"),
           round(col("tp").cast("double") / col("n_truth"), 6).as("recall"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** Deterministic stratified doc sample for [[lshBandingSweep]]'s
+    * exact-truth side: keep a document iff the salted portable md5 of
+    * its id falls under `targetDocs / nDocs` of the 10⁶-bucket hash
+    * space. Engine-reproducible (md5 + integer compare, no RNG state),
+    * stable across partitionings, and salted so sample membership is
+    * independent of the MinHash signature family. */
+  private[graft] def sweepSample(docs: DataFrame, idCol: String,
+      targetDocs: Long, nDocs: Long): DataFrame = {
+    val keep = math.max(1L,
+      math.round(targetDocs.toDouble / nDocs * 1000000L))
+    docs.filter(pmod(
+      conv(substring(md5(concat(lit("sweep:"),
+        col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(1000000L)) < lit(keep))
   }
 
   /** Measured quality of the LSH approximation against exact ground truth:

@@ -305,7 +305,21 @@ object Overlap {
     * output contract and pairwise algebra, id range [0, 2^47) instead of
     * the dense path's [0, 2^27). The automatic overload dispatches here
     * past [[DenseBitsetMaxBits]]; spec-pinned row-identical to the dense
-    * path on the shared range. */
+    * path on the shared range.
+    *
+    * **Output-sensitive pairing (round 12).** The compressed
+    * representation already says which 2^16-id chunks a segment touches,
+    * so instead of the seg×seg theta join shipping every bitmap to every
+    * pair, candidate pairs come from a shared-container-key equi-join
+    * (explode chunk keys → join on key → distinct pairs): only pairs
+    * that CAN intersect carry bitmaps through a join. The zero-overlap
+    * rows the contract includes are reconstructed from the sizes table
+    * alone — segment-count-sized rows with no bitmap payload — so in
+    * the many-segment disjoint-id regime (per-tenant id spaces, the
+    * sparse path's natural habitat) the heavy work scales with the
+    * number of OVERLAPPING pairs, not all C(n,2). A chunk key touches
+    * ≤ members/2^16 + 1 chunks per segment, so the exploded key table
+    * stays a small fraction of the input. */
   def segmentOverlapSparse(events: DataFrame, segCol: String,
       memberCol: String): DataFrame = {
     val rm = udaf(new RoaringAgg)
@@ -314,6 +328,7 @@ object Overlap {
       .agg(rm(col(memberCol).cast("long")).as("bits"))
       .select(col("seg"), col("bits._1").as("keys"),
         col("bits._2").as("conts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pop = udf { (keys: Seq[Int], conts: Seq[Seq[Long]]) =>
       chunksCard(keys.toArray, conts.map(_.toArray).toArray)
     }
@@ -322,18 +337,37 @@ object Overlap {
         chunksAndCard(ka.toArray, ca.map(_.toArray).toArray,
           kb.toArray, cb.map(_.toArray).toArray)
     }
-    segs.select(col("seg").as("seg_a"), col("keys").as("_ka"),
-        col("conts").as("_ca"))
+    // (seg, popcount) — the only per-segment state the full upper
+    // triangle needs; bitmap-free, so the all-pairs frame is cheap
+    val sizes = segs.select(col("seg"),
+      pop(col("keys"), col("conts")).as("n"))
+    // candidate pairs: share ≥1 container key ⇒ CAN have n_common > 0
+    val segKeys = segs.select(col("seg"), explode(col("keys")).as("ck"))
+    val candPairs = segKeys.select(col("ck"), col("seg").as("seg_a"))
+      .join(segKeys.select(col("ck"), col("seg").as("seg_b")), Seq("ck"))
+      .filter(col("seg_a") < col("seg_b"))
+      .select("seg_a", "seg_b").distinct()
+    val common = candPairs
+      .join(segs.select(col("seg").as("seg_a"), col("keys").as("_ka"),
+        col("conts").as("_ca")), Seq("seg_a"))
       .join(segs.select(col("seg").as("seg_b"), col("keys").as("_kb"),
-          col("conts").as("_cb")),
-        col("seg_a") < col("seg_b"))
+        col("conts").as("_cb")), Seq("seg_b"))
       .select(col("seg_a"), col("seg_b"),
-        pop(col("_ka"), col("_ca")).as("n_a"),
-        pop(col("_kb"), col("_cb")).as("n_b"),
         popAnd(col("_ka"), col("_ca"), col("_kb"), col("_cb"))
-          .as("n_common"))
+          .as("_nc"))
+    val result = sizes
+      .select(col("seg").as("seg_a"), col("n").as("n_a"))
+      .join(sizes.select(col("seg").as("seg_b"), col("n").as("n_b")),
+        col("seg_a") < col("seg_b"))
+      .join(common, Seq("seg_a", "seg_b"), "left")
+      .withColumn("n_common", coalesce(col("_nc"), lit(0L)))
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
       .withColumn("jaccard",
         round(col("n_common").cast("double") / col("n_union"), 6))
+      .select("seg_a", "seg_b", "n_a", "n_b", "n_common", "n_union",
+        "jaccard")
+    // long-lived-JVM storage discipline: the internal bitmap table
+    // releases itself once the caller's first action has consumed it
+    CacheScope.releaseOnFirstMaterialization(result, Seq(segs))
   }
 }

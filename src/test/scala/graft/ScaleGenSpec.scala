@@ -92,6 +92,26 @@ class ScaleGenSpec extends AnyFunSuite {
       "a cross-copy near-dup pair means k× data carries artificial twins")
   }
 
+  test("affine cipher family: 312 pairwise-distinct injective maps, " +
+      "identity at 0") {
+    // Spark-free property over the WHOLE family the generator permits —
+    // the k=3 derivation above never reaches the regime where the
+    // round-11 Caesar family broke (copies i and i+25 byte-identical at
+    // k ≥ 27). Distinct (from → to) translate maps ⇒ distinct ciphertext
+    // for every pair of copies.
+    val maps = (0 until 312).map(ScaleGen.affineMap)
+    assert(maps.distinct.size == 312, "letter maps must be pairwise distinct")
+    maps.foreach { case (from, to) =>
+      assert(from.length == 52 && to.length == 52)
+      assert(to.toSet.size == 52, "cipher must be injective on letters")
+      assert(to.forall(c => c.isLetter))
+    }
+    val (f0, t0) = ScaleGen.affineMap(0)
+    assert(f0 == t0, "copy 0 must read through the identity map")
+    // family exhaustion is loud, not a silent wrap-around
+    assertThrows[IllegalArgumentException](ScaleGen.affineMap(312))
+  }
+
   test("embeddings are decorrelated across copies (direction changes)") {
     val n = base("embeddings").count()
     val pairs = t("embeddings")

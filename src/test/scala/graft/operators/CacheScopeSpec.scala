@@ -149,4 +149,41 @@ class CacheScopeSpec extends AnyFunSuite {
     assert(jw.count() >= 0)
     awaitRelease("jaroWinklerPairs", before2)
   }
+
+  // round-12: the remaining footgun of the self-releasing form — a
+  // SECOND materialization recomputes the released internals cold —
+  // is loud now: exactly one WARN through the (spec-swappable) sink,
+  // then the listener detaches so a third run stays silent.
+  test("recompute after self-release warns exactly once") {
+    val warns = new java.util.concurrent.atomic.AtomicInteger(0)
+    val oldSink = CacheScope.recomputeWarnSink
+    CacheScope.recomputeWarnSink = _ => warns.incrementAndGet()
+    try {
+      import spark.implicits._
+      val cached = (1 to 100).toDF("x")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val result = CacheScope.releaseOnFirstMaterialization(
+        cached.filter(col("x") % 2 === 0), Seq(cached))
+      // listener bus is async: after each action, poll for the state
+      // transition it must cause before driving the next one
+      def await(label: String)(done: => Boolean): Unit = {
+        val deadline = System.currentTimeMillis() + 15000
+        while (!done && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        assert(done, s"timed out waiting for $label")
+      }
+      result.count() // 1st: releases the cache, no warn
+      await("release")(
+        cached.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      assert(warns.get() == 0, "first materialization must not warn")
+      result.count() // 2nd: recompute — exactly one warn
+      await("recompute warn")(warns.get() >= 1)
+      assert(warns.get() == 1,
+        s"second materialization must warn once, saw ${warns.get()}")
+      result.count() // 3rd: listener detached — still exactly one
+      Thread.sleep(500) // nothing to poll for: absence of a 2nd warn
+      assert(warns.get() == 1,
+        s"warn must be one-shot, saw ${warns.get()}")
+    } finally CacheScope.recomputeWarnSink = oldSink
+  }
 }

@@ -43,6 +43,27 @@ class OverlapSparseSpec extends AnyFunSuite {
       r12._6 == 2252L)
   }
 
+  test("candidate pre-filter reconstructs zero-overlap rows exactly " +
+    "(disjoint per-tenant id spaces)") {
+    // round-12 output-sensitivity: 6 tenants in fully disjoint chunk
+    // ranges plus one genuinely overlapping pair — the bitmap join sees
+    // only candidates sharing a container key, yet the contract's full
+    // C(8,2) upper triangle (zero rows included) must come out intact
+    val rows = (0 until 6).flatMap { t =>
+      val base = (t.toLong + 1) * (1L << 20)
+      (0L until 50L).map(m => (s"t$t", base + m))
+    } ++ (0L until 30L).map(m => ("x1", 99L + m)) ++
+      (0L until 30L).map(m => ("x2", 109L + m))
+    val ev = rows.toDF("seg", "user").repartition(4)
+    val out = canon(Overlap.segmentOverlapSparse(ev, "seg", "user"))
+    assert(out.size == 8 * 7 / 2, "full upper triangle expected")
+    assert(out.count(_._5 > 0) == 1, "exactly one overlapping pair")
+    val x = out.find(r => r._1 == "x1" && r._2 == "x2").get
+    assert(x._5 == 20L && x._6 == 40L && x._7 == 0.5)
+    // and the whole table must still match the dense path bit-for-bit
+    assert(out == canon(Overlap.segmentOverlap(ev, "seg", "user", 1 << 24)))
+  }
+
   test("auto overload dispatches to the sparse path past 2^27 and stays " +
     "exact on a 5e9-wide id space") {
     val wide = Seq(
