@@ -2651,8 +2651,12 @@ object SparkEntry {
         (col("o_orderkey") % 170 - 85).cast("string").as("decimalLatitude"),
         (col("o_orderkey") % 356 - 178).cast("string").as("decimalLongitude"),
         lit("specimen").as("basisOfRecord"))
+      // fan the single-file micro-batch out before the per-row-heavy
+      // enrich stages (streams bypass the batch fan-out; counts are
+      // partition-independent so the complete-mode agg is unchanged)
       val projected = graft.index.IndexSupport.project(
-        graft.processors.Processors.enrich(pseudo))
+        graft.processors.Processors.enrich(
+          pseudo.repartition(s.sparkContext.defaultParallelism)))
       val agg = projected
         .groupBy(col("year").cast("long").as("yr"),
           col("basis_of_record").as("bor"))
@@ -3820,12 +3824,17 @@ object SparkEntry {
     //    graded form of binary decontamination (q58): how MUCH leaked ──
     "q197_overlap_fraction" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // join on the 64-bit gram hash, not the ~50-char gram string —
+      // same counts up to xxhash64 collisions (the q58 hashed-gram
+      // contract), a fraction of the shuffle bytes (guide §2.3)
       val corpusW = graft.operators.Dedup.wordShingleSet(
-        docs.filter(col("source") =!= "src0"), "doc_id", "text", 8)
+          docs.filter(col("source") =!= "src0"), "doc_id", "text", 8)
+        .select(col("id"), xxhash64(col("sh")).as("g"))
       val benchW = graft.operators.Dedup.wordShingleSet(
           docs.filter(col("source") === "src0"), "doc_id", "text", 8)
-        .select("sh").distinct().withColumn("_hit", lit(1))
-      corpusW.join(benchW, Seq("sh"), "left")
+        .select(xxhash64(col("sh")).as("g")).distinct()
+        .withColumn("_hit", lit(1))
+      corpusW.join(benchW, Seq("g"), "left")
         .groupBy(col("id").as("doc_id"))
         .agg(count(lit(1)).as("n_windows"),
           sum(coalesce(col("_hit"), lit(0))).as("n_hit"))

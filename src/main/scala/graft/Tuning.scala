@@ -41,6 +41,64 @@ object Tuning {
     math.min(MaxPartitions.toLong,
       math.max(cpus.toLong, bytes / BytesPerPartition)).toInt
 
+  /** Floor a kernel-heavy table's scan parallelism at the session's core
+    * count (round-12, guide §2.5 "input skew: one huge unsplittable
+    * file" + §6 scan-parallelism floor).
+    *
+    * The sf0.1 fixtures are ONE parquet file with ONE row group per
+    * table, and a row group is unsplittable — so every scan stage runs
+    * as exactly one task regardless of `local[N]`, and the text/dedup
+    * family executes its expensive per-row kernels (shingling, per-gram
+    * md5, minhash) inside that one task while N−1 cores idle (measured:
+    * q163's gram+md5 stage = 3.4 s wall / 3.34 s task-sum / 1 task).
+    * A round-robin repartition to `defaultParallelism` moves the tiny
+    * payload once (0.6 MB at sf0.1) and parallelizes every downstream
+    * kernel.
+    *
+    * Scale-adaptive, not a local[32] hack: the floor only fires when the
+    * scan Spark planned has FEWER splits than cores — at production scale
+    * a table has thousands of row groups, `parts ≥ cores`, and this is a
+    * no-op; and at any scale a sub-cores-parallel scan of a kernel-heavy
+    * table is exactly the case where one cheap exchange buys back the
+    * idle cores. Disable with SPARK_GRAFT_SCAN_FANOUT=0.
+    *
+    * Applied INSIDE the kernel-heavy operators (shingling, minhash,
+    * winnowing, enrichment), never in the table loader: map-only scoring
+    * operators are contractually exchange-free (PlanShapeSpec pins q136/
+    * q142/q146), and an unconditional loader-level exchange broke those
+    * plans while multiplying exchanges into every branch of plans that
+    * re-reference the scan subtree (q52's 22 scans). */
+  def fanOutSmallScan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    if (sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT", "1") == "0") return df
+    if (df.isStreaming) return df // callers size stream exchanges explicitly
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val parts = try df.rdd.getNumPartitions catch { case _: Throwable => cores }
+    if (parts < cores) df.repartition(cores) else df
+  }
+
+  /** Identity gate that predicate pushdown cannot move (guide §4.4
+    * applied to Catalyst itself, round 12).
+    *
+    * `PushPredicateThroughNonJoin` pushes any DETERMINISTIC filter below
+    * projections and exchanges by substituting alias definitions into
+    * the pushed condition — for a filter over expensive interpreted
+    * expressions (HOF shingling, quality-stat aggregates) that
+    * duplicates the whole pipeline below the scan-side exchange, where
+    * it runs once per row on the unsplit (often single-task) scan
+    * (measured: q197's pushed filter re-ran split×4 + transform×2 +
+    * array_distinct×2 per row serially — 4 s of the query's 6 s). A
+    * non-deterministic predicate is ineligible for pushdown, so wrapping
+    * the ALREADY-COMPUTED boolean in this identity UDF pins the filter
+    * where it was written: above the exchange, reading the staged
+    * columns, evaluated once in parallel. Null maps to null (dropped by
+    * Filter), exactly like the bare predicate. */
+  def nonPushableGate(pred: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = ndGateUdf(pred)
+
+  private val ndGateUdf = org.apache.spark.sql.functions
+    .udf((b: java.lang.Boolean) => b).asNondeterministic()
+
   /** Total size of all regular files under `dir` (recursive); 0 when the
     * directory is absent or unreadable — the formula then floors to one
     * partition per core, the historic default. */

@@ -198,6 +198,62 @@ object HashKernels {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** MOSS winnowing fingerprints of a NORMALIZED document in one pass —
+    * the kernel form of [[graft.operators.TextSearch.winnowFingerprints]]
+    * (round 12): per k-gram hash = first 32 bits of md5(gram) as unsigned
+    * (bit-identical to `conv(substring(md5(substring(t,pos,k)),1,8),16,10)`,
+    * which the DuckDB oracle replays), a position is selected iff its
+    * hash equals the minimum of SOME complete w-window containing it, and
+    * the return value is the DISTINCT selected hash set. Replaces a
+    * per-position explode + per-doc window sort shuffle with map-only
+    * work (guide §2.4): same md5 count, zero exchanges.
+    *
+    * `t` must already be whitespace-collapsed + lowercased (done with
+    * Spark expressions by the caller so normalization semantics stay
+    * exactly the engine's). Returns empty when no complete window exists
+    * (callers filtered these rows out before; explode drops empties). */
+  def winnowHashes(t: String, k: Int, w: Int): Array[Long] = {
+    val np = t.length - (k - 1)
+    if (np < w) return Array.emptyLongArray
+    val md = md5Local.get()
+    val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val ascii = bytes.length == t.length
+    val h = new Array[Long](np) // h(i) = hash of gram starting at char i
+    var i = 0
+    while (i < np) {
+      md.reset()
+      val d =
+        if (ascii) { md.update(bytes, i, k); md.digest() }
+        else md.digest(t.substring(i, i + k)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      h(i) = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      i += 1
+    }
+    // a selected position's hash IS its window's min, and every window
+    // min is a selected position's hash — so the distinct selected-hash
+    // set is exactly the distinct window-minima set
+    val sel = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0 // window start (0-based); windows j..j+w-1, j in 0..np-w
+    while (j <= np - w) {
+      var m = h(j); var p = j + 1
+      while (p < j + w) { if (h(p) < m) m = h(p); p += 1 }
+      sel.add(m)
+      j += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
   /** Banded Levenshtein with early exit: true iff edit distance ≤ k.
     * O(k·n) — only the ±k diagonal band is evaluated, and the row-minimum
     * early-exits once the whole band exceeds k. */

@@ -50,11 +50,15 @@ object CorpusPipeline {
       .withColumn("_nw", TF.tokenCount(txt))
       .withColumn("_mwl", TF.meanWordLength(txt))
       .withColumn("_awr", TF.alphaWordRatio(txt))
-      .filter(
+      // nonPushableGate (round 12, guide §4.4): pushdown would inline
+      // all three staged stats back into a copy of this condition below
+      // the scan-side exchange, re-running the interpreted HOFs on one
+      // task; the gate pins the filter here, reading the staged columns
+      .filter(graft.Tuning.nonPushableGate(
         col("_nw") >= cfg.minWords && col("_nw") <= cfg.maxWords &&
         col("_mwl") >= cfg.minMeanWordLen &&
         col("_mwl") <= cfg.maxMeanWordLen &&
-        col("_awr") >= cfg.minAlphaWordRatio)
+        col("_awr") >= cfg.minAlphaWordRatio))
       .drop("_nw", "_mwl", "_awr")
     // 2. exact dedup, min id survives
     val deduped = Dedup.dropExactDuplicates(quality, idCol, textCol)

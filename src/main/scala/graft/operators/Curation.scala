@@ -704,11 +704,17 @@ object Curation {
       textCol: String, n: Int): DataFrame = {
     val gramsUdf = udf((text: String) =>
       graft.functions.HashKernels.wordShinglesHashed(text, n))
-    val benchGrams = benchmark
-      .select(explode(gramsUdf(col(textCol))).as("gram"))
+    // fan-out + explode_outer: the gram kernel runs ≥cores-way on a
+    // single-row-group scan, with no inferred size(udf(..))>0 filter for
+    // pushdown to duplicate below the exchange (round 12; empty gram
+    // arrays yield a null gram that the isNotNull drops — same rows)
+    val benchGrams = graft.Tuning.fanOutSmallScan(benchmark)
+      .select(explode_outer(gramsUdf(col(textCol))).as("gram"))
+      .filter(col("gram").isNotNull)
       .distinct()
-    val contaminatedIds = corpus
-      .select(col(idCol), explode(gramsUdf(col(textCol))).as("gram"))
+    val contaminatedIds = graft.Tuning.fanOutSmallScan(corpus)
+      .select(col(idCol), explode_outer(gramsUdf(col(textCol))).as("gram"))
+      .filter(col("gram").isNotNull)
       .join(benchGrams, Seq("gram"), "left_semi")
       .select(idCol).distinct()
       .withColumn("contaminated", lit(true))
@@ -744,9 +750,18 @@ object Curation {
         .orderBy(col(qualityCol).desc, col(idCol).asc)))
       .filter(col("_rn") === 1).drop("_rn", "component")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val contaminated = Dedup.wordShingleSet(kept, idCol, textCol, 8)
-      .join(Dedup.wordShingleSet(benchmark, idCol, textCol, 8)
-        .select("sh").distinct(), Seq("sh"), "left_semi")
+    // round 12 (guide §2.3 "shuffle keys, not payloads"): the 8-gram
+    // semi-join only needs gram EQUALITY, so both sides join on the
+    // 64-bit xxhash of the gram instead of the ~50-char gram string —
+    // same contaminated id set up to 64-bit collisions (the established
+    // wordShinglesHashed contract, q58), at a fraction of the bytes
+    val gramsOf = (df: DataFrame) =>
+      Dedup.wordShingleArrays(df, idCol, textCol, 8)
+        .select(col("id"),
+          explode_outer(transform(col("shs"), s => xxhash64(s))).as("g"))
+        .filter(col("g").isNotNull) // outer: no inferred-filter re-inline
+    val contaminated = gramsOf(kept)
+      .join(gramsOf(benchmark).select("g").distinct(), Seq("g"), "left_semi")
       .select(col("id").as(idCol)).distinct()
     kept.join(contaminated, Seq(idCol), "left_anti")
       .filter(col(qualityCol) >= minQuality)

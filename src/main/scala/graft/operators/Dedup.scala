@@ -136,7 +136,7 @@ object Dedup {
     // the signature table feeds four plan branches (representative table,
     // member expansion, equal-signature pairing); persist so the minhash
     // kernel runs once per row, not once per branch
-    val sig = docs
+    val sig = graft.Tuning.fanOutSmallScan(docs)
       .select(col(idCol).as("id"), mhb(col(textCol)).as("s"))
       .select(col("id"), col("s._1").as("sig"), col("s._2").as("bands"))
       .withColumn("rep",
@@ -204,7 +204,7 @@ object Dedup {
         graft.functions.HashKernels.charShingles(text, shingleLen), numHashes)
       (sig, graft.functions.HashKernels.bandHashes(sig, numBands))
     }
-    def sigTable(docs: DataFrame) = docs
+    def sigTable(docs: DataFrame) = graft.Tuning.fanOutSmallScan(docs)
       .select(col(idCol).as("id"), mhb(col(textCol)).as("s"))
       .select(col("id"), col("s._1").as("sig"), col("s._2").as("bands"))
       .withColumn("rep", min(col("id")).over(Window.partitionBy(col("sig"))))
@@ -348,7 +348,7 @@ object Dedup {
     // The shingle table feeds four consumers (df aggregation, prefix
     // explode, and both sides of the verify join); persist so the
     // shingling kernel runs once, not once per consumer.
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = graft.Tuning.fanOutSmallScan(docs).select(col(idCol).as("id"),
       shingleUdf(col(textCol)).as("shingles"))
       .withColumn("setSize", size(col("shingles")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -433,7 +433,7 @@ object Dedup {
       n: Int = 8, threshold: Double = 0.5): DataFrame = {
     val shingleUdf = udf((text: String) =>
       graft.functions.HashKernels.wordShinglesHashed(text, n))
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = graft.Tuning.fanOutSmallScan(docs).select(col(idCol).as("id"),
       shingleUdf(col(textCol)).as("shingles"))
       .withColumn("setSize", size(col("shingles")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -538,16 +538,40 @@ object Dedup {
     * fewer than `n` whitespace tokens produce no shingles (mirrored by the
     * oracle). Lowercased, whitespace-tokenized — the portable tokenization. */
   def wordShingleSet(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    // explode_OUTER: a plain explode makes InferFiltersFromGenerate add
+    // a deterministic `size(shs) > 0` filter that pushdown re-inlines —
+    // one extra full shingling pass per row (see wordShingleArrays's
+    // gate note). The arrays are never empty (short docs are gated out),
+    // so outer + isnotnull produces identical rows with no inferred
+    // filter to duplicate.
+    wordShingleArrays(docs, idCol, textCol, n)
+      .select(col("id"), explode_outer(col("shs")).as("sh"))
+      .filter(col("sh").isNotNull)
+
+  /** Per-document DISTINCT word `n`-gram shingle ARRAY: (id, shs) —
+    * map-only (round 12). Shingling is doc-local, so the distinct set
+    * never needs the global `(id, sh)` DISTINCT exchange the exploded
+    * form used to pay (guide §2.4): `array_distinct` inside the row IS
+    * that distinct. [[wordShingleSet]] is now explode-of-this (identical
+    * rows), and the signature/verify consumers read the array directly —
+    * turning the signature pipeline map-only (no groupBy(id) collect
+    * shuffle either). */
+  def wordShingleArrays(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
       t => length(t) > 0)
-    docs
+    graft.Tuning.fanOutSmallScan(docs)
       .select(col(idCol).as("id"), toks.as("_ts"))
-      .filter(size(col("_ts")) >= n)
-      .select(col("id"), explode(transform(
+      // nonPushableGate: without it, pushdown inlines `_ts`'s whole
+      // split+filter pipeline into a copy of this condition below the
+      // scan-side exchange (single task) — the staged `_ts` must be
+      // evaluated once, in parallel, above the exchange (guide §4.4)
+      .filter(graft.Tuning.nonPushableGate(size(col("_ts")) >= n))
+      .select(col("id"), array_distinct(transform(
         sequence(lit(0), size(col("_ts")) - n),
-        i => concat_ws(" ", slice(col("_ts"), i + lit(1), lit(n))))).as("sh"))
-      .distinct()
+        i => concat_ws(" ", slice(col("_ts"), i + lit(1), lit(n)))))
+        .as("shs"))
   }
 
   /** Exact Jaccard for given candidate pairs over a (id, sh) shingle set:
@@ -591,6 +615,101 @@ object Dedup {
         .minhash_md5(col("_arr"), lit(numHashes))).as(Seq("h", "mv")))
   }
 
+  /** Signature ARRAYS from per-doc shingle arrays: (id, mvs) with
+    * `mvs(h)` = the h-th md5-MinHash minimum — MAP-ONLY (round 12): the
+    * shingle set never leaves its row, so the groupBy(id) collect the
+    * exploded form needs is gone. Values are bit-identical to
+    * [[signaturesPortable]] (same [[graft.plans.MinhashMd5]] kernel; min
+    * is duplicate- and order-insensitive). */
+  private[graft] def signatureArrays(shArr: DataFrame,
+      numHashes: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(shArr.sparkSession)
+    shArr.select(col("id"), graft.plans.GraftFunctions
+      .minhash_md5(col("shs"), lit(numHashes)).as("mvs"))
+  }
+
+  /** Per-band LSH bucket keys from a signature array, as an array indexed
+    * by band: band b's key is its `rowsPerBand` consecutive minima joined
+    * with '_' in hash order — exactly [[candidatesFromSignatures]]'s
+    * `concat_ws("_", …array_sort(collect_list(struct(h, mv)))…)` (the
+    * array is already in h order), computed without the (id, band)
+    * groupBy exchange. */
+  private def bandKeyCol(mvs: Column, rowsPerBand: Int,
+      numBands: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)), b =>
+      concat_ws("_", transform(
+        slice(mvs, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
+        v => v.cast("string"))))
+
+  /** Band-bucket candidate pairs from signature ARRAYS — the map-only
+    * banding: explode (band, bkey) per doc straight out of the array,
+    * equi-join on the bucket, distinct. Two exchanges total (join +
+    * distinct) vs the exploded form's three. */
+  private[graft] def candidatesFromArrays(sigArr: DataFrame,
+      rowsPerBand: Int, numHashes: Int): DataFrame = {
+    // posexplode_OUTER: a plain posexplode would get an inferred
+    // size(...)>0 filter that pushdown re-inlines — one extra run of the
+    // md5 MinHash kernel per row. Band arrays are never empty, so outer
+    // + isnotnull is row-identical without the duplicated kernel.
+    val bands = sigArr.select(col("id"),
+      posexplode_outer(bandKeyCol(col("mvs"), rowsPerBand,
+        numHashes / rowsPerBand)).as(Seq("band", "bkey")))
+      .filter(col("bkey").isNotNull)
+    bands.select(col("band"), col("bkey"), col("id").as("id_a"))
+      .join(bands.select(col("band"), col("bkey"), col("id").as("id_b")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** [[exactJaccardOfPairs]] over shingle ARRAYS: the per-doc hashed set
+    * comes from a map-only `transform(shs, xxhash64)` instead of a
+    * groupBy(id) collect — duplicate-free and order-irrelevant for the
+    * set kernel, so values are identical. */
+  private[graft] def exactJaccardOfPairsArr(pairs: DataFrame,
+      shArr: DataFrame): DataFrame = {
+    val hs = shArr.select(col("id"),
+      transform(col("shs"), s => xxhash64(s)).as("hs"))
+    val jac = udf((a: Seq[Long], b: Seq[Long]) =>
+      graft.functions.HashKernels.jaccardLong(a, b))
+    pairs
+      .join(hs.select(col("id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jac(col("ha"), col("hb")).as("jaccard"))
+  }
+
+  /** [[exactWordJaccardPairs]] over shingle ARRAYS: set sizes are
+    * map-only `size(shs)` (no groupBy-count), the df table still
+    * aggregates the exploded grams (a global statistic — that shuffle is
+    * fundamental), and the verify kernel reads the arrays directly. Same
+    * lossless PPJoin prefix + size-ratio pruning, identical pairs. */
+  private[graft] def exactWordJaccardPairsArr(shArr: DataFrame,
+      threshold: Double): DataFrame = {
+    val exploded = shArr.select(col("id"), size(col("shs")).as("setSize"),
+        explode_outer(col("shs")).as("sh")) // outer: see wordShingleSet
+      .filter(col("sh").isNotNull)
+    val dfT = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("sh"))
+    val prefixes = exploded.join(dfT, "sh")
+      .withColumn("_rn", row_number().over(rankW))
+      .filter(col("_rn") <= col("setSize") -
+        ceil(lit(threshold) * col("setSize")).cast("int") + 1)
+      .filter(col("df") >= 2)
+      .select(col("id"), col("setSize"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = prefixes
+      .select(col("sh"), col("id").as("id_a"), col("setSize").as("sa"))
+      .join(prefixes.select(col("sh"), col("id").as("id_b"),
+        col("setSize").as("sb")), Seq("sh"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sb") >= lit(threshold) * col("sa") &&
+        col("sa") >= lit(threshold) * col("sb"))
+      .select("id_a", "id_b").distinct()
+    exactJaccardOfPairsArr(cand, shArr).filter(col("jaccard") >= threshold)
+  }
+
   /** Band-bucket candidate pairs from a signature table, for one
     * rows-per-band setting. */
   def candidatesFromSignatures(sig: DataFrame, rowsPerBand: Int): DataFrame = {
@@ -617,10 +736,15 @@ object Dedup {
   def minhashLshPortable(docs: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sh = wordShingleSet(docs, idCol, textCol, shingleWords)
+    // round 12: array form — signatures and verify sets are map-only off
+    // ONE persisted per-doc shingle-array table; the only exchanges left
+    // are the band-bucket join + distinct and the verify pair joins
+    // (was: shingle distinct + groupBy-collect + (id,band) groupBy more)
+    val shArr = wordShingleArrays(docs, idCol, textCol, shingleWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = minhashCandidatesPortable(sh, numHashes, rowsPerBand)
-    exactJaccardOfPairs(cand, sh).filter(col("jaccard") >= threshold)
+    val cand = candidatesFromArrays(
+      signatureArrays(shArr, numHashes), rowsPerBand, numHashes)
+    exactJaccardOfPairsArr(cand, shArr).filter(col("jaccard") >= threshold)
   }
 
   /** Ground-truth near-duplicate pairs by EXACT Jaccard ≥ threshold over
@@ -686,24 +810,34 @@ object Dedup {
       idCol: String, textCol: String, shingleWords: Int = 3,
       numHashes: Int = 12, rowsPerBand: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val shC = wordShingleSet(corpus, idCol, textCol, shingleWords)
+    // round 12: array form — both sides' signatures and band keys are
+    // map-only off the persisted per-doc shingle arrays; the bucket join
+    // + distinct and the verify joins are the only exchanges left
+    val shC = wordShingleArrays(corpus, idCol, textCol, shingleWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shP = wordShingleSet(probe, idCol, textCol, shingleWords)
+    val shP = wordShingleArrays(probe, idCol, textCol, shingleWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def bandsOf(sh: DataFrame) = {
-      val sig = signaturesPortable(sh, numHashes)
-      sig.withColumn("band", floor(col("h") / rowsPerBand).cast("int"))
-        .groupBy("id", "band")
-        .agg(concat_ws("_", transform(
-          array_sort(collect_list(struct(col("h"), col("mv")))),
-          s => s.getField("mv").cast("string"))).as("bkey"))
-    }
+    def bandsOf(shArr: DataFrame) =
+      signatureArrays(shArr, numHashes).select(col("id"),
+        posexplode_outer(bandKeyCol(col("mvs"), rowsPerBand,
+          numHashes / rowsPerBand)).as(Seq("band", "bkey")))
+        .filter(col("bkey").isNotNull) // outer: see candidatesFromArrays
     val cand = bandsOf(shC).select(col("band"), col("bkey"),
         col("id").as("id_a"))
       .join(bandsOf(shP).select(col("band"), col("bkey"),
         col("id").as("id_b")), Seq("band", "bkey"))
       .select("id_a", "id_b").distinct()
-    exactJaccardOfPairsTwoSided(cand, shC, shP)
+    def hsOf(shArr: DataFrame) = shArr.select(col("id"),
+      transform(col("shs"), s => xxhash64(s)).as("hs"))
+    val jac = udf((a: Seq[Long], b: Seq[Long]) =>
+      graft.functions.HashKernels.jaccardLong(a, b))
+    cand
+      .join(hsOf(shC).select(col("id").as("id_a"), col("hs").as("ha")),
+        Seq("id_a"))
+      .join(hsOf(shP).select(col("id").as("id_b"), col("hs").as("hb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jac(col("ha"), col("hb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -829,28 +963,60 @@ object Dedup {
     val evalDocs =
       if (nDocs <= maxExactDocs) docs
       else sweepSample(docs, idCol, maxExactDocs, nDocs)
-    val sh = wordShingleSet(evalDocs, idCol, textCol, shingleWords)
+    // round 12: ONE persisted per-doc shingle-array table feeds map-only
+    // signatures, map-only per-band bucket keys for ALL settings at once
+    // (one bucket join + one distinct over the union of bands, instead of
+    // 2–3 exchanges × |settings|), one persisted truth table, and ONE
+    // left join + grouped aggregate replacing |settings| full_outer
+    // joins. Counts are the same exact integers: n_cand = |cand_r|,
+    // tp = |cand_r ∩ truth|, fn = |truth| − tp.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shArr = wordShingleArrays(evalDocs, idCol, textCol, shingleWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = signaturesPortable(sh, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truth = exactWordJaccardPairs(sh, threshold).select("id_a", "id_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rowsPerBandOptions.map { r =>
-      val joined = truth.withColumn("t", lit(1))
-        .join(candidatesFromSignatures(sig, r).withColumn("c", lit(1)),
-          Seq("id_a", "id_b"), "full_outer")
-      joined.agg(
-          sum(coalesce(col("t"), lit(0))).as("n_truth"),
-          sum(coalesce(col("c"), lit(0))).as("n_cand"),
-          sum(coalesce(col("t"), lit(0)) * coalesce(col("c"), lit(0)))
-            .as("tp"))
-        .select(lit(r).cast("long").as("rows_per_band"),
-          lit(numHashes / r).cast("long").as("n_bands"),
-          col("n_cand"), col("tp"),
-          (col("n_truth") - col("tp")).as("fn"),
-          round(col("tp").cast("double") / col("n_cand"), 6).as("precision"),
-          round(col("tp").cast("double") / col("n_truth"), 6).as("recall"))
+    val sig = signatureArrays(shArr, numHashes)
+    val bands = rowsPerBandOptions.map { r =>
+      sig.select(lit(r).as("r"), col("id"),
+        posexplode_outer(bandKeyCol(col("mvs"), r, numHashes / r))
+          .as(Seq("band", "bkey"))) // outer: see candidatesFromArrays
+        .filter(col("bkey").isNotNull)
     }.reduce(_.unionByName(_))
+    val cand = bands
+      .select(col("r"), col("band"), col("bkey"), col("id").as("id_a"))
+      .join(bands.select(col("r"), col("band"), col("bkey"),
+        col("id").as("id_b")), Seq("r", "band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("r", "id_a", "id_b").distinct()
+    val truth = exactWordJaccardPairsArr(shArr, threshold)
+      .select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perR = cand.join(truth.withColumn("t", lit(1)),
+        Seq("id_a", "id_b"), "left")
+      .groupBy("r")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce(col("t"), lit(0))).as("tp"))
+    val rTable = rowsPerBandOptions.map(r => (r, numHashes / r))
+      .toDF("r", "nb")
+    // degenerate-input parity with the historic full_outer-sum form: a
+    // setting with no candidates AND no truth reports nulls (sums over
+    // an empty join), and no division ever executes against a 0 count
+    // (ANSI sessions raise DIVIDE_BY_ZERO where legacy returned NaN —
+    // EmptyInputSpec pins the null behaviour)
+    val nCand = when(col("n_cand").isNotNull || col("n_truth") > 0,
+      coalesce(col("n_cand"), lit(0L)))
+    val tp = when(nCand.isNotNull, coalesce(col("tp"), lit(0L)))
+    val nTruth = when(col("n_truth") > 0 || col("n_cand").isNotNull,
+      col("n_truth"))
+    rTable.join(perR, Seq("r"), "left")
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .select(col("r").cast("long").as("rows_per_band"),
+        col("nb").cast("long").as("n_bands"),
+        nCand.as("n_cand"), tp.as("tp"),
+        (nTruth - tp).as("fn"),
+        when(nCand > 0, round(tp.cast("double") / nCand, 6))
+          .as("precision"),
+        when(nTruth > 0, round(tp.cast("double") / nTruth, 6))
+          .as("recall"))
   }
 
   /** Deterministic stratified doc sample for [[lshBandingSweep]]'s
@@ -877,10 +1043,14 @@ object Dedup {
   def lshEvalConfusion(docs: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sh = wordShingleSet(docs, idCol, textCol, shingleWords)
+    // round 12: array form (see minhashLshPortable) — map-only signatures
+    // and set sizes off one persisted shingle-array table
+    val shArr = wordShingleArrays(docs, idCol, textCol, shingleWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truth = exactWordJaccardPairs(sh, threshold).select("id_a", "id_b")
-    val cand = minhashCandidatesPortable(sh, numHashes, rowsPerBand)
+    val truth = exactWordJaccardPairsArr(shArr, threshold)
+      .select("id_a", "id_b")
+    val cand = candidatesFromArrays(
+      signatureArrays(shArr, numHashes), rowsPerBand, numHashes)
     val joined = truth.withColumn("t", lit(1))
       .join(cand.withColumn("c", lit(1)), Seq("id_a", "id_b"), "full_outer")
     joined.agg(

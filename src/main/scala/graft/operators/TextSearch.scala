@@ -131,33 +131,22 @@ object TextSearch {
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 2 && w >= 2, "gram size and window must be >= 2")
-    val grams = docs
+    // Round 12 (guide §2.4): the per-position explode + per-doc window
+    // sort used to shuffle ~len rows per doc just to compute a per-doc
+    // sliding minimum — winnowing is doc-local, so the whole selection
+    // now runs in one map-only kernel pass ([[HashKernels.winnowHashes]],
+    // bit-identical hashes: first 32 md5 bits per gram, same values the
+    // DuckDB oracle replays). Normalization stays in engine expressions;
+    // the kernel's per-doc distinct set IS the global distinct (doc, h)
+    // set, so the trailing distinct() exchange is gone too. Zero
+    // shuffles at any scale.
+    val fpUdf = udf((t: String) =>
+      graft.functions.HashKernels.winnowHashes(t, k, w))
+    graft.Tuning.fanOutSmallScan(docs)
       .select(col(idCol).as("doc"),
         regexp_replace(lower(col(textCol)), "\\s+", " ").as("t"))
-      .select(col("doc"), col("t"),
-        (length(col("t")) - (k - 1)).as("np"))
-      .filter(col("np") >= w) // shorter docs have no complete window
-      .select(col("doc"), col("np"),
-        explode(sequence(lit(1), col("np"))).as("pos"),
-        col("t"))
-      .select(col("doc"), col("np"), col("pos"),
-        conv(substring(md5(substring(col("t"), col("pos"), lit(k))), 1, 8),
-          16, 10).cast("long").as("h"))
-    val byPos = Window.partitionBy("doc").orderBy("pos")
-    // Window expressions can't sit in a filter: project the w shifted
-    // minima first (one exchange+sort; same window spec, different
-    // frames), then test selection as plain column algebra.
-    val withMins = grams.select(col("doc") +: col("np") +: col("pos") +:
-      col("h") +: (0 until w).map { a =>
-        min("h").over(byPos.rowsBetween(-a, w - 1 - a)).as(s"m$a")
-      }: _*)
-    val selected = (0 until w).map { a =>
-      (col("pos") - a >= 1) && (col("pos") - a <= col("np") - (w - 1)) &&
-        col(s"m$a") === col("h")
-    }.reduce(_ || _)
-    withMins.filter(selected).select("doc", "h").distinct()
+      .select(col("doc"), explode(fpUdf(col("t"))).as("h"))
   }
 
   /** Cross-document winnowing matches: pairs of documents sharing at

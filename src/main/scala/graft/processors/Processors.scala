@@ -435,7 +435,15 @@ object Processors {
   def enrich(df: DataFrame, namesDim: Option[DataFrame] = None): DataFrame =
     enrichAll(df, Dimensions(names = namesDim))
 
-  def enrichAll(df0: DataFrame, dims: Dimensions): DataFrame = {
+  def enrichAll(df0raw: DataFrame, dims: Dimensions): DataFrame = {
+    // round 12 (guide §2.5): the 12-stage pipeline is deliberately
+    // shuffle-free, which also means a single-row-group input runs EVERY
+    // per-row stage (date bank, vocab, coordinate parsing) on one task;
+    // floor the parallelism once at the head — a no-op whenever the
+    // input is already ≥cores-way (any real scale), and for streams
+    // (callers size stream exchanges explicitly)
+    val df0 = if (df0raw.isStreaming) df0raw
+      else graft.Tuning.fanOutSmallScan(df0raw)
     val df = dims.defaults.map(d =>
       DimensionStages.applyDefaultValues(df0, d)).getOrElse(df0)
     val afterAttr = dims.attribution.map(d =>
