@@ -111,6 +111,54 @@ object Bench {
     catch { case _: Throwable => Map.empty }
   }
 
+  /** The committed record's core count, if it carries one. Round-12
+    * post-mortem: the vs-committed uniform-contention test compared an
+    * 8-core session against a 32-core record and mass-flagged 32 rows;
+    * each flag buys fresh-JVM re-runs, and the retry wall is what blew
+    * the driver's 32-core budget (BENCH_r12 rc=124). Records older than
+    * round 13 carry no `cpus` field → None → the vs-committed test is
+    * skipped entirely (conservative: the other two detectors still run). */
+  private lazy val committedCpus: Option[Int] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_FULL.json")
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(path)))
+      val c = root.path("cpus")
+      if (c.isNumber) Some(c.asInt()) else None
+    } catch { case _: Throwable => None }
+  }
+
+  /** The canary query: cheap, scan+agg-shaped, first in the sweep. Its
+    * med ratio vs the committed record estimates uniform machine slowness
+    * (the r12 sandbox ran it 0.69–1.0 s vs the committed 0.26 s — 2.7–4×
+    * slower across the board, not contention). */
+  private val CanaryQuery = "q1_agg"
+
+  /** Whether the vs-committed uniform-contention test may fire this run:
+    * only when the committed record was taken at the SAME core count and
+    * the canary's fresh med is within 2× of its committed med (i.e. the
+    * machine is comparably fast). Otherwise every ratio in the record is
+    * expected to be off and flagging on it only burns retry wall. */
+  private def vsCommittedEnabled(initial: Seq[QResult]): Boolean =
+    vsCommittedAllowed(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt,
+      committedCpus,
+      committedMeds.get(CanaryQuery),
+      initial.find(_.name == CanaryQuery).filter(_.err.isEmpty).map(_.med))
+
+  /** Pure decision for the gate above — spec-pinned in
+    * BenchBaselineSpec. */
+  private[graft] def vsCommittedAllowed(sessionCpus: Int,
+      recordCpus: Option[Int], canaryBase: Option[Double],
+      canaryNow: Option[Double]): Boolean = {
+    if (!recordCpus.contains(sessionCpus)) return false
+    (canaryBase, canaryNow) match {
+      case (Some(base), Some(now)) if base > 0.05 => now <= 2.0 * base
+      case _ => false // no canary on either side → can't calibrate → skip
+    }
+  }
+
   /** Parse the committed record's per-query meds out of a BENCH_FULL.json
     * text — a REAL JSON parse (Jackson, already on the classpath via
     * Spark), not the round-11 regex: any drift in the detail format now
@@ -299,6 +347,7 @@ object Bench {
     * query in its batch as failed — loudly, never silently. Rows whose
     * first attempt looks machine-contended are re-run by [[selfHeal]]. */
   private def runFreshJvmSweep(): Seq[QResult] = {
+    val sweep0 = System.nanoTime()
     // SPARK_GRAFT_SWEEP_ONLY restricts the sweep but keeps the fresh-JVM
     // + self-heal machinery (unlike SPARK_GRAFT_ONLY, which switches to
     // in-process) — for harness smoke tests and targeted re-measurement
@@ -311,11 +360,16 @@ object Bench {
       .max(1)
     val logDir = java.nio.file.Paths.get("target", "bench-logs")
     java.nio.file.Files.createDirectories(logDir)
-    // scale-rehearsal guard: a hidden superlinearity at 10× must cost
-    // minutes, not hours — a timed-out batch is killed and its
-    // unreported queries surface as loud failures (default: no limit)
+    // scale-rehearsal guard: a hidden superlinearity must cost minutes,
+    // not hours — a timed-out batch is killed and its unreported queries
+    // surface as loud failures. Round-13: DEFAULTS to 300 s per batch
+    // (the r11 clean sweep averaged ~70 s/batch; 300 s is 4× headroom on
+    // a 3×-slower sandbox) so the sweep always has an internal deadline
+    // and can never die silently by external `timeout` with nothing on
+    // stdout (BENCH_r12 rc=124). 0 or negative disables the limit.
     val timeoutSec =
       sys.env.get("SPARK_GRAFT_BATCH_TIMEOUT_SEC").map(_.toLong)
+        .orElse(Some(300L)).filter(_ > 0)
     val initial = names.grouped(batchSize).toSeq.zipWithIndex.flatMap {
       case (batch, bi) =>
         val reported = forkBatch(batch, s"batch$bi", logDir, timeoutSec)
@@ -348,7 +402,8 @@ object Bench {
         if (entries.nonEmpty)
           probeScalesJson = Some(entries.mkString("{", ",", "}"))
       }
-    selfHeal(initial, logDir, timeoutSec)
+    selfHeal(initial, logDir, timeoutSec,
+      (System.nanoTime() - sweep0) / 1e9)
   }
 
   /** JSON from the serving-probe child (full sweeps only). */
@@ -469,15 +524,22 @@ object Bench {
     * the last committed clean record ([[committedMeds]]) is suspect
     * regardless of med/min shape, with a 0.5 s absolute floor so
     * sub-second rows can't trip on jitter, and a 0.2 s baseline floor so
-    * noise-dominated tiny baselines don't amplify. */
-  private def looksContended(r: QResult): Boolean = {
+    * noise-dominated tiny baselines don't amplify.
+    *
+    * Round-13: the vs-committed test is additionally gated by
+    * `useCommitted` ([[vsCommittedEnabled]]) — it only fires when the
+    * committed record was taken at this session's core count AND the
+    * canary shows the machine comparably fast; a uniformly slower/
+    * smaller session would otherwise mass-flag honest rows and burn the
+    * sweep's wall on retries (the r12 32-core rc=124 failure mode). */
+  private def looksContended(r: QResult, useCommitted: Boolean): Boolean = {
     // harness test hook (like SPARK_GRAFT_INJECT_FAIL): treat every
     // FIRST-round success as contended so the retry path is exercisable
     // without waiting for real co-tenant load
     if (sys.env.contains("SPARK_GRAFT_FORCE_CONTENDED"))
       return r.err.isEmpty && r.attempts.isEmpty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toDouble
-    val vsCommitted = committedMeds.get(r.name).exists(b =>
+    val vsCommitted = useCommitted && committedMeds.get(r.name).exists(b =>
       b >= 0.2 && r.med > 2.5 * b && r.med - b > 0.5)
     r.err.isEmpty && (
       (r.med > 2 * r.min && r.med - r.min > 0.3) ||
@@ -496,24 +558,38 @@ object Bench {
     * never retries errors (a flaky error should look flaky). */
   private def selfHeal(initial: Seq[QResult],
       logDir: java.nio.file.Path,
-      timeoutSec: Option[Long]): Seq[QResult] = {
+      timeoutSec: Option[Long],
+      sweepWallSec: Double): Seq[QResult] = {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_RETRY_ROUNDS", "2").toInt
+    // round-13: retries are bounded in WALL, not only in rounds — at most
+    // 25% of the sweep's own elapsed wall may be spent re-running
+    // suspects (r12's unbounded retries are what blew the driver budget).
+    val retryWallCap = sys.env.get("SPARK_GRAFT_RETRY_WALL_SEC")
+      .map(_.toDouble).getOrElse(0.25 * sweepWallSec)
+    val retry0 = System.nanoTime()
+    def retryWall(): Double = (System.nanoTime() - retry0) / 1e9
+    val useCommitted = vsCommittedEnabled(initial)
     var attempts: Map[String, Seq[QResult]] =
       initial.map(r => r.name -> Seq(r)).toMap
-    var suspects = initial.filter(looksContended).map(_.name)
+    var suspects =
+      initial.filter(looksContended(_, useCommitted)).map(_.name)
     var round = 0
-    while (round < rounds && suspects.nonEmpty) {
+    while (round < rounds && suspects.nonEmpty &&
+        retryWall() < retryWallCap) {
       round += 1
       // small retry batches: re-running all suspects in one child would
       // recreate the in-JVM neighbour pressure the retry is escaping
-      suspects.grouped(4).zipWithIndex.foreach { case (grp, gi) =>
-        forkBatch(grp, s"retry$round-$gi", logDir, timeoutSec).foreach {
-          case (n, r) if r.err.isEmpty =>
-            attempts = attempts.updated(n, attempts(n) :+ r)
-          case _ => ()
+      suspects.grouped(4).zipWithIndex
+        .takeWhile(_ => retryWall() < retryWallCap)
+        .foreach { case (grp, gi) =>
+          forkBatch(grp, s"retry$round-$gi", logDir, timeoutSec).foreach {
+            case (n, r) if r.err.isEmpty =>
+              attempts = attempts.updated(n, attempts(n) :+ r)
+            case _ => ()
+          }
         }
-      }
-      suspects = suspects.filter(n => attempts(n).forall(looksContended))
+      suspects = suspects.filter(n =>
+        attempts(n).forall(looksContended(_, useCommitted)))
     }
     initial.map { first =>
       val as = attempts(first.name)
@@ -550,9 +626,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val head = s""""metric":"total","value":${f3(total)},"unit":"sec""""
     val nContended = results.count(_.contended)
+    // `cpus` + `canary_med` make the NEXT run's vs-committed contention
+    // test self-calibrating: it only fires against a record taken at the
+    // same core count on a comparably fast machine (round-13, VERDICT r12
+    // item 1 — the r12 32-core sweep died retrying rows against a record
+    // from a 3× faster machine).
+    val cpusNow = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val canaryMed = results.find(_.name == CanaryQuery)
+      .filter(_.err.isEmpty).map(r => f3(r.med)).getOrElse("null")
     val tail = s""""nq":${results.size},"errors":$nerr,"fresh_jvm":$freshJvm,""" +
       s""""contended":$nContended,"load1":${f3(load1())},""" +
       s""""baseline_rows":${committedMeds.size},""" +
+      s""""cpus":$cpusNow,"canary_med":$canaryMed,""" +
       s""""subset_r06_total":${f3(subsetTotal)},"wall":${f3(wall)},"sf":"$sfDir""""
     // Full per-query detail goes to a file: the driver's log capture keeps
     // only the last ~2000 chars of stdout, and 250+ queries don't fit.

@@ -27,6 +27,11 @@ object SparkEntry {
     * partition-count independent. */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    // round 13 note (guide §1 measure-first): raising `n` to the core
+    // count was MEASURED AND REVERTED — per-partition state-store
+    // maintenance (delta files + snapshots per micro-batch) dominates at
+    // local scale: q189 at 32 state partitions ran 36 s vs 8.6 s at 4,
+    // q130 at 32 ran 7.8 s vs 6.7 s at 8. The constants are deliberate.
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
@@ -1635,8 +1640,13 @@ object SparkEntry {
     //    k-means is not SQL-expressible → rows-only check ──
     "q52_semantic_dedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // persisted (round 13, guide §5): the audit below reads dd FIVE
+      // times (two edge-closure joins, free-drop check, rep check,
+      // n_docs) and each read would otherwise re-run the whole
+      // semanticDedup pipeline (centroids + cell pair join + components)
       val dd = Dedup.semanticDedup(emb, "vec_id", "embedding",
-        numCells = 4, threshold = 0.4)
+          numCells = 4, threshold = 0.4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // oracle audit (round 10): keep-counts are centroid-dependent; the
       // SemDeDup CONTRACT is not. Cell-local exactness re-derived
       // in-query: (a) the ≥-threshold within-cell pair graph — rebuilt
@@ -1649,6 +1659,9 @@ object SparkEntry {
         "vec_id")
       val celled = Similarity.cellAssignment(emb, "embedding", cents)
         .select(col("cell"), col("vec_id"), col("embedding"))
+      // persisted: read three times (edge-closure join + both sides of
+      // the touched union) — the within-cell pair join is the expensive
+      // subtree here
       val edges = celled.select(col("cell"), col("vec_id").as("id_a"),
           col("embedding").as("v_a"))
         .join(celled.select(col("cell"), col("vec_id").as("id_b"),
@@ -1657,6 +1670,7 @@ object SparkEntry {
         .filter(graft.plans.GraftFunctions.cosine_sim(
           col("v_a"), col("v_b")) >= 0.4)
         .select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val edgeClosed = edges
         .join(dd.select(col("id").as("id_a"),
           col("representative").as("_ra")), Seq("id_a"))

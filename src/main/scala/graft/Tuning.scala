@@ -73,8 +73,54 @@ object Tuning {
     if (sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT", "1") == "0") return df
     if (df.isStreaming) return df // callers size stream exchanges explicitly
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    val parts = try df.rdd.getNumPartitions catch { case _: Throwable => cores }
+    // Split count from the LEAF scan relations, not df.rdd (ADVICE r12:
+    // .rdd physically plans the whole subtree per call — driver cost
+    // grows with plan size, and under AQE would eagerly execute any
+    // exchange in it; fanOutSmallScan must stay safe on non-scan-rooted
+    // inputs). A HadoopFsRelation's planned split count is
+    // ceil(Σ min(fileSize, maxSplit) / maxPartitionBytes)-ish; the exact
+    // packing doesn't matter — only "fewer splits than cores", so the
+    // cheap bound Σ ceil(bytes/maxPartitionBytes) per file suffices.
+    // Unplannable/unknown leaves fall back to `cores` (no fan-out).
+    val parts = try plannedScanSplits(df, cores)
+      catch { case scala.util.control.NonFatal(_) => cores }
     if (parts < cores) df.repartition(cores) else df
+  }
+
+  /** Upper-bound estimate of the scan parallelism Spark will plan for
+    * `df`, without physically planning the subtree. Only defined for
+    * NARROW plans (project/filter/generate over one file scan) — exactly
+    * the shape every fanOutSmallScan call site feeds it; anything wider
+    * (a join/aggregate/window below) already owns a shuffle whose
+    * partitioning is ≥ cores at every config, so it reports `fallback`
+    * (= no fan-out), matching what the old `.rdd` probe concluded. */
+  private def plannedScanSplits(df: org.apache.spark.sql.DataFrame,
+      fallback: Int): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val maxSplit =
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes.max(1L)
+    def narrowScan(plan: LogicalPlan): Option[HadoopFsRelation] =
+      plan match {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) => Some(fs)
+        case p: Project => narrowScan(p.child)
+        case f: Filter => narrowScan(f.child)
+        case g: Generate => narrowScan(g.child)
+        case a: SubqueryAlias => narrowScan(a.child)
+        case _ => None
+      }
+    // analyzed, not logical: Spark 4's lazy DataFrameReader leaves an
+    // UnresolvedDataSource at the logical level (spec-pinned in
+    // Round13OptSpec) — analysis resolves the file relation without any
+    // physical planning
+    narrowScan(df.queryExecution.analyzed) match {
+      case Some(fs) if fs.location.inputFiles.nonEmpty =>
+        val bytes = fs.location.sizeInBytes
+        math.min(Int.MaxValue.toLong,
+          math.max(fs.location.inputFiles.length.toLong,
+            (bytes + maxSplit - 1) / maxSplit)).toInt
+      case _ => fallback
+    }
   }
 
   /** Identity gate that predicate pushdown cannot move (guide §4.4

@@ -125,9 +125,14 @@ object HashKernels {
   }
 
   /** Distinct hashed character shingles: set semantics identical to
-    * `charShingles` up to 64-bit hash collisions (~2⁻⁶⁴ per pair — below
-    * any dedup decision threshold), at ~¼ the bytes and much cheaper set
-    * ops / shuffles. */
+    * `charShingles` up to 64-bit hash collisions — ~2⁻⁶⁴ per pair, and in
+    * AGGREGATE at corpus scale ≈ n²/2⁶⁵ expected colliding pairs over n
+    * distinct grams: negligible through ~10⁹ grams, and at the 100 TB
+    * target (10¹⁰–10¹¹ distinct grams) a few hundred collisions, each at
+    * worst perturbing one set-membership test (one doc flagged/joined
+    * extra) — within every declared dedup/decontamination threshold
+    * (the q58 hashed-gram contract). At ~¼ the bytes and much cheaper
+    * set ops / shuffles than string shingles. */
   def charShinglesHashed(text: String, n: Int): Array[Long] = {
     val norm = normalize(text)
     if (norm.length < n) return Array(hash64(norm))
@@ -219,18 +224,24 @@ object HashKernels {
     * exactly the engine's). Returns empty when no complete window exists
     * (callers filtered these rows out before; explode drops empties). */
   def winnowHashes(t: String, k: Int, w: Int): Array[Long] = {
-    val np = t.length - (k - 1)
-    if (np < w) return Array.emptyLongArray
-    val md = md5Local.get()
     val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val ascii = bytes.length == t.length
-    val h = new Array[Long](np) // h(i) = hash of gram starting at char i
+    // Gram positions count CODE POINTS, like the Spark expression form
+    // this kernel replaced (length()/substring() over UTF8String) and the
+    // DuckDB oracle — NOT UTF-16 code units (round 13, ADVICE r12: the
+    // two diverge on supplementary-plane characters; for ASCII/BMP text
+    // they are identical). ASCII keeps the raw-byte fast path.
+    val cps: Array[Int] = if (ascii) null else t.codePoints().toArray
+    val np = (if (ascii) t.length else cps.length) - (k - 1)
+    if (np < w) return Array.emptyLongArray
+    val md = md5Local.get()
+    val h = new Array[Long](np) // h(i) = hash of gram starting at cp i
     var i = 0
     while (i < np) {
       md.reset()
       val d =
         if (ascii) { md.update(bytes, i, k); md.digest() }
-        else md.digest(t.substring(i, i + k)
+        else md.digest(new String(cps, i, k)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       h(i) = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
         ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)

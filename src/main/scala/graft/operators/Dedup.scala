@@ -371,6 +371,12 @@ object Dedup {
     // persisted: both sides of the candidate self-join read the SAME
     // prefix table — without it the whole explode→df-join→rank pipeline
     // (the two heaviest shuffles here) executes twice, once per side
+    // round 13 (guide §2.4 share-one-exchange): the prefix table is
+    // persisted PARTITIONED BY THE SELF-JOIN KEY — both candidate sides
+    // then read co-partitioned cache and the bucket join needs no
+    // exchange at all; and the cache can never capture a 1-partition
+    // (AQE-coalesced) layout that would serialize the candidate scan
+    // (measured on q143/q135: two ~0.9 s single-task cache-read stages).
     val prefixes = exploded.join(dfTable, "shingle")
       .withColumn("_rn", row_number().over(rankW))
       .filter(col("_rn") <= col("setSize") -
@@ -378,6 +384,7 @@ object Dedup {
       .filter(col("df") >= 2)
       .select(col("id"), col("setSize"), col("shingle"),
         col("_rn").as("pos"))
+      .repartition(col("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = prefixes.select(col("shingle"), col("id").as("id_a"),
@@ -537,6 +544,12 @@ object Dedup {
   /** Distinct word `n`-gram shingles per document: (id, sh). Documents with
     * fewer than `n` whitespace tokens produce no shingles (mirrored by the
     * oracle). Lowercased, whitespace-tokenized — the portable tokenization. */
+  /** PRECONDITION (ADVICE r12): `idCol` must be unique in `docs`. The
+    * pre-r12 exploded form carried a global `(id, sh)` DISTINCT that
+    * collapsed duplicate-id inputs; the array form's per-row
+    * `array_distinct` does not, so a duplicate id would emit its shingle
+    * set once per row. Every declared caller passes a primary-key id
+    * (doc_id / o_orderkey projections). */
   def wordShingleSet(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     // explode_OUTER: a plain explode makes InferFiltersFromGenerate add
@@ -647,6 +660,12 @@ object Dedup {
     * distinct) vs the exploded form's three. */
   private[graft] def candidatesFromArrays(sigArr: DataFrame,
       rowsPerBand: Int, numHashes: Int): DataFrame = {
+    // integer banding drops trailing hashes when rowsPerBand ∤ numHashes;
+    // the exploded form it replaced emitted a partial band instead —
+    // refuse the silent recall loss (ADVICE r12; every declared caller
+    // divides evenly, so this is a no-op at runtime)
+    require(numHashes % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide numHashes=$numHashes")
     // posexplode_OUTER: a plain posexplode would get an inferred
     // size(...)>0 filter that pushdown re-inlines — one extra run of the
     // md5 MinHash kernel per row. Band arrays are never empty, so outer
@@ -810,6 +829,8 @@ object Dedup {
       idCol: String, textCol: String, shingleWords: Int = 3,
       numHashes: Int = 12, rowsPerBand: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    require(numHashes % rowsPerBand == 0, // see candidatesFromArrays
+      s"rowsPerBand=$rowsPerBand must divide numHashes=$numHashes")
     // round 12: array form — both sides' signatures and band keys are
     // map-only off the persisted per-doc shingle arrays; the bucket join
     // + distinct and the verify joins are the only exchanges left

@@ -287,6 +287,11 @@ object DuplicationDetection {
       col("month"), col("day"), col("lat"), col("lon"), col("collector"),
       col("recordNumber"), col("catalogueNumber"), col("druid")).as("_2")
 
+    // round 13 (guide §5 cache-for-reuse): `base` — the UDF-derived
+    // block keys plus the block-size window — feeds FOUR branches (the
+    // small path and the big path's three reads); without the persist
+    // the window recomputes per branch. Released on the result's first
+    // materialization (CacheScope), so no storage outlives the call.
     val base = df
       .filter(col("lat").isNotNull && col("lon").isNotNull &&
         col("taxonGuid").isNotNull)
@@ -298,6 +303,7 @@ object DuplicationDetection {
         coalesce(nullif(col("day"), lit("")), lit("UNKNOWN")),
         col("_cell0")))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_blk"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val small = base.filter(col("_n") <= maxBlockSize)
       .select(col("_blk").as("_1"), candStruct)
@@ -329,7 +335,8 @@ object DuplicationDetection {
       .groupByKey(_.blk)
       .flatMapGroups((_, rows) => mergeSaltedClusters(rows))
 
-    small.union(bigMerged)
+    CacheScope.releaseOnFirstMaterialization(
+      small.union(bigMerged).toDF(), Seq(base)).as[DupResult]
   }
 
   /** Incremental duplication detection (reference
@@ -354,22 +361,33 @@ object DuplicationDetection {
       changedIds: DataFrame, prev: Dataset[DupResult],
       maxBlockSize: Int = 20000): Dataset[DupResult] = {
     import spark.implicits._
+    // round 13 (guide §5): `prev` is read twice (taxa of changed previous
+    // results + the untouched-taxa splice) and `touched` twice (the fresh
+    // semi-join + the splice anti-join) — when prev is an unmaterialized
+    // full findDuplicates chain (q129's shape), the second read re-ran
+    // the whole blocked kernel. Persist both; released on the result's
+    // first materialization. Streaming callers (duplicatesStream) pass a
+    // localCheckpoint'ed prev — the persist is then a cheap no-op layer.
+    val prevDf = prev.toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val changed = changedIds
       .select(col(changedIds.columns.head).cast("string").as("rowKey"))
       .distinct()
     val curTaxa = df.join(changed, Seq("rowKey"), "left_semi")
       .select(col("taxonGuid")).filter(col("taxonGuid").isNotNull)
-    val prevTaxa = prev.toDF().join(changed, Seq("rowKey"), "left_semi")
+    val prevTaxa = prevDf.join(changed, Seq("rowKey"), "left_semi")
       .select(col("taxonGuid"))
     val touched = curTaxa.union(prevTaxa).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fresh = findDuplicates(spark,
       df.join(touched, Seq("taxonGuid"), "left_semi"), maxBlockSize)
     // the join key moves taxonGuid to column 0; restore declaration order
     // before the (positional) Dataset.union with the fresh results
-    val kept = prev.toDF().join(touched, Seq("taxonGuid"), "left_anti")
+    val kept = prevDf.join(touched, Seq("taxonGuid"), "left_anti")
       .select("rowKey", "taxonGuid", "clusterId", "status", "precision",
         "dupTypes", "year", "month", "day")
       .as[DupResult]
-    kept.union(fresh)
+    CacheScope.releaseOnFirstMaterialization(
+      kept.union(fresh).toDF(), Seq(prevDf, touched)).as[DupResult]
   }
 }

@@ -365,7 +365,11 @@ object RecordLinkage {
       variants: org.apache.spark.sql.expressions.UserDefinedFunction,
       verify: (Column, Column) => Column): DataFrame = {
     val blk = blockCols.map(col)
-    val rows = df
+    // fanOutSmallScan (round 13, guide §2.5): a single-row-group scan
+    // persists as ONE cached partition, serializing every downstream
+    // stage that reads `rows` (variant explode, expansion joins) — a
+    // no-op at any real scale (scan already ≥cores-way)
+    val rows = graft.Tuning.fanOutSmallScan(df)
       .select(blk :+ col(idCol).as("_id") :+ col(strCol).as("_s"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = rows.select(blk :+ col("_s"): _*).distinct()
@@ -448,8 +452,12 @@ object RecordLinkage {
       if (delta == 0) 0L else maxBlockPopulation(df, blockCols)
     if (delta != 0 &&
         (maxBlock <= maxNaiveBlock || delta > maxDelta || delta < 0)) {
-      val a = df.select(blk :+ col(idCol).as("id_a") :+
-        col(strCol).as("_sa"): _*)
+      // probe side fanned out (round 13, guide §2.5): the broadcast-join
+      // pair scan inherits the probe's partitioning, so an unsplittable
+      // single-row-group scan ran the whole quadratic verify on ONE task
+      val a = graft.Tuning.fanOutSmallScan(df)
+        .select(blk :+ col(idCol).as("id_a") :+
+          col(strCol).as("_sa"): _*)
       val b = df.select(blk :+ col(idCol).as("id_b") :+
         col(strCol).as("_sb"): _*)
       a.join(b, blockCols)
@@ -495,8 +503,12 @@ object RecordLinkage {
       val within = udf((a: String, b: String) =>
         graft.functions.HashKernels.levenshteinWithin(a, b, tau))
       val blk = blockCols.map(col)
-      val a = df.select(blk :+ col(idCol).as("id_a") :+
-        col(strCol).as("_sa"): _*)
+      // probe side fanned out (round 13, guide §2.5): measured on q36 at
+      // sf0.1, the quadratic within-block scan ran 4.9 s on ONE task (the
+      // broadcast join keeps the unsplittable scan's single partition)
+      val a = graft.Tuning.fanOutSmallScan(df)
+        .select(blk :+ col(idCol).as("id_a") :+
+          col(strCol).as("_sa"): _*)
       val b = df.select(blk :+ col(idCol).as("id_b") :+
         col(strCol).as("_sb"): _*)
       a.join(b, blockCols)

@@ -58,4 +58,25 @@ class BenchBaselineSpec extends AnyFunSuite {
       """{"detail":{"q1":{"med":"oops"},"q2":{"med":2.5}}}"""
     assert(Bench.parseCommittedMeds(text) == Map("q2" -> 2.5))
   }
+
+  // Round-13: the vs-committed uniform-contention test is gated on the
+  // record's core count matching the session's AND a canary ratio ≤2×.
+  // A record from another machine/config mass-flagged 32 honest rows in
+  // r12 and the retry wall blew the driver's 32-core budget (rc=124).
+  test("vs-committed gate: fires only at same cpus on a comparably " +
+      "fast machine") {
+    // same cpus, canary within 2× → enabled
+    assert(Bench.vsCommittedAllowed(32, Some(32), Some(0.3), Some(0.5)))
+    // same cpus, machine uniformly 3× slower → disabled
+    assert(!Bench.vsCommittedAllowed(32, Some(32), Some(0.3), Some(0.95)))
+    // record taken at different core count → disabled
+    assert(!Bench.vsCommittedAllowed(8, Some(32), Some(0.3), Some(0.3)))
+    // record lacks a cpus field (pre-r13 format) → disabled
+    assert(!Bench.vsCommittedAllowed(32, None, Some(0.3), Some(0.3)))
+    // no canary on either side → can't calibrate → disabled
+    assert(!Bench.vsCommittedAllowed(32, Some(32), None, Some(0.3)))
+    assert(!Bench.vsCommittedAllowed(32, Some(32), Some(0.3), None))
+    // noise-dominated tiny canary baseline → disabled
+    assert(!Bench.vsCommittedAllowed(32, Some(32), Some(0.01), Some(0.02)))
+  }
 }
